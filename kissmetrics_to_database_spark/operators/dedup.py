@@ -1,0 +1,292 @@
+"""Deduplication operators — exact and near-duplicate, at scale.
+
+The reference's dedup is a stubbed all-columns-equal self-join DELETE
+(reference: src/KissmetricsToDatabase.php:656-672, flag :348-351) plus
+an md5 row fingerprint (:293). This module keeps that intent (exact
+dedup) and adds the near-dup family a training-data pipeline needs:
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Scale design:
+- every operator is shuffle-minimal: exact dedup is one hash
+  aggregation; MinHash is explode→groupBy (map-side combinable);
+  LSH banding turns the quadratic all-pairs comparison into a
+  groupBy on band keys, so only same-bucket docs are ever joined;
+- all hashing is md5/sha2-based (built-in, codegen'd, and
+  reproducible in any engine — no JVM-specific hash functions), so
+  results are oracle-comparable;
+- no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """J3: keep one copy of each duplicate row (all-columns or subset).
+
+    ``dropDuplicates`` compiles to a hash aggregation on the key
+    columns — the distributed equivalent of the reference's
+    all-columns-equal self-join delete, without the join.
+    """
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dedup_by_fingerprint(df: DataFrame, fingerprint_col: str = "md5hash") -> DataFrame:
+    """Exact dedup on a precomputed row fingerprint (md5hash, P5).
+
+    One shuffle on a 32-byte key regardless of row width — at 100 TB
+    this beats all-columns dedup because the shuffle payload can be
+    pruned to the fingerprint + a min row id, then semi-joined back.
+    """
+    w = Window.partitionBy(fingerprint_col).orderBy(*df.columns)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tokens(text_col, lowercase: bool = True):
+    """Whitespace tokenization as an array column."""
+    c = F.lower(text_col) if lowercase else text_col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows — the token-set representation used by
+    MinHash / Jaccard. Distinct per doc (set semantics)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, token) rows where token = an ``n``-token shingle.
+
+    Shingles (word n-grams) are the standard near-dup unit: unigram
+    sets collide across any documents sharing vocabulary, while
+    n-gram shingles are selective for copied *passages*. Built with
+    ``transform`` over a token-index sequence — one projection, no
+    join, no UDF. Docs shorter than ``n`` tokens contribute their full
+    token sequence as a single shingle.
+    """
+    toks = tokens(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    token_df: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: for seed j, min over tokens of
+    md5(j || ':' || token).
+
+    md5-as-hash-family is deterministic and engine-portable (the usual
+    ``(a*x+b) mod p`` family needs identical integer hashing on both
+    sides; md5 hex-string min gives the same uniform behavior and is
+    exactly reproducible in SQL). Explode factor = num_hashes; the
+    groupBy is map-side combinable so the shuffle carries only
+    (doc, seed, min_hash).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        token_df.select(F.col(id_col), F.col("token"), seeds)
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("token"))).alias(
+                "h"
+            ),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidates.
+
+    band id = seed // rows_per_band; band key = md5 of the ordered
+    minhashes in the band. Output: (id_a, id_b) with id_a < id_b,
+    distinct. The groupBy(band, band_key) bucket join replaces the
+    O(n²) comparison — at 100 TB the bucket sizes, not the corpus
+    size, bound the join.
+    """
+    bands = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash")))
+                .getField("minhash"))
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    token_df: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard for (candidate) pairs.
+
+    |A∩B| via a token equi-join, |A∪B| = |A|+|B|-|A∩B|. When
+    ``candidates`` is given (from LSH) the join is semi-restricted to
+    those pairs; otherwise all same-token pairs are scored (only safe
+    at small scale). Scores are rounded to 6 decimals so cross-engine
+    float summation order can't flip a comparison.
+    """
+    sizes = token_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    ta = token_df.select(F.col(id_col).alias("id_a"), "token")
+    tb = token_df.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        ta.join(tb, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→Jaccard-verify near-dup pipeline.
+
+    Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
+    """
+    tok = distinct_shingles(df, id_col, text_col)
+    sig = minhash_signatures(tok, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
+    return jaccard_pairs(tok, id_col, cand, threshold)
+
+
+def _hex_digit_val(c):
+    """Hex char → 0..15 via position in the hex alphabet (portable —
+    the same expression works in ANSI SQL as strpos)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash(token_df: DataFrame, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash over the token set, ``bits`` wide (default 32).
+
+    For bit position p of md5(token)'s leading hex digits: each token
+    votes +1/-1; the output bit is 1 iff the vote sum is positive.
+    Entirely integer arithmetic on hex digits → engine-portable and
+    exactly oracle-comparable (no platform hash involved).
+
+    Explode factor = ``bits``; the groupBy is map-side combinable, so
+    the shuffle carries (doc, bitpos, partial_sum) — fine at scale.
+    """
+    assert bits % 4 == 0 and bits <= 128
+    h = token_df.withColumn("md5h", F.md5(F.col("token")))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bitpos")
+    digit = _hex_digit_val(
+        F.substring(F.col("md5h"), (F.col("bitpos") / 4).cast("int") + 1, 1)
+    )
+    bit = F.floor(digit / F.pow(F.lit(2), (F.col("bitpos") % 4))).cast("long") % 2
+    votes = (
+        h.select(id_col, "md5h", bitpos)
+        .withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
+        .groupBy(id_col, "bitpos")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("bitpos")).cast("long")).otherwise(
+                0
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pairing strategy: block on the high half of the simhash (near-dups
+    almost always agree on one half when max_hamming is small — the
+    standard multi-table trick uses all half/quarter splits; we block
+    on both halves and union), then verify Hamming via bit_count(xor).
+    """
+    sh = simhash(distinct_shingles(df, id_col, text_col), id_col, bits).cache()
+    half = 2 ** (bits // 2)
+    blocked = sh.select(
+        id_col,
+        "simhash",
+        (F.col("simhash") / half).cast("long").alias("hi"),
+        (F.col("simhash") % half).cast("long").alias("lo"),
+    )
+    out = []
+    for key in ("hi", "lo"):
+        a = blocked.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), key
+        )
+        b = blocked.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), key
+        )
+        out.append(
+            a.join(b, key)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+    pairs = out[0].union(out[1]).distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,182 @@
+"""Identity resolution: connected components over the alias graph.
+
+The reference builds the transitive closure of user-alias pairs in
+driver memory (reference: src/KissmetricsToDatabase.php:359-455 is the
+per-event incremental + global rebuild, :506-559 the abandoned
+cluster-merge rewrite, teste.php:46-98 the working single-node
+algorithm, src/Operations/FileImporter.php:95-131 the per-row lookup).
+That design holds the whole identity map in one process — the
+scalability wall this engine removes.
+
+Spark-first restatement: the alias pairs are an undirected edge
+DataFrame; identity resolution is **connected components by iterative
+min-id propagation** (large-star/small-star style label propagation —
+public algorithm, e.g. Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14):
+
+    comp(v) ← min(comp(v), min over neighbors u of comp(u))
+
+repeated until fixpoint. Each round is one shuffle (join on node id +
+groupBy min); rounds needed = O(graph diameter), which for identity
+graphs (stars around canonical users) is tiny (2-4). ``localCheckpoint``
+every round cuts the lineage so plans don't grow superlinearly — at
+100 TB this loop runs over an edge table partitioned by node id and
+every round is a co-partitioned shuffle.
+
+Determinism contract (FIXTURES.md): component id = minimum member id
+under plain string ordering; the reference's ``LIMIT 1`` lookup
+tie-break (FileImporter.php:107) is replaced by min-id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Normalize an edge list to undirected, self-loop-free, distinct."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Return ``(member, component_id)`` with component_id = min member.
+
+    Iterative min-label propagation over an undirected edge DataFrame.
+    Convergence is detected with a changed-label count (one action per
+    round). Scale notes:
+    - both ``und`` (reused every round) and ``comp`` are cached;
+    - ``localCheckpoint`` truncates lineage each round, keeping the
+      per-round plan constant-size;
+    - the join key is the node id, so AQE handles skewed hub nodes
+      (a celebrity alias) by splitting the hot partition.
+    """
+    und = undirect_edges(edges, src, dst).persist()
+    comp = (
+        und.select(F.col("src").alias("member"))
+        .distinct()
+        .withColumn("component_id", F.col("member"))
+        .persist()
+    )
+
+    for _ in range(max_iterations):
+        # Candidate label for each node: min of its neighbors' labels.
+        neighbor_min = (
+            und.join(comp, und.dst == comp.member, "inner")
+            .select(und.src.alias("member"), F.col("component_id"))
+            .groupBy("member")
+            .agg(F.min("component_id").alias("neighbor_component_id"))
+        )
+        updated = (
+            comp.join(neighbor_min, "member", "left")
+            .select(
+                "member",
+                F.least(
+                    F.col("component_id"), F.col("neighbor_component_id")
+                ).alias("component_id"),
+                (
+                    F.col("neighbor_component_id").isNotNull()
+                    & (F.col("neighbor_component_id") < F.col("component_id"))
+                ).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+
+        n_changed = updated.where(F.col("_changed")).count()
+        old = comp
+        comp = updated.drop("_changed").persist()
+        old.unpersist()
+        if n_changed == 0:
+            break
+
+    und.unpersist()
+    return comp
+
+
+def canonical_map(components: DataFrame) -> DataFrame:
+    """``(member, canonical)`` mapping — the FileImporter.php:95-131
+    lookup table, set-based: canonical = component minimum."""
+    return components.select(
+        F.col("member"), F.col("component_id").alias("canonical")
+    )
+
+
+def all_pairs(components: DataFrame) -> DataFrame:
+    """All ordered pairs (a ≠ b) within each component.
+
+    Reference: KissmetricsToDatabase.php:379-392,445-449 materializes
+    every (identity1, identity2) pair of a merged cluster, both
+    directions, excluding self-pairs. Self-join on component_id; at
+    scale this is quadratic per component by definition — prefer
+    :func:`canonical_map` (linear) unless all-pairs output is required.
+    """
+    a = components.select(
+        F.col("component_id"), F.col("member").alias("identity1")
+    )
+    b = components.select(
+        F.col("component_id"), F.col("member").alias("identity2")
+    )
+    return (
+        a.join(b, "component_id")
+        .where(F.col("identity1") != F.col("identity2"))
+        .select("identity1", "identity2")
+    )
+
+
+def resolve_events(
+    events: DataFrame,
+    mapping: DataFrame,
+    person_col: str = "_p",
+) -> DataFrame:
+    """J1: annotate events with their canonical identity.
+
+    Reference: FileImporter.php:95-118 does a per-row indexed lookup
+    (``alias IN (id, alias) LIMIT 1``) with fallback to the raw id.
+    Set-based: one broadcast left join + coalesce. The mapping is
+    (#distinct identities) rows — for typical identity cardinalities it
+    broadcasts; if it outgrows the broadcast threshold Spark falls back
+    to a shuffled join automatically, so this stays correct at 100 TB.
+    """
+    m = F.broadcast(mapping.withColumnRenamed("member", person_col))
+    return events.join(m, person_col, "left").withColumn(
+        "canonical", F.coalesce(F.col("canonical"), F.col(person_col))
+    )
+
+
+def alias_edges_kissmetrics(events: DataFrame) -> DataFrame:
+    """Extract identity edges from raw Kissmetrics rows (P9-P11).
+
+    Two edge sources, per KissmetricsToDatabase.php:401-436:
+    - alias records: ``_p2 != ''`` → edge (_p, _p2), skipping pairs
+      whose first identity contains '@' (:414-416);
+    - 'updated email' events → edges (_p, new_email) and
+      (_p, previous_email) (:427-436).
+    """
+    alias_recs = (
+        events.where(F.col("_p2").isNotNull() & (F.col("_p2") != ""))
+        .select(F.col("_p").alias("src"), F.col("_p2").alias("dst"))
+        .where(~F.col("src").contains("@"))
+    )
+    email_recs = events.where(F.col("_n_not_null") == "updated email")
+    email_edges = (
+        email_recs.select(F.col("_p").alias("src"), F.col("new_email").alias("dst"))
+        .union(
+            email_recs.select(
+                F.col("_p").alias("src"), F.col("previous_email").alias("dst")
+            )
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") != ""))
+    )
+    return alias_recs.union(email_edges)

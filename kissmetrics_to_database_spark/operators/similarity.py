@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus a
+random-hyperplane LSH-bucketed variant as the scale path. Both stay
+JVM-side: dot products via ``aggregate``/``zip_with`` higher-order
+functions (whole-stage codegen'd) — no Python in the scoring loop.
+
+Determinism: scores are rounded to 6 decimals *before* ranking, and
+rank ties break on neighbor id, so results are exactly reproducible
+across engines and partitionings regardless of float summation order.
+
+Scale notes:
+- brute force is a probe×corpus cross join — O(P·N); correct tool
+  when P is small (a query batch). The probe side is broadcast.
+- LSH: bucket key = sign bits of projections onto H hyperplanes;
+  candidates only join within a bucket, so cost is bucket-local.
+  Hyperplanes here are taken from the corpus itself (first H vectors)
+  to stay deterministic without an RNG; production would use fixed
+  random planes shipped as a literal array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i via zip_with + aggregate (element order fixed)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    Returns (probe_id, neighbor_id, score, rank), rank 1..k, probes'
+    self-matches excluded. The probe side is broadcast so the corpus
+    is scanned exactly once with no shuffle before the per-probe top-k
+    aggregation.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    scored = (
+        c.join(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("corpus_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )
+
+
+def lsh_bucket_key(
+    vec: Column, hyperplanes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket: one sign bit per hyperplane."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in h])) >= 0, "1").otherwise(
+            "0"
+        )
+        for h in hyperplanes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only within matching LSH buckets.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1 by
+    construction (candidates limited to the probe's bucket). At scale
+    the bucket groupBy replaces the cross join; the corpus side is
+    hash-partitioned by bucket key so each probe touches one
+    partition's worth of candidates.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("bucket"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("corpus_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )

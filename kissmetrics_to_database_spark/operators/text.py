@@ -1,0 +1,137 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure column expressions (codegen'd, no UDFs): language ID by
+marker-token voting, heuristic quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprints (normalization
+md5 + polynomial rolling hash).
+
+The reference has no text analytics; these are the extension suite the
+engine adds for 100 TB corpus curation (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (public stopword lists, truncated).
+# Declared data, not learned — the operator contract is "argmax of
+# marker hits with deterministic tie-break", which is oracle-exact.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "las", "una"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# BPE-ish pre-tokenization: word pieces, numbers, or single
+# non-space symbols (a simplified GPT-2-style pretoken split).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_token(text_tokens: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token in an array column."""
+    return F.size(F.filter(text_tokens, lambda t: t == F.lit(word)))
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Marker-hit count per language over whitespace tokens."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return {
+        lang: sum((_count_token(toks, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID: argmax of marker hits; ties → lexicographically
+    smallest language code; zero hits → 'und'.
+
+    Implemented as array_max over (score, negated-lang) structs so the
+    whole decision is one expression — no join, no UDF.
+    """
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(
+                s.alias("score"),
+                # invert lang ordering so max() picks the *smallest*
+                # code on score ties
+                F.lit("".join(chr(255 - ord(c)) for c in lang)).alias("inv"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("score") > 0, best.getField("lang")).otherwise("und"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1].
+
+    Components (each 0..1, equally weighted, rounded to 6 decimals):
+    - length score: min(1, n_chars / 500)
+    - alpha ratio: alphabetic+space chars / chars
+    - stopword ratio presence: min(1, 5 * stopword_tokens / tokens)
+    - mean-word-length sanity: 1 if mean token length in [3, 12]
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    stop_hits = sum(
+        (_count_token(toks, w) for w in LANG_MARKERS["en"]), F.lit(0)
+    )
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    stop_score = F.least(
+        F.lit(1.0), F.lit(5.0) * stop_hits / F.greatest(n_toks, F.lit(1))
+    )
+    mean_wl = (F.length(F.regexp_replace(t, r"\s+", ""))) / F.greatest(
+        n_toks, F.lit(1)
+    )
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
+    quality = F.round((len_score + alpha_ratio + stop_score + wl_score) / 4.0, 6)
+    return df.withColumn("quality", quality)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count."""
+    t = F.trim(F.col(text_col))
+    ws = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+    return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
+
+
+def normalization_fingerprint(text_col: Column) -> Column:
+    """Doc fingerprint: md5 of the lowercased text with all
+    non-alphanumerics stripped — robust to whitespace/punct edits
+    (the cheap exact-after-normalization dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(text_col), r"[^a-z0-9]", ""))
+
+
+def rolling_hash(text_col: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters: h = Σ h*base + code.
+
+    Built with ``aggregate`` over the char array — stays JVM-side.
+    A content-defined fingerprint usable for chunk-level dedup.
+    """
+    chars = F.split(text_col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "norm_fingerprint", normalization_fingerprint(F.col(text_col))
+    ).withColumn("rolling_hash", rolling_hash(F.col(text_col)))

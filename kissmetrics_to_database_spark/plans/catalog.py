@@ -1,0 +1,836 @@
+"""Declared-query catalog: the oracle-checked operator surface.
+
+Every ✔-marked operator in SURVEY.md §2 is exposed here as a named
+query — a ``(spark, sf_dir) -> DataFrame`` callable — paired with the
+ANSI-SQL string a DuckDB oracle runs over the same parquet tables.
+The driver hashes both results (columns sorted by name, order-
+insensitive), so every pair must agree *exactly*: same column names,
+same types up to int/long width, floats only ever produced by
+identical arithmetic or rounded after aggregation.
+
+Shared determinism rules (FIXTURES.md):
+- session TZ = UTC, all epoch math in seconds with explicit floor;
+- doubles that pass through aggregation are rounded (2 decimals for
+  money sums whose true values are exact cents, 6 for ratios);
+- every ranking has a total order (score desc, id asc);
+- identity component id = min member (binary string order).
+
+Layout: CORE_* = reference-fidelity operators (SURVEY §2 row ids in
+each docstring); EXT_* = the training-data extension suite (dedup /
+similarity / text / multimodal / analytics windows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.operators import dedup, identity, similarity, text
+from kissmetrics_to_database_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Fixed load date so `created_at` is reproducible (FIXTURES.md).
+LOAD_DATE = "2024-06-01"
+
+CSV_FIXTURE = "/root/repo/tests/fixtures/book.csv"
+
+
+def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def query(name: str, oracle: str | None):
+    """Decorator: add a query (and its oracle SQL) to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _register(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared sub-plans
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _alias_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic identity edges from the events table.
+
+    Kissmetrics semantics on the driver's typed events: a 'signup'
+    event with small k (k < 10, the "alias record" predicate) aliases
+    person ``u<user_id>`` to identity ``e<user_id+k>`` (k from the
+    props JSON). The +k link makes user chains overlap, so the alias
+    graph has nontrivial connected components (at sf0.01: 36
+    components, sizes 2..52).
+    Covers SURVEY §2 P9 (alias-record predicate), P15 (projection to
+    pair), S2 (JSON field extraction).
+    """
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where((F.col("event_type") == "signup") & (k < 10))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("e"), (F.col("user_id") + k).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+# Oracle CTE snippets kept identical across queries that build on the
+# same sub-plan, so the SQL is audit-friendly.
+SQL_ALIAS_EDGES = """
+  SELECT DISTINCT
+         'u' || CAST(user_id AS VARCHAR) AS src,
+         'e' || CAST(user_id + CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS dst
+  FROM events
+  WHERE event_type = 'signup'
+    AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+"""
+
+# Connected components as a recursive transitive closure: node ->
+# minimum reachable node. Tractable for the oracle's sf0.01 graph;
+# the engine itself uses iterative min-label propagation (identity.py).
+SQL_COMPONENTS = f"""
+  WITH RECURSIVE edges AS ({SQL_ALIAS_EDGES}),
+  und AS (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+  ),
+  reach(node, r) AS (
+    SELECT src AS node, src AS r FROM und
+    UNION
+    SELECT und.src AS node, reach.r
+    FROM und JOIN reach ON und.dst = reach.node
+  )
+  SELECT node AS member, min(r) AS component_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# CORE — scans & projections (SURVEY §2.1, §2.2, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ndjson_scan_project",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events ORDER BY event_id
+    """,
+)
+def q_ndjson_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON record scan + field extraction (one JSON object per
+    row, dynamic key pulled out as a typed column).
+    Reference: src/Operations/ProcessFile.php:24-46."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "key_sanitize",
+    """
+    SELECT doc_id,
+           regexp_replace('user prop-' || source, '[- _]', '_', 'g') AS sanitized_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_key_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F7: column-key sanitization ([-, space, _] → _).
+    Reference: helpers.php:28-35."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.lit("user prop-"), F.col("source")), "[- _]", "_"
+        ).alias("sanitized_key"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "event_name_nullation",
+    """
+    SELECT event_id,
+           CASE WHEN raw_n = '' THEN NULL ELSE raw_n END AS _n,
+           coalesce(raw_n, '') AS _n_not_null
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_type = 'view' THEN '' ELSE event_type END AS raw_n
+      FROM events
+    ) ORDER BY event_id
+    """,
+)
+def q_event_name_nullation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: `_n_not_null` preservation then empty→NULL on `_n`
+    ('view' plays the property-set record whose name is empty).
+    Reference: KissmetricsToDatabase.php:281-286, ProcessFile.php:40."""
+    ev = _events(spark, sf_dir).withColumn(
+        "raw_n",
+        F.when(F.col("event_type") == "view", "").otherwise(F.col("event_type")),
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.when(F.col("raw_n") == "", None).otherwise(F.col("raw_n")).alias("_n"),
+            F.coalesce(F.col("raw_n"), F.lit("")).alias("_n_not_null"),
+        )
+    ).orderBy("event_id")
+
+
+@query(
+    "epoch_format",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted
+    FROM events ORDER BY event_id
+    """,
+)
+def q_epoch_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F9: unix-epoch seconds ↔ 'Y-m-d H:i:s' formatting, UTC.
+    Reference: KissmetricsToDatabase.php:289-291."""
+    ev = _events(spark, sf_dir)
+    epoch = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.date_format(F.from_unixtime(epoch), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_formatted"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "row_fingerprint",
+    """
+    SELECT event_id,
+           md5(concat(
+             CAST(event_id AS VARCHAR),
+             strftime(ts, '%Y-%m-%d %H:%M:%S'),
+             CAST(user_id AS VARCHAR),
+             event_type,
+             CAST(value AS VARCHAR),
+             props)) AS md5hash
+    FROM events ORDER BY event_id
+    """,
+)
+def q_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F1/F3: md5 row fingerprint — all values concatenated in
+    declared schema order, no separator, NULL→''.
+    Reference: KissmetricsToDatabase.php:293."""
+    ev = _events(spark, sf_dir)
+    cols = [
+        F.col("event_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("props"),
+    ]
+    return ev.select(
+        "event_id", F.md5(F.concat_ws("", *cols)).alias("md5hash")
+    ).orderBy("event_id")
+
+
+@query(
+    "load_date_constant",
+    f"""
+    SELECT '{LOAD_DATE}' AS created_at, count(*) AS n_rows FROM events
+    """,
+)
+def q_load_date_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F10: injected load-date column (fixed for determinism;
+    emitted as its ISO string so the comparison is engine-neutral).
+    Reference: FileImporter.php:82-85."""
+    return _events(spark, sf_dir).agg(
+        F.date_format(F.to_date(F.lit(LOAD_DATE)), "yyyy-MM-dd").alias("created_at"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "blank_filter",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE length(trim(text)) > 0 AND n_chars > 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_blank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F6: blank-line filter + trim.
+    Reference: ProcessFile.php:28-31."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            (F.length(F.trim(F.col("text"))) > 0) & (F.col("n_chars") > 300)
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query("alias_pairs_projection", f"SELECT src, dst FROM ({SQL_ALIAS_EDGES}) ORDER BY src, dst")
+def q_alias_pairs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9+P15+S2: alias-record predicate and projection to the
+    identity pair. Reference: KissmetricsToDatabase.php:566-579."""
+    return _alias_edges(spark, sf_dir).orderBy("src", "dst")
+
+
+@query(
+    "event_name_predicate",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY event_date
+    """,
+)
+def q_event_name_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: event-name equality predicate (LIKE w/o wildcards).
+    Reference: KissmetricsToDatabase.php:587."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@query(
+    "email_exclusion",
+    """
+    SELECT count(*) AS n_kept, count(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT user_id,
+             'user' || CAST(user_id AS VARCHAR)
+               || CASE WHEN user_id % 7 = 0 THEN '@example.com' ELSE '' END AS identity1
+      FROM events
+    )
+    WHERE strpos(identity1, '@') = 0
+    """,
+)
+def q_email_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/F8: skip identities containing '@'.
+    Reference: KissmetricsToDatabase.php:414-416."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.concat(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.when(F.col("user_id") % 7 == 0, "@example.com").otherwise(""),
+        ).alias("identity1"),
+    )
+    return ev.where(F.instr("identity1", "@") == 0).agg(
+        F.count("*").alias("n_kept"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "equality_lookup",
+    f"""
+    SELECT src AS identity1 FROM ({SQL_ALIAS_EDGES}) WHERE dst = 'e100'
+    ORDER BY identity1
+    """,
+)
+def q_equality_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/J2: reverse-alias equality lookup (one hop).
+    Reference: KissmetricsToDatabase.php:623-635."""
+    return (
+        _alias_edges(spark, sf_dir)
+        .where(F.col("dst") == "e100")
+        .select(F.col("src").alias("identity1"))
+        .orderBy("identity1")
+    )
+
+
+@query(
+    "in_list_lookup_min",
+    f"""
+    SELECT src, min(dst) AS canonical_alias
+    FROM ({SQL_ALIAS_EDGES})
+    WHERE dst IN ('e10', 'e50', 'e100', 'e150', 'e200')
+    GROUP BY src ORDER BY src
+    """,
+)
+def q_in_list_lookup_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/O4/J1: IN-list lookup with the declared min-id tie-break
+    replacing the reference's LIMIT 1.
+    Reference: FileImporter.php:104-111."""
+    return (
+        _alias_edges(spark, sf_dir)
+        .where(F.col("dst").isin("e10", "e50", "e100", "e150", "e200"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("canonical_alias"))
+        .orderBy("src")
+    )
+
+
+@query(
+    "substring_match",
+    """
+    SELECT doc_id FROM documents
+    WHERE text LIKE '%window group%' OR strpos(text, 'shuffle join') > 0
+    ORDER BY doc_id
+    """,
+)
+def q_substring_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/F8: substring containment predicates.
+    Reference: teste.php:59-64."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            F.col("text").like("%window group%")
+            | (F.instr("text", "shuffle join") > 0)
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CORE — joins & identity resolution (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "identity_components",
+    f"SELECT member, component_id FROM ({SQL_COMPONENTS}) ORDER BY member",
+)
+def q_identity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U1/A3: connected components of the alias graph, component
+    id = min member. The engine runs iterative min-label propagation;
+    the oracle a recursive-CTE transitive closure — the results must
+    coincide exactly.
+    Reference: KissmetricsToDatabase.php:401-455, teste.php:46-98."""
+    comp = identity.connected_components(_alias_edges(spark, sf_dir))
+    return comp.select("member", "component_id").orderBy("member")
+
+
+@query(
+    "identity_all_pairs",
+    f"""
+    WITH comp AS ({SQL_COMPONENTS}),
+    small AS (
+      SELECT component_id FROM comp GROUP BY component_id HAVING count(*) <= 50
+    )
+    SELECT a.member AS identity1, b.member AS identity2
+    FROM comp a JOIN comp b ON a.component_id = b.component_id
+    JOIN small s ON a.component_id = s.component_id
+    WHERE a.member <> b.member
+    ORDER BY identity1, identity2
+    """,
+)
+def q_identity_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: all ordered pairs within each component — capped to
+    components of ≤ 50 members (all-pairs is quadratic per component
+    by definition; the cap is the scale-safe contract).
+    Reference: KissmetricsToDatabase.php:379-392,445-449."""
+    comp = identity.connected_components(_alias_edges(spark, sf_dir))
+    small = (
+        comp.groupBy("component_id").count().where(F.col("count") <= 50).select("component_id")
+    )
+    pairs = identity.all_pairs(comp.join(F.broadcast(small), "component_id"))
+    return pairs.orderBy("identity1", "identity2")
+
+
+@query(
+    "broadcast_lookup_join",
+    f"""
+    WITH comp AS ({SQL_COMPONENTS})
+    SELECT coalesce(c.component_id, 'u' || CAST(e.user_id AS VARCHAR)) AS canonical,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    LEFT JOIN comp c ON c.member = 'u' || CAST(e.user_id AS VARCHAR)
+    GROUP BY 1 ORDER BY canonical
+    """,
+)
+def q_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: canonical-identity lookup join (broadcast) with raw-id
+    fallback, then per-canonical rollup.
+    Reference: FileImporter.php:95-118."""
+    ev = _events(spark, sf_dir).withColumn(
+        "_p", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    comp = identity.connected_components(_alias_edges(spark, sf_dir))
+    resolved = identity.resolve_events(
+        ev, identity.canonical_map(comp), person_col="_p"
+    )
+    return (
+        resolved.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("canonical")
+    )
+
+
+@query(
+    "reverse_alias_join",
+    f"""
+    WITH edges AS ({SQL_ALIAS_EDGES}),
+    probes AS (SELECT DISTINCT dst FROM edges WHERE dst LIKE 'e1%')
+    SELECT e.src AS identity1, e.dst AS identity2
+    FROM edges e JOIN probes p ON e.dst = p.dst
+    ORDER BY identity1, identity2
+    """,
+)
+def q_reverse_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: one-hop reverse-alias equi-join against a probe set.
+    Reference: KissmetricsToDatabase.php:623-635 used at :365-377."""
+    edges = _alias_edges(spark, sf_dir)
+    probes = edges.where(F.col("dst").like("e1%")).select("dst").distinct()
+    return (
+        edges.join(F.broadcast(probes), "dst")
+        .select(F.col("src").alias("identity1"), F.col("dst").alias("identity2"))
+        .orderBy("identity1", "identity2")
+    )
+
+
+@query(
+    "dedup_all_columns",
+    """
+    SELECT DISTINCT user_id % 20 AS user_bucket, event_type FROM events
+    ORDER BY user_bucket, event_type
+    """,
+)
+def q_dedup_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: all-columns-equal dedup (keep one copy) as a hash
+    aggregation instead of a self-join delete.
+    Reference: KissmetricsToDatabase.php:656-672."""
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 20).alias("user_bucket"), "event_type"
+    )
+    return dedup.dedup_exact(ev).orderBy("user_bucket", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# CORE — aggregations, sorts, set ops (SURVEY §2.4-§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_tables",
+    """
+    SELECT (SELECT count(*) FROM events) AS n_events,
+           (SELECT count(*) FROM documents) AS n_documents
+    """,
+)
+def q_count_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: before/after row counts (the reference's only built-in
+    verification). Reference: KissmetricsToDatabase.php:54-66."""
+    ev = _events(spark, sf_dir).agg(F.count("*").alias("n_events"))
+    docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_documents")
+    )
+    return ev.crossJoin(docs)
+
+
+@query(
+    "schema_max_lengths",
+    """
+    SELECT CAST(max(length(event_type)) AS BIGINT) AS len_event_type,
+           CAST(max(length(props)) AS BIGINT) AS len_props,
+           CAST(max(length(CAST(value AS VARCHAR))) AS BIGINT) AS len_value
+    FROM events
+    """,
+)
+def q_schema_max_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F5: per-key max value length (the reference's entire type
+    system). Reference: KissmetricsToDatabase.php:202-210."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.max(F.length("event_type")).cast("long").alias("len_event_type"),
+        F.max(F.length("props")).cast("long").alias("len_props"),
+        F.max(F.length(F.col("value").cast("string"))).cast("long").alias("len_value"),
+    )
+
+
+@query(
+    "distinct_accumulation",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT (CAST(user_id AS VARCHAR) || ':' || event_type)) AS BIGINT) AS n_pairs
+    FROM events
+    """,
+)
+def q_distinct_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/U1: distinct-set accumulation (the reference's seen-set with
+    md5 memory trick, obsolete under shuffle-based distinct).
+    Reference: KissmetricsToDatabase.php:462-497."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
+        ).alias("n_pairs"),
+    )
+
+
+@query(
+    "group_sizes_explode",
+    """
+    SELECT token, count(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_group_sizes_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F4: explode a delimited list and count per group (top-20
+    tokens, total order). Reference: teste.php:116-125."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "natural_sort_files",
+    """
+    SELECT fname,
+           CAST(row_number() OVER (
+             ORDER BY CAST(regexp_extract(fname, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS file_order
+    FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) || '.json' AS fname FROM events)
+    ORDER BY file_order
+    """,
+)
+def q_natural_sort_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/S4: natural (numeric) filename ordering — `2.json` before
+    `10.json`. Reference: KissmetricsToDatabase.php:177,
+    ProcessFilesCommand.php:43-45."""
+    ev = _events(spark, sf_dir)
+    files = ev.select(
+        F.concat(F.col("user_id").cast("string"), F.lit(".json")).alias("fname")
+    ).distinct()
+    w = Window.orderBy(F.regexp_extract("fname", r"(\d+)", 1).cast("long"))
+    return files.withColumn(
+        "file_order", F.row_number().over(w).cast("long")
+    ).orderBy("file_order")
+
+
+@query(
+    "watermark_filter",
+    """
+    SELECT CAST(user_id AS VARCHAR) || '.json' AS fname, count(*) AS n_rows
+    FROM events
+    WHERE CAST(regexp_extract(CAST(user_id AS VARCHAR) || '.json', '(\\d+)', 1) AS BIGINT) > 99
+    GROUP BY 1 ORDER BY fname
+    """,
+)
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5: incremental discovery — keep only files strictly after
+    the persisted watermark (here: '99.json'), natural comparison.
+    Reference: ProcessFilesCommand.php:47-55."""
+    ev = _events(spark, sf_dir).withColumn(
+        "fname", F.concat(F.col("user_id").cast("string"), F.lit(".json"))
+    )
+    return (
+        ev.where(F.regexp_extract("fname", r"(\d+)", 1).cast("long") > 99)
+        .groupBy("fname")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("fname")
+    )
+
+
+@query(
+    "natural_member_sort",
+    """
+    SELECT user_id, string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_natural_member_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: sorted member list before signature hashing (declared:
+    plain lexicographic). Reference: KissmetricsToDatabase.php:524-526."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "orderby_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4: ORDER BY + LIMIT with a declared total order.
+    Reference: teste.php:112-114, FileImporter.php:107."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "union_dedup",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union + dedup of identity lists.
+    Reference: KissmetricsToDatabase.php:517-521."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct().orderBy("user_id")
+
+
+@query(
+    "set_difference",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def q_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: set difference (new-columns diff, relational form).
+    Reference: FileImporter.php:50-51."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b).orderBy("user_id")
+
+
+@query(
+    "sha2_bucket",
+    """
+    SELECT substr(sha256(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_sha2_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: hash bucketing of identities (reference uses sha1; declared
+    sha2-256 for engine portability — sha1 itself is covered in unit
+    tests). Reference: KissmetricsToDatabase.php:513,526."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 2).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "schema_evolution_union",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(value) AS BIGINT) AS n_value,
+           CAST(count(prop_k) AS BIGINT) AS n_prop_k
+    FROM (
+      SELECT event_type, value, NULL AS prop_k FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, NULL AS value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/U2/A2: dynamic schema evolution — two batches with different
+    column sets unioned by name with NULL padding (the Spark analog of
+    `ALTER TABLE ADD`). Reference: FileImporter.php:48-69."""
+    ev = _events(spark, sf_dir)
+    batch_a = ev.where(F.col("event_id") % 2 == 0).select("event_type", "value")
+    batch_b = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+    unioned = batch_a.unionByName(batch_b, allowMissingColumns=True)
+    return (
+        unioned.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("value").alias("n_value"),
+            F.count("prop_k").alias("n_prop_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "csv_scan",
+    f"""
+    SELECT id, nick, email
+    FROM read_csv('{CSV_FIXTURE}', delim=';', header=true, all_varchar=true)
+    ORDER BY CAST(id AS BIGINT)
+    """,
+)
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: `;`-delimited CSV scan with header row (the teste.php
+    experiment input format). Reference: teste.php:28-44."""
+    return (
+        spark.read.option("header", True)
+        .option("sep", ";")
+        .csv(CSV_FIXTURE)
+        .select("id", "nick", "email")
+        .orderBy(F.col("id").cast("long"))
+    )

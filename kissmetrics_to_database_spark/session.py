@@ -1,0 +1,116 @@
+"""SparkSession factory + testdata loaders.
+
+Configuration notes (scale-first):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching. On a 1000-executor
+  cluster these are the difference between a tuned plan and a stalled
+  one; on local[32] they keep tiny SF runs from over-partitioning.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count
+  here; on a real cluster set it to 2-3x total executor cores (AQE
+  coalesces down, it never splits up a too-small setting).
+- Session timezone pinned to UTC: the reference formats epoch
+  timestamps with the process TZ (KissmetricsToDatabase.php:289-291);
+  we declare UTC so results are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast at any SF
+# (region=5 rows, nation=25 rows at every scale factor).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def get_spark(
+    app_name: str = "kissmetrics_to_database_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local test/bench default is ``local[$SPARK_GRAFT_CPUS]``; on a real
+    cluster pass ``master=None`` with a cluster-provided session config
+    and only the SQL confs below apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    The driver's parquet uses nanosecond timestamps (pandas default),
+    which Spark's vectorized reader rejects. We read them as raw
+    nanos longs (``nanosAsLong``) and cast back to (microsecond)
+    timestamps — lossless for this data and identical to what DuckDB
+    sees. Footer inspection is driver-side pyarrow (cheap, metadata
+    only).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive: queries may run under a caller-provided session
+    # (the driver's). Pin the two confs correctness depends on —
+    # UTC formatting and nanos-parquet reads — at the one choke
+    # point every query passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in _nanos_columns(path):
+        df = df.withColumn(
+            field,
+            F.timestamp_micros((F.col(field) / 1000).cast("long")),
+        )
+    return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of timestamp[ns] columns in a parquet file's footer."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table into a dict keyed by table name."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

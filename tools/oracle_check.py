@@ -1,0 +1,131 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query through Spark AND its oracle SQL through
+DuckDB on the same parquet tables, then compares row count, column
+names, and values (columns sorted by name, rows sorted by all
+columns — order-insensitive, exact equality; floats must match to the
+last bit, which the catalog guarantees by construction).
+
+Usage: python tools/oracle_check.py [--sf /root/testdata/sf0.01] [--only name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from kissmetrics_to_database_spark.session import TABLES, get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # unify timestamp-ish dtypes to microsecond precision, naive
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"row count differs: spark={len(sdf)} duck={len(ddf)}")
+        return problems
+    s, d = normalize(sdf), normalize(ddf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        n_bad = 0
+        first_bad = None
+        for i, (x, y) in enumerate(zip(sv, dv)):
+            if not values_equal(x, y):
+                n_bad += 1
+                if first_bad is None:
+                    first_bad = (i, x, y)
+        if n_bad:
+            problems.append(
+                f"col {c!r}: {n_bad}/{len(sv)} mismatches; first at row "
+                f"{first_bad[0]}: spark={first_bad[1]!r} duck={first_bad[2]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    from kissmetrics_to_database_spark.plans import catalog  # noqa: E402
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    only = set(args.only.split(",")) if args.only else None
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in catalog.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in catalog.ORACLES:
+            print(f"-     {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            ddf = con.sql(catalog.ORACLES[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"pass  {name} (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} oracle-less")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
