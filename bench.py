@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is materialized through the noop sink (full column
+evaluation, no driver collect) so timings reflect the whole plan.
+Queries come straight from the declared catalog — the bench surface
+IS the correctness surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from kissmetrics_to_database_spark.session import get_spark  # noqa: E402
+
+# Headline set: scan-heavy agg, star joins, iterative identity CC,
+# near-dup suite, similarity search, windows. Chosen to cover every
+# subsystem while staying O(n log n) at any SF (no all-pairs ops).
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "row_fingerprint",
+    "identity_components",
+    "broadcast_lookup_join",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_topk_bruteforce",
+    "lang_id",
+    "quality_score",
+    "sessionization",
+    "tumbling_window_hourly",
+    "top_spenders_per_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from kissmetrics_to_database_spark.plans import catalog
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    catalog.QUERIES["count_tables"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

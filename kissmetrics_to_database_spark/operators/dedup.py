@@ -257,36 +257,45 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pairing strategy: block on the high half of the simhash (near-dups
-    almost always agree on one half when max_hamming is small — the
-    standard multi-table trick uses all half/quarter splits; we block
-    on both halves and union), then verify Hamming via bit_count(xor).
+    Pairing strategy: split the simhash into ``max_hamming + 1``
+    blocks and join on each block (pigeonhole: ≤ h differing bits
+    across h+1 blocks ⇒ at least one block is identical, so recall
+    for hamming ≤ max_hamming is exact). Verify candidates with
+    bit_count(xor). This is the standard multi-table SimHash index —
+    each block join is an equi-join on a small integer key, never a
+    cross join, so it scales to full-corpus dedup.
     """
-    sh = simhash(distinct_shingles(df, id_col, text_col), id_col, bits).cache()
-    half = 2 ** (bits // 2)
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    sh = simhash(distinct_shingles(df, id_col, text_col), id_col, bits).persist()
     blocked = sh.select(
         id_col,
         "simhash",
-        (F.col("simhash") / half).cast("long").alias("hi"),
-        (F.col("simhash") % half).cast("long").alias("lo"),
+        *[
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND((1 << block_bits) - 1)
+            .alias(f"b{i}")
+            for i in range(n_blocks)
+        ],
     )
-    out = []
-    for key in ("hi", "lo"):
+    pairs = None
+    for i in range(n_blocks):
         a = blocked.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), key
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), f"b{i}"
         )
         b = blocked.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), key
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), f"b{i}"
         )
-        out.append(
-            a.join(b, key)
+        p = (
+            a.join(b, f"b{i}")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b")
         )
-    pairs = out[0].union(out[1]).distinct()
+        pairs = p if pairs is None else pairs.union(p)
+    pairs = pairs.distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -834,3 +834,8 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "nick", "email")
         .orderBy(F.col("id").cast("long"))
     )
+
+
+# Extension suite registers itself into QUERIES/ORACLES (import at the
+# tail so the decorator exists; circular-import safe by construction).
+from kissmetrics_to_database_spark.plans import catalog_ext  # noqa: E402,F401

@@ -1,0 +1,724 @@
+"""Extension query catalog: training-data operators + analytics.
+
+The beyond-reference surface (BASELINE.json north star): dedup
+(exact / MinHash-LSH / Jaccard / SimHash), embedding similarity
+search, text analysis, multimodal plumbing, plus the TPC-H-style
+joins/aggregations and event-time windows that are the bench surface.
+
+Registered into catalog.QUERIES / catalog.ORACLES via the same
+decorator; imported from catalog.py's tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from kissmetrics_to_database_spark.plans.catalog import query
+from kissmetrics_to_database_spark.session import load_table
+from kissmetrics_to_database_spark.sources import json_repair
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE snippets — these mirror operators/dedup.py exactly
+# (same tokenization, same md5 hash family, same banding), so the SQL
+# doubles as an executable spec of the Spark operators.
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS token
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, greatest(len(t) - 3, 0) + 2)) AS u(i)
+  WHERE array_to_string(t[i:i+2], ' ') <> ''
+"""
+
+SQL_MINHASH = f"""
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
+  FROM ({SQL_SHINGLES}), unnest(range(0, 8)) AS s(seed)
+  GROUP BY doc_id, seed
+"""
+
+SQL_LSH_CANDIDATES = f"""
+  WITH mh AS ({SQL_MINHASH}),
+  bands AS (
+    SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+           md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+    FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+  )
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+SQL_JACCARD = f"""
+  WITH sh AS ({SQL_SHINGLES}),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b,
+         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+SQL_SIMHASH = f"""
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, bitpos,
+           sum(CASE WHEN CAST(floor(
+                 (strpos('0123456789abcdef',
+                         substr(md5(token), CAST(bitpos // 4 AS INTEGER) + 1, 1)) - 1)
+                 / power(2, bitpos % 4)) AS BIGINT) % 2 = 1
+               THEN 1 ELSE -1 END) AS v
+    FROM ({SQL_SHINGLES}), unnest(range(0, 32)) AS b(bitpos)
+    GROUP BY doc_id, bitpos
+  )
+  GROUP BY doc_id
+"""
+
+SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)})), 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — deduplication suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_fingerprint",
+    """
+    SELECT CAST(count(DISTINCT md5(CAST(user_id % 50 AS VARCHAR) || '|' || event_type)) AS BIGINT) AS n_unique,
+           count(*) AS n_rows
+    FROM events
+    """,
+)
+def q_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on an md5 row fingerprint (P5+J3 at scale: dedup
+    shuffles a 32-byte key, not the full row)."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = F.md5(
+        F.concat_ws(
+            "|", (F.col("user_id") % 50).cast("string"), F.col("event_type")
+        )
+    )
+    return ev.agg(
+        F.countDistinct(fp).alias("n_unique"), F.count("*").alias("n_rows")
+    )
+
+
+@query("minhash_signatures", f"SELECT doc_id, seed, minhash FROM ({SQL_MINHASH}) ORDER BY doc_id, seed")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix over 3-token shingles (md5 hash
+    family, engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    return dedup.minhash_signatures(tok, "doc_id", 8).orderBy("doc_id", "seed")
+
+
+@query(
+    "minhash_lsh_near_dups",
+    f"""
+    WITH cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD})
+    SELECT j.id_a, j.id_b, j.jaccard
+    FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    ORDER BY j.id_a, j.id_b
+    """,
+)
+def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH banding → exact-Jaccard
+    verification (threshold 0.5). The LSH bucket join replaces the
+    O(n²) comparison; only same-bucket docs are scored."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    SELECT id_a, id_b, jaccard FROM ({SQL_JACCARD})
+    WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard similarity, threshold
+    0.8, no LSH prefilter — the ground-truth near-dup scorer the LSH
+    path approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    return dedup.jaccard_pairs(tok, "doc_id", None, 0.8).orderBy("id_a", "id_b")
+
+
+@query("simhash_signatures", f"SELECT doc_id, simhash FROM ({SQL_SIMHASH}) ORDER BY doc_id")
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over 3-token shingles — pure
+    integer/hex arithmetic, bit-for-bit reproducible in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    return dedup.simhash(tok, "doc_id", 32).orderBy("doc_id")
+
+
+@query(
+    "simhash_near_dups",
+    f"""
+    WITH sh AS ({SQL_SIMHASH})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming ≤ 3) via 4-block pigeonhole index —
+    recall-exact vs. the oracle's brute-force scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_topk_bruteforce",
+    f"""
+    WITH pe AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('e.embedding', 'p.pv')} AS score
+      FROM embeddings e CROSS JOIN pe p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 probe vectors, brute force.
+    Scores rounded to 6dp before ranking; ties break on neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, probes, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "probe_id", "rank"
+    )
+
+
+@query(
+    "embedding_topk_lsh",
+    f"""
+    WITH hp AS (SELECT vec_id AS hid, embedding AS hv FROM embeddings WHERE vec_id < 4),
+    sig AS (
+      SELECT e.vec_id, e.embedding,
+             string_agg(CASE WHEN {SQL_DOT.format(a='e.embedding', b='h.hv')} >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY h.hid) AS bucket
+      FROM embeddings e CROSS JOIN hp h
+      GROUP BY e.vec_id, e.embedding
+    ),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv, bucket FROM sig WHERE vec_id < 16),
+    scored AS (
+      SELECT p.probe_id, s.vec_id AS neighbor_id,
+             {_sql_cosine('s.embedding', 'p.pv')} AS score
+      FROM sig s JOIN pe p ON s.bucket = p.bucket
+      WHERE s.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH (4 sign bits; hyperplanes =
+    first 4 corpus vectors for determinism). Candidates limited to the
+    probe's bucket — the scale path vs. brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp_rows = (
+        emb.where(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    hyperplanes = [[float(x) for x in r[0]] for r in hp_rows]
+    probes = emb.where(F.col("vec_id") < 16)
+    out = similarity.lsh_topk(emb, probes, hyperplanes, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "probe_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_STOPHITS = " + ".join(
+    f"len(list_filter(t, x -> x = '{w}'))" for w in text.LANG_MARKERS["en"]
+)
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(
+        f"len(list_filter(t, x -> x = '{w}'))" for w in text.LANG_MARKERS[lang]
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             {_sql_lang_score('de')} AS s_de,
+             {_sql_lang_score('en')} AS s_en,
+             {_sql_lang_score('es')} AS s_es,
+             {_sql_lang_score('fr')} AS s_fr,
+             {_sql_lang_score('zh')} AS s_zh
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token voting; argmax with smallest-code
+    tie-break, 'und' on zero hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           round((len_score + alpha_ratio + stop_score + wl_score) / 4.0, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             least(CAST(1.0 AS DOUBLE), length(text) / CAST(500.0 AS DOUBLE)) AS len_score,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST(5.0 AS DOUBLE) * ({_SQL_STOPHITS}) / CAST(greatest(len(t), 1) AS DOUBLE)) AS stop_score,
+             CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))
+                         / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 3 AND 12
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wl_score
+      FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, alpha ratio, stopword
+    density, mean-word-length sanity — equally weighted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_quality_score(docs).select("doc_id", "quality").orderBy("doc_id")
+
+
+@query(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS BIGINT) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pretokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.with_token_counts(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS norm_fingerprint,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007)
+           END AS rolling_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalization md5 + polynomial rolling
+    hash (base 31 mod 1e9+7) over raw characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_fingerprints(docs)
+        .select("doc_id", "norm_fingerprint", "rolling_hash")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS fake_width,
+           CAST(64 + (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 421 AS BIGINT) AS fake_height,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fake_format
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas decode (deterministic fake kernel — real codecs are
+    not in this container; the Spark-side schema/batching is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs)
+    return multimodal.decode_images(payload).orderBy("doc_id")
+
+
+@query("corrupt_json_repair", None)  # repair regex needs lookbehind; RE2 can't → rows-only check
+def q_corrupt_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F11: malformed-JSON repair — corrupt rows get a regexp
+    repair pass then re-parse; irreparable rows are quarantined, never
+    silently dropped. (No oracle: the repair regex uses Java-regex
+    lookarounds DuckDB's RE2 cannot express; covered by unit tests.)"""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    # synthesize NDJSON lines; every 5th line gets unescaped inner
+    # quotes (a→") so clean/repaired/quarantined are all exercised
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('{"w": "'),
+                F.regexp_replace(F.substring("text", 1, 30), "a", '"'),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('{"w": "'), F.substring("text", 1, 30), F.lit('"}'))
+        )
+        .alias("value")
+    )
+    schema = T.StructType([T.StructField("w", T.StringType())])
+    good, quarantined = json_repair.read_ndjson_with_repair(spark, lines, schema)
+    return good.agg(
+        F.count("*").alias("n_parsed"),
+        F.sum(F.col("was_repaired").cast("long")).alias("n_repaired"),
+    ).crossJoin(quarantined.agg(F.count("*").alias("n_quarantined")))
+
+
+# ---------------------------------------------------------------------------
+# EXT — analytics: TPC-H-style joins/aggs (the bench surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           count(*) AS count_order,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy groupBy with fused
+    arithmetic — the whole-stage-codegen showcase. Money sums rounded
+    to cents (their true values are exact cents); avg derived from the
+    rounded sum so both engines divide identical operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dimension filter → two joins →
+    top-10 by revenue (total order via orderkey tie-break). The
+    customer filter prunes before the join; Catalyst/AQE picks
+    broadcast for the filtered side at small SF."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table star join with region/nation broadcast
+    (5 and 25 rows at every SF — always broadcast-able)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — event-time windows (SURVEY §2.8/§2.9 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionization",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    )
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap (30 min): the window-function
+    restatement of 'state carried across a sequential scan'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.col("ts").cast("long")
+    seq = ev.select(
+        "user_id", es.alias("es"), F.lag(es).over(w).alias("prev_es")
+    )
+    new_session = (
+        F.col("prev_es").isNull() | ((F.col("es") - F.col("prev_es")) > 1800)
+    ).cast("long")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(new_session).alias("n_sessions"), F.count("*").alias("n_events")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "tumbling_window_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+    """,
+)
+def q_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (1h) — the batch shape of the
+    streaming `window()` aggregation (streaming.py reuses it)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "funnel_signup_purchase",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, count(*) AS n_post
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup_users,
+           (SELECT count(*) FROM p) AS n_converted_users,
+           (SELECT CAST(coalesce(sum(n_post), 0) AS BIGINT) FROM p) AS n_conversion_events
+    """,
+)
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: signup → later purchase, per-user event-time
+    ordering (conditional aggregation over a self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_post"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup_users"))
+        .crossJoin(p.agg(F.count("*").alias("n_converted_users")))
+        .crossJoin(
+            p.agg(
+                F.coalesce(F.sum("n_post"), F.lit(0))
+                .cast("long")
+                .alias("n_conversion_events")
+            )
+        )
+    )
+
+
+@query(
+    "top_spenders_per_type",
+    """
+    SELECT event_type, user_id, total_value, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT event_type, user_id, round(sum(value), 2) AS total_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(sum(value), 2) DESC, user_id) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rnk <= 3 ORDER BY event_type, rnk
+    """,
+)
+def q_top_spenders_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window over an aggregation (rank on
+    the rounded total so cross-engine ordering is identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    )

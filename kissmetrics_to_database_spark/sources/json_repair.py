@@ -1,0 +1,91 @@
+"""Malformed-JSON repair (SURVEY.md S3/F11).
+
+The reference repairs Kissmetrics export lines whose string values
+contain unescaped quotes/backslashes before json_decode, and logs &
+skips rows that still fail (reference: helpers.php:10-22
+``json_decode_sanitize``; failure paths KissmetricsToDatabase.php:
+197-199, ProcessFile.php:34-36).
+
+Spark restatement, strictly layered so the hot path stays built-in:
+1. ``spark.read.json`` PERMISSIVE mode with a corrupt-record column —
+   well-formed rows never touch the repair logic;
+2. corrupt rows only: a ``regexp_replace`` repair pass (Java regex
+   supports the lookarounds the repair needs — this is a column
+   expression, not a UDF), then re-parse;
+3. rows that still fail are counted and quarantined, never dropped
+   silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+# A quote is "inner" (needs escaping) when it is not already escaped
+# and not in a JSON-structural position: not preceded by {, [, ,, :
+# or start (optionally with whitespace), and not followed by
+# (whitespace then) }, ], ,, or :. Mirrors the intent of the
+# reference's regex; implemented with Java-regex lookarounds.
+_INNER_QUOTE = r'(?<!\\)(?<![{\[,:"\s])"(?!\s*[}\],:])'
+
+
+def repair_json_col(col: Column) -> Column:
+    """Escape unescaped inner quotes so the value parses."""
+    return F.regexp_replace(col, _INNER_QUOTE, '\\\\"')
+
+
+def read_ndjson_with_repair(
+    spark, path_or_df, schema: T.StructType | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Read NDJSON with a repair pass for corrupt rows.
+
+    Returns ``(good, quarantined)``: ``good`` has parsed rows (clean +
+    successfully repaired, flagged by ``was_repaired``); ``quarantined``
+    holds the raw lines that still fail. Pass a DataFrame of lines
+    (column ``value``) or a path.
+    """
+    lines = (
+        path_or_df
+        if isinstance(path_or_df, DataFrame)
+        else spark.read.text(str(path_or_df))
+    )
+    lines = lines.filter(F.length(F.trim(F.col("value"))) > 0)
+    if schema is None:
+        # schema inference over the clean subset (one extra pass, same
+        # contract as the reference's two-pass scan KTD:155-226)
+        sample = spark.read.json(
+            lines.select("value").rdd.map(lambda r: r[0])
+        )
+        schema = T.StructType(
+            [f for f in sample.schema.fields if f.name != CORRUPT_COL]
+        )
+
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json("value", schema).alias("row"),
+        F.from_json(repair_json_col(F.col("value")), schema).alias("repaired_row"),
+    )
+    # from_json yields a row of all-NULLs (or NULL) on parse failure;
+    # a row counts as parsed if any field is non-null.
+    any_field = F.array(
+        *[F.col(f"row.{f.name}").isNotNull() for f in schema.fields]
+    )
+    any_field_rep = F.array(
+        *[F.col(f"repaired_row.{f.name}").isNotNull() for f in schema.fields]
+    )
+    ok = F.array_contains(any_field, True)
+    ok_rep = F.array_contains(any_field_rep, True)
+
+    good = (
+        parsed.where(ok | ok_rep)
+        .select(
+            F.when(ok, F.col("row")).otherwise(F.col("repaired_row")).alias("row"),
+            (~ok & ok_rep).alias("was_repaired"),
+        )
+        .select("row.*", "was_repaired")
+    )
+    quarantined = parsed.where(~ok & ~ok_rep).select("value")
+    return good, quarantined
