@@ -163,20 +163,35 @@ def alias_edges_kissmetrics(events: DataFrame) -> DataFrame:
       whose first identity contains '@' (:414-416);
     - 'updated email' events → edges (_p, new_email) and
       (_p, previous_email) (:427-436).
+
+    Schema-aware: the event schema is dynamic (S8), so each edge
+    source only applies when its columns exist in this batch.
     """
-    alias_recs = (
-        events.where(F.col("_p2").isNotNull() & (F.col("_p2") != ""))
-        .select(F.col("_p").alias("src"), F.col("_p2").alias("dst"))
-        .where(~F.col("src").contains("@"))
-    )
-    email_recs = events.where(F.col("_n_not_null") == "updated email")
-    email_edges = (
-        email_recs.select(F.col("_p").alias("src"), F.col("new_email").alias("dst"))
-        .union(
-            email_recs.select(
-                F.col("_p").alias("src"), F.col("previous_email").alias("dst")
-            )
+    cols = set(events.columns)
+    parts = []
+    if "_p2" in cols:
+        parts.append(
+            events.where(F.col("_p2").isNotNull() & (F.col("_p2") != ""))
+            .select(F.col("_p").alias("src"), F.col("_p2").alias("dst"))
+            .where(~F.col("src").contains("@"))
         )
-        .where(F.col("dst").isNotNull() & (F.col("dst") != ""))
-    )
-    return alias_recs.union(email_edges)
+    if {"_n_not_null", "new_email", "previous_email"} <= cols:
+        email_recs = events.where(F.col("_n_not_null") == "updated email")
+        parts.append(
+            email_recs.select(
+                F.col("_p").alias("src"), F.col("new_email").alias("dst")
+            )
+            .union(
+                email_recs.select(
+                    F.col("_p").alias("src"), F.col("previous_email").alias("dst")
+                )
+            )
+            .where(F.col("dst").isNotNull() & (F.col("dst") != ""))
+        )
+    if not parts:
+        schema = "src string, dst string"
+        return events.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

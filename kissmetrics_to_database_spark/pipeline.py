@@ -1,0 +1,100 @@
+"""End-to-end batch pipeline: the reference's process-files command,
+restated as one declarative flow (SURVEY.md §3.1).
+
+  discover new files (natural order, after watermark)
+  → one multi-file NDJSON scan (+ repair/quarantine)
+  → per-row transform (sanitize, _n null-out, _t format, md5hash,
+    created_at)
+  → schema union vs. the existing lake table
+  → lake append (+ optional exact dedup)
+  → incremental identity closure from the new batch's alias pairs
+  → advance watermark (only after the writes committed)
+
+Everything before the writes is ONE Catalyst plan — scan, repair,
+projection, fingerprint fuse into a single whole-stage-codegen pass
+over the input files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.functions import events_transform
+from kissmetrics_to_database_spark.operators import identity
+from kissmetrics_to_database_spark.sources import ndjson
+from kissmetrics_to_database_spark.sources.json_repair import read_ndjson_with_repair
+
+
+@dataclass
+class PipelineResult:
+    files: list[str] = field(default_factory=list)
+    n_rows: int = 0
+    n_repaired: int = 0
+    n_quarantined: int = 0
+    n_identity_members: int = 0
+
+
+def read_events_lake(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Read the evolving events lake with schema merge across batches
+    (the read-side half of S8: older files lack newer dynamic keys,
+    which surface as NULL — same as the warehouse after ALTER ADD)."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        str(Path(lake_dir) / "events")
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    lake_dir: str,
+    fixed_date: str | None = None,
+    process_identities: bool = True,
+    dedup_on_fingerprint: bool = False,
+) -> PipelineResult:
+    """One incremental run. Idempotent: a second invocation with no
+    new files writes nothing (watermark semantics, S4/S5)."""
+    wm = ndjson.Watermark(Path(state_dir) / "watermark.json")
+    session_start = wm.read()
+    files = ndjson.discover_files(source_dir, after=session_start)
+    if not files:
+        return PipelineResult()
+
+    lines = spark.read.text(files)
+    good, quarantined = read_ndjson_with_repair(spark, lines)
+    transformed = events_transform.transform_events(
+        good.drop("was_repaired"), fixed_date=fixed_date
+    )
+    if dedup_on_fingerprint:
+        transformed = transformed.dropDuplicates(["md5hash"])
+
+    n_rows = transformed.count()
+    n_repaired = good.where(F.col("was_repaired")).count()
+    n_quarantined = quarantined.count()
+
+    try:
+        transformed.write.mode("append").parquet(str(Path(lake_dir) / "events"))
+        n_members = 0
+        if process_identities and "_p" in transformed.columns:
+            edges = identity.alias_edges_kissmetrics(transformed)
+            comp = identity.connected_components(edges)
+            n_members = comp.count()
+            comp.write.mode("overwrite").parquet(
+                str(Path(lake_dir) / "identity_components")
+            )
+        wm.advance(files[-1])
+    except Exception:
+        wm.rollback(session_start)
+        raise
+
+    return PipelineResult(
+        files=files,
+        n_rows=n_rows,
+        n_repaired=n_repaired,
+        n_quarantined=n_quarantined,
+        n_identity_members=n_members,
+    )

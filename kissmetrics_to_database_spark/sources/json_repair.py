@@ -25,11 +25,14 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 # A quote is "inner" (needs escaping) when it is not already escaped
-# and not in a JSON-structural position: not preceded by {, [, ,, :
-# or start (optionally with whitespace), and not followed by
-# (whitespace then) }, ], ,, or :. Mirrors the intent of the
-# reference's regex; implemented with Java-regex lookarounds.
-_INNER_QUOTE = r'(?<!\\)(?<![{\[,:"\s])"(?!\s*[}\],:])'
+# and not in a JSON-structural position: not in opening position
+# (right after {, [, ',' or ':', allowing spaces) and not in closing
+# position (right before }, ], ',' or ':', allowing spaces). This is
+# the same bracketing the reference's callback regex uses — it treats
+# `"(}|, |,)` as the value terminator and addslashes everything
+# inside (helpers.php:12-18). Bounded lookbehind is Java-regex legal;
+# DuckDB's RE2 cannot express this, hence no oracle for the repair.
+_INNER_QUOTE = r'(?<!\\)(?<![{\[,:] {0,8})"(?!\s*[}\],:])'
 
 
 def repair_json_col(col: Column) -> Column:

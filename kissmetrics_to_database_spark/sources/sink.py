@@ -1,0 +1,82 @@
+"""Sinks: lake (parquet) + warehouse (JDBC) writers (SURVEY.md S6,
+S7, S9, J3).
+
+The reference buffers row tuples and flushes multi-row INSERTs every
+DB_QUERIES_PER_CALL rows (reference: src/KissmetricsToDatabase.php:
+810-867), bootstraps DDL (src/Commands/CreateDatabaseCommand.php:
+19-35), and VACUUMs post-load (:642-649).
+
+Spark restatement: the JDBC writer batches natively (``batchsize``);
+DDL bootstrap/evolution happens once per batch driver-side via the
+schema_evolution module; compaction is a repartition-on-write. No
+JDBC database exists in this container, so the JDBC path is
+config-assembled but exercised only by its plan/unit tests; the
+parquet path is fully exercised.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from kissmetrics_to_database_spark.operators import dedup as _dedup
+
+
+@dataclass
+class JdbcConfig:
+    """Warehouse coordinates — mirrors the reference env surface
+    (.env.example: DB_HOST/PORT/NAME/USER/PASS, DB_QUERIES_PER_CALL)."""
+
+    url: str  # e.g. jdbc:postgresql://host:5439/db
+    table: str
+    user: str
+    password: str
+    batch_size: int = 1000
+    isolation: str = "READ_COMMITTED"
+
+
+def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
+    """S6: batched warehouse append. Spark's JDBC writer issues
+    multi-row batches of ``batch_size`` per executor task — the
+    distributed version of the reference's stash/flush loop. Partition
+    count controls write parallelism; repartition upstream to match
+    the warehouse's ingest concurrency."""
+    (
+        df.write.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", cfg.table)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("batchsize", str(cfg.batch_size))
+        .option("isolationLevel", cfg.isolation)
+        .mode("append")
+        .save()
+    )
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    compact_to: int | None = None,
+    dedup_cols: list[str] | None = None,
+) -> None:
+    """Lake write: parquet append with optional pre-write dedup (J3)
+    and compaction (S9: the reference's VACUUM becomes
+    repartition-on-write; with Delta available this would be
+    OPTIMIZE/VACUUM).
+
+    ``partition_by`` should be a low-cardinality ingest-time column
+    (load date) so downstream reads prune partitions.
+    """
+    out = df
+    if dedup_cols:
+        out = _dedup.dedup_exact(out, dedup_cols)
+    if compact_to:
+        out = out.repartition(compact_to)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,102 @@
+"""Dedup-suite tests: LSH recall vs. exact Jaccard, SimHash
+pigeonhole exactness vs. brute-force Hamming, exact dedup."""
+
+from __future__ import annotations
+
+import itertools
+
+from kissmetrics_to_database_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far away now"),  # near-dup of 0
+    (2, "completely different content about spark shuffle partitions and joins"),
+    (3, "completely different content about spark shuffle partitions and aggregation"),  # near-dup of 2
+    (4, "unrelated text mentioning neither foxes nor shuffles at all whatsoever"),
+    (5, "the quick brown fox jumps over the lazy dog and runs far away today"),  # exact dup of 0
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _python_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_shingles_match_python(spark):
+    out = dedup.distinct_shingles(_docs_df(spark), "doc_id", "text").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["token"])
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _python_shingles(text), doc_id
+
+
+def test_jaccard_matches_python(spark):
+    tok = dedup.distinct_tokens(_docs_df(spark), "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(tok, "doc_id").collect()
+    }
+    sets = {d: set(t.lower().split()) for d, t in DOCS}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            assert (a, b) not in got
+        else:
+            expected = round(inter / len(sets[a] | sets[b]), 6)
+            assert abs(got[(a, b)] - expected) < 1e-9
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_dedup_pairs(
+            _docs_df(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert {(0, 1), (0, 5), (1, 5), (2, 3)} <= pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_exact_dup_has_jaccard_one(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup_pairs(
+            _docs_df(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert out[(0, 5)] == 1.0
+
+
+def test_simhash_blocking_is_recall_exact(spark):
+    # every brute-force pair with hamming <= h must be found by the
+    # (h+1)-block index — pigeonhole guarantee
+    df = _docs_df(spark)
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(
+            dedup.distinct_shingles(df, "doc_id", "text"), "doc_id"
+        ).collect()
+    }
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(df, "doc_id", "text", 32, 3).collect()
+    }
+    assert got == brute
+    assert got[(0, 5)] == 0  # exact dup → identical simhash
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert dedup.dedup_exact(df).count() == 2

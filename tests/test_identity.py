@@ -1,0 +1,123 @@
+"""Identity resolution tests: connected components correctness,
+edge-order invariance (the property the reference implies but never
+verifies — SURVEY.md §5.3), and the Kissmetrics edge extraction."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.operators import identity
+
+
+def _cc_python(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find ground truth: member -> min member of component."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for a, b in edges:
+        union(a, b)
+    members: dict[str, list[str]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    out = {}
+    for group in members.values():
+        m = min(group)
+        for x in group:
+            out[x] = m
+    return out
+
+
+def _run_cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["member"]: r["component_id"]
+        for r in identity.connected_components(df).collect()
+    }
+
+
+def test_chain_cycle_and_separate_components(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("p", "q"), ("q", "r")]
+    got = _run_cc(spark, edges)
+    assert got == _cc_python(edges)
+    assert got["c"] == "a" and got["y"] == "x" and got["r"] == "p"
+
+
+def test_long_chain_converges(spark):
+    # diameter >> 1 exercises multi-round propagation + lineage cuts
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    got = _run_cc(spark, edges)
+    assert set(got.values()) == {"n000"}
+
+
+def test_edge_order_invariance(spark):
+    # components must not depend on input order (the reference's
+    # incremental vs. global rebuild equivalence, KTD:359 vs 401)
+    rng = random.Random(42)
+    nodes = [f"v{i}" for i in range(30)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(35)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _cc_python(edges)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    assert _run_cc(spark, edges) == expected
+    assert _run_cc(spark, shuffled) == expected
+
+
+def test_all_pairs_excludes_self_and_is_symmetric(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    comp = identity.connected_components(df)
+    pairs = {
+        (r["identity1"], r["identity2"])
+        for r in identity.all_pairs(comp).collect()
+    }
+    assert pairs == {
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"),
+    }
+
+
+def test_resolve_events_fallback(spark):
+    # FileImporter.php:95-118 — unknown identity falls back to raw id
+    events = spark.createDataFrame([("a", 1), ("z", 2)], ["_p", "v"])
+    mapping = spark.createDataFrame([("a", "a0")], ["member", "canonical"])
+    out = {
+        r["_p"]: r["canonical"]
+        for r in identity.resolve_events(events, mapping).collect()
+    }
+    assert out == {"a": "a0", "z": "z"}
+
+
+def test_alias_edges_kissmetrics(spark):
+    # KTD:401-436: _p2 edges (skip '@' sources) + updated-email edges
+    rows = [
+        ("u1", "a1", "signup", None, None),
+        ("x@y.z", "a2", "signup", None, None),  # excluded: '@' in _p
+        ("u2", "", "click", None, None),  # excluded: empty _p2
+        ("u3", None, "updated email", "new@e.com", "old@e.com"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["_p", "_p2", "_n_not_null", "new_email", "previous_email"]
+    )
+    edges = {
+        (r["src"], r["dst"])
+        for r in identity.alias_edges_kissmetrics(df).collect()
+    }
+    assert edges == {
+        ("u1", "a1"),
+        ("u3", "new@e.com"),
+        ("u3", "old@e.com"),
+    }

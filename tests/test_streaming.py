@@ -1,0 +1,80 @@
+"""Structured Streaming tests: file-source pipeline with foreachBatch
+sink (checkpointed, incremental) and event-time windows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kissmetrics_to_database_spark.streaming import pipeline as sp
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("_p", T.StringType()),
+        T.StructField("_n", T.StringType()),
+        T.StructField("_t", T.StringType()),
+    ]
+)
+
+
+def test_stream_ndjson_pipeline(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"_p": "u1", "_n": "click", "_t": "1704067207"},
+                {"_p": "u2", "_n": "", "_t": "1704067300"},
+            ]
+        )
+    )
+    seen: list = []
+
+    def sink(batch_df, epoch_id):
+        seen.extend(batch_df.collect())
+
+    q = sp.stream_ndjson_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        SCHEMA,
+        sink,
+        fixed_date="2024-06-01",
+    )
+    q.processAllAvailable()
+
+    # late-arriving file: the checkpointed file index (the engine's
+    # watermark) processes only the new one
+    (src / "2.json").write_text(
+        json.dumps({"_p": "u3", "_n": "buy", "_t": "1704067400"})
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(seen) == 3
+    by_p = {r["_p"]: r for r in seen}
+    assert by_p["u1"]["_t"] == "2024-01-01 00:00:07"
+    assert by_p["u2"]["_n"] is None and by_p["u2"]["_n_not_null"] == ""
+    assert by_p["u3"]["_n_not_null"] == "buy"
+
+
+def test_windowed_event_counts_batch_shape(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 00:50:00", "click", 2.0),
+        ("2024-01-01 01:10:00", "click", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+    out = {
+        str(r["window_start"]): (r["n"], r["total_value"])
+        for r in sp.windowed_event_counts(df).collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": (2, 3.0),
+        "2024-01-01 01:00:00": (1, 4.0),
+    }

@@ -1,0 +1,91 @@
+"""Text-analysis and similarity-search unit tests against pure-Python
+ground truth."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from kissmetrics_to_database_spark.operators import similarity, text
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog is here"),       # en
+        (1, "le chat et la mer les des"),          # fr
+        (2, "zzz qqq www"),                        # no markers → und
+        (3, "der die und das ein haus"),           # de
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+    assert out == {0: "en", 1: "fr", 2: "und", 3: "de"}
+
+
+def test_token_counts_match_python(spark):
+    rows = [(0, "hello, world! 42 times"), (1, "  spaced   out  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+        for r in text.with_token_counts(df).collect()
+    }
+    for doc_id, t in rows:
+        ws = len(t.strip().split()) if t.strip() else 0
+        bpe = len(re.findall(text.BPE_ISH_RE, t))
+        assert out[doc_id] == (ws, bpe), doc_id
+
+
+def test_rolling_hash_matches_python(spark):
+    s = "hello spark"
+    df = spark.createDataFrame([(0, s)], ["doc_id", "text"])
+    got = text.with_fingerprints(df).collect()[0]["rolling_hash"]
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    assert got == h
+
+
+def test_norm_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, World!"), (1, "hello world"), (2, "HELLO  ...  WORLD")],
+        ["doc_id", "text"],
+    )
+    fps = {r["norm_fingerprint"] for r in text.with_fingerprints(df).collect()}
+    assert fps == {hashlib.md5(b"helloworld").hexdigest()}
+
+
+def test_brute_force_topk_matches_python(spark):
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.0, 0.9, 0.3],
+        4: [-1.0, 0.0, 0.1],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = similarity.brute_force_topk(df, df.where("vec_id = 0"), k=2).collect()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        ((round(cos(vecs[0], v), 6), k) for k, v in vecs.items() if k != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = [(r["neighbor_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(k, s) for s, k in ranked[:2]]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    vecs = [(i, [float((i % 3) - 1), float(i % 2), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    hyperplanes = [v for _, v in vecs[:2]]
+    out = similarity.lsh_topk(df, df.where("vec_id < 4"), hyperplanes, k=3)
+    rows = out.collect()
+    assert all(r["probe_id"] != r["neighbor_id"] for r in rows)
+    assert all(r["rank"] <= 3 for r in rows)
