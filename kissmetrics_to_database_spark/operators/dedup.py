@@ -77,14 +77,19 @@ def distinct_shingles(
     ``transform`` over a token-index sequence — one projection, no
     join, no UDF. Docs shorter than ``n`` tokens contribute their full
     token sequence as a single shingle.
+
+    The tokenization is projected to a real column in a separate step:
+    referencing the split expression directly inside the higher-order
+    lambda defeats subexpression elimination and re-tokenizes the text
+    once per shingle (measured 5x slower at sf0.1).
     """
-    toks = tokens(F.col(text_col))
+    tok_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("token"))
+        tok_df.select(F.col(id_col), F.explode(shingles).alias("token"))
         .where(F.col("token") != "")
         .distinct()
     )
@@ -169,6 +174,12 @@ def jaccard_pairs(
     sizes = token_df.groupBy(id_col).agg(F.count("*").alias("n"))
     ta = token_df.select(F.col(id_col).alias("id_a"), "token")
     tb = token_df.select(F.col(id_col).alias("id_b"), "token")
+    if candidates is not None:
+        # prune the token self-join to candidate docs FIRST — the
+        # whole point of the LSH prefilter is that this join only
+        # ever sees the (tiny) candidate subset of the corpus
+        ta = ta.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        tb = tb.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         ta.join(tb, "token")
         .where(F.col("id_a") < F.col("id_b"))
@@ -207,9 +218,9 @@ def minhash_lsh_dedup_pairs(
 
     Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
     """
-    tok = distinct_shingles(df, id_col, text_col)
+    tok = distinct_shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(tok, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band).persist()
     return jaccard_pairs(tok, id_col, cand, threshold)
 
 

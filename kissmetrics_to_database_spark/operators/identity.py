@@ -80,17 +80,36 @@ def connected_components(
             .groupBy("member")
             .agg(F.min("component_id").alias("neighbor_component_id"))
         )
+        # Pointer jumping (path halving): comp(v) ← comp(comp(v)).
+        # The jump reads the PREVIOUS round's materialized labels —
+        # one round staler than jumping through the fresh tentative
+        # labels, but it avoids a second materialization per round
+        # (labels decrease monotonically, so a stale jump is still a
+        # valid compression and the fixpoint is unchanged). Net:
+        # O(diameter) rounds → O(log diameter), one localCheckpoint
+        # per round.
+        jump = comp.select(
+            F.col("member").alias("j_member"),
+            F.col("component_id").alias("j_component_id"),
+        )
+        tentative = comp.join(neighbor_min, "member", "left").select(
+            "member",
+            F.col("component_id").alias("prev_id"),
+            F.least(
+                F.col("component_id"), F.col("neighbor_component_id")
+            ).alias("component_id"),
+        )
+        jumped = F.least(
+            F.coalesce(F.col("j_component_id"), F.col("component_id")),
+            F.col("component_id"),
+        )
         updated = (
-            comp.join(neighbor_min, "member", "left")
-            .select(
+            tentative.join(
+                jump, tentative.component_id == jump.j_member, "left"
+            ).select(
                 "member",
-                F.least(
-                    F.col("component_id"), F.col("neighbor_component_id")
-                ).alias("component_id"),
-                (
-                    F.col("neighbor_component_id").isNotNull()
-                    & (F.col("neighbor_component_id") < F.col("component_id"))
-                ).alias("_changed"),
+                jumped.alias("component_id"),
+                (jumped < F.col("prev_id")).alias("_changed"),
             )
         ).localCheckpoint(eager=True)
 
