@@ -852,6 +852,8 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Extension suite registers itself into QUERIES/ORACLES (import at the
-# tail so the decorator exists; circular-import safe by construction).
+# Extension suites register themselves into QUERIES/ORACLES (imports
+# at the tail so the decorator exists; circular-import safe by
+# construction).
 from kissmetrics_to_database_spark.plans import catalog_ext  # noqa: E402,F401
+from kissmetrics_to_database_spark.plans import catalog_olap  # noqa: E402,F401
