@@ -69,6 +69,64 @@ def real_decode_kernel(payload: bytes) -> dict:  # pragma: no cover
     )
 
 
+FEATURES_SCHEMA = "doc_id long, n_bytes long, entropy double, byte_hist array<long>"
+
+
+def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """REAL feature extraction over the raw bytes (no codec needed):
+    coarse byte histogram + Shannon entropy per payload — the standard
+    cheap signal for corrupt/blank/duplicate media triage at scale.
+
+    Arrow-batched mapInPandas; numpy vectorized inside the batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = arr.size
+                hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[
+                    :bins
+                ]
+                probs = hist[hist > 0] / max(n, 1)
+                entropy = float(-(probs * np.log2(probs)).sum()) if n else 0.0
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": n,
+                        "entropy": round(entropy, 6),
+                        "byte_hist": hist.astype("int64").tolist(),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover
+    """Resize stage — requires an image library (PIL/libvips).
+
+    The Spark-side contract is fixed: binary in → binary out, same
+    partitioning, `mapInPandas` batch shape identical to
+    :func:`decode_images`. Swap the kernel in production.
+    """
+    raise NotImplementedError(
+        "image resize requires PIL/libvips, not present in this container"
+    )
+
+
+def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
+    """Video frame sampling — requires ffmpeg/pyav. One input row →
+    many output rows (frame index + binary frame), i.e. a flat-map
+    shape under ``mapInPandas`` yielding multiple rows per input."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg/pyav, not present in this container"
+    )
+
+
 def decode_images(df: DataFrame, kernel=fake_decode_kernel) -> DataFrame:
     """Decode a binary payload column to typed metadata via
     ``mapInPandas`` (Arrow-batched; one Python roundtrip per batch,

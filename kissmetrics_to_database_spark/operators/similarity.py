@@ -85,6 +85,98 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF cell assignment: each vector → its highest-cosine centroid
+    (rounded score, min-centroid tie-break — deterministic).
+
+    Centroids are a tiny DataFrame (broadcast); assignment is one
+    scan × K scores + an argmax, no shuffle of the corpus. In a real
+    deployment centroids come from k-means; here they are taken
+    deterministically so results are oracle-exact.
+    """
+    c = centroids.select(
+        F.col(cent_id).alias("_cid"), F.col(cent_vec).alias("_cvec")
+    )
+    scored = corpus.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "_cid",
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_cscore"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_cscore"), (-F.col("_cid")).alias("_ncid"))).alias("_b")
+    )
+    return (
+        corpus.join(best, id_col)
+        .select(id_col, vec_col, (-F.col("_b._ncid")).cast("long").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the probe's
+    ``nprobe`` nearest cells.
+
+    The inverted-file layout is the scale path: the corpus is
+    partitioned by cell (cluster-by on write), a probe touches
+    nprobe cells' partitions instead of the whole corpus, and the
+    per-cell join is an equi-join on the cell id.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    assigned = ivf_assign(corpus, c, id_col, vec_col)
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    probe_cells = (
+        p.join(F.broadcast(c))
+        .select(
+            "probe_id",
+            "probe_vec",
+            F.col("cent_id"),
+            F.round(cosine(F.col("probe_vec"), F.col("cent_vec")), 6).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_s"), F.asc("cent_id"))
+    probe_cells = (
+        probe_cells.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("probe_vec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_bucket_key(
     vec: Column, hyperplanes: list[list[float]]
 ) -> Column:

@@ -17,6 +17,7 @@ over the input files.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -31,11 +32,20 @@ from kissmetrics_to_database_spark.sources.json_repair import read_ndjson_with_r
 
 @dataclass
 class PipelineResult:
+    """Run report — the reference's counters/progress surface (A1/A5:
+    before/after counts, rows/sec, elapsed; KissmetricsToDatabase.php:
+    54-66,314-326,916-922) as a structured result instead of prints."""
+
     files: list[str] = field(default_factory=list)
     n_rows: int = 0
     n_repaired: int = 0
     n_quarantined: int = 0
     n_identity_members: int = 0
+    elapsed_sec: float = 0.0
+
+    @property
+    def rows_per_sec(self) -> float:
+        return round(self.n_rows / self.elapsed_sec, 2) if self.elapsed_sec else 0.0
 
 
 def read_events_lake(spark: SparkSession, lake_dir: str) -> DataFrame:
@@ -58,6 +68,7 @@ def run_incremental(
 ) -> PipelineResult:
     """One incremental run. Idempotent: a second invocation with no
     new files writes nothing (watermark semantics, S4/S5)."""
+    t0 = time.perf_counter()
     wm = ndjson.Watermark(Path(state_dir) / "watermark.json")
     session_start = wm.read()
     files = ndjson.discover_files(source_dir, after=session_start)
@@ -97,4 +108,5 @@ def run_incremental(
         n_repaired=n_repaired,
         n_quarantined=n_quarantined,
         n_identity_members=n_members,
+        elapsed_sec=round(time.perf_counter() - t0, 3),
     )

@@ -277,6 +277,53 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_topk_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS pv, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_sql_cosine('p.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings p CROSS JOIN cent c
+        WHERE p.vec_id < 12
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id,
+             {_sql_cosine('a.embedding', 'pc.pv')} AS score
+      FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
+      WHERE a.vec_id <> pc.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an inverted-file (IVF) index: 8 deterministic
+    centroids, nprobe=2. The corpus-partitioned-by-cell layout is the
+    100 TB path — each probe touches two cells, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    probes = emb.where(F.col("vec_id") < 12)
+    out = similarity.ivf_topk(emb, probes, centroids, k=5, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "probe_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — text analysis
 # ---------------------------------------------------------------------------
@@ -419,6 +466,58 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs)
     return multimodal.decode_images(payload).orderBy("doc_id")
+
+
+@query(
+    "multimodal_byte_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, ascii(c) // 16 AS bin
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    ),
+    hist AS (SELECT doc_id, bin, count(*) AS n FROM chars GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM hist GROUP BY 1),
+    ent AS (
+      SELECT h.doc_id,
+             round(-sum((h.n / tot.t) * log2(h.n / tot.t)), 6) AS entropy
+      FROM hist h JOIN tot ON h.doc_id = tot.doc_id
+      GROUP BY h.doc_id
+    ),
+    dom AS (
+      SELECT doc_id, bin AS dominant_bin FROM (
+        SELECT doc_id, bin,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bin) AS r
+        FROM hist
+      ) WHERE r = 1
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+           e.entropy, CAST(m.dominant_bin AS BIGINT) AS dominant_bin
+    FROM documents d
+    JOIN ent e ON e.doc_id = d.doc_id
+    JOIN dom m ON m.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal feature extraction: byte histogram + Shannon
+    entropy over the binary payload (Arrow-batched mapInPandas with
+    numpy inside). Oracle reconstructs the same stats from chars —
+    valid because the corpus is ASCII, so bytes == characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(payload)
+    dominant = (
+        F.array_position(
+            F.col("byte_hist"), F.array_max(F.col("byte_hist"))
+        ).cast("long")
+        - 1
+    )
+    return (
+        feats.select(
+            "doc_id", "n_bytes", "entropy", dominant.alias("dominant_bin")
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("corrupt_json_repair", None)  # repair regex needs lookbehind; RE2 can't → rows-only check
