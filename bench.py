@@ -28,17 +28,22 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
     "row_fingerprint",
     "identity_components",
     "broadcast_lookup_join",
     "minhash_lsh_near_dups",
     "simhash_near_dups",
     "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
     "lang_id",
     "quality_score",
     "sessionization",
     "tumbling_window_hourly",
     "top_spenders_per_type",
+    "asof_last_signup",
+    "cube_agg",
+    "multimodal_byte_features",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Skew mitigation: salting for hot keys (SURVEY.md §4 scale notes).
+
+AQE's skew-join splitting (enabled in session.py) handles most skew
+at runtime; explicit salting remains the tool when (a) a *broadcast*
+isn't possible and one key dominates a shuffle join, or (b) a
+groupBy key is so hot a single reducer becomes the straggler.
+
+Both helpers are deterministic (salt = hash of the row's other
+columns, not a random number) so results are reproducible and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the (large) left side.
+
+    The left side gets a deterministic salt derived from its other
+    columns; the right side is replicated ``num_salts`` times. The
+    join key becomes (key, salt), spreading a hot key over
+    ``num_salts`` reducers. Right-side replication cost is
+    num_salts × |right| — use when |right| is modest but above the
+    broadcast threshold.
+    """
+    other_cols = [c for c in left.columns if c != on]
+    salt = F.pmod(F.hash(*[F.col(c) for c in other_cols]), F.lit(num_salts))
+    l_salted = left.withColumn(SALT_COL, salt)
+    r_replicated = right.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
+    )
+    return l_salted.join(r_replicated, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg_count_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for a skewed groupBy key: partial
+    count/sum on (key, salt), then final combine on key. (For
+    algebraic aggregates Spark's map-side combine already does this
+    per partition; the explicit form also spreads the *reduce* side,
+    which matters when one key owns most rows.)"""
+    salt = F.pmod(F.hash(F.col(value)), F.lit(num_salts))
+    partial = (
+        df.withColumn(SALT_COL, salt)
+        .groupBy(key, SALT_COL)
+        .agg(F.count("*").alias("_n"), F.sum(value).alias("_s"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")
+    )

@@ -16,6 +16,66 @@ from kissmetrics_to_database_spark.session import load_table
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + aggregate — every predicate must
+    reach the parquet scan (verified by the plan audit pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "correlated_subquery_above_avg",
+    """
+    SELECT c_mktsegment, count(*) AS n_above_avg
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT round(sum(c2.c_acctbal), 2) / count(*)
+      FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into a
+    join under the hood). Threshold derives from the rounded sum so
+    both engines compare against bit-identical values."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_above_avg
+        FROM customer_cs c
+        WHERE c_acctbal > (
+          SELECT round(sum(c2.c_acctbal), 2) / count(*)
+          FROM customer_cs c2 WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
     "rollup_agg",
     """
     SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,
