@@ -124,6 +124,42 @@ def connected_components(
     return comp
 
 
+def update_components(
+    existing: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Incremental identity update: fold a new edge batch into an
+    existing component map.
+
+    The reference updates its identity clusters per event as rows
+    stream in (KissmetricsToDatabase.php:359-394); the batch-set
+    restatement treats the existing ``(member, component_id)`` map as
+    edges (each member linked to its label) unioned with the new
+    batch, then re-runs min-label propagation. Because the old map's
+    "chains" are already fully compressed (every member points
+    directly at its component min), convergence is O(log diameter of
+    the NEW batch) — the expensive global history never re-expands.
+
+    Declared property (SURVEY §5.3, verified in tests): incremental
+    folding over any batch split equals the global rebuild.
+    """
+    label_edges = existing.select(
+        F.col("member").alias("src"), F.col("component_id").alias("dst")
+    )
+    combined = label_edges.union(
+        new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    merged = connected_components(combined, max_iterations=max_iterations)
+    # singletons (member == component_id) appear as self-loops above
+    # and are dropped by edge normalization; if no new edge touched
+    # them, their old mapping is still correct — carry it over.
+    untouched = existing.join(merged, "member", "left_anti")
+    return merged.union(untouched.select("member", "component_id"))
+
+
 def canonical_map(components: DataFrame) -> DataFrame:
     """``(member, canonical)`` mapping — the FileImporter.php:95-131
     lookup table, set-based: canonical = component minimum."""

@@ -90,6 +90,43 @@ def test_all_pairs_excludes_self_and_is_symmetric(spark):
     }
 
 
+def test_incremental_equals_global_rebuild(spark):
+    # SURVEY §5.3: folding edge batches incrementally must equal the
+    # global rebuild — the equivalence the reference implies between
+    # its per-event path (KTD:359-394) and global path (KTD:401-455)
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _cc_python(edges)
+
+    # three batches folded incrementally
+    third = len(edges) // 3
+    batches = [edges[:third], edges[third : 2 * third], edges[2 * third :]]
+    comp = identity.connected_components(
+        spark.createDataFrame(batches[0], ["src", "dst"])
+    )
+    for batch in batches[1:]:
+        comp = identity.update_components(
+            comp, spark.createDataFrame(batch, ["src", "dst"])
+        )
+    got = {r["member"]: r["component_id"] for r in comp.collect()}
+    assert got == expected
+
+
+def test_incremental_merges_two_components(spark):
+    # a bridging edge must merge previously-separate components and
+    # re-canonicalize to the global minimum
+    comp = identity.connected_components(
+        spark.createDataFrame([("a", "b"), ("x", "y")], ["src", "dst"])
+    )
+    merged = identity.update_components(
+        comp, spark.createDataFrame([("b", "y")], ["src", "dst"])
+    )
+    got = {r["member"]: r["component_id"] for r in merged.collect()}
+    assert got == {"a": "a", "b": "a", "x": "a", "y": "a"}
+
+
 def test_resolve_events_fallback(spark):
     # FileImporter.php:95-118 — unknown identity falls back to raw id
     events = spark.createDataFrame([("a", 1), ("z", 2)], ["_p", "v"])
