@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def undirect_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -51,20 +52,30 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
-    checkpoint_every: int = 1,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(member, component_id)`` with component_id = min member.
 
-    Iterative min-label propagation over an undirected edge DataFrame.
-    Convergence is detected with a changed-label count (one action per
-    round). Scale notes:
-    - both ``und`` (reused every round) and ``comp`` are cached;
-    - ``localCheckpoint`` truncates lineage each round, keeping the
-      per-round plan constant-size;
-    - the join key is the node id, so AQE handles skewed hub nodes
-      (a celebrity alias) by splitting the hot partition.
+    Adaptive strategy (the AQE philosophy applied to an iterative
+    algorithm — pick the physical plan by observed size):
+    - small edge sets (≤ ``local_threshold`` distinct undirected
+      edges) solve driver-side with union-find: one collect instead
+      of O(log d) scheduled rounds, which at cluster scale is the
+      difference between milliseconds and a dozen barrier stages.
+      1M edges ≈ tens of MB on the driver — comfortably safe.
+    - larger graphs run iterative min-label propagation with pointer
+      jumping (O(log diameter) rounds), ``localCheckpoint`` lineage
+      cuts per round, and AQE skew-join splitting for hub nodes
+      (celebrity aliases).
+    Both paths produce identical output (component id = min member);
+    the tests pin them against a union-find ground truth.
     """
     und = undirect_edges(edges, src, dst).persist()
+    if local_threshold and und.count() <= local_threshold:
+        try:
+            return _connected_components_local(und)
+        finally:
+            und.unpersist()
     comp = (
         und.select(F.col("src").alias("member"))
         .distinct()
@@ -122,6 +133,39 @@ def connected_components(
 
     und.unpersist()
     return comp
+
+
+def _connected_components_local(und: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small undirected edge set."""
+    spark = und.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in und.collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so roots are already canonical
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(m, find(m)) for m in parent]
+    node_type = und.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("member", node_type),
+            T.StructField("component_id", node_type),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def update_components(

@@ -6,9 +6,14 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F
+import pytest
 
 from kissmetrics_to_database_spark.operators import identity
+
+# 0 disables the driver-side union-find fallback → exercises the
+# distributed min-label-propagation loop; the default exercises the
+# adaptive local path. Both must agree everywhere.
+BOTH_PATHS = pytest.mark.parametrize("local_threshold", [0, 1_000_000])
 
 
 def _cc_python(edges: list[tuple[str, str]]) -> dict[str, str]:
@@ -40,25 +45,29 @@ def _cc_python(edges: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def _run_cc(spark, edges):
+def _run_cc(spark, edges, local_threshold=1_000_000):
     df = spark.createDataFrame(edges, ["src", "dst"])
     return {
         r["member"]: r["component_id"]
-        for r in identity.connected_components(df).collect()
+        for r in identity.connected_components(
+            df, local_threshold=local_threshold
+        ).collect()
     }
 
 
-def test_chain_cycle_and_separate_components(spark):
+@BOTH_PATHS
+def test_chain_cycle_and_separate_components(spark, local_threshold):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("p", "q"), ("q", "r")]
-    got = _run_cc(spark, edges)
+    got = _run_cc(spark, edges, local_threshold)
     assert got == _cc_python(edges)
     assert got["c"] == "a" and got["y"] == "x" and got["r"] == "p"
 
 
-def test_long_chain_converges(spark):
+@BOTH_PATHS
+def test_long_chain_converges(spark, local_threshold):
     # diameter >> 1 exercises multi-round propagation + lineage cuts
     edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
-    got = _run_cc(spark, edges)
+    got = _run_cc(spark, edges, local_threshold)
     assert set(got.values()) == {"n000"}
 
 
@@ -74,8 +83,9 @@ def test_edge_order_invariance(spark):
     expected = _cc_python(edges)
     shuffled = edges[:]
     rng.shuffle(shuffled)
-    assert _run_cc(spark, edges) == expected
-    assert _run_cc(spark, shuffled) == expected
+    for threshold in (0, 1_000_000):
+        assert _run_cc(spark, edges, threshold) == expected
+        assert _run_cc(spark, shuffled, threshold) == expected
 
 
 def test_all_pairs_excludes_self_and_is_symmetric(spark):
