@@ -134,7 +134,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, engine-portable)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = dedup.distinct_shingles(docs, "doc_id", "text")
-    return dedup.minhash_signatures(tok, "doc_id", 8).orderBy("doc_id", "seed")
+    sig = dedup.minhash_signatures(tok, "doc_id", 8)
+    return sig.select(
+        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
+    ).orderBy("doc_id", "seed")
 
 
 @query(
