@@ -28,6 +28,7 @@ from kissmetrics_to_database_spark.functions import events_transform
 from kissmetrics_to_database_spark.operators import identity
 from kissmetrics_to_database_spark.sources import ndjson
 from kissmetrics_to_database_spark.sources.json_repair import read_ndjson_with_repair
+from kissmetrics_to_database_spark.sources.lock import PipelineLock
 
 
 @dataclass
@@ -67,8 +68,32 @@ def run_incremental(
     dedup_on_fingerprint: bool = False,
 ) -> PipelineResult:
     """One incremental run. Idempotent: a second invocation with no
-    new files writes nothing (watermark semantics, S4/S5)."""
+    new files writes nothing (watermark semantics, S4/S5). A lock
+    file under ``state_dir`` enforces single-writer (S10)."""
     t0 = time.perf_counter()
+    with PipelineLock(Path(state_dir) / "run.lock"):
+        return _run_locked(
+            spark,
+            source_dir,
+            state_dir,
+            lake_dir,
+            fixed_date,
+            process_identities,
+            dedup_on_fingerprint,
+            t0,
+        )
+
+
+def _run_locked(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    lake_dir: str,
+    fixed_date: str | None,
+    process_identities: bool,
+    dedup_on_fingerprint: bool,
+    t0: float,
+) -> PipelineResult:
     wm = ndjson.Watermark(Path(state_dir) / "watermark.json")
     session_start = wm.read()
     files = ndjson.discover_files(source_dir, after=session_start)

@@ -444,6 +444,56 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curated_corpus",
+    f"""
+    WITH cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    dup_losers AS (
+      SELECT DISTINCT j.id_b AS doc_id
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    scored AS (
+      SELECT doc_id,
+             round((least(CAST(1.0 AS DOUBLE), length(text) / CAST(500.0 AS DOUBLE))
+               + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE)
+               + least(CAST(1.0 AS DOUBLE), CAST(5.0 AS DOUBLE) * ({_SQL_STOPHITS})
+                 / CAST(greatest(len(t), 1) AS DOUBLE))
+               + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))
+                        / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 3 AND 12
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) / 4.0,
+               6) AS quality
+      FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT s.doc_id, s.quality
+    FROM scored s
+    WHERE s.quality >= 0.7
+      AND s.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+    ORDER BY s.doc_id
+    """,
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition: corpus curation in one declarative
+    plan — quality scoring × near-dup removal (MinHash-LSH verified
+    pairs; the higher doc_id of each pair is dropped, keeping one
+    representative per duplicate cluster) × threshold selection.
+    Exactly the selection step of a 100 TB training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup_pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    losers = dup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    scored = text.with_quality_score(docs).select("doc_id", "quality")
+    return (
+        scored.where(F.col("quality") >= 0.7)
+        .join(losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -76,6 +76,107 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(
+             CAST(100.0 AS DOUBLE)
+             * round(sum(CASE WHEN p_type = 'ECONOMY'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: ratio of conditional to total revenue (both
+    sums rounded before the division so each engine divides identical
+    operands)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0)), 2)
+            / F.round(F.sum(rev), 2),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk,
+             round(sum(l_quantity), 2) / count(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(round(sum(l_extendedprice), 2) / 7.0, 6) AS avg_yearly
+    FROM lineitem JOIN avg_qty ON l_partkey = pk
+    WHERE l_quantity < 0.2 * aq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: per-part average-quantity threshold (the
+    correlated aggregate decorrelated into a join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("aq")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 6).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING filter on an aggregate feeding a join,
+    top-20 with total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "rollup_agg",
     """
     SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,
