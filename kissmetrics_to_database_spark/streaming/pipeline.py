@@ -55,6 +55,58 @@ def stream_ndjson_pipeline(
     )
 
 
+def stream_with_identity(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    lake_dir: str,
+    fixed_date: str | None = None,
+) -> StreamingQuery:
+    """The reference's full production loop under Structured
+    Streaming: NDJSON file stream → per-row transform → lake append +
+    **incremental identity closure folded per micro-batch**
+    (KissmetricsToDatabase.php:359-394's per-event identity update,
+    batch-set restated via ``identity.update_components``).
+
+    The component map lives in parquet under ``lake_dir`` and is
+    folded forward each batch — the growing identity state the
+    reference kept in driver memory, now bounded by storage not RAM.
+    """
+    import shutil
+    from pathlib import Path
+
+    from kissmetrics_to_database_spark.operators import identity
+
+    comp_path = str(Path(lake_dir) / "identity_components")
+    events_path = str(Path(lake_dir) / "events")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(events_path)
+            edges = identity.alias_edges_kissmetrics(batch_df)
+            if Path(comp_path).exists():
+                existing = batch_df.sparkSession.read.parquet(comp_path)
+                comp = identity.update_components(existing, edges)
+            else:
+                comp = identity.connected_components(edges)
+            # stage to a temp dir first: comp's lineage reads the
+            # current comp_path, so overwriting it in place would be
+            # a read-under-write conflict
+            tmp = comp_path + f".epoch{epoch_id}"
+            comp.write.mode("overwrite").parquet(tmp)
+            final = batch_df.sparkSession.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(comp_path)
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
+
+    return stream_ndjson_pipeline(
+        spark, source_dir, checkpoint_dir, schema, sink, fixed_date
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

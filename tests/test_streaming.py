@@ -61,6 +61,47 @@ def test_stream_ndjson_pipeline(spark, tmp_path):
     assert by_p["u3"]["_n_not_null"] == "buy"
 
 
+def test_stream_with_identity_folds_components(spark, tmp_path):
+    # alias chain spans micro-batches: u1—a1 in batch 1, a1—u3 via a
+    # new alias record in batch 2 → one merged component after fold
+    schema = T.StructType(
+        [
+            T.StructField("_p", T.StringType()),
+            T.StructField("_p2", T.StringType()),
+            T.StructField("_n", T.StringType()),
+            T.StructField("_t", T.StringType()),
+        ]
+    )
+    src = tmp_path / "idsrc"
+    src.mkdir()
+    (src / "1.json").write_text(
+        json.dumps({"_p": "u1", "_p2": "a1", "_n": "alias", "_t": "1704067207"})
+    )
+    lake = tmp_path / "idlake"
+    q = sp.stream_with_identity(
+        spark, str(src), str(tmp_path / "idckpt"), schema, str(lake),
+        fixed_date="2024-06-01",
+    )
+    q.processAllAvailable()
+    comp1 = {
+        r["member"]: r["component_id"]
+        for r in spark.read.parquet(str(lake / "identity_components")).collect()
+    }
+    assert comp1 == {"u1": "a1", "a1": "a1"}
+
+    (src / "2.json").write_text(
+        json.dumps({"_p": "u3", "_p2": "a1", "_n": "alias", "_t": "1704067300"})
+    )
+    q.processAllAvailable()
+    q.stop()
+    comp2 = {
+        r["member"]: r["component_id"]
+        for r in spark.read.parquet(str(lake / "identity_components")).collect()
+    }
+    assert comp2 == {"u1": "a1", "a1": "a1", "u3": "a1"}
+    assert spark.read.parquet(str(lake / "events")).count() == 2
+
+
 def test_windowed_event_counts_batch_shape(spark):
     rows = [
         ("2024-01-01 00:10:00", "click", 1.0),
