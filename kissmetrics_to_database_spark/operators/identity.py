@@ -71,11 +71,16 @@ def connected_components(
     the tests pin them against a union-find ground truth.
     """
     und = undirect_edges(edges, src, dst).persist()
-    if local_threshold and und.count() <= local_threshold:
-        try:
-            return _connected_components_local(und)
-        finally:
-            und.unpersist()
+    if local_threshold:
+        # size probe via limit+count: ships zero rows to the driver
+        # and does bounded work on huge graphs (a bare take() would
+        # deserialize up to threshold rows driver-side just to learn
+        # "too big", and pin them for the whole iterative loop)
+        if und.limit(local_threshold + 1).count() <= local_threshold:
+            try:
+                return _connected_components_local(und)
+            finally:
+                und.unpersist()
     comp = (
         und.select(F.col("src").alias("member"))
         .distinct()
