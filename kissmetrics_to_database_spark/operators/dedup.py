@@ -224,7 +224,13 @@ def minhash_lsh_dedup_pairs(
     tok = distinct_shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(tok, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band).persist()
-    return jaccard_pairs(tok, id_col, cand, threshold)
+    # materialize the (small) verified-pair result so the shingle and
+    # candidate caches can be released immediately instead of leaking
+    # for the session's lifetime
+    result = jaccard_pairs(tok, id_col, cand, threshold).localCheckpoint(eager=True)
+    tok.unpersist()
+    cand.unpersist()
+    return result
 
 
 def _hex_digit_val(c):
@@ -308,8 +314,11 @@ def simhash_near_pairs(
         pairs = p if pairs is None else pairs.union(p)
     pairs = pairs.distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    result = (
         pairs.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return result

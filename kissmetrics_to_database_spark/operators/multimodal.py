@@ -78,7 +78,10 @@ def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
     cheap signal for corrupt/blank/duplicate media triage at scale.
 
     Arrow-batched mapInPandas; numpy vectorized inside the batch.
+    ``bins`` must be a power of two (the binning is a bit shift).
     """
+    if bins & (bins - 1) or not 0 < bins <= 256:
+        raise ValueError(f"bins must be a power of two in (0, 256], got {bins}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -33,9 +33,22 @@ def salted_join(
     ``num_salts`` reducers. Right-side replication cost is
     num_salts × |right| — use when |right| is modest but above the
     broadcast threshold.
+
+    Supported ``how``: inner/left/left_outer — under right/full outer
+    joins the replicated right side would emit unmatched rows once
+    per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: a "
+            "replicated right side duplicates unmatched rows under "
+            "right/full outer semantics"
+        )
     other_cols = [c for c in left.columns if c != on]
-    salt = F.pmod(F.hash(*[F.col(c) for c in other_cols]), F.lit(num_salts))
+    # key-only left frames have nothing else to hash; salting by the
+    # key alone is degenerate (one salt per key) but stays correct
+    salt_src = other_cols if other_cols else [on]
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(num_salts))
     l_salted = left.withColumn(SALT_COL, salt)
     r_replicated = right.withColumn(
         SALT_COL,

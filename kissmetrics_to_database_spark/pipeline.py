@@ -17,6 +17,7 @@ over the input files.
 
 from __future__ import annotations
 
+import shutil
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -102,11 +103,16 @@ def _run_locked(
 
     lines = spark.read.text(files)
     good, quarantined = read_ndjson_with_repair(spark, lines)
+    # one scan+repair pass feeds counts, the write, and identity
+    # extraction — without the persist each action re-reads and
+    # re-parses every source file
+    good = good.persist()
     transformed = events_transform.transform_events(
         good.drop("was_repaired"), fixed_date=fixed_date
     )
     if dedup_on_fingerprint:
         transformed = transformed.dropDuplicates(["md5hash"])
+    transformed = transformed.persist()
 
     n_rows = transformed.count()
     n_repaired = good.where(F.col("was_repaired")).count()
@@ -117,15 +123,29 @@ def _run_locked(
         n_members = 0
         if process_identities and "_p" in transformed.columns:
             edges = identity.alias_edges_kissmetrics(transformed)
-            comp = identity.connected_components(edges)
-            n_members = comp.count()
-            comp.write.mode("overwrite").parquet(
-                str(Path(lake_dir) / "identity_components")
-            )
+            comp_path = Path(lake_dir) / "identity_components"
+            if comp_path.exists():
+                # fold the new batch into the existing map — alias
+                # chains that span runs must merge (the reference's
+                # incremental path KTD:359-394)
+                existing = spark.read.parquet(str(comp_path))
+                comp = identity.update_components(existing, edges)
+            else:
+                comp = identity.connected_components(edges)
+            # stage to a temp dir: comp's lineage may read comp_path
+            tmp = str(comp_path) + ".staging"
+            comp.write.mode("overwrite").parquet(tmp)
+            staged = spark.read.parquet(tmp)
+            n_members = staged.count()
+            staged.write.mode("overwrite").parquet(str(comp_path))
+            shutil.rmtree(tmp, ignore_errors=True)
         wm.advance(files[-1])
     except Exception:
         wm.rollback(session_start)
         raise
+    finally:
+        transformed.unpersist()
+        good.unpersist()
 
     return PipelineResult(
         files=files,

@@ -76,6 +76,79 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (completes the set-op family next to union/except)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_size < 10
+    )
+    SELECT DISTINCT p_partkey, s_suppkey, s_name,
+           round(s_acctbal, 2) AS s_acctbal, n_name
+    FROM costs WHERE s_acctbal = min_bal
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: per-part minimum-balance supplier via a window
+    minimum instead of a correlated subquery — one shuffle on
+    p_partkey instead of re-aggregating per probe. Equality filter on
+    the raw double is engine-safe: both engines compare the same
+    stored parquet values."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        part.join(li, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    costs = joined.select(
+        "p_partkey",
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        "n_name",
+        F.min("s_acctbal").over(w).alias("min_bal"),
+    )
+    return (
+        costs.where(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query(
     "tpch_q14_promo_revenue",
     """
     SELECT round(

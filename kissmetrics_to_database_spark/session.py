@@ -91,9 +91,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in _nanos_columns(path):
+        # integer division: `/` would round-trip the nanos long
+        # through a double, whose 256 ns ulp at epoch magnitude
+        # corrupts the microsecond value on ~12% of rows
         df = df.withColumn(
             field,
-            F.timestamp_micros((F.col(field) / 1000).cast("long")),
+            F.timestamp_micros(F.expr(f"`{field}` div 1000")),
         )
     return df
 

@@ -66,21 +66,21 @@ def read_ndjson_with_repair(
             [f for f in sample.schema.fields if f.name != CORRUPT_COL]
         )
 
+    # Parse with an explicit corrupt-record field so "failed to
+    # parse" is distinguishable from "parsed to all NULLs" (a valid
+    # row like {} or {"a": null} must NOT be quarantined).
+    aug = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
     parsed = lines.select(
         F.col("value"),
-        F.from_json("value", schema).alias("row"),
-        F.from_json(repair_json_col(F.col("value")), schema).alias("repaired_row"),
+        F.from_json("value", aug, opts).alias("row"),
+        F.from_json(repair_json_col(F.col("value")), aug, opts).alias("repaired_row"),
     )
-    # from_json yields a row of all-NULLs (or NULL) on parse failure;
-    # a row counts as parsed if any field is non-null.
-    any_field = F.array(
-        *[F.col(f"row.{f.name}").isNotNull() for f in schema.fields]
+    ok = F.col("row").isNotNull() & F.col(f"row.{CORRUPT_COL}").isNull()
+    ok_rep = (
+        F.col("repaired_row").isNotNull()
+        & F.col(f"repaired_row.{CORRUPT_COL}").isNull()
     )
-    any_field_rep = F.array(
-        *[F.col(f"repaired_row.{f.name}").isNotNull() for f in schema.fields]
-    )
-    ok = F.array_contains(any_field, True)
-    ok_rep = F.array_contains(any_field_rep, True)
 
     good = (
         parsed.where(ok | ok_rep)
@@ -89,6 +89,7 @@ def read_ndjson_with_repair(
             (~ok & ok_rep).alias("was_repaired"),
         )
         .select("row.*", "was_repaired")
+        .drop(CORRUPT_COL)
     )
     quarantined = parsed.where(~ok & ~ok_rep).select("value")
     return good, quarantined

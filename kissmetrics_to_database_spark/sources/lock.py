@@ -34,11 +34,23 @@ class PipelineLock:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             if self._is_stale():
-                self.path.unlink(missing_ok=True)
+                # atomic reclaim: rename the stale file aside — only
+                # ONE contender's rename succeeds, so a racing
+                # process can never unlink a lock that was just
+                # re-acquired by someone else
+                try:
+                    os.rename(self.path, f"{self.path}.stale.{os.getpid()}")
+                except OSError:
+                    pass  # another contender claimed it; fall through
+                else:
+                    Path(f"{self.path}.stale.{os.getpid()}").unlink(missing_ok=True)
                 return self.__enter__()
+            try:
+                holder = self.path.read_text().strip() or "unknown"
+            except OSError:
+                holder = "unknown"
             raise AlreadyLockedError(
-                f"another run holds {self.path} (pid "
-                f"{self.path.read_text().strip() or 'unknown'})"
+                f"another run holds {self.path} (pid {holder})"
             ) from None
         with os.fdopen(fd, "w") as f:
             f.write(str(os.getpid()))

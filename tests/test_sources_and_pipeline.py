@@ -42,6 +42,42 @@ def test_watermark_roundtrip(tmp_path):
     assert wm.read() is None
 
 
+def test_read_ndjson_incremental(spark, tmp_path):
+    import json as _json
+
+    d = tmp_path / "ndj"
+    d.mkdir()
+    (d / "1.json").write_text(_json.dumps({"a": "x"}))
+    (d / "2.json").write_text(_json.dumps({"a": "y"}))
+    wm = ndjson.Watermark(tmp_path / "wm.json")
+    wm.advance("1.json")
+
+    df, files = ndjson.read_ndjson_incremental(spark, d, wm)
+    assert [f.split("/")[-1] for f in files] == ["2.json"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["a"] == "y"
+    assert rows[0]["_source_file"].endswith("2.json")
+
+    wm.advance(files[-1])
+    df2, files2 = ndjson.read_ndjson_incremental(spark, d, wm)
+    assert df2 is None and files2 == []
+
+
+def test_json_repair_all_null_row_is_not_quarantined(spark):
+    # {} and {"a": null} parse fine — "all fields NULL" must not be
+    # conflated with "unparseable"
+    from pyspark.sql import types as T2
+
+    lines = ['{"a": null, "b": null}', "{}", "garbage"]
+    df = spark.createDataFrame([(x,) for x in lines], ["value"])
+    schema = T2.StructType(
+        [T2.StructField("a", T2.StringType()), T2.StructField("b", T2.StringType())]
+    )
+    good, bad = read_ndjson_with_repair(spark, df, schema)
+    assert good.count() == 2
+    assert bad.count() == 1
+
+
 def test_json_repair_layers(spark):
     lines = [
         '{"a": "clean", "b": "1"}',                 # clean
@@ -95,6 +131,14 @@ def test_incremental_pipeline_idempotent(spark, tmp_path):
     lake_events = pipeline.read_events_lake(spark, str(lake))
     assert lake_events.count() == 3
     assert "some_prop" in lake_events.columns  # sanitized dynamic key
+
+    # identity closure MUST span runs: u1—a1 from file 1, u3—a1 from
+    # file 2 ⇒ one component canonicalized to the global min 'a1'
+    comp = {
+        r["member"]: r["component_id"]
+        for r in spark.read.parquet(str(lake / "identity_components")).collect()
+    }
+    assert comp == {"u1": "a1", "a1": "a1", "u3": "a1"}
 
 
 def test_union_evolving_and_align(spark):
