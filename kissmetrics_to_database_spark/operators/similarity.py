@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -174,6 +176,61 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs via lossless 1-D
+    cell blocking (the dedup-family counterpart of top-k search).
+
+    Returns (id_a, id_b, score) for every pair with
+    ``round(cosine, 6) >= threshold``, id_a < id_b — identical to the
+    brute-force all-pairs result, but without the O(n²) cross join.
+
+    Why the blocking is *provably* recall-exact: on unit-normalized
+    vectors, ``cos(a,b) >= t`` implies ``||a-b|| <= sqrt(2(1-t))``,
+    so in particular the first coordinates differ by at most
+    ``w = sqrt(2(1-t))``. Bucketing on ``floor(u0/w)`` therefore puts
+    every qualifying pair in the same or an adjacent cell; joining
+    each vector's {cell-1, cell, cell+1} against home cells misses
+    nothing. (We widen w by 1e-6 to absorb the 6-dp score rounding.)
+    At 100 TB: replaces the cross join with an equi-join on the cell
+    id (one shuffle, 3× replication of one side); the higher the
+    threshold, the narrower the cells and the harder the pruning. A
+    production variant would project onto the top PCA direction
+    instead of coordinate 0 for better spread — same join shape.
+    """
+    w = math.sqrt(2.0 * (1.0 - (float(threshold) - 1e-6)))
+    u0 = F.element_at(F.col(vec_col), 1).cast("double") / _norm(F.col(vec_col))
+    cell = F.floor(u0 / F.lit(w)).cast("long")
+
+    home = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        cell.alias("_cell"),
+    )
+    probe = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.explode(F.array(cell - 1, cell, cell + 1)).alias("_cell"),
+    )
+    # A qualifying pair (a<b) matches exactly once: b's single home
+    # cell intersects a's 3-cell expansion; the reversed orientation
+    # is excluded by the id_a < id_b filter.
+    return (
+        probe.join(home, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= float(threshold))
     )
 
 

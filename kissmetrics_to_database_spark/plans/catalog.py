@@ -857,3 +857,4 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction).
 from kissmetrics_to_database_spark.plans import catalog_ext  # noqa: E402,F401
 from kissmetrics_to_database_spark.plans import catalog_olap  # noqa: E402,F401
+from kissmetrics_to_database_spark.plans import catalog_tpch  # noqa: E402,F401

@@ -206,6 +206,25 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_cosine_near_dups",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4), exact — the
+    fifth dedup modality (after exact / MinHash-LSH / Jaccard /
+    SimHash). Spark side uses lossless 1-D cell blocking instead of
+    the oracle's O(n²) cross join; results are provably identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, 0.4).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # EXT — similarity search
 # ---------------------------------------------------------------------------
