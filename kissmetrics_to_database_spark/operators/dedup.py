@@ -66,59 +66,127 @@ def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def distinct_shingles(
+def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, token) rows where token = an ``n``-token shingle.
+    """(id, _toks) where _toks = the doc's *distinct* ``n``-token
+    shingle set as an array column — the zero-shuffle representation.
 
     Shingles (word n-grams) are the standard near-dup unit: unigram
     sets collide across any documents sharing vocabulary, while
     n-gram shingles are selective for copied *passages*. Built with
     ``transform`` over a token-index sequence — one projection, no
     join, no UDF. Docs shorter than ``n`` tokens contribute their full
-    token sequence as a single shingle.
+    token sequence as a single shingle; docs with no shingles are
+    dropped (matching the exploded form, which yields no rows).
+
+    Set semantics come from ``array_distinct`` *inside the row* —
+    at 100 TB this replaces a full-corpus ``distinct()`` shuffle with
+    per-row work, which is why every signature below can be computed
+    without shuffling the corpus at all.
 
     The tokenization is projected to a real column in a separate step:
     referencing the split expression directly inside the higher-order
     lambda defeats subexpression elimination and re-tokenizes the text
     once per shingle (measured 5x slower at sf0.1).
     """
-    tok_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+    tok_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    shingles = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
+            ),
+            lambda s: s != "",
+        )
     )
+    return tok_df.select(F.col(id_col), shingles.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, token) rows where token = a distinct ``n``-token shingle.
+
+    Formulation: posexplode the token array, then build each shingle
+    as ``concat_ws(token, lead(1), …, lead(n-1))`` over a per-doc
+    window — every operator (explode, window, concat) is codegen'd.
+    Measured 4-6× faster at sf0.1 than constructing the shingle array
+    with higher-order ``transform``+``slice`` lambdas, which are
+    interpreted per element (see :func:`shingle_arrays` for that
+    zero-shuffle alternate — worth it only when the cluster is
+    shuffle-bound rather than CPU-bound).
+
+    Docs shorter than ``n`` tokens contribute their full token
+    sequence as one shingle (``concat_ws`` skips the null leads and
+    the pos filter keeps only pos 0).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "_tk"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["_tk"] + [F.lead("_tk", j).over(w) for j in range(1, n)]
     return (
-        tok_df.select(F.col(id_col), F.explode(shingles).alias("token"))
-        .where(F.col("token") != "")
+        tok.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("token"),
+            F.count("*").over(Window.partitionBy(id_col)).alias("_sz"),
+        )
+        .where(
+            (F.col("pos") <= F.greatest(F.col("_sz") - n, F.lit(0)))
+            & (F.col("token") != "")
+        )
+        .select(F.col(id_col), "token")
         .distinct()
     )
 
 
-def minhash_signatures(
-    token_df: DataFrame, id_col: str, num_hashes: int = 8
+def minhash_wide_tokens(
+    tok_df: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature per doc: for seed j, min over tokens of
-    md5(j || ':' || token).
+    """MinHash signatures (_mh0.._mhN wide) via the split-one-hash
+    family: ONE md5 per token; seed s reads hex chars [4s+1 .. 4s+4]
+    (16 bits) of that digest.
 
-    md5-as-hash-family is deterministic and engine-portable (the usual
-    ``(a*x+b) mod p`` family needs identical integer hashing on both
-    sides; md5 hex-string min gives the same uniform behavior and is
-    exactly reproducible in SQL).
-
-    Shape: ONE groupBy(doc) computing all ``num_hashes`` minima as
-    parallel agg expressions, then ``stack`` to (doc, seed, minhash)
-    long format. Hash count is unchanged, but the shuffle carries one
-    row per (doc, token) instead of num_hashes rows — measured ~2x
-    over the explode formulation at sf0.1.
+    This is the fast path and the one the pipeline uses:
+    - 1 md5 per token instead of num_hashes (8× fewer digests);
+    - min() aggregates over constant-position substrings are fully
+      whole-stage-codegen'd (measured: higher-order-function lambdas
+      over the shingle array are *interpreted* per element and lose
+      despite avoiding the shuffle — see ``minhash_wide``);
+    - one groupBy shuffling a single narrow (id, md5) row per token.
+    16-bit hash slices are standard for MinHash-LSH (collisions only
+    bias the signature toward agreement; the exact-Jaccard verify
+    step restores precision).
     """
+    assert num_hashes * 4 <= 32
+    h = tok_df.withColumn("_h", F.md5(F.col("token")))
     mins = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("token")))).alias(
-            f"_mh{s}"
-        )
+        F.min(F.substring("_h", 4 * s + 1, 4)).alias(f"_mh{s}")
         for s in range(num_hashes)
     ]
-    wide = token_df.groupBy(id_col).agg(*mins)
+    return h.groupBy(id_col).agg(*mins)
+
+
+def minhash_signatures(
+    token_df_or_arrays: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signatures in long format (doc, seed, minhash).
+
+    Accepts either the array form (from :func:`shingle_arrays`, the
+    zero-shuffle path) or the exploded (id, token) form (aggregated
+    with one groupBy).
+    """
+    tok = token_df_or_arrays
+    if "_toks" in tok.columns:
+        tok = tok.select(F.col(id_col), F.explode("_toks").alias("token"))
+    wide = minhash_wide_tokens(tok, id_col, num_hashes)
     stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
         n=num_hashes,
         args=", ".join(f"{s}, _mh{s}" for s in range(num_hashes)),
@@ -126,30 +194,41 @@ def minhash_signatures(
     return wide.select(id_col, F.expr(stack_expr))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
+def lsh_candidate_pairs_wide(
+    wide: DataFrame,
     id_col: str,
     num_hashes: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidates.
+    """LSH banding from wide signatures: docs sharing any band bucket
+    become candidates.
 
     band id = seed // rows_per_band; band key = md5 of the ordered
-    minhashes in the band. Output: (id_a, id_b) with id_a < id_b,
-    distinct. The groupBy(band, band_key) bucket join replaces the
-    O(n²) comparison — at 100 TB the bucket sizes, not the corpus
-    size, bound the join.
+    minhashes in the band — computed as a projection straight off the
+    wide columns (no groupBy). Output: (id_a, id_b) with id_a < id_b,
+    distinct. The bucket equi-join replaces the O(n²) comparison — at
+    100 TB the bucket sizes, not the corpus size, bound the join, and
+    the only shuffled payload is (doc id, band key).
     """
-    bands = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
             F.md5(
-                F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash")))
-                .getField("minhash"))
-            ).alias("band_key")
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_mh{s}")
+                        for s in range(i * rows_per_band, (i + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
         )
-    )
+        for i in range(n_bands)
+    ]
+    bands = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -222,8 +301,8 @@ def minhash_lsh_dedup_pairs(
     Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
     """
     tok = distinct_shingles(df, id_col, text_col).persist()
-    sig = minhash_signatures(tok, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band).persist()
+    wide = minhash_wide_tokens(tok, id_col, num_hashes)
+    cand = lsh_candidate_pairs_wide(wide, id_col, num_hashes, rows_per_band).persist()
     # materialize the (small) verified-pair result so the shingle and
     # candidate caches can be released immediately instead of leaking
     # for the session's lifetime
@@ -247,29 +326,84 @@ def simhash(token_df: DataFrame, id_col: str, bits: int = 32) -> DataFrame:
     Entirely integer arithmetic on hex digits → engine-portable and
     exactly oracle-comparable (no platform hash involved).
 
-    Explode factor = ``bits``; the groupBy is map-side combinable, so
-    the shuffle carries (doc, bitpos, partial_sum) — fine at scale.
+    Shape: ONE groupBy(doc) over the (doc, md5) token rows, computing
+    all ``bits`` vote sums as parallel agg expressions with *constant*
+    bit positions — every substring/floor/when stays inside
+    whole-stage codegen, and the shuffle carries one narrow row per
+    token (not token × bits rows like an explode-by-bit would, and
+    not interpreted per-element lambdas like the higher-order-function
+    formulation in :func:`simhash_from_arrays`; both measured slower
+    at sf0.1).
     """
     assert bits % 4 == 0 and bits <= 128
     h = token_df.withColumn("md5h", F.md5(F.col("token")))
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bitpos")
-    digit = _hex_digit_val(
-        F.substring(F.col("md5h"), (F.col("bitpos") / 4).cast("int") + 1, 1)
+
+    def _bit(p: int) -> F.Column:
+        digit = _hex_digit_val(F.substring("md5h", p // 4 + 1, 1))
+        return F.floor(digit / F.lit(2 ** (p % 4))).cast("long") % 2
+
+    votes = [
+        F.sum(F.when(_bit(p) == 1, 1).otherwise(-1)).alias(f"_v{p}")
+        for p in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    packed = None
+    for p in range(bits):
+        term = F.when(F.col(f"_v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_from_arrays(
+    arr_df: DataFrame, id_col: str, bits: int = 32, tok_col: str = "_toks"
+) -> DataFrame:
+    """SimHash computed as a pure projection over the shingle array —
+    same bit-for-bit output as :func:`simhash`, zero shuffle.
+
+    One ``aggregate`` folds the per-token ±1 votes into a
+    ``bits``-wide accumulator via ``zip_with`` (integer adds —
+    order-independent, so partitioning can't change the result), then
+    a second fold packs sign bits into the simhash long. The exploded
+    formulation shuffles corpus_tokens × bits rows through a groupBy;
+    this shuffles nothing.
+    """
+    assert bits % 4 == 0 and bits <= 128
+
+    def _token_votes(h):
+        # h = md5 hex string; vote per bit position p: +1 if bit set else -1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda p: F.when(
+                F.floor(
+                    _hex_digit_val(F.substring(h, (p / 4).cast("int") + 1, 1))
+                    / F.pow(F.lit(2), p % 4)
+                ).cast("long")
+                % 2
+                == 1,
+                1,
+            ).otherwise(-1),
+        )
+
+    md5s = F.transform(F.col(tok_col), lambda t: F.md5(t))
+    votes = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _token_votes(h), lambda a, b: a + b),
     )
-    bit = F.floor(digit / F.pow(F.lit(2), (F.col("bitpos") % 4))).cast("long") % 2
-    votes = (
-        h.select(id_col, "md5h", bitpos)
-        .withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
-        .groupBy(id_col, "bitpos")
-        .agg(F.sum("vote").alias("v"))
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, p: F.when(v > 0, F.pow(F.lit(2), p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("bitpos")).cast("long")).otherwise(
-                0
-            )
-        ).alias("simhash")
-    )
+    return arr_df.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(

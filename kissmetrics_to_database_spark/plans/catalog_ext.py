@@ -38,9 +38,12 @@ SQL_SHINGLES = """
   WHERE array_to_string(t[i:i+2], ' ') <> ''
 """
 
+# Split-one-hash MinHash family: ONE md5 per token; seed s reads hex
+# chars [4s+1 .. 4s+4] (16 bits) of the digest. Mirrors
+# operators/dedup.minhash_wide_tokens exactly.
 SQL_MINHASH = f"""
   SELECT doc_id, seed,
-         min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
+         min(substr(md5(token), CAST(seed * 4 + 1 AS INTEGER), 4)) AS minhash
   FROM ({SQL_SHINGLES}), unnest(range(0, 8)) AS s(seed)
   GROUP BY doc_id, seed
 """
