@@ -516,6 +516,90 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A doc's hash bucket (0..255) from the first two hex digits of
+# md5(doc_id) — the deterministic, engine-portable randomness source
+# for splits and sampling (no rand(): results are stable across
+# re-runs, partitionings, and cluster sizes, which is the contract a
+# 100 TB corpus pipeline needs for reproducible splits).
+_SQL_DOC_BUCKET = """
+  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+"""
+
+
+def _doc_bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+    )
+
+
+@query(
+    "hash_split_assignment",
+    f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, {_SQL_DOC_BUCKET} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash
+    bucket (~80/10/10 via 205/25/26 of 256 buckets). A doc's split
+    never changes as the corpus grows — the property `rand()`-based
+    splitting cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _doc_bucket()
+    split = (
+        F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT source, {_SQL_DOC_BUCKET} AS bucket,
+             CAST(substr(source, 4) AS INTEGER) % 2 AS par
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < CASE WHEN par = 0 THEN 128 ELSE 64 END
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM b GROUP BY source ORDER BY source
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling with deterministic hash
+    thresholds (even-numbered sources keep bucket < 128 ≈ 50%, odd
+    keep < 64 ≈ 25%) — the corpus-mixing knob of a training pipeline,
+    as a pure scan+aggregate with no shuffle beyond the final
+    per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = (F.substring("source", 4, 10).cast("int") % 2).alias("par")
+    thr = F.when(par == 0, 128).otherwise(64)
+    sampled = F.when(_doc_bucket() < thr, 1).otherwise(0)
+    return (
+        docs.select("source", sampled.alias("_s"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum("_s").alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — multimodal plumbing
 # ---------------------------------------------------------------------------
