@@ -38,6 +38,8 @@ HEADLINE = [
     "embedding_topk_ivf",
     "lang_id",
     "quality_score",
+    "tfidf_top_terms",
+    "time_proximity_pairs",
     "sessionization",
     "tumbling_window_hourly",
     "top_spenders_per_type",

@@ -312,6 +312,40 @@ def minhash_lsh_dedup_pairs(
     return result
 
 
+def near_dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Cluster verified near-dup pairs into components and elect a
+    canonical document per cluster (the min member id).
+
+    This is the step that turns *pairs* into a usable dedup decision:
+    near-duplication is not transitive (A~B, B~C does not imply A~C),
+    but corpus curation needs a partition, so the standard practice
+    (MinHash-LSH dedup as in web-scale corpus pipelines) is to take
+    connected components of the verified-pair graph and keep one doc
+    per component. Reuses the identity-resolution CC engine (SURVEY
+    §2.3 J4 — the same algorithm the reference applies to user
+    aliases, applied to documents; reference intent:
+    src/KissmetricsToDatabase.php:506-559).
+
+    Returns ``(doc_id, canonical_id)`` for every doc that appears in
+    at least one pair. Docs in no pair are their own canonical by
+    definition and are not emitted (callers left-join + coalesce).
+    At 100 TB the verified-pair graph is orders of magnitude smaller
+    than the corpus, so the CC loop runs on a tiny edge set.
+    """
+    from kissmetrics_to_database_spark.operators.identity import (
+        connected_components,
+    )
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("member").alias("doc_id"),
+        F.col("component_id").alias("canonical_id"),
+    )
+
+
 def _hex_digit_val(c):
     """Hex char → 0..15 via position in the hex alphabet (portable —
     the same expression works in ANSI SQL as strpos)."""

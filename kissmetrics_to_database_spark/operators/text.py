@@ -11,7 +11,7 @@ engine adds for 100 TB corpus curation (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons (public stopword lists, truncated).
@@ -154,3 +154,162 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "norm_fingerprint", normalization_fingerprint(F.col(text_col))
     ).withColumn("rolling_hash", rolling_hash(F.col(text_col)))
+
+
+def tokens_long(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term) rows: lowercased whitespace tokens, multiset
+    semantics (duplicates kept — term frequency is meaningful)."""
+    return df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf (smoothed:
+    ``tf * ln((N+1)/(df+1))``), ties broken by term ascending.
+
+    Shape at scale: tf is one groupBy (map-side combinable) over the
+    token stream; df is a second aggregation over the *already
+    reduced* (doc, term) table — never over raw tokens; N joins in as
+    a broadcast scalar. The per-doc ranking window partitions by
+    doc, so no global sort. Ranking key is the ROUNDED score so the
+    order is engine-portable (two terms equal at 6 dp tie on term,
+    not on sub-ulp float noise).
+    """
+    tok = tokens_long(df, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents for a small bag of query ``terms``.
+
+    Okapi BM25 with the standard smoothed idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Computed as ONE groupBy
+    over the token stream producing (dl, tf per term) wide rows, then
+    corpus stats (total tokens, per-term df) as a single broadcast
+    scalar row — two aggregations total, no per-term shuffles, and
+    the per-term contributions are summed in declared term order so
+    the float result is bit-reproducible across engines.
+    """
+    tok = tokens_long(df, id_col, text_col)
+    per_doc = tok.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").cast("double").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    n = df.agg(F.count("*").cast("double").alias("n_docs"))
+    joined = per_doc.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(n))
+    avgdl = F.col("tot") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        contrib = (
+            idf
+            * (F.col(f"tf{i}") * F.lit(k1 + 1))
+            / (F.col(f"tf{i}") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+        score = contrib if score is None else score + contrib
+    scored = joined.select(id_col, F.round(score, 6).alias("score")).where(
+        F.col("score") > 0
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select(id_col, "score", "rank")
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, zero shuffle.
+
+    Per document: token count, distinct-token count, repeated-token
+    fraction ``1 - distinct/total``, and duplicate-bigram fraction —
+    the standard signals for filtering degenerate/boilerplate text
+    from a training corpus. All per-row array expressions (no
+    explode, no aggregation), so the operator is embarrassingly
+    parallel at any scale.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sized = base.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_distinct"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    rep = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        1 - F.col("n_distinct") / F.col("n_tokens").cast("double")
+    )
+    dup_bg = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        1 - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double")
+    )
+    return sized.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(rep, 6).alias("repetition_ratio"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+    )

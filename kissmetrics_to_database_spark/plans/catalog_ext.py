@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from kissmetrics_to_database_spark.operators import (
     dedup,
+    interval,
     multimodal,
     similarity,
     text,
@@ -1023,3 +1024,189 @@ def q_top_spenders_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("event_type", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — near-dup clustering, TF-IDF / BM25, repetition quality,
+# banded time-proximity join
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS_LONG = """
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+"""
+
+
+@query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    pairs AS (
+      SELECT j.id_a, j.id_b FROM jac j
+      JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src AS node, src AS r FROM und
+      UNION
+      SELECT und.src AS node, reach.r FROM und JOIN reach ON und.dst = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical doc per
+    cluster (min member). The decision step of corpus dedup: keep
+    ``canonical_id``, drop the rest. Reuses the identity-resolution
+    CC engine (SURVEY §2.3 J4) on the verified-pair graph; the oracle
+    is a recursive-CTE transitive closure over the same pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    return dedup.near_dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS ({SQL_TOKENS_LONG}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) DESC,
+                        tf.term
+             ) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed tf-idf; ranking on the
+    rounded score (engine-portable), ties on term. Corpus df is
+    aggregated from the already-reduced (doc, term) table, never the
+    raw token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+BM25_TERMS = ("shuffle", "join", "window")
+
+
+def _sql_bm25_contrib(i: int, term: str) -> str:
+    return (
+        f"ln(1 + (n.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * (d.tf{i} * 2.2)"
+        f" / (d.tf{i} + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / n.n_docs)))"
+    )
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH tok AS ({SQL_TOKENS_LONG}),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+             {", ".join(f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+      FROM tok GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(dl) AS DOUBLE) AS tot,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in range(len(BM25_TERMS)))}
+      FROM per_doc
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT d.doc_id,
+             round({" + ".join(_sql_bm25_contrib(i, t) for i, t in enumerate(BM25_TERMS))}, 6) AS score
+      FROM per_doc d CROSS JOIN s CROSS JOIN n
+    )
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored WHERE score > 0
+    ) WHERE rnk <= 10
+    ORDER BY rank
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs for a 3-term query (k1=1.2, b=0.75) —
+    two aggregations total (per-doc tf/dl wide row + one corpus-stats
+    scalar broadcast); per-term contributions summed in declared term
+    order so the float score is bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_search(docs, BM25_TERMS, "doc_id", "text").orderBy("rank")
+
+
+@query(
+    "repetition_quality",
+    """
+    SELECT doc_id, n_tokens, n_distinct,
+           round(CASE WHEN n_tokens = 0 THEN 0
+                      ELSE 1 - n_distinct / CAST(n_tokens AS DOUBLE) END, 6)
+             AS repetition_ratio,
+           round(CASE WHEN n_bigrams = 0 THEN 0
+                      ELSE 1 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE) END, 6)
+             AS dup_bigram_frac
+    FROM (
+      SELECT doc_id,
+             len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+             len(bg) AS n_bigrams, len(list_distinct(bg)) AS n_distinct_bigrams
+      FROM (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+      )
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (repeated-token and
+    duplicate-bigram fractions) as pure per-row array expressions —
+    zero shuffle, embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "time_proximity_pairs",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    ORDER BY id_a, id_b
+    """,
+)
+def q_time_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 60 s — a banded interval
+    self-join (bucket = gap width, join own+next band, exact residual
+    filter). The oracle runs the quadratic non-equi join; the engine
+    never does: its equi-join cost is bounded by per-band population,
+    not corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    return interval.time_proximity_pairs(
+        ev, "user_id", "event_id", "ts", 60_000_000
+    ).orderBy("id_a", "id_b")

@@ -100,3 +100,17 @@ def test_simhash_blocking_is_recall_exact(spark):
 def test_dedup_exact(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
     assert dedup.dedup_exact(df).count() == 2
+
+
+def test_near_dup_clusters_canonical_is_min_member(spark):
+    from kissmetrics_to_database_spark.operators.dedup import near_dup_clusters
+
+    # two clusters {1,2,3} (chained, NOT all-pairs) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -89,3 +89,75 @@ def test_lsh_topk_subset_of_bucket(spark):
     rows = out.collect()
     assert all(r["probe_id"] != r["neighbor_id"] for r in rows)
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_tfidf_top_terms_ground_truth(spark):
+    import math
+
+    from kissmetrics_to_database_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry dill"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2*ln(4/2); banana tf=1 df=2 -> ln(4/3)
+    assert out[(1, 1)][0] == "apple"
+    assert out[(1, 1)][3] == round(2 * math.log(4 / 2), 6)
+    assert out[(1, 2)][0] == "banana"
+    assert out[(1, 2)][3] == round(math.log(4 / 3), 6)
+    # doc 3: cherry tf=3 dominates; dill tf=1 df=1
+    assert out[(3, 1)][0] == "cherry"
+    assert out[(3, 2)][0] == "dill"
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from kissmetrics_to_database_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shuffle join window shuffle"),
+            (2, "shuffle elsewhere entirely"),
+            (3, "nothing relevant here at all"),
+            (4, "join join join join padding padding padding"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(docs, ("shuffle", "join", "window")).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids  # score 0 excluded
+    assert ids[0] == 1  # matches all three terms
+    assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_repetition_stats_ground_truth(spark):
+    from kissmetrics_to_database_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; bigrams all "a a"
+            (2, "w x y z"),          # no repetition at all
+            (3, ""),                 # degenerate: no tokens
+            (4, "spam ham spam ham"),  # distinct bigrams despite repeated tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in with_repetition_stats(docs).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 1
+    assert out[1].repetition_ratio == 0.75
+    assert out[1].dup_bigram_frac == round(1 - 1 / 3, 6)
+    assert out[2].repetition_ratio == 0.0 and out[2].dup_bigram_frac == 0.0
+    assert out[3].n_tokens == 0 and out[3].repetition_ratio == 0.0
+    assert out[4].n_tokens == 4 and out[4].n_distinct == 2
+    # bigrams: "spam ham", "ham spam", "spam ham" -> 1 dup of 3
+    assert out[4].dup_bigram_frac == round(1 - 2 / 3, 6)
