@@ -156,6 +156,36 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("rolling_hash", rolling_hash(F.col(text_col)))
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and international phone numbers from a text
+    column — the standard scrub step before corpus release.
+
+    Adds ``n_emails`` / ``n_phones`` (match counts, for audit
+    reporting) and ``masked`` (text with matches replaced by
+    ``<EMAIL>`` / ``<PHONE>`` placeholders). Patterns restricted to
+    syntax shared by Java regex and RE2 so results are
+    engine-portable; pure ``regexp_replace`` / ``regexp_extract_all``
+    column expressions — codegen'd, zero shuffle.
+    """
+    t = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        )
+        .withColumn("n_phones", F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)))
+        .withColumn(
+            "masked",
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
 def tokens_long(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

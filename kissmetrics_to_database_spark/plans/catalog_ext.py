@@ -1210,3 +1210,150 @@ def q_time_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval.time_proximity_pairs(
         ev, "user_id", "event_id", "ts", 60_000_000
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# EXT — PII masking, source profiling, decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_mask",
+    """
+    WITH pii AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+[0-9]{7,15}', '<PHONE>', 'g')) AS masked_md5
+    FROM pii
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+)
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before corpus release: email/phone redaction with
+    audit counts. The testdata carries no PII, so deterministic
+    addresses are injected from doc_id (same synthesis-from-real-rows
+    pattern as corrupt_json_repair), then masked and verified by
+    masked-text digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    masked = text.mask_pii(with_pii, "text")
+    return (
+        masked.where((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.md5("masked").alias("masked_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_source_profile",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(n_chars), 2) AS avg_chars,
+           sum(n_chars) AS total_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (the curation dashboard scan): one
+    map-side-combinable aggregation over the corpus — the shuffle
+    carries one row per source, independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_shingles_n(n: int, where: str = "") -> str:
+    return f"""
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS token
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents{where}),
+       unnest(range(1, greatest(len(t) - {n}, 0) + 2)) AS u(i)
+  WHERE array_to_string(t[i:i+{n - 1}], ' ') <> ''
+"""
+
+
+@query(
+    "decontaminate_against_eval",
+    f"""
+    WITH eval_sh AS ({_sql_shingles_n(5, " WHERE doc_id % 97 = 0")}),
+    corpus_sh AS ({_sql_shingles_n(5, " WHERE doc_id % 97 <> 0")})
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.token) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM corpus_sh c JOIN eval_sh e ON c.token = e.token
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 5-gram
+    with a held-out eval set (docs with id % 97 = 0 stand in for the
+    benchmark). The eval shingle set is tiny → broadcast to the
+    corpus-shingle scan, so the check costs one corpus pass at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = dedup.distinct_shingles(
+        docs.where(F.col("doc_id") % 97 == 0), "doc_id", "text", n=5
+    ).select(F.col("doc_id").alias("eval_id"), "token")
+    corpus_sh = dedup.distinct_shingles(
+        docs.where(F.col("doc_id") % 97 != 0), "doc_id", "text", n=5
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )

@@ -107,6 +107,44 @@ def stream_with_identity(
     )
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup bounded by event time.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — the streaming form of the reference's
+    dedup intent (KissmetricsToDatabase.php:656-672) that a plain
+    ``dropDuplicates`` on a stream can't provide (its state grows
+    forever). At 100 TB/day the state size is rate × lateness, not
+    history size. Works on static frames too (plain dropDuplicates
+    semantics) so the batch tests pin the key behavior.
+    """
+    with_wm = events.withWatermark(ts_col, late_threshold)
+    if events.isStreaming:
+        return with_wm.dropDuplicatesWithinWatermark(key_cols)
+    return with_wm.dropDuplicates(key_cols)
+
+
+def stream_static_enrich(
+    stream_events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static broadcast enrichment join.
+
+    The static side is re-read per micro-batch by the engine and
+    broadcast (no shuffle on the unbounded side) — the streaming form
+    of J1's canonical-identity lookup (SURVEY §2.3): events arrive as
+    a stream, the identity/dimension map is a slowly-changing table.
+    """
+    return stream_events.join(F.broadcast(dim), on, how)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

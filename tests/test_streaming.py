@@ -119,3 +119,72 @@ def test_windowed_event_counts_batch_shape(spark):
         "2024-01-01 00:00:00": (2, 3.0),
         "2024-01-01 01:00:00": (1, 4.0),
     }
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    # duplicate keys delivered across two files of one stream run:
+    # state-bounded streaming dedup must keep exactly one per key
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts_s", T.StringType()),
+        ]
+    )
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    (src / "1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "ts_s": "2024-01-01 00:00:01"},
+                {"k": "a", "ts_s": "2024-01-01 00:00:02"},
+                {"k": "b", "ts_s": "2024-01-01 00:00:03"},
+            ]
+        )
+    )
+    raw = spark.readStream.schema(schema).json(str(src))
+    deduped = sp.stream_dedup_within_watermark(
+        raw.select("k", F.to_timestamp("ts_s").alias("ts")), ["k"]
+    )
+    seen: list = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda df, eid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "dupckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "2.json").write_text(
+        json.dumps({"k": "a", "ts_s": "2024-01-01 00:00:05"})
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["k"] for r in seen) == ["a", "b"]
+
+
+def test_stream_static_enrich_broadcasts(spark, tmp_path):
+    schema = T.StructType([T.StructField("user", T.StringType())])
+    src = tmp_path / "enrsrc"
+    src.mkdir()
+    (src / "1.json").write_text(
+        "\n".join(json.dumps({"user": u}) for u in ["u1", "u2", "ux"])
+    )
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], ["user", "tier"]
+    )
+    enriched = sp.stream_static_enrich(
+        spark.readStream.schema(schema).json(str(src)), dim, "user"
+    )
+    seen: list = []
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda df, eid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "enrckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user"]: r["tier"] for r in seen}
+    assert got == {"u1": "gold", "u2": "silver", "ux": None}

@@ -161,3 +161,19 @@ def test_repetition_stats_ground_truth(spark):
     assert out[4].n_tokens == 4 and out[4].n_distinct == 2
     # bigrams: "spam ham", "ham spam", "spam ham" -> 1 dup of 3
     assert out[4].dup_bigram_frac == round(1 - 2 / 3, 6)
+
+
+def test_mask_pii_redacts_and_counts(spark):
+    from kissmetrics_to_database_spark.operators.text import mask_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org plus +4915123456789 end"),
+            (2, "nothing sensitive"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in mask_pii(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 1
+    assert out[1].masked == "mail <EMAIL> and <EMAIL> plus <PHONE> end"
+    assert out[2].n_emails == 0 and out[2].masked == "nothing sensitive"
