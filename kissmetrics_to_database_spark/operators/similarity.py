@@ -288,3 +288,106 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "score", "rank")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per label → (label, centroid).
+
+    posexplode distributes the element-wise average as an ordinary
+    hash aggregation on (label, pos) — n·dim skinny rows shuffle once,
+    no vector ever crosses the wire whole, so this scales to any
+    corpus size. Centroid elements are rounded *before* downstream
+    scoring so results are engine-reproducible regardless of float
+    summation order.
+    """
+    exploded = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "val")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), ndigits).alias("m")
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def nearest_centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine label centroid.
+
+    Returns (vec_id, true_label, assigned_label). The centroid table
+    is tiny (one row per label) and broadcast, so assignment is a
+    single corpus scan with a map-side argmax — no shuffle at any
+    scale. Ties break on the smaller label (scores rounded to 6dp
+    first), matching the SQL oracle's deterministic rank.
+    """
+    c = centroids.select(
+        F.col("label").alias("_clabel"), F.col("centroid").alias("_cvec")
+    )
+    scored = emb.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("true_label"),
+        F.col("_clabel").cast("long").alias("_cl"),
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_score"),
+    )
+    best = scored.groupBy(id_col, "true_label").agg(
+        F.max(F.struct(F.col("_score"), (-F.col("_cl")).alias("_ncl"))).alias("_b")
+    )
+    return best.select(
+        id_col,
+        "true_label",
+        (-F.col("_b._ncl")).cast("long").alias("assigned_label"),
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN majority-vote classification for a probe batch.
+
+    Returns (probe_id, true_label, predicted_label): the modal label
+    among each probe's k nearest cosine neighbors (self excluded);
+    vote ties break on the smaller label. Built on brute_force_topk,
+    so the corpus is scanned once with the probes broadcast; the vote
+    itself is a window over P·k rows — driver-free and skew-free.
+    """
+    topk = brute_force_topk(emb, probes, k=k, id_col=id_col, vec_col=vec_col)
+    nbr = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("_nlabel"),
+    )
+    votes = (
+        nbr.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("probe_id", "_nlabel")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_c"), F.asc("_nlabel"))
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("probe_id", F.col("_nlabel").alias("predicted_label"))
+    )
+    truth = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+    )
+    return pred.join(F.broadcast(truth), "probe_id").select(
+        "probe_id", "true_label", "predicted_label"
+    )

@@ -1357,3 +1357,94 @@ def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — label-aware similarity (classification over the embedding corpus)
+# ---------------------------------------------------------------------------
+
+SQL_LABEL_CENTROIDS = """
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS m
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, i
+  ) GROUP BY label
+"""
+
+
+@query(
+    "nearest_centroid_confusion",
+    f"""
+    WITH cent AS ({SQL_LABEL_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+             CAST(c.label AS BIGINT) AS clabel,
+             {_sql_cosine('e.embedding', 'c.centroid')} AS score
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, true_label, clabel AS assigned_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT true_label, assigned_label, count(*) AS n
+    FROM best GROUP BY true_label, assigned_label
+    ORDER BY true_label, assigned_label
+    """,
+)
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: per-label
+    mean vectors (element-wise avg, rounded 6dp), every vector
+    assigned to its argmax-cosine centroid (min-label tie-break).
+    Centroids broadcast → assignment is one shuffle-free corpus scan;
+    the confusion matrix is a tiny label×label aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.label_centroids(emb)
+    assigned = similarity.nearest_centroid_assign(emb, cent)
+    return (
+        assigned.groupBy("true_label", "assigned_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+@query(
+    "knn_label_vote",
+    f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pv, CAST(label AS BIGINT) AS true_label
+      FROM embeddings WHERE vec_id % 23 = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, p.true_label, e.vec_id AS nid,
+             CAST(e.label AS BIGINT) AS nlabel,
+             {_sql_cosine('e.embedding', 'p.pv')} AS score
+      FROM embeddings e CROSS JOIN p
+      WHERE e.vec_id <> p.probe_id
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, nid) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT probe_id, true_label, nlabel, count(*) AS c
+      FROM top5 GROUP BY probe_id, true_label, nlabel
+    )
+    SELECT probe_id, true_label, nlabel AS predicted_label FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, nlabel) AS r
+      FROM votes
+    ) WHERE r = 1
+    ORDER BY probe_id
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction for a deterministic probe
+    sample (vec_id % 23 = 0): modal label among each probe's nearest
+    cosine neighbors, vote ties → smaller label. Probes broadcast, so
+    cost is one corpus scan per batch regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 23 == 0)
+    return similarity.knn_label_vote(emb, probes, k=5).orderBy("probe_id")

@@ -177,3 +177,58 @@ def test_mask_pii_redacts_and_counts(spark):
     assert out[1].n_emails == 2 and out[1].n_phones == 1
     assert out[1].masked == "mail <EMAIL> and <EMAIL> plus <PHONE> end"
     assert out[2].n_emails == 0 and out[2].masked == "nothing sensitive"
+
+
+def test_label_centroids_elementwise_mean(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [3.0, 2.0]),
+        (2, 1, [0.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    cent = {
+        r["label"]: r["centroid"]
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert cent == {0: [2.0, 1.0], 1: [0.0, 4.0]}
+
+
+def test_nearest_centroid_assign_and_tiebreak(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 1, [0.0, 1.0]),
+        (2, 1, [1.0, 0.0]),  # true label 1, sits on label-0 centroid
+        (3, 0, [1.0, 1.0]),  # equidistant from both axes → tie → label 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["label", "centroid"]
+    )
+    got = {
+        r["vec_id"]: (r["true_label"], r["assigned_label"])
+        for r in similarity.nearest_centroid_assign(df, cent).collect()
+    }
+    assert got == {0: (0, 0), 1: (1, 1), 2: (1, 0), 3: (0, 0)}
+
+
+def test_knn_label_vote_majority_and_tie(spark):
+    # Neighbor rank order for probe 0: 1 (label 5), 2 (label 3), 3 (label 5).
+    rows = [
+        (0, 7, [1.0, 0.0, 0.0]),
+        (1, 5, [0.99, 0.1, 0.0]),
+        (2, 3, [0.98, 0.15, 0.0]),
+        (3, 5, [0.97, 0.2, 0.0]),
+        (4, 9, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    # 3-NN: votes {5: 2, 3: 1} → majority 5.
+    out = similarity.knn_label_vote(df, df.where("vec_id = 0"), k=3).collect()
+    assert [(r["probe_id"], r["true_label"], r["predicted_label"]) for r in out] == [
+        (0, 7, 5)
+    ]
+    # 2-NN: one vote each for 5 and 3 → tie breaks to the SMALLER
+    # label (3), not the nearer neighbor's label.
+    out2 = similarity.knn_label_vote(
+        df, df.where("vec_id = 0"), k=2
+    ).collect()
+    assert out2[0]["predicted_label"] == 3
