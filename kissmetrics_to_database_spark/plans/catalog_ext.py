@@ -18,6 +18,7 @@ from kissmetrics_to_database_spark.operators import (
     dedup,
     interval,
     multimodal,
+    packing,
     similarity,
     text,
 )
@@ -1448,3 +1449,77 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 23 == 0)
     return similarity.knn_label_vote(emb, probes, k=5).orderBy("probe_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT — training-sequence packing + source mixing (corpus → data loader)
+# ---------------------------------------------------------------------------
+
+SQL_WS_TOKENS = """
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
+
+@query(
+    "pack_training_sequences",
+    f"""
+    WITH t AS ({SQL_WS_TOKENS}),
+    b AS (SELECT doc_id, n_tokens, CAST(({_SQL_DOC_BUCKET}) % 8 AS BIGINT) AS bucket FROM t),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM b
+    )
+    SELECT bucket, cum // 512 AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY bucket, cum // 512
+    ORDER BY bucket, seq_id
+    """,
+)
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs hashed into 8 packing
+    buckets, concatenated in doc_id order, chunked into 512-token
+    training sequences; output = per-sequence doc/token summary.
+    One shuffle on the bucket key, then codegen'd window sums — the
+    bucket count is the parallelism knob at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.with_token_counts(docs).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens"),
+        (_doc_bucket() % 8).cast("long").alias("bucket"),
+    )
+    packed = packing.pack_sequences(
+        t, id_col="doc_id", token_col="n_tokens", bucket_col="bucket", budget=512
+    )
+    return packing.sequence_stats(packed).orderBy("bucket", "seq_id")
+
+
+@query(
+    "source_temperature_mix",
+    f"""
+    WITH t AS ({SQL_WS_TOKENS}),
+    s AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             power(sum(n_tokens), 0.3) AS w
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(w / sum(w) OVER (), 6) AS weight
+    FROM s ORDER BY source
+    """,
+)
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) multinomial source-mixing
+    weights — the corpus-balancing rule for multi-source pretraining.
+    Per-source aggregate is tiny at any scale; the normalizer is a
+    broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.with_token_counts(docs).select(
+        "doc_id", "source", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    return packing.source_temperature_weights(t, alpha=0.3).orderBy("source")

@@ -1,0 +1,50 @@
+"""Ground-truth tests for training-sequence packing + source mixing."""
+
+from __future__ import annotations
+
+from kissmetrics_to_database_spark.operators import packing
+
+
+def test_pack_sequences_offsets_and_spill(spark):
+    # Bucket 0, budget 5: docs (1: 3 tok), (2: 4 tok), (3: 2 tok).
+    # Concatenated stream offsets: d1@0, d2@3, d3@7.
+    rows = [(1, 0, 3), (2, 0, 4), (3, 0, 2), (9, 1, 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "n_tokens"])
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in packing.pack_sequences(df, budget=5).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 3), 3: (1, 2), 9: (0, 0)}
+
+
+def test_pack_sequences_bucket_isolation(spark):
+    # Same doc ids in different buckets pack independently.
+    rows = [(1, b, 4) for b in range(3)] + [(2, b, 4) for b in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "n_tokens"])
+    out = packing.pack_sequences(df, budget=4).collect()
+    assert all(
+        (r["doc_id"], r["seq_id"], r["seq_offset"]) in {(1, 0, 0), (2, 1, 0)}
+        for r in out
+    )
+
+
+def test_sequence_stats_rollup(spark):
+    rows = [(1, 0, 3), (2, 0, 4), (3, 0, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "n_tokens"])
+    packed = packing.pack_sequences(df, budget=5)
+    stats = {
+        (r["bucket"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in packing.sequence_stats(packed).collect()
+    }
+    assert stats == {(0, 0): (2, 7), (0, 1): (1, 2)}
+
+
+def test_source_temperature_weights(spark):
+    # tokens: a=16, b=1; alpha=0.5 → w=4,1 → weights 0.8, 0.2.
+    rows = [(1, "a", 10), (2, "a", 6), (3, "b", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["weight"])
+        for r in packing.source_temperature_weights(df, alpha=0.5).collect()
+    }
+    assert out == {"a": (2, 16, 0.8), "b": (1, 1, 0.2)}
