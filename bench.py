@@ -46,6 +46,8 @@ HEADLINE = [
     "asof_last_signup",
     "cube_agg",
     "multimodal_byte_features",
+    "nearest_centroid_confusion",
+    "pack_training_sequences",
 ]
 
 

@@ -84,6 +84,26 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # cosine near-dup: equi-join on the blocking cell, never a cross join
     "embedding_cosine_near_dups": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # nearest-centroid: tiny centroid table broadcast to the corpus scan
+    "nearest_centroid_confusion": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # k-NN vote: probes broadcast (NLJ), label/truth joins broadcast-hash
+    "knn_label_vote": (
+        ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # sequence packing: ONE shuffle, on the packing-bucket key; no joins
+    "pack_training_sequences": (
+        ["hashpartitioning(bucket"],
+        ["Join", "CartesianProduct"],
+    ),
+    # source mix: 1-row normalizer broadcast, not a single-partition window
+    "source_temperature_mix": (
+        ["BroadcastNestedLoopJoin Cross"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
