@@ -48,3 +48,45 @@ def test_source_temperature_weights(spark):
         for r in packing.source_temperature_weights(df, alpha=0.5).collect()
     }
     assert out == {"a": (2, 16, 0.8), "b": (1, 1, 0.2)}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # bucket
+            st.integers(min_value=0, max_value=40),   # n_tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=16),           # budget
+)
+@settings(max_examples=5, deadline=None)
+def test_pack_sequences_invariants(spark, rows, budget):
+    data = [(i, b, t) for i, (b, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "bucket", "n_tokens"])
+    packed = packing.pack_sequences(df, budget=budget).collect()
+
+    # Every doc keeps its row; offsets stay inside the budget.
+    assert len(packed) == len(data)
+    assert all(0 <= r["seq_offset"] < budget for r in packed)
+
+    # Matches a sequential per-bucket simulation exactly.
+    expect = {}
+    cum: dict[int, int] = {}
+    for i, (b, t) in enumerate(rows):
+        c = cum.get(b, 0)
+        expect[i] = (c // budget, c % budget)
+        cum[b] = c + t
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in packed}
+    assert got == expect
+
+    # Token conservation through the per-sequence rollup.
+    stats = packing.sequence_stats(
+        packing.pack_sequences(df, budget=budget)
+    ).collect()
+    assert sum(r["seq_tokens"] for r in stats) == sum(t for _, t in rows)
