@@ -99,3 +99,37 @@ def source_temperature_weights(
             F.round(F.col("_w") / F.col("_tw"), 6).alias("weight"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window chunk spans per document (stride < chunk_size
+    ⇒ overlapping chunks, the retrieval/pretraining convention).
+
+    Returns (id, chunk_id, start_tok, chunk_len): chunk k covers
+    tokens [k·stride, k·stride + chunk_len) with chunk_len =
+    min(chunk_size, n_tokens − k·stride). Zero-token docs emit no
+    chunks. Pure per-row ``sequence``+``explode`` — embarrassingly
+    parallel, no shuffle, no state; output size is Σ⌈n/stride⌉.
+    """
+    n = F.col(token_col).cast("long")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1, F.lit(stride).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        id_col,
+        F.explode(starts).alias("start_tok"),
+        n.alias("_n"),
+    ).select(
+        id_col,
+        (F.col("start_tok") / stride).cast("long").alias("chunk_id"),
+        "start_tok",
+        F.least(F.lit(chunk_size).cast("long"), F.col("_n") - F.col("start_tok")).alias(
+            "chunk_len"
+        ),
+    )

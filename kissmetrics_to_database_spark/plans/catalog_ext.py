@@ -1523,3 +1523,40 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_tokens_ws").alias("n_tokens")
     )
     return packing.source_temperature_weights(t, alpha=0.3).orderBy("source")
+
+
+@query(
+    "chunk_documents_sliding",
+    f"""
+    WITH t AS ({SQL_WS_TOKENS}),
+    chunks AS (
+      SELECT doc_id, s // 96 AS chunk_id, s AS start_tok,
+             least(128, n_tokens - s) AS chunk_len
+      FROM t, unnest(range(0, n_tokens, 96)) AS u(s)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS covered_tokens,
+           CAST(max(start_tok + chunk_len) AS BIGINT) AS last_tok
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (128-token chunks, stride 96 → 32
+    overlap), rolled up per doc: chunk count, covered token mass,
+    and the end of the last chunk (= doc length, proving full
+    coverage). Per-row sequence+explode — shuffle-free until the
+    final per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.with_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_ws").cast("long").alias("n_tokens")
+    )
+    ch = packing.chunk_documents(t, chunk_size=128, stride=96)
+    return (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("covered_tokens"),
+            F.max(F.col("start_tok") + F.col("chunk_len")).cast("long").alias("last_tok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,3 +90,22 @@ def test_pack_sequences_invariants(spark, rows, budget):
         packing.pack_sequences(df, budget=budget)
     ).collect()
     assert sum(r["seq_tokens"] for r in stats) == sum(t for _, t in rows)
+
+
+def test_chunk_documents_ground_truth(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 3)], ["doc_id", "n_tokens"]
+    )
+    out = packing.chunk_documents(df, chunk_size=4, stride=3).collect()
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_len"]) for r in out
+    )
+    assert got == [
+        (1, 0, 0, 4),
+        (1, 1, 3, 4),
+        (1, 2, 6, 4),
+        (1, 3, 9, 1),
+        (3, 0, 0, 3),
+    ]
+    # Zero-token doc emits nothing; every token of doc 1 is covered.
+    assert all(r["doc_id"] != 2 for r in out)
