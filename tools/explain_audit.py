@@ -104,6 +104,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin Cross"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # chunking: per-row explode (Generate); only shuffle is the doc rollup
+    "chunk_documents_sliding": (
+        ["Generate", "hashpartitioning(doc_id"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
