@@ -35,19 +35,41 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
-def dedup_by_fingerprint(df: DataFrame, fingerprint_col: str = "md5hash") -> DataFrame:
+def dedup_by_fingerprint(
+    df: DataFrame,
+    fingerprint_col: str = "md5hash",
+    row_id_col: str | None = None,
+) -> DataFrame:
     """Exact dedup on a precomputed row fingerprint (md5hash, P5).
 
-    One shuffle on a 32-byte key regardless of row width — at 100 TB
-    this beats all-columns dedup because the shuffle payload can be
-    pruned to the fingerprint + a min row id, then semi-joined back.
+    Kept row per fingerprint = the lexicographically minimal row
+    (deterministic; same choice the previous window formulation made),
+    computed as a hash **aggregation**, never a per-key sort:
+
+    - default: ``groupBy(fp).agg(min(struct(*cols)))`` then unpack the
+      struct. Partial aggregation (map-side combine) means each map
+      task ships at most one candidate row per fingerprint into the
+      shuffle — with duplicates present the shuffle payload shrinks by
+      the duplication factor, and no full-row sort ever runs.
+    - with ``row_id_col`` (a unique id): the shuffle is pruned to
+      ``(fingerprint, min(row_id))`` — two slim columns regardless of
+      row width — then a left-semi join on the id restores the
+      surviving rows. At 100 TB on wide event rows this is the plan to
+      pick: the wide columns never enter a shuffle at all (the semi
+      join's probe side streams map-local).
     """
-    w = Window.partitionBy(fingerprint_col).orderBy(*df.columns)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    if row_id_col is not None:
+        keep = df.groupBy(fingerprint_col).agg(
+            F.min(row_id_col).alias(row_id_col)
+        ).select(row_id_col)
+        return df.join(keep, on=row_id_col, how="left_semi")
+    other = [c for c in df.columns if c != fingerprint_col]
+    if not other:
+        return df.dropDuplicates([fingerprint_col])
+    packed = df.groupBy(fingerprint_col).agg(
+        F.min(F.struct(*other)).alias("_row")
     )
+    return packed.select(fingerprint_col, "_row.*").select(*df.columns)
 
 
 def tokens(text_col, lowercase: bool = True):

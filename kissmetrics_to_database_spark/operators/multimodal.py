@@ -4,10 +4,16 @@ Design for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column (or a reference to object storage); decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row
-objects. The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT
-in this container, so the decode kernel is a clearly-marked
-deterministic fake behind the same signature — the Spark-side
-contract (schema, batch shape, partitioning) is real and tested.
+objects.
+
+The decode path is REAL for PNG/BMP/PPM/PGM/WAV — implemented from
+the public specs in ``functions/codecs.py`` with stdlib zlib/wave +
+numpy (no codec library needed), with PIL as an optional fallback for
+JPEG/WebP when installed. ``fake_decode_kernel`` remains only for the
+oracle-checkable catalog query (the driver's synthetic payloads are
+text bytes, not images, and DuckDB can't decode pixels — the fake
+derives deterministic metadata both engines can compute). Video frame
+sampling genuinely requires ffmpeg and stays a documented stub.
 
 At scale:
 - payload partitions should be sized by bytes not rows
@@ -19,6 +25,7 @@ At scale:
 
 from __future__ import annotations
 
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -61,12 +68,57 @@ def fake_decode_kernel(payload: bytes) -> dict:
     }
 
 
-def real_decode_kernel(payload: bytes) -> dict:  # pragma: no cover
-    """The production decode hook. Requires an image codec library."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "swap in PIL/libvips here and keep the same return schema"
-    )
+REAL_DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width long, height long, "
+    "channels long, mean_value double"
+)
+
+
+def real_decode_kernel(payload: bytes) -> dict:
+    """REAL image decode — actual pixels out, no codec library needed.
+
+    PNG/BMP/PPM/PGM are decoded from spec by
+    :mod:`kissmetrics_to_database_spark.functions.codecs` (pure
+    numpy + stdlib zlib); PIL is used as an optional fallback for
+    formats outside that set when installed. Undecodable payloads are
+    reported as format='unknown' with null dimensions rather than
+    failing the batch — at 100 TB a decode stage must quarantine bad
+    payloads, not die on them.
+    """
+    from kissmetrics_to_database_spark.functions import codecs
+
+    n = len(payload)
+    fmt = codecs.sniff_format(payload)
+    try:
+        arr = codecs.decode_image(payload)
+    except ValueError:
+        return {
+            "n_bytes": n, "format": "unknown", "width": None,
+            "height": None, "channels": None, "mean_value": None,
+        }
+    return {
+        "n_bytes": n,
+        "format": fmt if fmt != "unknown" else "pil",
+        "width": arr.shape[1],
+        "height": arr.shape[0],
+        "channels": arr.shape[2],
+        "mean_value": round(float(arr.mean()), 6),
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode stage: binary payload → typed image metadata +
+    pixel statistics (REAL_DECODED_SCHEMA), Arrow-batched."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            meta = [real_decode_kernel(b) for b in pdf["payload"]]
+            out = pd.DataFrame(meta)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(run, schema=REAL_DECODED_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id long, n_bytes long, entropy double, byte_hist array<long>"
@@ -109,16 +161,72 @@ def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover
-    """Resize stage — requires an image library (PIL/libvips).
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize stage: binary in → binary out (PNG-encoded), same
+    partitioning. Decode via the pure codecs, nearest-neighbor
+    resample in numpy, re-encode PNG. Undecodable payloads pass
+    through as null (quarantine semantics, same as decode)."""
+    from collections.abc import Iterator as _It
 
-    The Spark-side contract is fixed: binary in → binary out, same
-    partitioning, `mapInPandas` batch shape identical to
-    :func:`decode_images`. Swap the kernel in production.
-    """
-    raise NotImplementedError(
-        "image resize requires PIL/libvips, not present in this container"
-    )
+    from kissmetrics_to_database_spark.functions import codecs
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for b in pdf["payload"]:
+                try:
+                    arr = codecs.decode_image(b)
+                    resized.append(
+                        codecs.encode_png(codecs.resize_nearest(arr, width, height))
+                    )
+                except ValueError:
+                    resized.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": resized}
+            )
+
+    return df.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_frames long, "
+    "duration_sec double, rms double"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode: 16-bit PCM WAV → sample stats (stdlib
+    ``wave`` + numpy; no external codec). Non-WAV payloads quarantine
+    to nulls."""
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(b)
+                    s = d["samples"].astype(np.float64)
+                    rows.append({
+                        "doc_id": doc_id,
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_frames": d["n_frames"],
+                        "duration_sec": round(d["n_frames"] / d["sample_rate"], 6),
+                        "rms": round(float(np.sqrt((s * s).mean())), 6) if s.size else 0.0,
+                    })
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({
+                        "doc_id": doc_id, "sample_rate": None, "channels": None,
+                        "n_frames": None, "duration_sec": None, "rms": None,
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover

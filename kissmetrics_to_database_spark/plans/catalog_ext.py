@@ -681,6 +681,120 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                ELSE CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'ppm' END
+           END AS format,
+           CAST(8 + doc_id % 5 AS BIGINT) AS width,
+           CAST(6 + doc_id % 4 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 3
+                     WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_value
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per doc a deterministic
+    constant-value image is PNG/BMP/netpbm-ENCODED (functions/codecs,
+    pure numpy+zlib), then run through the real decode stage
+    (multimodal.decode_media) which parses the actual bytes back to
+    pixels. The oracle knows the generation arithmetic, so format /
+    dimensions / channel count / pixel mean are exact-checkable —
+    a wrong byte anywhere in encoder or decoder breaks the hash.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 4
+                ch = 3 if d % 3 == 1 else (1 if d % 2 == 0 else 3)
+                img = np.full((h, w, ch), d % 256, dtype=np.uint8)
+                if d % 3 == 0:
+                    payloads.append(codecs.encode_png(img, filter_type=d % 3))
+                elif d % 3 == 1:
+                    payloads.append(codecs.encode_bmp(img))
+                else:
+                    payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return (
+        multimodal.decode_media(payload)
+        .select("doc_id", "format", "width", "height", "channels", "mean_value")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_audio_stats",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
+           round(CAST(800 + (doc_id % 5) * 160 AS DOUBLE)
+                 / (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END), 6) AS duration_sec,
+           CAST(abs(doc_id % 1000 - 500) AS DOUBLE) AS rms
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: constant-amplitude 16-bit PCM WAV
+    generated per doc (stdlib wave), decoded by the real audio stage
+    (multimodal.decode_audio) back to frames/rate/RMS. Constant
+    amplitude makes RMS exactly |value|, so the oracle is arithmetic
+    while Spark exercises the actual WAV codec."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + (d % 5) * 160
+                rate = 16000 if d % 2 == 0 else 8000
+                ch = 1 + d % 2
+                val = d % 1000 - 500
+                samples = np.full((n, ch), val, dtype=np.int16)
+                payloads.append(codecs.encode_wav(samples, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return multimodal.decode_audio(payload).orderBy("doc_id")
+
+
 @query("corrupt_json_repair", None)  # repair regex needs lookbehind; RE2 can't → rows-only check
 def q_corrupt_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F11: malformed-JSON repair — corrupt rows get a regexp

@@ -48,9 +48,18 @@ def test_extract_features_matches_python(spark):
     assert out[1]["entropy"] == 0.0
 
 
-def test_stubs_raise_clearly(spark):
+def test_frame_sample_stub_raises_clearly(spark):
+    # resize is REAL now (see test_codecs.py); only video frame
+    # sampling still genuinely requires ffmpeg.
     payload = multimodal.attach_binary_payload(_docs(spark))
-    with pytest.raises(NotImplementedError, match="PIL|libvips"):
-        multimodal.resize_stub(payload, 64, 64)
     with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
         multimodal.frame_sample_stub(payload, 10)
+
+
+def test_real_decode_quarantines_text_payloads(spark):
+    # synthetic text bytes are not an image: the real kernel must
+    # quarantine (format='unknown', null dims), never crash the batch
+    payload = multimodal.attach_binary_payload(_docs(spark))
+    out = {r["doc_id"]: r.asDict() for r in multimodal.decode_media(payload).collect()}
+    assert all(v["format"] == "unknown" and v["width"] is None for v in out.values())
+    assert out[0]["n_bytes"] == 11

@@ -58,3 +58,36 @@ def test_dedup_by_fingerprint_keeps_one(spark):
     out = dedup.dedup_by_fingerprint(df)
     assert out.count() == 2
     assert {r["md5hash"] for r in out.collect()} == {"h1", "h2"}
+
+
+def test_dedup_by_fingerprint_deterministic_min_row(spark):
+    """Survivor per fingerprint = lexicographically minimal row, and
+    the plan is an aggregation — no per-key sort, no window."""
+    from kissmetrics_to_database_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("b", 2, "h1"), ("a", 9, "h1"), ("a", 1, "h1"), ("z", 0, "h2")],
+        ["payload", "n", "md5hash"],
+    )
+    out = dedup.dedup_by_fingerprint(df)
+    rows = {r["md5hash"]: (r["payload"], r["n"]) for r in out.collect()}
+    assert rows == {"h1": ("a", 1), "h2": ("z", 0)}
+    assert out.columns == df.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan
+
+
+def test_dedup_by_fingerprint_row_id_semi_join(spark):
+    """row_id variant: shuffle carries only (fingerprint, id); kept
+    row = min id per fingerprint via left-semi join."""
+    from kissmetrics_to_database_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(3, "x", "h1"), (1, "y", "h1"), (2, "z", "h2")],
+        ["rid", "payload", "md5hash"],
+    )
+    out = dedup.dedup_by_fingerprint(df, row_id_col="rid")
+    rows = {r["rid"]: r["payload"] for r in out.collect()}
+    assert rows == {1: "y", 2: "z"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Window" not in plan
