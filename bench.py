@@ -21,14 +21,20 @@ sys.path.insert(0, "/root/repo")
 
 from kissmetrics_to_database_spark.session import cache_tables, get_spark  # noqa: E402
 
-# Headline set: scan-heavy agg, star joins, iterative identity CC,
-# near-dup suite, similarity search, windows. Chosen to cover every
-# subsystem while staying O(n log n) at any SF (no all-pairs ops).
+# Headline set: scan-heavy agg, star joins (incl. the join-heavy
+# TPC-H Q2/Q9/Q18/Q21 so regressions in the expensive plans are
+# visible round-over-round), iterative identity CC, near-dup suite,
+# similarity search, windows. Chosen to cover every subsystem while
+# staying O(n log n) at any SF (no all-pairs ops).
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "row_fingerprint",
     "identity_components",
     "broadcast_lookup_join",

@@ -184,6 +184,17 @@ def minhash_wide_tokens(
     16-bit hash slices are standard for MinHash-LSH (collisions only
     bias the signature toward agreement; the exact-Jaccard verify
     step restores precision).
+
+    Discriminative bound (ADVICE r01 #3): with D distinct shingles
+    per doc, the expected per-seed minimum is ~2^16/D, so slices stay
+    informative while D ≪ 2^16 (≈65k shingles ≈ a ~400 KB document).
+    Beyond that the minima saturate toward 0x0000 across long docs and
+    band buckets over-collide — candidate-pair volume (and hence the
+    exact-Jaccard verify join) inflates, though correctness is
+    unaffected because the verify step filters false candidates.
+    Pipelines over very long documents should chunk first (see
+    packing.chunk_documents) or widen the slices at the cost of
+    oracle-portability of the hash family.
     """
     assert num_hashes * 4 <= 32
     h = tok_df.withColumn("_h", F.md5(F.col("token")))
@@ -231,8 +242,13 @@ def lsh_candidate_pairs_wide(
     distinct. The bucket equi-join replaces the O(n²) comparison — at
     100 TB the bucket sizes, not the corpus size, bound the join, and
     the only shuffled payload is (doc id, band key).
+
+    When ``num_hashes`` is not a multiple of ``rows_per_band`` the
+    trailing seeds form a final short band — the same grouping as
+    ``seed // rows_per_band`` (and the DuckDB oracle), so no seed is
+    ever silently dropped (ADVICE r01 #2).
     """
-    n_bands = num_hashes // rows_per_band
+    n_bands = -(-num_hashes // rows_per_band)  # ceil: short final band
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -241,7 +257,10 @@ def lsh_candidate_pairs_wide(
                     "|",
                     *[
                         F.col(f"_mh{s}")
-                        for s in range(i * rows_per_band, (i + 1) * rows_per_band)
+                        for s in range(
+                            i * rows_per_band,
+                            min((i + 1) * rows_per_band, num_hashes),
+                        )
                     ],
                 )
             ).alias("band_key"),
@@ -390,8 +409,12 @@ def simhash(token_df: DataFrame, id_col: str, bits: int = 32) -> DataFrame:
     not interpreted per-element lambdas like the higher-order-function
     formulation in :func:`simhash_from_arrays`; both measured slower
     at sf0.1).
+
+    ``bits`` ≤ 62: the signature packs into a single signed LongType
+    and ``1 << p`` must stay representable (ADVICE r01 #1). Wider
+    signatures would need an array-of-longs packing.
     """
-    assert bits % 4 == 0 and bits <= 128
+    assert bits % 4 == 0 and bits <= 62, "single-long packing: bits <= 62"
     h = token_df.withColumn("md5h", F.md5(F.col("token")))
 
     def _bit(p: int) -> F.Column:
@@ -424,8 +447,12 @@ def simhash_from_arrays(
     a second fold packs sign bits into the simhash long. The exploded
     formulation shuffles corpus_tokens × bits rows through a groupBy;
     this shuffles nothing.
+
+    ``bits`` ≤ 52: this variant packs via ``pow(2, p).cast('long')``,
+    which is exact only within double-precision mantissa range
+    (ADVICE r01 #1).
     """
-    assert bits % 4 == 0 and bits <= 128
+    assert bits % 4 == 0 and bits <= 52, "pow-based packing: bits <= 52"
 
     def _token_votes(h):
         # h = md5 hex string; vote per bit position p: +1 if bit set else -1

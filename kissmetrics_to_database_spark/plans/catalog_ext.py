@@ -575,7 +575,7 @@ def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS (
       SELECT source, {_SQL_DOC_BUCKET} AS bucket,
-             CAST(substr(source, 4) AS INTEGER) % 2 AS par
+             TRY_CAST(substr(source, 4) AS INTEGER) % 2 AS par
       FROM documents
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_total,
@@ -589,9 +589,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (even-numbered sources keep bucket < 128 ≈ 50%, odd
     keep < 64 ≈ 25%) — the corpus-mixing knob of a training pipeline,
     as a pure scan+aggregate with no shuffle beyond the final
-    per-source rollup."""
+    per-source rollup.
+
+    Parity note (ADVICE r01 #5): the numeric suffix is taken with an
+    UNCAPPED substring and a non-throwing try_cast on BOTH engines,
+    so ids longer than 13 chars or with non-numeric suffixes behave
+    identically (NULL → the ELSE threshold) instead of diverging."""
     docs = load_table(spark, sf_dir, "documents")
-    par = (F.substring("source", 4, 10).cast("int") % 2).alias("par")
+    par = (F.expr("try_cast(substring(source, 4) AS INT)") % 2).alias("par")
     thr = F.when(par == 0, 128).otherwise(64)
     sampled = F.when(_doc_bucket() < thr, 1).otherwise(0)
     return (

@@ -72,9 +72,21 @@ def get_spark(
     return spark
 
 
-# Warm-cache registry (see cache_tables). Keyed by (session id,
-# sf_dir, table) so a stale entry can never leak across sessions.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Warm-cache registry (see cache_tables). Keyed by the Spark
+# application id — stable for a session's lifetime and never reused
+# by a replacement session (unlike id(spark), which CPython can
+# recycle after GC — ADVICE r01 #4). _session_key also evicts entries
+# of stopped sessions so cached plans don't pin dead JVMs for process
+# lifetime.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        _TABLE_CACHE.pop(k, None)
+    return app_id
 
 
 def cache_tables(
@@ -97,8 +109,9 @@ def cache_tables(
     calls this in its warm-up phase; correctness runs never do).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    app_id = _session_key(spark)
     for t in tables:
-        key = (id(spark), sf_dir, t)
+        key = (app_id, sf_dir, t)
         if key in _TABLE_CACHE:
             continue
         df = load_table(spark, sf_dir, t)
@@ -122,9 +135,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sees. Footer inspection is driver-side pyarrow (cheap, metadata
     only).
     """
-    cached = _TABLE_CACHE.get((id(spark), sf_dir, name))
-    if cached is not None:
-        return cached
+    if _TABLE_CACHE:  # skip the JVM applicationId call on the cold path
+        cached = _TABLE_CACHE.get((_session_key(spark), sf_dir, name))
+        if cached is not None:
+            return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: queries may run under a caller-provided session
     # (the driver's). Pin the two confs correctness depends on —

@@ -8,10 +8,11 @@ DB_QUERIES_PER_CALL rows (reference: src/KissmetricsToDatabase.php:
 
 Spark restatement: the JDBC writer batches natively (``batchsize``);
 DDL bootstrap/evolution happens once per batch driver-side via the
-schema_evolution module; compaction is a repartition-on-write. No
-JDBC database exists in this container, so the JDBC path is
-config-assembled but exercised only by its plan/unit tests; the
-parquet path is fully exercised.
+schema_evolution module; compaction is a repartition-on-write. The
+JDBC path is exercised for real against embedded Apache Derby (the
+JDBC database that ships inside Spark's own jars) — see
+tests/test_jdbc_derby.py for the append round-trip and the
+advance-after-commit contract against a JDBC sink.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ class JdbcConfig:
     password: str
     batch_size: int = 1000
     isolation: str = "READ_COMMITTED"
+    driver: str | None = None  # e.g. org.apache.derby.jdbc.EmbeddedDriver
 
 
 def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
@@ -42,7 +44,7 @@ def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
     distributed version of the reference's stash/flush loop. Partition
     count controls write parallelism; repartition upstream to match
     the warehouse's ingest concurrency."""
-    (
+    w = (
         df.write.format("jdbc")
         .option("url", cfg.url)
         .option("dbtable", cfg.table)
@@ -50,9 +52,24 @@ def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
         .option("password", cfg.password)
         .option("batchsize", str(cfg.batch_size))
         .option("isolationLevel", cfg.isolation)
-        .mode("append")
-        .save()
     )
+    if cfg.driver:
+        w = w.option("driver", cfg.driver)
+    w.mode("append").save()
+
+
+def read_jdbc(spark, cfg: JdbcConfig) -> DataFrame:
+    """Read a warehouse table back (round-trip verification path)."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", cfg.table)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+    )
+    if cfg.driver:
+        r = r.option("driver", cfg.driver)
+    return r.load()
 
 
 def write_lake(

@@ -97,6 +97,45 @@ def test_simhash_blocking_is_recall_exact(spark):
     assert got[(0, 5)] == 0  # exact dup → identical simhash
 
 
+def test_lsh_short_final_band_keeps_trailing_seeds(spark):
+    """num_hashes not divisible by rows_per_band: trailing seeds form
+    a short final band (seed // rows_per_band grouping) instead of
+    being dropped (ADVICE r01 #2)."""
+    tok = dedup.distinct_shingles(_docs_df(spark), "doc_id", "text")
+    wide = dedup.minhash_wide_tokens(tok, "doc_id", num_hashes=7)
+
+    # docs 0 and 5 are exact dups: identical in every band including
+    # the short one, so they must appear with 7 seeds / 2-rows bands
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs_wide(
+            wide, "doc_id", num_hashes=7, rows_per_band=2
+        ).collect()
+    }
+    assert (0, 5) in pairs
+
+    # the short band must use ONLY seed 6: construct signatures that
+    # agree on seed 6 alone — a full-band grouping would never pair
+    # them, the ceil grouping must
+    import pyspark.sql.functions as F  # noqa: N812
+
+    rows = []
+    for doc in (10, 11):
+        sig = {f"_mh{s}": f"{doc}{s:02d}" for s in range(6)}  # all differ
+        sig["_mh6"] = "same"
+        rows.append({"doc_id": doc, **sig})
+    df = spark.createDataFrame(rows).select(
+        "doc_id", *[F.col(f"_mh{s}") for s in range(7)]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs_wide(
+            df, "doc_id", num_hashes=7, rows_per_band=2
+        ).collect()
+    }
+    assert got == {(10, 11)}
+
+
 def test_dedup_exact(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
     assert dedup.dedup_exact(df).count() == 2
