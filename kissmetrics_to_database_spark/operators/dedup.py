@@ -539,3 +539,78 @@ def simhash_near_pairs(
     )
     sh.unpersist()
     return result
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, pos, token) rows — every ``n``-token span WITH its start
+    position (NOT distinct: span-level dedup needs every occurrence).
+    Same window-lead formulation as :func:`distinct_shingles`."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "_tk"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["_tk"] + [F.lead("_tk", j).over(w) for j in range(1, n)]
+    return (
+        tok.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("token"),
+            F.count("*").over(Window.partitionBy(id_col)).alias("_sz"),
+        )
+        .where(
+            (F.col("pos") <= F.greatest(F.col("_sz") - n, F.lit(0)))
+            & (F.col("token") != "")
+        )
+        .select(F.col(id_col), "pos", "token")
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """C4-style global span dedup: any ``n``-token span occurring more
+    than once in the corpus keeps only its FIRST occurrence (min
+    (doc, position)); all other occurrences count as duplicated. Emits
+    per-doc span counts, the duplicated-span ratio, and a ``keep``
+    verdict at ``max_dup_ratio`` — the corpus-level complement of the
+    pairwise MinHash path (catches boilerplate repeated across MANY
+    docs, which pairwise near-dup scoring under-weights).
+
+    Scale shape: one groupBy on md5(span) — a 32-byte key, never the
+    span text — with min(struct(doc,pos)) (map-side combinable), then
+    an equi-join back on the hash. No window over the corpus, no
+    all-pairs anything; cost is two shuffles of narrow rows.
+    """
+    spans = positional_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), "pos", F.md5("token").alias("_h")
+    )
+    winners = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_w"),
+        F.count("*").alias("_occ"),
+    )
+    joined = spans.join(winners, "_h").select(
+        F.col(id_col),
+        (
+            (F.col("_occ") > 1)
+            & ~((F.col(f"_w.d") == F.col(id_col)) & (F.col("_w.p") == F.col("pos")))
+        ).cast("long").alias("_dup"),
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("_dup").cast("long").alias("n_dup_spans"),
+    )
+    ratio = F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6)
+    return agg.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        ratio.alias("dup_ratio"),
+        (ratio <= max_dup_ratio).alias("keep"),
+    )

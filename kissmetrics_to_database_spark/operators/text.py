@@ -343,3 +343,113 @@ def with_repetition_stats(
         F.round(rep, 6).alias("repetition_ratio"),
         F.round(dup_bg, 6).alias("dup_bigram_frac"),
     )
+
+
+# Gopher-rule stopword set (public Rae et al. 2021 §A1.1 uses a
+# similar fixed English list; declared data, oracle-portable).
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "be", "that"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate (the rule family from the
+    public Gopher/MassiveText filtering recipe): word-count bounds,
+    mean-word-length bounds, fraction of words containing an
+    alphabetic character, and distinct-stopword presence. Emits the
+    individual signals plus the combined ``keep`` verdict so
+    downstream mixing can re-threshold without recomputing.
+
+    Zero shuffle: every signal is a per-row array expression
+    (codegen'd), so the gate is embarrassingly parallel at 100 TB —
+    exactly the shape a corpus-cleaning pass must have.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    # total word chars = length with ALL whitespace removed — robust
+    # to repeated separators, tabs, etc.
+    n_chars_e = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s", "")
+    )
+    base = df.select(
+        F.col(id_col), words.alias("_w"), n_chars_e.alias("_nc")
+    )
+    n_words = F.size("_w").cast("long")
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.col("_nc") / n_words.cast("double")
+    )
+    n_alpha = F.size(F.filter(F.col("_w"), lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha / n_words.cast("double")
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_w")),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    sized = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return sized.select(
+        id_col, "n_words", "mean_word_len", "alpha_frac", "n_stopwords",
+        keep.alias("keep"),
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model scoring: train token frequencies over
+    the corpus itself (pass 1), then score each document by its mean
+    token log-probability (pass 2) — the classic cheap fluency signal
+    (out-of-distribution/gibberish docs score low; CCNet uses the same
+    idea with a wordpiece LM).
+
+    Scale shape: pass 1 is one token groupBy (map-side combinable,
+    narrow rows); the model (vocab-sized, ≪ corpus) broadcasts into
+    pass 2's token join, so the corpus itself is never reshuffled.
+    Every token is in-vocabulary by construction (scored corpus ==
+    training corpus), so no smoothing term is needed.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("_cnt") / F.col("_total")).alias("_logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("_logp"), 6).alias("mean_logprob"),
+        )
+    )

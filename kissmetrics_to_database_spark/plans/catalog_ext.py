@@ -1679,3 +1679,156 @@ def q_chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — corpus quality gates + LM scoring + global span dedup (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_quality",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS words,
+             length(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS n_chars
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE n_chars / CAST(len(words) AS DOUBLE) END, 6) AS mean_word_len,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                             / CAST(len(words) AS DOUBLE) END, 6) AS alpha_frac,
+             CAST(len(list_intersect(list_distinct(words),
+                  ['the','a','of','to','and','in','be','that'])) AS BIGINT) AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+           (n_words BETWEEN 20 AND 100000)
+           AND (mean_word_len BETWEEN 2.0 AND 10.0)
+           AND (alpha_frac >= 0.8)
+           AND (n_stopwords >= 2) AS keep
+    FROM sig ORDER BY doc_id
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule document quality gate (word-count,
+    mean-word-length, alpha-fraction, stopword-presence bounds) with
+    per-signal outputs — zero-shuffle corpus cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs).orderBy("doc_id")
+
+
+@query(
+    "unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(c / t)), 6) AS mean_logprob
+    FROM tok JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring: token frequencies trained over the
+    corpus (pass 1), docs scored by mean token log-probability with
+    the vocab-sized model broadcast (pass 2) — the corpus is never
+    reshuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "span_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    spans_l AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(ws) - 4, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, least(i + 4, len(ws))), ' ')
+             ) AS sl
+      FROM w WHERE len(ws) > 0
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(1, len(sl) + 1)) - 1 AS pos,
+             unnest(sl) AS span
+      FROM spans_l
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY span) AS occ,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans WHERE span <> ''
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) AS dup_ratio,
+           round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) <= 0.5 AS keep
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: every 5-token span keeps only its
+    first corpus occurrence (min doc, pos); per-doc duplicated-span
+    ratio + keep verdict. groupBy on md5(span) + equi-join back — no
+    corpus-wide window, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 30 ORDER BY doc_id
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (domain capping in web-corpus terms):
+    keep at most K docs per source, selected by deterministic hash
+    rank so the sample is stable and unbiased by ingest order. At
+    scale the per-source window is the standard plan while source
+    cardinality ≫ executor count; a pathologically hot source would
+    take the top-K-per-group aggregation instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 30)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

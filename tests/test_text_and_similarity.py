@@ -232,3 +232,75 @@ def test_knn_label_vote_majority_and_tie(spark):
         df, df.where("vec_id = 0"), k=2
     ).collect()
     assert out2[0]["predicted_label"] == 3
+
+
+def test_gopher_quality_flags_ground_truth(spark):
+    import math as _m
+
+    docs = [
+        (0, "the cat sat on a mat next to the dog in the sun and it was warm all day long today"),  # good
+        (1, "short text"),  # too few words
+        (2, " ".join(["zzz"] * 30)),  # no stopwords
+        (3, " ".join(["the", "a", "of"] + ["x" * 15] * 25)),  # mean word len too high
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_quality_flags(df).collect()}
+
+    for doc_id, t in docs:
+        words = [w for w in t.lower().strip().split() if w]
+        n = len(words)
+        mean_wl = round(sum(len(w) for w in words) / n, 6)
+        alpha = round(sum(1 for w in words if re.search("[a-z]", w)) / n, 6)
+        stops = len(set(words) & set(text.GOPHER_STOPWORDS))
+        r = out[doc_id]
+        assert r["n_words"] == n
+        assert r["mean_word_len"] == mean_wl
+        assert r["alpha_frac"] == alpha
+        assert r["n_stopwords"] == stops
+        expected_keep = (
+            20 <= n <= 100_000 and 2.0 <= mean_wl <= 10.0
+            and alpha >= 0.8 and stops >= 2
+        )
+        assert r["keep"] == expected_keep, doc_id
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert not out[2]["keep"] and not out[3]["keep"]
+
+
+def test_unigram_logprob_matches_python(spark):
+    docs = [(0, "a a b"), (1, "b c"), (2, "a c c a")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.unigram_logprob_scores(df).collect()}
+
+    toks = [w for _, t in docs for w in t.split()]
+    total = len(toks)
+    freq = {w: toks.count(w) / total for w in set(toks)}
+    for doc_id, t in docs:
+        ws = t.split()
+        expected = round(sum(math.log(freq[w]) for w in ws) / len(ws), 6)
+        assert out[doc_id]["n_tokens"] == len(ws)
+        assert abs(out[doc_id]["mean_logprob"] - expected) < 1e-9
+
+    # rarer tokens → lower (more negative) score: doc 1 is all-rare
+    assert out[1]["mean_logprob"] < out[0]["mean_logprob"]
+
+
+def test_span_dedup_stats_first_occurrence_wins(spark):
+    from kissmetrics_to_database_spark.operators import dedup
+
+    boiler = "one two three four five"
+    docs = [
+        (0, boiler + " unique tail zero alpha beta"),
+        (1, boiler + " other ending here gamma delta"),  # repeats doc0's leading span
+        (2, "totally different words without any repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in dedup.span_dedup_stats(df, n=5).collect()}
+
+    # doc0 owns the boilerplate span (first occurrence): zero dups
+    assert out[0]["n_dup_spans"] == 0 and out[0]["keep"]
+    # doc1's copy of the span counts as duplicated
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["n_spans"] == len(docs[1][1].split()) - 4
+    assert out[2]["n_dup_spans"] == 0
+    # ratio arithmetic
+    assert out[1]["dup_ratio"] == round(1 / out[1]["n_spans"], 6)
