@@ -391,3 +391,154 @@ def knn_label_vote(
     return pred.join(F.broadcast(truth), "probe_id").select(
         "probe_id", "true_label", "predicted_label"
     )
+
+
+def _l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance via zip_with + aggregate (index order fixed)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by Euclidean distance.
+
+    Returns (id, vec, cluster, dist). The centroid table (k rows, k ≪
+    corpus) is broadcast, so assignment is a map-only pass over the
+    corpus — no shuffle of the vectors. Distances are rounded *before*
+    the argmin and ties break on the smaller cluster id, so the
+    assignment is exactly reproducible across engines/partitionings.
+    """
+    scored = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(centroids.select("cluster", "_c")))
+    best = scored.groupBy(id_col, "_v").agg(
+        F.min(
+            F.struct(
+                F.round(_l2_dist(F.col("_v"), F.col("_c")), ndigits).alias("d"),
+                F.col("cluster").alias("k"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        id_col, "_v", F.col("_b.k").alias("cluster"), F.col("_b.d").alias("dist")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Deterministic throughout (no RNG, no float drift): init centroids
+    are the first ``k`` vectors by id (rounded element-wise); each of
+    the ``iters`` rounds assigns via :func:`kmeans_assign` (broadcast
+    centroids, rounded-distance argmin) and recomputes centroids with
+    the posexplode mean-per-dimension aggregation of
+    :func:`label_centroids` (rounded before reuse). Returns the final
+    assignment (id, cluster, dist) — the SemDeDup partitioning stage.
+
+    Scale shape per round: one broadcast map-only assignment pass +
+    one skinny (cluster, pos) hash aggregation — the corpus is never
+    reshuffled, no vector crosses the wire whole, and the loop depth
+    is a constant. Empty clusters drop out (their ids vanish from the
+    groupBy), matching the unrolled SQL oracle exactly.
+    """
+    first = emb.orderBy(id_col).limit(k)
+    wk = Window.orderBy(id_col)
+    centroids = first.select(
+        (F.row_number().over(wk) - 1).alias("cluster"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), ndigits)
+        ).alias("_c"),
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign(
+            emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), ndigits).alias("m"))
+        )
+        centroids = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_c")
+        )
+    final = kmeans_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
+    )
+    return final.select(id_col, "cluster", F.col("dist").alias("dist"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster with k-means, then drop
+    any vector whose cosine similarity to a SMALLER-id vector in the
+    same cluster is >= ``threshold`` (the min-id member of each
+    near-dup neighborhood survives). Returns (id, cluster, n_near,
+    keep) where n_near counts the smaller-id near neighbors.
+
+    Scale shape: the pair join is equi-keyed on cluster, so cost is
+    Σ|cluster|² — bounded by construction because k is chosen ∝ corpus
+    size (the whole point of clustering first; pairwise-over-corpus
+    never happens). Similarities round to 6 before thresholding for
+    engine reproducibility.
+    """
+    assign = kmeans_lloyd(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    vecs = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
+        assign, id_col
+    )
+    left = vecs.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"), "cluster"
+    )
+    right = vecs.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("_vb"), "cluster"
+    )
+    near = (
+        left.join(right, "cluster")
+        .where(F.col("b") < F.col("a"))
+        .where(
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(threshold)
+        )
+        .groupBy(F.col("a").alias(id_col))
+        .agg(F.count("*").cast("long").alias("n_near"))
+    )
+    return (
+        vecs.select(id_col, "cluster")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+            (F.coalesce("n_near", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -453,3 +453,41 @@ def unigram_logprob_scores(
             F.round(F.avg("_logp"), 6).alias("mean_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by unigram-LM fluency.
+
+    Scores each doc with :func:`unigram_logprob_scores`, computes
+    exact per-language tercile cutoffs as an aggregation (the cutoff
+    table is lang-cardinality-sized — CCNet ships it as constants),
+    broadcasts it back, and buckets by comparison. Deliberately NOT an
+    ``ntile`` window: a per-lang window total-orders every doc of a
+    language through one sort — the exact plan that dies at a billion
+    docs per language. The aggregation+broadcast shape survives; at
+    true scale swap ``percentile`` for ``percentile_approx`` with a
+    pinned error bound (same plan, bounded memory).
+    """
+    scores = unigram_logprob_scores(df, id_col, text_col).select(
+        id_col, "mean_logprob"
+    )
+    j = df.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        scores, id_col
+    )
+    cuts = j.groupBy("lang").agg(
+        F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("cut_lo"),
+        F.percentile("mean_logprob", F.lit(2.0 / 3)).alias("cut_hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("cut_hi"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("cut_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        id_col, "lang", "mean_logprob", bucket.alias("bucket")
+    )

@@ -901,6 +901,7 @@ _LOW_PRIORITY_TAIL = [
     # round-1-unverified queries take window priority
     "multimodal_real_decode", "multimodal_audio_stats",
     "gopher_quality", "unigram_logprob", "span_dedup", "source_quota_cap",
+    "kmeans_clusters", "semantic_dedup", "perplexity_buckets",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

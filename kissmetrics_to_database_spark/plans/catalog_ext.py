@@ -1832,3 +1832,158 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — k-means clustering + SemDeDup + perplexity bucketing (round 2)
+# ---------------------------------------------------------------------------
+
+# Unrolled Lloyd iterations (k=8, iters=2) shared by the kmeans and
+# SemDeDup oracles: c0 = first-8 init, a1/c1, a2/c2, final = assign
+# vs c2 — byte-for-byte the schedule kmeans_lloyd(k=8, iters=2) runs.
+SQL_KMEANS_CTES = """
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(v, x -> round(x, 6)) AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c0.cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c0.c), 6), c0.cluster
+               ) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster, array_agg(m ORDER BY pos) AS c FROM (
+        SELECT cluster, pos, round(avg(val), 6) AS m FROM (
+          SELECT cluster, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+          FROM a1
+        ) GROUP BY cluster, pos
+      ) GROUP BY cluster
+    ),
+    a2 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c1.cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c1.c), 6), c1.cluster
+               ) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT cluster, array_agg(m ORDER BY pos) AS c FROM (
+        SELECT cluster, pos, round(avg(val), 6) AS m FROM (
+          SELECT cluster, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+          FROM a2
+        ) GROUP BY cluster, pos
+      ) GROUP BY cluster
+    ),
+    final AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT e.vec_id, c2.cluster,
+               round(list_distance(e.v, c2.c), 6) AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c2.c), 6), c2.cluster
+               ) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "kmeans_clusters",
+    f"""
+    WITH {SQL_KMEANS_CTES}
+    SELECT vec_id, cluster, d AS dist FROM final ORDER BY vec_id
+    """,
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 update rounds) over the
+    embedding corpus — deterministic first-k init, broadcast-centroid
+    map-only assignment, skinny (cluster, pos) mean aggregation. The
+    clustering stage SemDeDup and IVF both stand on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=8, iters=2).orderBy("vec_id")
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH {SQL_KMEANS_CTES},
+    sd AS (
+      SELECT f.vec_id, f.cluster, e.v FROM final f JOIN e USING (vec_id)
+    ),
+    near AS (
+      SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_near
+      FROM sd a JOIN sd b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.cluster,
+           coalesce(n.n_near, 0)::BIGINT AS n_near,
+           coalesce(n.n_near, 0) = 0 AS keep
+    FROM sd s LEFT JOIN near n USING (vec_id) ORDER BY s.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means partition, then drop vectors with a
+    smaller-id same-cluster neighbor at cosine >= 0.4. The pair join
+    is equi-keyed on cluster, so cost stays Σ|cluster|² — k scales
+    with the corpus precisely so that bound holds at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+    score AS (
+      SELECT doc_id, round(avg(ln(c / t)), 6) AS mean_logprob
+      FROM tok JOIN cnt USING (token) CROSS JOIN tot GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang, s.mean_logprob
+      FROM documents d JOIN score s USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(mean_logprob, 1.0/3) AS cut_lo,
+             quantile_cont(mean_logprob, 2.0/3) AS cut_hi
+      FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.mean_logprob,
+           CASE WHEN j.mean_logprob >= c.cut_hi THEN 'head'
+                WHEN j.mean_logprob >= c.cut_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN cuts c USING (lang) ORDER BY j.doc_id
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail fluency bucketing: unigram-LM
+    mean log-prob per doc, exact per-language tercile cutoffs
+    (broadcast, CCNet ships them as constants), bucket by comparison.
+    No per-lang window sort — the corpus never total-orders, so the
+    plan survives a billion docs per language (swap the exact
+    percentile for percentile_approx at that point, same shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.perplexity_buckets(docs).orderBy("doc_id")

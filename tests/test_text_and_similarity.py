@@ -304,3 +304,56 @@ def test_span_dedup_stats_first_occurrence_wins(spark):
     assert out[2]["n_dup_spans"] == 0
     # ratio arithmetic
     assert out[1]["dup_ratio"] == round(1 / out[1]["n_spans"], 6)
+
+
+def test_kmeans_lloyd_separated_clusters(spark):
+    # two tight blobs far apart; k=2, init = first 2 ids (one per blob)
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.1, 0.0]), (4, [0.0, 0.1]),
+        (1, [10.0, 10.0]), (3, [10.1, 10.0]), (5, [10.0, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in similarity.kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert {out[i]["cluster"] for i in (0, 2, 4)} == {0}
+    assert {out[i]["cluster"] for i in (1, 3, 5)} == {1}
+    # converged centroid of blob 0 is its mean → dist of (0,0) is
+    # sqrt((1/15)^2 + (1/15)^2) rounded at each stage
+    import math as _m
+    cx = round(0.1 / 3, 6)
+    assert abs(out[0]["dist"] - round(_m.sqrt(2 * cx * cx), 6)) < 2e-6
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    rows = [
+        (0, [1.0, 0.0]), (7, [1.0, 0.001]),      # near-dup pair, same blob
+        (1, [0.0, 1.0]), (3, [0.001, 1.0]),      # second near-dup pair
+        (5, [-1.0, -1.0]),                        # isolated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.semantic_dedup(df, k=2, iters=1, threshold=0.95).collect()
+    }
+    # min-id member of each near-dup neighborhood survives
+    assert out[0]["keep"] and not out[7]["keep"] and out[7]["n_near"] >= 1
+    assert out[1]["keep"] and not out[3]["keep"]
+    assert out[5]["keep"] and out[5]["n_near"] == 0
+
+
+def test_perplexity_buckets_order_and_cutoffs(spark):
+    # one language, 6 docs: common-token docs score high (head),
+    # rare-token docs low (tail)
+    rows = [
+        (0, "aa aa aa", "en"), (1, "aa aa aa", "en"),
+        (2, "aa aa bb", "en"), (3, "aa bb bb", "en"),
+        (4, "cc dd ee", "en"), (5, "ff gg hh", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r.asDict() for r in text.perplexity_buckets(df).collect()}
+    assert out[0]["bucket"] == "head" and out[1]["bucket"] == "head"
+    assert out[5]["bucket"] == "tail"
+    # monotone: higher mean_logprob never lands in a lower bucket
+    order = {"head": 2, "middle": 1, "tail": 0}
+    vals = sorted(out.values(), key=lambda r: -r["mean_logprob"])
+    ranks = [order[v["bucket"]] for v in vals]
+    assert ranks == sorted(ranks, reverse=True)
