@@ -109,6 +109,45 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(doc_id"],
         ["Join", "CartesianProduct"],
     ),
+    # Gopher gate: pure per-row expressions + final sort — no join, no
+    # hash shuffle anywhere (the zero-shuffle corpus-cleaning claim)
+    "gopher_quality": ([], ["Join", "hashpartitioning", "CartesianProduct"]),
+    # unigram LM: vocab-sized model broadcasts into the scoring join;
+    # the token stream itself must never sort-merge
+    "unigram_logprob": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # span dedup: winner-per-span via map-side-combinable min(struct)
+    # aggregation on the md5 key (the Window present is the per-doc
+    # shingle lead, partitioned by doc_id — never corpus-wide)
+    "span_dedup": (
+        ["partial_min", "hashpartitioning(_h"],
+        ["CartesianProduct"],
+    ),
+    # quota cap: per-source hash-ranked window; no joins at all
+    "source_quota_cap": (
+        ["row_number", "hashpartitioning(source"],
+        ["Join", "CartesianProduct"],
+    ),
+    # k-means: centroids broadcast (NLJ) into a map-only assignment;
+    # the corpus is never exchanged for a sort-merge join
+    "kmeans_clusters": (
+        ["BroadcastNestedLoopJoin", "partial_min"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # SemDeDup: the pair join is equi-keyed on cluster (hash exchange
+    # on cluster), never an unkeyed cartesian blowup
+    "semantic_dedup": (
+        ["hashpartitioning(cluster"],
+        ["CartesianProduct"],
+    ),
+    # CCNet terciles: cutoff table broadcasts back; deliberately no
+    # ntile window (a per-lang window total-orders the corpus)
+    "perplexity_buckets": (
+        ["BroadcastHashJoin"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
