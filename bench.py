@@ -54,6 +54,14 @@ HEADLINE = [
     "multimodal_byte_features",
     "nearest_centroid_confusion",
     "pack_training_sequences",
+    # round-2 corpus-quality + clustering suite
+    "gopher_quality",
+    "unigram_logprob",
+    "span_dedup",
+    "source_quota_cap",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "perplexity_buckets",
 ]
 
 

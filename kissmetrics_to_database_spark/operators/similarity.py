@@ -415,25 +415,41 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by Euclidean distance.
 
-    Returns (id, vec, cluster, dist). The centroid table (k rows, k ≪
-    corpus) is broadcast, so assignment is a map-only pass over the
-    corpus — no shuffle of the vectors. Distances are rounded *before*
-    the argmin and ties break on the smaller cluster id, so the
-    assignment is exactly reproducible across engines/partitionings.
+    Returns (id, vec, cluster, dist). The k centroids collapse to ONE
+    broadcast row holding the cluster-sorted centroid array; each
+    vector folds over that array in-expression (``transform`` +
+    ``array_min`` over ``struct<d,k>``), so assignment is genuinely
+    map-only — no groupBy, no exchange, the vectors never cross the
+    wire. Distances are rounded *before* the argmin and struct
+    ordering breaks ties on the smaller cluster id (the array is
+    cluster-ascending), so the assignment is exactly reproducible
+    across engines/partitionings.
     """
-    scored = emb.select(
-        F.col(id_col), F.col(vec_col).alias("_v")
-    ).crossJoin(F.broadcast(centroids.select("cluster", "_c")))
-    best = scored.groupBy(id_col, "_v").agg(
-        F.min(
-            F.struct(
-                F.round(_l2_dist(F.col("_v"), F.col("_c")), ndigits).alias("d"),
-                F.col("cluster").alias("k"),
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster").alias("k"), F.col("_c").alias("c"))
             )
-        ).alias("_b")
+        ).alias("_cs")
     )
-    return best.select(
-        id_col, "_v", F.col("_b.k").alias("cluster"), F.col("_b.d").alias("dist")
+    best = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda cc: F.struct(
+                F.round(_l2_dist(F.col("_v"), cc["c"]), ndigits).alias("d"),
+                cc["k"].alias("k"),
+            ),
+        )
+    )
+    return (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            best["k"].alias("cluster"),
+            best["d"].alias("dist"),
+        )
     )
 
 
@@ -444,6 +460,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -453,7 +470,8 @@ def kmeans_lloyd(
     centroids, rounded-distance argmin) and recomputes centroids with
     the posexplode mean-per-dimension aggregation of
     :func:`label_centroids` (rounded before reuse). Returns the final
-    assignment (id, cluster, dist) — the SemDeDup partitioning stage.
+    assignment (id, cluster, dist[, vec if ``keep_vector``]) — the
+    SemDeDup partitioning stage.
 
     Scale shape per round: one broadcast map-only assignment pass +
     one skinny (cluster, pos) hash aggregation — the corpus is never
@@ -488,7 +506,10 @@ def kmeans_lloyd(
     final = kmeans_assign(
         emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
     )
-    return final.select(id_col, "cluster", F.col("dist").alias("dist"))
+    cols = [id_col, "cluster", F.col("dist").alias("dist")]
+    if keep_vector:
+        cols.append(F.col("_v"))
+    return final.select(*cols)
 
 
 def semantic_dedup(
@@ -511,24 +532,32 @@ def semantic_dedup(
     never happens). Similarities round to 6 before thresholding for
     engine reproducibility.
     """
-    assign = kmeans_lloyd(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
-    vecs = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
-        assign, id_col
+    vecs = kmeans_lloyd(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vector=True
+    ).select(id_col, "cluster", "_v")
+    # Hoist ||v|| out of the pair join: computed once per vector here,
+    # the pair predicate is a single dot-product fold instead of three.
+    # dot/(na*nb) is bit-identical to cosine(a, b) = dot/(norm(a)*
+    # norm(b)) — same sqrt over the same array — so oracle parity
+    # under round(…, 6) is preserved exactly.
+    withn = vecs.select(id_col, "cluster", "_v", _norm(F.col("_v")).alias("_n"))
+    left = withn.select(
+        F.col(id_col).alias("a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cluster",
     )
-    left = vecs.select(
-        F.col(id_col).alias("a"), F.col("_v").alias("_va"), "cluster"
+    right = withn.select(
+        F.col(id_col).alias("b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cluster",
     )
-    right = vecs.select(
-        F.col(id_col).alias("b"), F.col("_v").alias("_vb"), "cluster"
-    )
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     near = (
         left.join(right, "cluster")
         .where(F.col("b") < F.col("a"))
-        .where(
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(threshold)
-        )
+        .where(F.round(sim, 6) >= F.lit(threshold))
         .groupBy(F.col("a").alias(id_col))
         .agg(F.count("*").cast("long").alias("n_near"))
     )

@@ -130,11 +130,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["row_number", "hashpartitioning(source"],
         ["Join", "CartesianProduct"],
     ),
-    # k-means: centroids broadcast (NLJ) into a map-only assignment;
-    # the corpus is never exchanged for a sort-merge join
+    # k-means: centroids collapse to one broadcast row (NLJ) and the
+    # argmin folds in-expression — the vectors are NEVER exchanged
+    # (no hashpartitioning on the vector id); the only shuffles are
+    # the skinny (cluster, pos) centroid means
     "kmeans_clusters": (
-        ["BroadcastNestedLoopJoin", "partial_min"],
-        ["SortMergeJoin", "CartesianProduct"],
+        ["BroadcastNestedLoopJoin", "hashpartitioning(cluster"],
+        ["SortMergeJoin", "CartesianProduct", "hashpartitioning(vec_id"],
     ),
     # SemDeDup: the pair join is equi-keyed on cluster (hash exchange
     # on cluster), never an unkeyed cartesian blowup
