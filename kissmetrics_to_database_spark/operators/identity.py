@@ -299,3 +299,66 @@ def alias_edges_kissmetrics(events: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected identity graph —
+    the centrality companion to connected components: within a merged
+    identity cluster, the top-ranked node is the natural canonical
+    record (most-linked alias), and rank mass flags hub identities
+    that deserve human review before an irreversible merge.
+
+    Each iteration is the canonical distributed plan: one equi-join of
+    the edge list against the current ranks (shuffle keyed on node),
+    one per-node sum, and a broadcast 1-row node count for the
+    teleport term. The loop depth is a compile-time constant — the
+    whole thing is ONE Catalyst plan with no driver-side iteration
+    state, so AQE re-plans each stage at runtime. Undirected doubling
+    guarantees every node has out-degree >= 1 (no dangling-mass
+    correction needed). Ranks round to ``ndigits`` at every iteration
+    — float summation order never leaks into results, so output is
+    engine-exact (the same contract the k-means loop pins).
+    """
+    fwd = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    und = fwd.where(F.col("_s") != F.col("_d")).union(
+        fwd.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")).where(
+            F.col("_s") != F.col("_d")
+        )
+    ).distinct()
+    deg = und.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").cast("long").alias("_deg")
+    )
+    total = deg.agg(F.count("*").cast("double").alias("_n"))
+    ranks = deg.crossJoin(F.broadcast(total)).select(
+        "node", "_deg", F.round(F.lit(1.0) / F.col("_n"), ndigits).alias("rank")
+    )
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+    for _ in range(iters):
+        contrib = und.join(
+            ranks, und["_s"] == ranks["node"]
+        ).select(
+            F.col("_d").alias("node"),
+            (F.col("rank") / F.col("_deg")).alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
+        ranks = (
+            deg.crossJoin(F.broadcast(total))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                "_deg",
+                F.round(
+                    teleport
+                    + F.lit(damping) * F.coalesce("_sum", F.lit(0.0)),
+                    ndigits,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

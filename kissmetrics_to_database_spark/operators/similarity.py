@@ -571,3 +571,132 @@ def semantic_dedup(
             (F.coalesce("n_near", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def scalar_quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Symmetric per-dimension int8 scalar quantization — the standard
+    4× memory shrink that lets a 100 TB float corpus serve ANN from
+    hot storage.
+
+    Pass 1 finds each dimension's corpus-wide absolute maximum as a
+    skinny (pos, absmax) aggregation, collapsed to ONE row holding the
+    scale array ``round(absmax_d / 127, ndigits)``. Pass 2 broadcasts
+    that row and encodes map-only:
+    ``q_d = clamp(round(v_d / s_d), -127, 127)`` (0 where a dimension
+    is identically zero). The vectors are never shuffled; rounding the
+    scales before use makes the codes engine-reproducible.
+
+    Returns ``(encoded, scales)``: encoded = (id, _v original float
+    vec, _q int codes); scales = the 1-row (_s array) DataFrame for
+    downstream score math.
+    """
+    scales = (
+        emb.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("val").cast("double"))) / 127.0, ndigits
+            ).alias("s")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("_s")
+        )
+    )
+    q = F.zip_with(
+        F.col("_v"),
+        F.col("_s"),
+        lambda x, s: F.when(s == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x.cast("double") / s, 0).cast("int")),
+            )
+        ),
+    )
+    encoded = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(scales))
+        .select(id_col, "_v", q.alias("_q"))
+    )
+    return encoded, scales
+
+
+def int8_topk(
+    corpus: DataFrame,
+    probe_ids: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """ANN top-k over int8-quantized vectors with exact re-rank.
+
+    Stage 1 ranks candidates per probe by the quantized dot product
+    ``Σ q_a[d]·q_b[d]·s_d²`` — small-int multiplies over codes ¼ the
+    bytes of the floats, folded in-expression with the squared scales
+    from one broadcast row — and keeps the top ``rerank`` per probe.
+    Stage 2 re-scores only those with exact float cosine and keeps the
+    top ``k``: quantization error only costs recall for true
+    neighbors the coarse pass ranks below ``rerank``.
+
+    Deterministic: scales and both scores round to ``ndigits`` before
+    ranking; ties break on neighbor id. ``probe_ids`` is a DataFrame
+    of ids (joined against the encoded corpus so probes quantize with
+    corpus scales, exactly once).
+    """
+    encoded, scales = scalar_quantize_int8(corpus, id_col, vec_col, ndigits)
+    probes = encoded.join(
+        probe_ids.select(id_col), id_col
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_v").alias("_pv"),
+        F.col("_q").alias("_pq"),
+    )
+    s2 = scales.select(F.transform("_s", lambda s: s * s).alias("_s2"))
+    prod = F.zip_with(
+        F.col("_q"), F.col("_pq"), lambda a, b: (a * b).cast("double")
+    )
+    adot = F.aggregate(
+        F.zip_with(prod, F.col("_s2"), lambda p, s: p * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(probes))
+        .crossJoin(F.broadcast(s2))
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_v"),
+            F.col("_pv"),
+            F.round(adot, ndigits).alias("_qscore"),
+        )
+    )
+    wq = Window.partitionBy("probe_id").orderBy(
+        F.col("_qscore").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("_qr", F.row_number().over(wq)).where(
+        F.col("_qr") <= rerank
+    )
+    exact = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_v"), F.col("_pv")), 6).alias("score"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )

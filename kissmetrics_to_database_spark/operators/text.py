@@ -491,3 +491,69 @@ def perplexity_buckets(
     return j.join(F.broadcast(cuts), "lang").select(
         id_col, "lang", "mean_logprob", bucket.alias("bucket")
     )
+
+
+def hashed_ngram_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    temperature: float = 4.0,
+) -> DataFrame:
+    """FastText-style linear text-classifier inference: hash word
+    uni+bigrams into ``buckets`` feature buckets (the hashing trick —
+    the model never materializes a vocabulary), join features against
+    a broadcast weight table, average per doc and squash through a
+    sigmoid. Returns (id, n_features, mean_w, prob, label).
+
+    The weight table here is a deterministic stand-in derived from the
+    bucket id (no trained artifact ships in this sandbox); the
+    plumbing — bucketing, broadcast model join, per-doc mean, squash —
+    is exactly the production shape, and a real model drops in by
+    replacing ``wt`` with a trained-weights parquet of the same
+    (bucket, wgt) schema. At scale the corpus shuffles once (the
+    per-doc aggregation); a fastText bucket table at the standard 2M
+    buckets is ~16 MB — comfortably broadcast.
+    """
+    from .dedup import positional_shingles, tokens
+
+    uni = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    bi = positional_shingles(df, id_col, text_col, n=2).select(
+        F.col(id_col), "token"
+    )
+    feats = uni.unionByName(bi).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+    spark = df.sparkSession
+    wt = spark.range(buckets).select(
+        F.col("id").alias("bucket"),
+        F.round(
+            ((F.col("id") * F.lit(2654435761)) % F.lit(4093)) / F.lit(4093.0)
+            - F.lit(0.5),
+            6,
+        ).alias("wgt"),
+    )
+    agg = (
+        feats.join(F.broadcast(wt), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.round(F.avg("wgt"), 6).alias("mean_w"),
+        )
+    )
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(temperature) * F.col("mean_w"))),
+        6,
+    )
+    return agg.select(
+        id_col,
+        "n_features",
+        "mean_w",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("label"),
+    )

@@ -852,6 +852,51 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "identity_pagerank",
+    f"""
+    WITH edges AS ({SQL_ALIAS_EDGES}),
+    und AS (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, deg, round(1.0 / n, 6) AS rank
+           FROM deg CROSS JOIN tot),
+    s1 AS (SELECT u.dst AS node, sum(r.rank / r.deg) AS s
+           FROM und u JOIN r0 r ON u.src = r.node GROUP BY u.dst),
+    r1 AS (SELECT d.node, d.deg,
+                  round((1.0 - 0.85) / t.n + 0.85 * coalesce(s1.s, 0), 6) AS rank
+           FROM deg d CROSS JOIN tot t LEFT JOIN s1 ON d.node = s1.node),
+    s2 AS (SELECT u.dst AS node, sum(r.rank / r.deg) AS s
+           FROM und u JOIN r1 r ON u.src = r.node GROUP BY u.dst),
+    r2 AS (SELECT d.node, d.deg,
+                  round((1.0 - 0.85) / t.n + 0.85 * coalesce(s2.s, 0), 6) AS rank
+           FROM deg d CROSS JOIN tot t LEFT JOIN s2 ON d.node = s2.node),
+    s3 AS (SELECT u.dst AS node, sum(r.rank / r.deg) AS s
+           FROM und u JOIN r2 r ON u.src = r.node GROUP BY u.dst),
+    r3 AS (SELECT d.node, d.deg,
+                  round((1.0 - 0.85) / t.n + 0.85 * coalesce(s3.s, 0), 6) AS rank
+           FROM deg d CROSS JOIN tot t LEFT JOIN s3 ON d.node = s3.node)
+    SELECT node, rank FROM r3 ORDER BY node
+    """,
+)
+def q_identity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension of the identity suite: 3-iteration PageRank
+    over the undirected alias graph (damping 0.85). Within a merged
+    cluster the top-ranked node is the natural canonical record; rank
+    mass flags hub identities worth review before an irreversible
+    merge. Constant-depth unrolled loop — one Catalyst plan, no
+    driver-side state."""
+    from kissmetrics_to_database_spark.operators.identity import pagerank
+
+    edges = _alias_edges(spark, sf_dir)
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
 # Extension suites register themselves into QUERIES/ORACLES (imports
 # at the tail so the decorator exists; circular-import safe by
 # construction).
@@ -902,6 +947,7 @@ _LOW_PRIORITY_TAIL = [
     "multimodal_real_decode", "multimodal_audio_stats",
     "gopher_quality", "unigram_logprob", "span_dedup", "source_quota_cap",
     "kmeans_clusters", "semantic_dedup", "perplexity_buckets",
+    "embedding_topk_int8", "hashed_ngram_classifier", "identity_pagerank",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

@@ -1987,3 +1987,130 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile for percentile_approx at that point, same shape)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.perplexity_buckets(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT — int8-quantized ANN (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_topk_int8",
+    f"""
+    WITH dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT array_agg(s ORDER BY pos) AS s FROM (
+        SELECT pos, round(max(abs(val::DOUBLE)) / 127.0, 6) AS s
+        FROM dims GROUP BY pos
+      )
+    ),
+    s2 AS (SELECT list_transform(s, x -> x * x) AS s2 FROM sc),
+    enc AS (
+      SELECT vec_id, embedding AS v,
+             list_transform(
+               range(1, len(embedding) + 1),
+               i -> CASE WHEN s[i] = 0 THEN 0
+                    ELSE greatest(-127, least(127,
+                         CAST(round(embedding[i]::DOUBLE / s[i], 0) AS INT)))
+                    END
+             ) AS q
+      FROM embeddings CROSS JOIN sc
+    ),
+    pe AS (SELECT vec_id AS probe_id, v AS pv, q AS pq FROM enc WHERE vec_id < 8),
+    qs AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id, e.v, p.pv,
+             round(list_sum(list_transform(
+               range(1, len(e.q) + 1),
+               i -> e.q[i]::DOUBLE * p.pq[i]::DOUBLE * s2[i]
+             )), 6) AS qscore
+      FROM enc e CROSS JOIN pe p CROSS JOIN s2
+      WHERE e.vec_id <> p.probe_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY qscore DESC, neighbor_id) AS qr
+        FROM qs
+      ) WHERE qr <= 20
+    )
+    SELECT probe_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT probe_id, neighbor_id,
+             {_sql_cosine('v', 'pv')} AS score,
+             row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY {_sql_cosine('v', 'pv')} DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for 8 probes via symmetric int8 scalar quantization
+    (corpus-absmax scales) with a top-20 quantized-dot candidate pass
+    and exact float-cosine re-rank. The memory-bound scale play: codes
+    are ¼ the bytes of the floats, the coarse pass never touches a
+    float vector, and recall loss is confined to true neighbors the
+    quantized ranking pushes below the re-rank window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = emb.where(F.col("vec_id") < 8).select("vec_id")
+    out = similarity.int8_topk(emb, probe_ids, k=5, rerank=20)
+    return out.orderBy("probe_id", "rank")
+
+
+@query(
+    "hashed_ngram_classifier",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(ws) AS token FROM w),
+    bi_l AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(ws) - 1, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, least(i + 1, len(ws))), ' ')
+             ) AS sl
+      FROM w WHERE len(ws) > 0
+    ),
+    bi AS (SELECT doc_id, unnest(sl) AS token FROM bi_l),
+    feats AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1)
+               AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi WHERE token <> '')
+      WHERE token <> ''
+    ),
+    wt AS (
+      SELECT b AS bucket,
+             round(((b * 2654435761) % 4093) / 4093.0 - 0.5, 6) AS wgt
+      FROM range(0, 4096) t(b)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+             round(avg(wgt), 6) AS mean_w
+      FROM feats JOIN wt USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, mean_w,
+           round(1 / (1 + exp(-4.0 * mean_w)), 6) AS prob,
+           round(1 / (1 + exp(-4.0 * mean_w)), 6) >= 0.5 AS label
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed uni+bigram linear classifier inference
+    with a broadcast (bucket, weight) model table — the quality/topic
+    gate shape every production corpus pipeline runs at ingest. The
+    deterministic weight table stands in for a trained artifact; the
+    plan (hash features in-expression, broadcast model join, one
+    per-doc shuffle) is the deployable one."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_ngram_classifier(docs).orderBy("doc_id")

@@ -168,3 +168,42 @@ def test_alias_edges_kissmetrics(spark):
         ("u3", "new@e.com"),
         ("u3", "old@e.com"),
     }
+
+
+def test_pagerank_star_graph_matches_python(spark):
+    # star: hub h — leaves l1..l3 (undirected). Replicate the rounded
+    # fixed-point schedule in pure Python. Spark's F.round is
+    # HALF_UP (like DuckDB), NOT Python's banker's round — and the
+    # hub's iteration-3 value lands exactly on a .5 boundary.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_up(x, nd=6):
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+    edges = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in identity.pagerank(df, iters=3).collect()}
+
+    deg = {"h": 3, "l1": 1, "l2": 1, "l3": 1}
+    und = edges + [(b, a) for a, b in edges]
+    n = 4.0
+    rank = {v: round_up(1.0 / n) for v in deg}
+    for _ in range(3):
+        sums = {v: 0.0 for v in deg}
+        for a, b in und:
+            sums[b] += rank[a] / deg[a]
+        rank = {
+            v: round_up((1.0 - 0.85) / n + 0.85 * sums[v]) for v in deg
+        }
+    assert out == rank
+    # hub outranks leaves, mass ≈ 1
+    assert out["h"] > out["l1"] == out["l2"] == out["l3"]
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_pagerank_disconnected_uniform_within_pairs(spark):
+    # two disjoint edges: all four nodes symmetric → equal rank 1/4
+    df = spark.createDataFrame([("a", "b"), ("c", "d")], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in identity.pagerank(df, iters=3).collect()}
+    assert len(set(out.values())) == 1
+    assert abs(sum(out.values()) - 1.0) < 1e-3

@@ -357,3 +357,65 @@ def test_perplexity_buckets_order_and_cutoffs(spark):
     vals = sorted(out.values(), key=lambda r: -r["mean_logprob"])
     ranks = [order[v["bucket"]] for v in vals]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_scalar_quantize_int8_codes_and_error_bound(spark):
+    rows = [(0, [1.0, -0.5]), (1, [0.5, 0.25]), (2, [-1.0, 0.5]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    encoded, scales = similarity.scalar_quantize_int8(df)
+    s = scales.collect()[0]["_s"]
+    # per-dim scale = round(absmax/127, 6)
+    assert s == [round(1.0 / 127, 6), round(0.5 / 127, 6)]
+    out = {r["vec_id"]: r["_q"] for r in encoded.collect()}
+    for vid, vec in rows:
+        for d, (x, code) in enumerate(zip(vec, out[vid])):
+            assert -127 <= code <= 127
+            # reconstruction error bounded by half a quantization step
+            assert abs(code * s[d] - x) <= s[d] / 2 + 1e-9
+    # absmax element hits ±127 exactly
+    assert out[0][0] == 127 and out[2][0] == -127
+
+
+def test_int8_topk_full_rerank_matches_brute_force(spark):
+    # deterministic pseudo-random corpus; rerank >= corpus size makes
+    # stage 2 exhaustive, so the result must equal exact brute force
+    rows = [
+        (i, [((i * 7 + d * 13) % 19 - 9) / 9.0 for d in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.where("vec_id < 4")
+    exact = similarity.brute_force_topk(df, probes, k=3)
+    quant = similarity.int8_topk(df, probes.select("vec_id"), k=3, rerank=30)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, quant.collect()))
+
+
+def test_hashed_ngram_classifier_matches_python(spark):
+    rows = [(0, "the quick brown fox"), (1, "hello"), (2, "a b a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text.hashed_ngram_classifier(df).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16)
+
+    def wgt(b):
+        return round((b * 2654435761) % 4093 / 4093.0 - 0.5, 6)
+
+    for doc_id, txt in rows:
+        ws = [t for t in re.split(r"\s+", txt.lower().strip()) if t]
+        bigrams = (
+            [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+            if len(ws) > 1
+            else list(ws)  # 1-token doc: the lone token doubles as its span
+        )
+        feats = ws + bigrams
+        mean_w = round(sum(wgt(bucket(t)) for t in feats) / len(feats), 6)
+        prob = round(1.0 / (1.0 + math.exp(-4.0 * mean_w)), 6)
+        got = out[doc_id]
+        assert got["n_features"] == len(feats)
+        assert abs(got["mean_w"] - mean_w) <= 1e-6
+        assert abs(got["prob"] - prob) <= 1e-6
+        assert got["label"] == (prob >= 0.5)

@@ -150,6 +150,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["Window", "SortMergeJoin", "CartesianProduct"],
     ),
+    # int8 ANN: probes + squared scales broadcast into the coarse
+    # pass (NLJ on 1-row/8-row sides); the corpus never sort-merges
+    "embedding_topk_int8": (
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # hashed classifier: the (bucket, weight) model table must join
+    # broadcast — the corpus's only shuffle is the per-doc rollup
+    "hashed_ngram_classifier": (
+        ["BroadcastHashJoin", "hashpartitioning(doc_id"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # PageRank: node-keyed equi-joins per iteration + broadcast 1-row
+    # node count for the teleport term; never a cartesian
+    "identity_pagerank": (
+        ["BroadcastNestedLoopJoin", "partial_sum"],
+        ["CartesianProduct"],
+    ),
 }
 
 
