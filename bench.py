@@ -62,6 +62,10 @@ HEADLINE = [
     "kmeans_clusters",
     "semantic_dedup",
     "perplexity_buckets",
+    # round-2 sketch suite (fixed-size-state operators)
+    "cms_heavy_hitters",
+    "hll_event_users",
+    "bloom_novel_docs",
 ]
 
 

@@ -948,6 +948,7 @@ _LOW_PRIORITY_TAIL = [
     "gopher_quality", "unigram_logprob", "span_dedup", "source_quota_cap",
     "kmeans_clusters", "semantic_dedup", "perplexity_buckets",
     "embedding_topk_int8", "hashed_ngram_classifier", "identity_pagerank",
+    "cms_heavy_hitters", "hll_event_users", "bloom_novel_docs",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

@@ -2114,3 +2114,243 @@ def q_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc shuffle) is the deployable one."""
     docs = load_table(spark, sf_dir, "documents")
     return text.hashed_ngram_classifier(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT — probabilistic sketches (round 2): CMS, HLL, Bloom
+# ---------------------------------------------------------------------------
+
+
+def _sql_hexint(expr: str, start, n: int) -> str:
+    """DuckDB SQL for the integer value of ``n`` hex chars of ``expr``
+    beginning at position ``start`` (1-based; may be a SQL expression)
+    — mirrors operators/sketches._hex_slice exactly."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, CAST(({start}) + {i} AS INTEGER), 1)) - 1)"
+        + (f" * {16 ** (n - 1 - i)}" if n - 1 - i else "")
+        for i in range(n)
+    )
+
+
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256  # alpha_256 * m^2
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''
+             )) AS token
+      FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    counters AS (
+      SELECT d, ({_sql_hexint('md5(token)', 'd * 4 + 1', 4)}) % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, unnest(range(0, 4)) AS dd(d)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT token, d,
+             ({_sql_hexint('md5(token)', 'd * 4 + 1', 4)}) % 1024 AS bucket
+      FROM exact, unnest(range(0, 4)) AS dd(d)
+    ),
+    est AS (
+      SELECT p.token, min(coalesce(c.cnt, 0)) AS est_cnt
+      FROM probes p LEFT JOIN counters c USING (d, bucket)
+      GROUP BY p.token
+    )
+    SELECT e.token, e.exact_cnt, est.est_cnt,
+           est.est_cnt - e.exact_cnt AS overcount
+    FROM exact e JOIN est USING (token)
+    ORDER BY e.exact_cnt DESC, e.token
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: top-20 tokens by exact
+    occurrence count, with the CMS (depth 4 x width 1024) estimate
+    alongside. The sketch is <= 4096 counter rows no matter the corpus
+    size — map-side partial_count bounds the shuffle, the estimate
+    join broadcasts. ``overcount >= 0`` always (CMS never
+    underestimates); top-20 selection is TakeOrdered (no global
+    sort materialization)."""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(dedup.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    counters = sketches.cms_counters(tok, "token", depth=4, width=1024)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = sketches.cms_estimate(exact.select("token"), counters, "token", 4, 1024)
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+@query(
+    "hll_event_users",
+    f"""
+    WITH vals AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sliced AS (
+      SELECT event_type,
+             ({_sql_hexint('h', 1, 2)}) AS register,
+             ({_sql_hexint('h', 3, 6)}) AS rest
+      FROM vals
+    ),
+    regs AS (
+      SELECT event_type, register,
+             max(CASE WHEN rest = 0 THEN 25
+                      ELSE 25 - length(bin(rest)) END) AS mrho
+      FROM sliced GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(pow(2.0, -mrho)) + (256.0 - count(*)) AS z,
+             256 - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN {_HLL_ALPHA_M2!r} / z <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE {_HLL_ALPHA_M2!r} / z END AS e
+      FROM agg
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT x.event_type, x.exact_n, round(e.e, 6) AS hll_n,
+           round(abs(round(e.e, 6) - x.exact_n) / x.exact_n, 6) AS rel_err
+    FROM exact x JOIN est e USING (event_type)
+    ORDER BY x.event_type
+    """,
+)
+def q_hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (m=256 registers)
+    next to the exact count. Per-group sketch state is 256 bytes
+    regardless of group size — the shuffle carries (group, register)
+    pairs with map-side max-combine, never user ids. The register
+    harmonic sum is EXACT in both engines (sum of <= 256
+    powers-of-two fits a 53-bit mantissa), so the estimate is
+    engine-reproducible without intermediate rounding."""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_n"))
+    )
+    hll = sketches.hll_distinct(ev, "event_type", "user_id", b=8)
+    return (
+        exact.join(hll, "event_type")
+        .select(
+            "event_type",
+            "exact_n",
+            "hll_n",
+            F.round(
+                F.abs(F.col("hll_n") - F.col("exact_n")) / F.col("exact_n"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "bloom_novel_docs",
+    f"""
+    WITH build AS (
+      SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+    ),
+    bitmap AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bm
+      FROM (
+        SELECT ({_sql_hexint('md5(text)', 'j * 4 + 1', 4)}) % 65536 AS pos
+        FROM build, unnest(range(0, 4)) AS jj(j)
+      )
+      GROUP BY 1
+    ),
+    probe_rows AS (
+      SELECT doc_id, text,
+             ({_sql_hexint('md5(text)', 'j * 4 + 1', 4)}) % 65536 AS pos
+      FROM documents, unnest(range(0, 4)) AS jj(j)
+      WHERE doc_id % 2 = 1
+    ),
+    maybe AS (
+      SELECT doc_id,
+             bool_and(coalesce(
+               (bm & (1::BIGINT << CAST(pos % 32 AS INTEGER))) != 0, FALSE
+             )) AS maybe_seen
+      FROM probe_rows p LEFT JOIN bitmap b ON p.pos // 32 = b.word
+      GROUP BY doc_id
+    ),
+    actual AS (
+      SELECT d.doc_id, (bu.text IS NOT NULL) AS actually_seen
+      FROM documents d LEFT JOIN build bu ON d.text = bu.text
+      WHERE d.doc_id % 2 = 1
+    )
+    SELECT m.doc_id, m.maybe_seen, a.actually_seen,
+           (m.maybe_seen AND NOT a.actually_seen) AS false_positive
+    FROM maybe m JOIN actual a USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def q_bloom_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter novelty check: build a 2^16-bit / k=4 bitmap over
+    even-doc_id texts, probe odd-doc_id docs. The incremental-ingest
+    shape at 100 TB: the bitmap (<= 2048 words here, ~4 MB at 2^30
+    bits) broadcasts, so screening a new batch against the whole
+    historical corpus is map-only — no shuffle anti-join. Exact
+    membership runs alongside to expose the false-positive rows;
+    false NEGATIVES are impossible by construction (the test suite
+    pins that invariant)."""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(F.col("doc_id") % 2 == 0).select("text").distinct()
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    bitmap = sketches.bloom_bitmap(build, "text", bits=1 << 16, k=4)
+    maybe = sketches.bloom_probe(probe, bitmap, "doc_id", "text", 1 << 16, 4)
+    actual = (
+        probe.join(
+            build.select(F.col("text").alias("_bt")),
+            probe["text"] == F.col("_bt"),
+            "left",
+        )
+        .select("doc_id", F.col("_bt").isNotNull().alias("actually_seen"))
+    )
+    return (
+        maybe.join(actual, "doc_id")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            "actually_seen",
+            (F.col("maybe_seen") & ~F.col("actually_seen")).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -168,6 +168,25 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "partial_sum"],
         ["CartesianProduct"],
     ),
+    # CMS: counters (<= depth*width rows) broadcast into the estimate
+    # join; token counts combine map-side; top-20 via TakeOrdered,
+    # never a global sort
+    "cms_heavy_hitters": (
+        ["BroadcastHashJoin", "partial_count", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    # HLL: (group, register) max-rho combines map-side; no raw-id
+    # shuffle; the exact/estimate join is on the tiny group key
+    "hll_event_users": (
+        ["partial_max"],
+        ["CartesianProduct"],
+    ),
+    # Bloom: the bitmap (word, bm) side must broadcast — the probe
+    # corpus never shuffles for membership, only the per-id rollup
+    "bloom_novel_docs": (
+        ["BroadcastHashJoin", "partial_bit_or"],
+        ["CartesianProduct"],
+    ),
 }
 
 
