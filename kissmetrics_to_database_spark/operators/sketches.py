@@ -31,7 +31,7 @@ digits so summation order never leaks into results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -243,4 +243,92 @@ def bloom_probe(
         .select(id_col, hit.alias("_hit"))
         .groupBy(id_col)
         .agg(F.expr("bool_and(_hit)").alias("maybe_seen"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 256,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group quantile estimates from a ``bins``-cell equal-width
+    histogram — the fixed-state alternative to sorting the values.
+
+    Exact percentiles shuffle and sort every value per group; at
+    100 TB that is the whole column through the wire. Here the state
+    per group is ``bins`` counters: pass 1 takes (min, max, n) per
+    group, pass 2 bins map-side (partial_count combine) so at most
+    ``groups × bins`` rows shuffle. The estimate interpolates inside
+    the covering bin: with ``t = p·n`` and ``cum`` the cumulative
+    count through the bin, ``est = lo + (t - cum_before)/cnt · w``.
+    Error is bounded by one bin width — tight whenever the
+    distribution isn't spiked inside a single bin.
+
+    Every arithmetic step is IEEE double add/sub/mul/div on exact
+    inputs — bit-identical across engines, no rounding games needed
+    (``round`` at the end is cosmetic). Degenerate groups
+    (``max == min``) estimate the constant exactly.
+
+    Returns (group, p, est) for each requested quantile.
+    """
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+    vals = df.where(v.isNotNull()).select(g.alias(group_col), v.alias("_v"))
+    stats = vals.groupBy(group_col).agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    binned = (
+        vals.join(F.broadcast(stats), group_col)
+        .select(
+            group_col,
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("_v") - F.col("_mn")) / width).cast("int"),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = binned.withColumn("cum", F.sum("cnt").over(wcum))
+    targets = stats.select(
+        group_col,
+        "_mn",
+        "_mx",
+        "_n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    ).withColumn("t", F.col("p") * F.col("_n"))
+    cand = targets.join(hist, group_col).where(F.col("cum") >= F.col("t"))
+    wfirst = Window.partitionBy(group_col, "p").orderBy("bin")
+    first = cand.withColumn("_rn", F.row_number().over(wfirst)).where(
+        F.col("_rn") == 1
+    )
+    width_f = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    est = F.when(F.col("_mx") == F.col("_mn"), F.col("_mn")).otherwise(
+        F.col("_mn")
+        + F.col("bin") * width_f
+        + (F.col("t") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+        * width_f
+    )
+    return first.select(
+        group_col, "p", F.round(est, ndigits).alias("est")
     )

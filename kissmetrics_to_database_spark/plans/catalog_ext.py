@@ -2354,3 +2354,165 @@ def q_bloom_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — deterministic weighted sampling + histogram quantiles (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_doc_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             round(
+               ln((CAST({_sql_hexint("md5(CAST(doc_id AS VARCHAR))", 1, 12)} AS DOUBLE)
+                   + 0.5e0) / 281474976710656e0)
+               / CAST(n_chars AS DOUBLE), 6) AS wkey
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, weight, wkey,
+           CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS BIGINT) AS rank
+    FROM keyed ORDER BY wkey DESC, doc_id LIMIT 40
+    """,
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample of 40 documents, weight =
+    n_chars, with the uniform draw a pure md5 function of doc_id —
+    the sample is reproducible across runs AND engines, and stable
+    under corpus appends (new rows never perturb existing keys). The
+    priority key is a map-only projection; selection is TakeOrdered —
+    no global sort at any corpus size."""
+    from kissmetrics_to_database_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_priority_sample(docs, "doc_id", "n_chars", k=40)
+
+
+@query(
+    "histogram_quantiles",
+    """
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, min(v) AS mn, max(v) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM vals GROUP BY event_type
+    ),
+    binned AS (
+      SELECT v.event_type,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE least(255, CAST(floor((v.v - s.mn)
+                       / ((s.mx - s.mn) / 256e0)) AS INTEGER)) END AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals v JOIN stats s USING (event_type)
+      GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ),
+    targets AS (
+      SELECT event_type, mn, mx, n, p, CAST(p AS DOUBLE) * n AS t
+      FROM stats, unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS pp(p)
+    ),
+    first_bin AS (
+      SELECT * FROM (
+        SELECT t.event_type, t.p, t.t, t.mn, t.mx, h.bin, h.cnt, h.cum,
+               row_number() OVER (PARTITION BY t.event_type, t.p
+                                  ORDER BY h.bin) AS rn
+        FROM targets t JOIN hist h USING (event_type)
+        WHERE h.cum >= t.t
+      ) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+             quantile_cont(v, CAST(0.5 AS DOUBLE)) AS e
+      FROM vals GROUP BY event_type
+      UNION ALL
+      SELECT event_type, CAST(0.95 AS DOUBLE),
+             quantile_cont(v, CAST(0.95 AS DOUBLE))
+      FROM vals GROUP BY event_type
+      UNION ALL
+      SELECT event_type, CAST(0.99 AS DOUBLE),
+             quantile_cont(v, CAST(0.99 AS DOUBLE))
+      FROM vals GROUP BY event_type
+    ),
+    sel AS (
+      SELECT f.event_type, f.p,
+             round(CASE WHEN f.mx = f.mn THEN f.mn
+                   ELSE f.mn + f.bin * ((f.mx - f.mn) / 256e0)
+                        + (f.t - (f.cum - f.cnt)) / f.cnt
+                          * ((f.mx - f.mn) / 256e0) END, 6) AS est,
+             round(x.e, 6) AS exact
+      FROM first_bin f JOIN ex x ON f.event_type = x.event_type AND f.p = x.p
+    )
+    SELECT event_type, p, est, exact,
+           round(abs(est - exact), 6) AS abs_err
+    FROM sel ORDER BY event_type, p
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event value per event type from a 256-bin
+    equal-width histogram, next to the exact interpolated percentile.
+    The fixed-state play: per group the shuffle carries at most 256
+    counter rows (map-side partial_count) instead of every value;
+    error is bounded by one bin width. All interpolation is IEEE
+    double arithmetic on exact inputs — engine-reproducible with no
+    intermediate rounding."""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sketches.histogram_quantiles(ev, "event_type", "value")
+    ps = [0.5, 0.95, 0.99]
+    exact = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile(F.col("value").cast("double"), F.lit(p)).alias(
+                    f"_e{i}"
+                )
+                for i, p in enumerate(ps)
+            ]
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(p)).alias("p"),
+                            F.col(f"_e{i}").alias("_ex"),
+                        )
+                        for i, p in enumerate(ps)
+                    ]
+                )
+            ).alias("_r"),
+        )
+        .select("event_type", F.col("_r.p").alias("p"), F.col("_r._ex").alias("_ex"))
+    )
+    return (
+        est.join(exact, ["event_type", "p"])
+        .select(
+            "event_type",
+            "p",
+            "est",
+            F.round("_ex", 6).alias("exact"),
+        )
+        .select(
+            "event_type",
+            "p",
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+        .orderBy("event_type", "p")
+    )

@@ -187,6 +187,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_bit_or"],
         ["CartesianProduct"],
     ),
+    # A-ES weighted sample: map-only key projection + TakeOrdered;
+    # no global sort, no join at all
+    "weighted_doc_sample": (
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning", "CartesianProduct"],
+    ),
+    # histogram quantiles: per-group stats broadcast back onto the
+    # values; bin counts combine map-side; never a cartesian
+    "histogram_quantiles": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct"],
+    ),
 }
 
 
