@@ -2516,3 +2516,78 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — Z-order layout (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _sql_morton2(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB SQL for 2-column Morton interleave — mirrors
+    operators/layout.morton_interleave exactly (bit i of x -> 2i,
+    bit i of y -> 2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({y}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+@query(
+    "zorder_layout",
+    f"""
+    WITH pts AS (
+      SELECT least(user_id, 65535) AS x,
+             least(CAST(floor(value) AS BIGINT), 65535) AS y
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    z AS (
+      SELECT x, y, ({_sql_morton2('x', 'y')}) AS zval FROM pts
+    ),
+    s AS (
+      SELECT greatest(length(bin(max(zval))) - 5, 0) AS shift FROM z
+    )
+    SELECT zval >> shift AS bucket, CAST(count(*) AS BIGINT) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z CROSS JOIN s GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering stats: events mapped onto the Morton curve
+    of (user_id, floor(value)), bucketed into 32 equal z-ranges — the
+    per-bucket min/max columns ARE the parquet footer stats a
+    z-ordered write would produce, and their narrowness on BOTH
+    dimensions at once is the pruning win single-column sort can't
+    give. The interleave is a constant-unrolled codegen projection;
+    the only shuffle is the 32-key rollup."""
+    from kissmetrics_to_database_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    pts = ev.select(
+        F.least(F.col("user_id"), F.lit(65535)).alias("x"),
+        F.least(F.floor(F.col("value")).cast("long"), F.lit(65535)).alias("y"),
+    )
+    z = pts.withColumn(
+        "zval", layout.morton_interleave([F.col("x"), F.col("y")], 16)
+    )
+    shift = z.agg(
+        F.greatest(
+            F.length(F.bin(F.max("zval"))) - F.lit(5), F.lit(0)
+        ).alias("shift")
+    )
+    z = z.crossJoin(F.broadcast(shift))
+    return (
+        z.groupBy(F.expr("shiftright(zval, shift)").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )

@@ -199,6 +199,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_count"],
         ["CartesianProduct"],
     ),
+    # z-order: the interleave is a codegen projection; the 1-row
+    # shift broadcasts (NLJ); only shuffle is the 32-key rollup
+    "zorder_layout": (
+        ["BroadcastNestedLoopJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
