@@ -2591,3 +2591,55 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — triangle counting on the event-proximity graph (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_burst_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.event_id AS a, b.event_id AS b
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 14400000000
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS event_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, event_id LIMIT 50
+    """,
+)
+def q_event_burst_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per event in the same-user 4-hour
+    proximity graph — mutually-close event triples are the burst/bot
+    signature pairwise gaps miss. Engine side: banded interval join
+    builds the edges (never O(n^2)), then degree-ordered orientation
+    bounds the wedge join at O(m^1.5) regardless of hub skew; the
+    oracle runs the naive quadratic joins. Top-50 by participation,
+    id tie-break."""
+    from kissmetrics_to_database_spark.operators import identity as identity_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = interval.time_proximity_pairs(
+        ev, "user_id", "event_id", "ts", 14_400_000_000
+    ).select("id_a", "id_b")
+    tri = identity_ops.triangle_counts(edges, "id_a", "id_b")
+    return (
+        tri.select(F.col("node").alias("event_id"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "event_id")
+        .limit(50)
+    )

@@ -207,3 +207,44 @@ def test_pagerank_disconnected_uniform_within_pairs(spark):
     out = {r["node"]: r["rank"] for r in identity.pagerank(df, iters=3).collect()}
     assert len(set(out.values())) == 1
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_triangle_counts_k4_and_pendant(spark):
+    # K4 (every node in C(3,2)=3 triangles) plus a pendant edge
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    df = spark.createDataFrame(k4 + [("d", "e")], ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in identity.triangle_counts(df).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}  # pendant absent
+
+
+def test_triangle_counts_star_has_none(spark):
+    df = spark.createDataFrame([("h", f"l{i}") for i in range(10)], ["src", "dst"])
+    assert identity.triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+
+    edges = [
+        (i, (i * 7 + 3) % 20) for i in range(40)
+    ] + [(i, (i + 1) % 20) for i in range(20)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in identity.triangle_counts(df).collect()}
+
+    es = set(edges)
+    nodes = sorted({n for e in es for n in e})
+    ref: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for n in (x, y, z):
+                ref[n] = ref.get(n, 0) + 1
+    assert out == ref
+
+
+def test_triangle_counts_duplicate_and_reversed_edges_collapse(spark):
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    noisy = tri + [(b, a) for a, b in tri] + tri
+    df = spark.createDataFrame(noisy + [("a", "a")], ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in identity.triangle_counts(df).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}

@@ -205,6 +205,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "partial_count"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # triangles: every join is an equi-join (banded interval edges,
+    # degree join, wedge apex join, closing-edge LeftSemi) — a
+    # cartesian/NLJ anywhere means the orientation rewrite broke
+    "event_burst_triangles": (
+        ["LeftSemi", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
