@@ -141,15 +141,26 @@ def hll_distinct(
 
     Returns (group, hll_n): the rounded estimate.
     """
+    regs = hll_registers(df, group_col, value_col, b)
+    return hll_estimate(regs, group_col, b, ndigits)
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, b: int = 8
+) -> DataFrame:
+    """The HLL state: (group, register, mrho) with ``mrho`` the max
+    rank seen in that register. Registers MERGE by max — across
+    partitions, across micro-batches, across days — which is what
+    makes the sketch streaming- and union-compatible: max is
+    associative, commutative, idempotent. A plain streaming
+    ``groupBy(...).agg(max(...))`` maintains this incrementally."""
     assert b % 4 == 0 and 0 < b <= 16, "register bits: multiple of 4, <= 16"
-    m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = F.md5(F.col(value_col).cast("string"))
     rest = F.conv(F.substring(h, b // 4 + 1, 6), 16, 10).cast("long")
     rho = F.when(rest == 0, F.lit(25)).otherwise(
         F.lit(25) - F.length(F.bin(rest))
     )
-    regs = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .select(
             F.col(group_col),
@@ -159,6 +170,15 @@ def hll_distinct(
         .groupBy(group_col, "register")
         .agg(F.max("rho").alias("mrho"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, group_col: str, b: int = 8, ndigits: int = 6
+) -> DataFrame:
+    """Collapse (group, register, mrho) state into the per-group
+    estimate (Flajolet alpha_m correction + linear counting)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.groupBy(group_col).agg(
         (
             F.sum(F.pow(F.lit(2.0), -F.col("mrho")))

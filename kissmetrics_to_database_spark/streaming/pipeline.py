@@ -165,3 +165,54 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    group_col: str,
+    value_col: str,
+    store: dict,
+    b: int = 8,
+) -> StreamingQuery:
+    """Streaming HyperLogLog: per-group distinct-count state that
+    never grows past ``2^b`` registers per group, no matter how many
+    events stream through.
+
+    The register update IS a streaming aggregation —
+    ``groupBy(group, register).max(rho)`` — because HLL state merges
+    by max (associative, commutative, idempotent). Each micro-batch
+    emits updated registers; ``foreachBatch`` merges them into
+    ``store`` (a ``{(group, register): mrho}`` dict standing in for
+    the serving table a real deployment would keep). The estimate at
+    any moment comes from ``sketches.hll_estimate`` over the merged
+    state — identical math to the batch path, so stream and batch
+    agree exactly on the same data (pinned in tests).
+
+    The exactly-once story matches the reference's watermark contract
+    (SURVEY §2.9): merging registers is idempotent, so at-least-once
+    replay of a micro-batch cannot change the state.
+    """
+    from kissmetrics_to_database_spark.operators import sketches
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+    )
+    regs = sketches.hll_registers(stream, group_col, value_col, b)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in batch_df.collect():
+            key = (r[group_col], r["register"])
+            cur = store.get(key)
+            if cur is None or r["mrho"] > cur:
+                store[key] = r["mrho"]
+
+    return (
+        regs.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -188,3 +188,53 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
     q.stop()
     got = {r["user"]: r["tier"] for r in seen}
     assert got == {"u1": "gold", "u2": "silver", "ux": None}
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    # the sketch's merge-by-max property: registers accumulated over
+    # two micro-batches == batch registers over the union, so the
+    # streaming estimate equals the batch estimate exactly
+    from kissmetrics_to_database_spark.operators import sketches
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    rows1 = [{"grp": "a", "val": f"u{i}"} for i in range(120)]
+    rows2 = [{"grp": "a", "val": f"u{i}"} for i in range(80, 250)] + [
+        {"grp": "b", "val": f"v{i}"} for i in range(40)
+    ]
+    (src / "1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    store: dict = {}
+    q = sp.stream_hll_distinct(
+        spark, str(src), str(tmp_path / "hll_ckpt"), schema, "grp", "val", store
+    )
+    q.processAllAvailable()
+    (src / "2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    q.processAllAvailable()
+    q.stop()
+
+    merged = spark.createDataFrame(
+        [(g, reg, rho) for (g, reg), rho in store.items()],
+        ["grp", "register", "mrho"],
+    )
+    streamed = {
+        r["grp"]: r["hll_n"]
+        for r in sketches.hll_estimate(merged, "grp").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r["grp"], r["val"]) for r in rows1 + rows2], ["grp", "val"]
+    )
+    batch = {
+        r["grp"]: r["hll_n"]
+        for r in sketches.hll_distinct(batch_df, "grp", "val").collect()
+    }
+    assert streamed == batch
+    assert abs(streamed["a"] - 250) / 250 < 0.2
