@@ -66,6 +66,13 @@ HEADLINE = [
     "cms_heavy_hitters",
     "hll_event_users",
     "bloom_novel_docs",
+    "histogram_quantiles",
+    # round-2 layout / graph / sampling
+    "zorder_layout",
+    "event_burst_triangles",
+    "weighted_doc_sample",
+    "identity_pagerank",
+    "embedding_topk_int8",
 ]
 
 

@@ -392,6 +392,10 @@ def triangle_counts(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # e feeds degree, orientation, and the closing-edge join —
+        # cut the upstream lineage (often an expensive banded/LSH
+        # join) so it computes once, same device as the CC loop
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -415,7 +419,7 @@ def triangle_counts(
         )
         .otherwise(F.struct(F.col("_da").alias("d"), F.col("a").alias("n")))
         .alias("rv"),
-    )
+    ).localCheckpoint(eager=False)  # feeds both wedge sides + closing
     d1 = d.select(F.col("u"), F.col("v").alias("_v"), F.col("rv").alias("_rv"))
     d2 = d.select(F.col("u"), F.col("v").alias("_w"), F.col("rv").alias("_rw"))
     wedges = d1.join(d2, "u").where(F.col("_rv") < F.col("_rw"))
