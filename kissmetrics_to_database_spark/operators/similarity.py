@@ -700,3 +700,58 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "score", "rank")
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    probe_ids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard negatives: for each probe, the ``k`` most
+    cosine-similar vectors whose label DIFFERS — the examples a
+    contrastive/embedding trainer needs most (easy negatives are
+    free; hard ones are what move the loss).
+
+    Same distributed shape as brute-force top-k: probes broadcast,
+    corpus scanned once map-side, per-probe top-k window. The label
+    inequality is part of the join predicate, so same-label rows
+    never reach the ranking. At scale, swap the scan for the IVF /
+    LSH candidate generators and keep this ranking stage unchanged.
+
+    Returns (probe_id, probe_label, neighbor_id, neighbor_label,
+    score, rank).
+    """
+    p = emb.join(probe_ids.select(id_col), id_col).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        F.col(label_col).alias("probe_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.join(F.broadcast(p))
+        .where(
+            (F.col("probe_id") != F.col("neighbor_id"))
+            & (F.col("probe_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "probe_id",
+            "probe_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("_pv"), F.col("_cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -557,3 +557,56 @@ def hashed_ngram_classifier(
         prob.alias("prob"),
         (prob >= 0.5).alias("label"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ``ln(freq) ~ ln(rank)`` across the top ``top_n`` tokens. A
+    natural-language corpus sits near slope -1; a slope far off is a
+    corpus-health smell (boilerplate floods, templated spam, OCR
+    noise) — the cheapest corpus-level quality gate there is.
+
+    One token-count shuffle (map-side combined), a ``top_n``-row
+    TakeOrdered, then a closed-form single-row regression
+    (covar_pop / var_pop) — no iteration, no driver math.
+
+    Returns one row: (n_terms, slope, intercept, r2).
+    """
+    from .dedup import tokens
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    # degenerate guards (single term -> var(x)=0; flat freqs ->
+    # var(y)=0): slope/intercept need var(x)>0, r2 needs both.
+    # try_divide-style NULLs keep ANSI mode and the oracle aligned.
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), ndigits).alias("intercept"),
+        F.round(
+            F.when(F.var_pop("y") == 0, None).otherwise(
+                (F.covar_pop("x", "y") * F.covar_pop("x", "y"))
+                / (F.var_pop("x") * F.var_pop("y"))
+            ),
+            ndigits,
+        ).alias("r2"),
+    )

@@ -950,7 +950,7 @@ _LOW_PRIORITY_TAIL = [
     "embedding_topk_int8", "hashed_ngram_classifier", "identity_pagerank",
     "cms_heavy_hitters", "hll_event_users", "bloom_novel_docs",
     "weighted_doc_sample", "histogram_quantiles", "zorder_layout",
-    "event_burst_triangles",
+    "event_burst_triangles", "hard_negative_mining", "vocab_zipf_fit",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

@@ -2643,3 +2643,84 @@ def q_event_burst_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "event_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — hard-negative mining + Zipf corpus profile (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pv, label AS probe_label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT p.probe_id, p.probe_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_sql_cosine('p.pv', 'e.embedding')} AS score
+      FROM embeddings e CROSS JOIN p
+      WHERE e.vec_id <> p.probe_id AND e.label <> p.probe_label
+    )
+    SELECT probe_id, probe_label, neighbor_id, neighbor_label, score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY probe_id, rank
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives for 10 probe vectors: the 3 most
+    cosine-similar vectors with a DIFFERENT label. The training-pair
+    miner for embedding models — probes broadcast, corpus scanned
+    map-only, label inequality inside the join predicate so
+    same-label rows never rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = emb.where(F.col("vec_id") < 10).select("vec_id")
+    return similarity.hard_negative_mining(emb, probe_ids, k=3).orderBy(
+        "probe_id", "rank"
+    )
+
+
+@query(
+    "vocab_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''
+             )) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok GROUP BY token
+      ORDER BY freq DESC, token LIMIT 1000
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS slope,
+           round(avg(y) - covar_pop(x, y) / nullif(var_pop(x), 0) * avg(x), 6)
+             AS intercept,
+           round(CASE WHEN var_pop(y) = 0 THEN NULL
+                 ELSE covar_pop(x, y) * covar_pop(x, y)
+                      / (var_pop(x) * var_pop(y)) END, 6) AS r2
+    FROM ranked
+    """,
+)
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus profile: least-squares ln(freq) ~ ln(rank)
+    over the top-1000 vocabulary. Natural text sits near slope -1;
+    drift flags boilerplate floods or templated spam — a one-row
+    corpus gate. One map-combined token shuffle + a TakeOrdered;
+    regression is closed-form aggregation, nothing iterative."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_fit(docs)

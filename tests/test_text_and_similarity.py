@@ -419,3 +419,63 @@ def test_hashed_ngram_classifier_matches_python(spark):
         assert abs(got["mean_w"] - mean_w) <= 1e-6
         assert abs(got["prob"] - prob) <= 1e-6
         assert got["label"] == (prob >= 0.5)
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    rows = [
+        (i, [float((i * 3 + d) % 5) for d in range(4)], i % 2)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    probes = df.where("vec_id < 4").select("vec_id")
+    out = similarity.hard_negative_mining(df, probes, k=3).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["probe_label"] != r["neighbor_label"]
+        assert r["probe_id"] != r["neighbor_id"]
+    # ranks are 1..3 per probe, scores non-increasing
+    from collections import defaultdict
+
+    by_probe = defaultdict(list)
+    for r in out:
+        by_probe[r["probe_id"]].append(r)
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert all(
+            rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
+        )
+
+
+def test_hard_negative_is_nearest_other_label(spark):
+    # probe at origin-ish; same-label twin is closest but excluded
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label, most similar — excluded
+        (2, [0.9, 0.3], 1),    # different label — the hard negative
+        (3, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negative_mining(
+        df, df.where("vec_id = 0").select("vec_id"), k=1
+    ).collect()
+    assert len(out) == 1 and out[0]["neighbor_id"] == 2
+
+
+def test_zipf_fit_on_synthetic_zipf_corpus(spark):
+    # freq(rank) ~ rank^-1 exactly -> slope == -1, r2 == 1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (2400 // r)
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    [row] = text.zipf_fit(df, top_n=50).collect()
+    assert row["n_terms"] == 50
+    assert abs(row["slope"] + 1.0) < 0.02  # floor() of counts adds noise
+    assert row["r2"] > 0.999
+
+
+def test_zipf_fit_flat_corpus_slope_zero(spark):
+    words = [f"w{i}" for i in range(40)] * 10
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    [row] = text.zipf_fit(df, top_n=40).collect()
+    assert row["slope"] == 0.0  # all freqs equal -> zero slope

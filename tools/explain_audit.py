@@ -212,6 +212,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi", "TakeOrderedAndProject"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # hard negatives: probes broadcast (NLJ with the label-inequality
+    # predicate); corpus never sort-merges
+    "hard_negative_mining": (
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # zipf: token counts combine map-side, top-1000 via TakeOrdered,
+    # single-row closed-form regression
+    "vocab_zipf_fit": (
+        ["partial_count", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
 }
 
 
