@@ -145,3 +145,48 @@ def transform_events(
         out = with_formatted_t(out)
     out = with_fingerprint(out, fingerprint_cols)
     return with_load_date(out, fixed_date)
+
+
+def decayed_user_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_s: int = 7 * 86400,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-user exponentially time-decayed activity features — the
+    standard recency-weighted signals a ranking/abuse model consumes:
+    each event contributes ``value * 0.5^(age / half_life)`` with age
+    measured from the user's LATEST event.
+
+    Two aggregations sharing one user-keyed partitioning: max-ts per
+    user joins back onto the rows on the same key (co-partitioned —
+    no second full shuffle of the fact side; AQE broadcasts the
+    skinny per-user table when it fits), then one map-side-combinable
+    sum. No window function, no per-user sort. The anchor-at-max-ts
+    form is deliberate: the algebraic single-pass rewrite
+    (``0.5^(T/τ)·Σ v·2^(t/τ)``) overflows doubles once the corpus
+    spans ~1000 half-lives, so the two-pass join is the one that
+    survives decades of data.
+
+    Returns (user, n_events, decayed_value, last_seen_epoch).
+    """
+    # micros → fractional seconds: identical IEEE division on both
+    # engines (unix_timestamp would truncate sub-second parts and
+    # DuckDB's epoch() wouldn't — micro-anchoring keeps them equal)
+    us = F.unix_micros(F.col(ts_col)).cast("double") / F.lit(1000000.0)
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(user_col), us.alias("_s"), F.col(value_col).cast("double").alias("_v"))
+    last = base.groupBy(user_col).agg(F.max("_s").alias("_last"))
+    decay = F.pow(F.lit(0.5), (F.col("_last") - F.col("_s")) / F.lit(float(half_life_s)))
+    return (
+        base.join(last, user_col)
+        .groupBy(user_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("_v") * decay), ndigits).alias("decayed_value"),
+            F.floor(F.max("_s")).cast("long").alias("last_seen_epoch"),
+        )
+    )

@@ -2724,3 +2724,78 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression is closed-form aggregation, nothing iterative."""
     docs = load_table(spark, sf_dir, "documents")
     return text.zipf_fit(docs)
+
+
+# ---------------------------------------------------------------------------
+# EXT — time-decayed features + governance scrub (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_decay_features",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts)::DOUBLE / 1000000e0 AS s,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    last AS (SELECT user_id, max(s) AS last_s FROM base GROUP BY user_id)
+    SELECT b.user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(b.v * pow(0.5, (l.last_s - b.s) / 604800e0)), 6)
+             AS decayed_value,
+           CAST(floor(max(b.s)) AS BIGINT) AS last_seen_epoch
+    FROM base b JOIN last l USING (user_id)
+    GROUP BY b.user_id ORDER BY b.user_id
+    """,
+)
+def q_user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user activity (7-day half-life, anchored
+    at each user's latest event) — the feature-engineering shape
+    ranking and abuse models consume. One user-keyed partitioning
+    shared by the max-ts aggregate, the join back, and the decayed
+    sum; no window, no per-user sort."""
+    from kissmetrics_to_database_spark.functions import events_transform
+
+    ev = load_table(spark, sf_dir, "events")
+    return events_transform.decayed_user_features(ev).orderBy("user_id")
+
+
+@query(
+    "tombstone_scrub",
+    """
+    WITH tombstones AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS surviving,
+           CAST(sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS would_scrub
+    FROM events e LEFT JOIN tombstones t USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q_tombstone_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit: per event type, rows surviving a
+    tombstone scrub vs. rows the scrub would remove (tombstone set =
+    user_id % 97 — the deletion-request table stand-in). At scale the
+    tombstone list broadcasts and the scrub is a map-only anti-join —
+    no shuffle of the fact table; pairs with `pii_mask` for the
+    in-place redaction variant."""
+    ev = load_table(spark, sf_dir, "events")
+    tomb = (
+        ev.where(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("_dead", F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(tomb), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("surviving"),
+            F.sum(
+                F.when(F.col("_dead").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("would_scrub"),
+        )
+        .orderBy("event_type")
+    )

@@ -88,3 +88,44 @@ def test_sha1_matches_hashlib(spark):
     # the builtin even though the oracle-facing queries use sha2-256
     out = spark.range(1).select(F.sha1(F.lit("abc")).alias("h")).collect()[0]["h"]
     assert out == hashlib.sha1(b"abc").hexdigest()
+
+
+def test_decayed_user_features_matches_python(spark):
+    import datetime as dt
+    import math
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10.0),
+        (1, dt.datetime(2024, 1, 8), 20.0),   # 7 days before last
+        (1, dt.datetime(2024, 1, 15), 40.0),  # the anchor
+        (2, dt.datetime(2024, 3, 1), 5.0),
+        (2, None, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).where(
+        "ts IS NOT NULL"
+    )
+    out = {
+        r["user_id"]: r
+        for r in et.decayed_user_features(df).collect()
+    }
+    # user 1: 40 + 20*0.5 + 10*0.25 = 52.5 exactly (whole half-lives)
+    assert out[1]["n_events"] == 3
+    assert abs(out[1]["decayed_value"] - 52.5) < 1e-6
+    assert out[1]["last_seen_epoch"] == int(
+        dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc).timestamp()
+    )
+    # single event: decay 0.5^0 = 1
+    assert out[2]["decayed_value"] == 5.0
+
+
+def test_decayed_user_features_null_rows_excluded(spark):
+    import datetime as dt
+
+    rows = [
+        (None, dt.datetime(2024, 1, 1), 1.0),
+        (3, dt.datetime(2024, 1, 1), None),
+        (3, dt.datetime(2024, 1, 2), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = et.decayed_user_features(df).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1

@@ -224,6 +224,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count", "TakeOrderedAndProject"],
         ["CartesianProduct"],
     ),
+    # decayed features: no window/sort — aggregations + a user-keyed
+    # join (AQE broadcasts the skinny side at this scale)
+    "user_decay_features": (
+        ["partial_count"],
+        ["Window", "CartesianProduct"],
+    ),
+    # tombstone scrub: the deletion list must broadcast — the fact
+    # table is never shuffled for the join
+    "tombstone_scrub": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
