@@ -2799,3 +2799,78 @@ def q_tombstone_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — leakage-safe splitting (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    pairs AS (
+      SELECT j.id_a, j.id_b FROM jac j
+      JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src AS node, src AS r FROM und
+      UNION
+      SELECT und.src AS node, reach.r FROM und JOIN reach ON und.dst = reach.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, canonical_id,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(canonical_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM assigned
+    ) ORDER BY doc_id
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates
+    across splits: the hash bucket is computed on the near-dup
+    CLUSTER canonical (CC over verified LSH pairs), so every member
+    of a duplicate cluster lands in the same split by construction.
+    Splitting doc-wise and deduping later does NOT give this — a
+    train/test near-dup pair is benchmark contamination. Same
+    205/25/26 bucket thresholds as `hash_split_assignment`."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    assigned = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2), 16, 10
+        ).cast("int")
+    )
+    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    return assigned.select(
+        "doc_id", "canonical_id", split.alias("split")
+    ).orderBy("doc_id")

@@ -153,3 +153,50 @@ def test_near_dup_clusters_canonical_is_min_member(spark):
         for r in near_dup_clusters(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    # clusters of near-identical docs + singletons: every cluster
+    # must land in exactly one split, whatever the split hash says
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for c in range(12):
+        for m in range(3):
+            rows.append((c * 10 + m, base * 3 + f"cluster {c} tail {m}"))
+    for s in range(200, 220):
+        rows.append((s, f"unique singleton document number {s} " * 5))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    assigned = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+    )
+    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    out = assigned.select("doc_id", "canonical_id", split.alias("split")).collect()
+
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    canon_of = {r["doc_id"]: r["canonical_id"] for r in out}
+    # invariant 1: same canonical -> same split
+    by_canon: dict = {}
+    for d, c in canon_of.items():
+        by_canon.setdefault(c, set()).add(split_of[d])
+    assert all(len(s) == 1 for s in by_canon.values())
+    # invariant 2: no verified near-dup pair straddles splits
+    for p in pairs.collect():
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    # sanity: the synthetic clusters actually clustered
+    for c in range(12):
+        assert len({canon_of[c * 10 + m] for m in range(3)}) == 1
