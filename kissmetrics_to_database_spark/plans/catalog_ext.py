@@ -2874,3 +2874,84 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "canonical_id", split.alias("split")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT — pairwise source-overlap matrix (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS ({_sql_shingles_n(5, "")}),
+    src_sh AS (
+      SELECT DISTINCT d.source, s.token
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM src_sh GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM src_sh a JOIN src_sh b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           round(s.n_shared / least(ta.n_shingles, tb.n_shingles), 6)
+             AS overlap
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    ORDER BY overlap DESC, s.source_a, s.source_b LIMIT 30
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 5-gram overlap between corpus sources — the
+    contamination MATRIX (decontamination generalized from
+    one-eval-set to every source pair): high overlap means mirrored /
+    scraped-twice content that inflates dedup work and double-counts
+    a domain in the mixture. One distinct (source, shingle) pass,
+    one shingle-keyed equi-join (band keys bound the skew), tiny
+    totals joins; top-30 pairs by containment overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.distinct_shingles(docs, "doc_id", "text", n=5)
+    src_sh = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "token")
+        .distinct()
+    )
+    totals = src_sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    a = src_sh.select(F.col("source").alias("source_a"), "token")
+    b = src_sh.select(F.col("source").alias("source_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("_ta")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("_tb")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("_ta"), F.col("_tb")), 6
+            ).alias("overlap"),
+        )
+        .orderBy(F.col("overlap").desc(), "source_a", "source_b")
+        .limit(30)
+    )

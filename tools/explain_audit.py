@@ -236,6 +236,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # leakage-safe split: the cluster map left-joins docs on doc_id;
+    # everything upstream is the audited LSH chain — never cartesian
+    "leakage_safe_split": (
+        [],
+        ["CartesianProduct"],
+    ),
+    # source overlap: shingle-keyed equi-join + broadcast totals;
+    # top-30 via TakeOrdered
+    "source_overlap_matrix": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
 }
 
 
