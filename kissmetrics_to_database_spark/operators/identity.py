@@ -318,23 +318,34 @@ def pagerank(
     Each iteration is the canonical distributed plan: one equi-join of
     the edge list against the current ranks (shuffle keyed on node),
     one per-node sum, and a broadcast 1-row node count for the
-    teleport term. The loop depth is a compile-time constant — the
-    whole thing is ONE Catalyst plan with no driver-side iteration
-    state, so AQE re-plans each stage at runtime. Undirected doubling
+    teleport term. The loop depth is a compile-time constant with no
+    driver-side iteration state; the edge list and degree table are
+    lineage-cut (lazy localCheckpoint) since every unrolled iteration
+    reuses them — the per-iteration subplans stay flat and AQE
+    re-plans each stage at runtime. Undirected doubling
     guarantees every node has out-degree >= 1 (no dangling-mass
     correction needed). Ranks round to ``ndigits`` at every iteration
     — float summation order never leaks into results, so output is
     engine-exact (the same contract the k-means loop pins).
     """
     fwd = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    und = fwd.where(F.col("_s") != F.col("_d")).union(
-        fwd.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")).where(
-            F.col("_s") != F.col("_d")
+    und = (
+        fwd.where(F.col("_s") != F.col("_d"))
+        .union(
+            fwd.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")).where(
+                F.col("_s") != F.col("_d")
+            )
         )
-    ).distinct()
+        .distinct()
+        # und and deg appear in EVERY unrolled iteration — without a
+        # lineage cut the edge-derivation subtree is re-planned and
+        # re-executed per iteration and the plan tree grows
+        # exponentially-shaped (measured 6x wall on the bench suite)
+        .localCheckpoint(eager=False)
+    )
     deg = und.groupBy(F.col("_s").alias("node")).agg(
         F.count("*").cast("long").alias("_deg")
-    )
+    ).localCheckpoint(eager=False)
     total = deg.agg(F.count("*").cast("double").alias("_n"))
     ranks = deg.crossJoin(F.broadcast(total)).select(
         "node", "_deg", F.round(F.lit(1.0) / F.col("_n"), ndigits).alias("rank")
