@@ -132,3 +132,79 @@ def test_cc_matches_union_find(spark, pairs):
         for r in identity.connected_components(df).collect()
     }
     assert got == _cc_python(edges)
+
+
+# ---------------------------------------------------------------------------
+# Sketch invariants (driver-side: pure-python mirrors of the md5-slice
+# family — cheap, so hypothesis gets its full example budget)
+# ---------------------------------------------------------------------------
+
+
+def _slices_py(value: str, k: int, nchars: int = 4) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(value.encode()).hexdigest()
+    return [int(h[nchars * j : nchars * (j + 1)], 16) for j in range(k)]
+
+
+@given(
+    st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=60),
+    st.sampled_from([64, 256, 1024]),
+)
+def test_cms_never_undercounts_python_model(vals, width):
+    # the pure-python model of operators/sketches.cms_* (exact same
+    # hash family): estimate >= truth for EVERY value, any width
+    from collections import Counter
+
+    depth = 4
+    counters = [[0] * width for _ in range(depth)]
+    for v in vals:
+        for d, s in enumerate(_slices_py(v, depth)):
+            counters[d][s % width] += 1
+    for v, true_cnt in Counter(vals).items():
+        est = min(counters[d][s % width] for d, s in enumerate(_slices_py(v, depth)))
+        assert est >= true_cnt
+
+
+@given(
+    st.sets(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=50),
+    st.sets(st.text(alphabet="uvwxyz", min_size=1, max_size=8), max_size=50),
+    st.sampled_from([1 << 10, 1 << 12, 1 << 16]),
+)
+def test_bloom_no_false_negatives_python_model(build, probes, bits):
+    k = 4
+    bitset = {s % bits for v in build for s in _slices_py(v, k)}
+    for v in build:  # every built value must test positive
+        assert all(s % bits in bitset for s in _slices_py(v, k))
+    # (disjoint probes may false-positive — that's the contract)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500))
+def test_hll_python_model_merge_and_bounds(vals):
+    # register merge property: HLL(A ∪ B) == merge(HLL(A), HLL(B));
+    # and the estimate is within a loose envelope for small sets
+    from tests.test_sketches import _hll_python
+
+    import hashlib
+
+    def regs(values, b=8):
+        out: dict[int, int] = {}
+        for v in values:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            reg, rest = int(h[:2], 16), int(h[2:8], 16)
+            rho = 25 if rest == 0 else 25 - rest.bit_length()
+            out[reg] = max(out.get(reg, 0), rho)
+        return out
+
+    vs = sorted(vals)
+    half = len(vs) // 2
+    a, b = vs[:half], vs[half:]
+    ra, rb = regs(a), regs(b)
+    merged = dict(ra)
+    for k_, v_ in rb.items():
+        merged[k_] = max(merged.get(k_, 0), v_)
+    assert merged == regs(vs)
+    est = _hll_python(vs)
+    assert est > 0
+    if len(vs) <= 200:
+        assert abs(est - len(vs)) / len(vs) < 0.5  # loose 3-sigma-ish bound
