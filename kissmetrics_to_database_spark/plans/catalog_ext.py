@@ -2955,3 +2955,55 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlap").desc(), "source_a", "source_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — behavior-sequence assembly (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavior_sequences",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+           md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_md5
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_behavior_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event logs → per-user ordered action sequences — the assembly
+    step that turns clickstream into behavior-LM training rows (the
+    event-domain analog of document packing; feed `seq` to the
+    chunk/pack operators for fixed-length training windows).
+    Order inside each sequence is total (ts, then event_id), pinned
+    via sort_array over (ts, id, type) structs — one user-keyed
+    shuffle, no window function, deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    seq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("e"),
+                    )
+                )
+            ),
+            lambda x: x["e"],
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            seq.alias("seq"),
+            F.md5(seq).alias("seq_md5"),
+        )
+        .orderBy("user_id")
+    )

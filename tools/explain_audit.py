@@ -248,6 +248,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "TakeOrderedAndProject"],
         ["CartesianProduct"],
     ),
+    # behavior sequences: ONE user-keyed shuffle (objectHashAgg over
+    # collect_list) — no window, no join, no sort exchange before agg
+    "behavior_sequences": (
+        ["ObjectHashAggregate"],
+        ["Window", "CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
