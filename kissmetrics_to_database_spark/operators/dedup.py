@@ -227,6 +227,48 @@ def minhash_signatures(
     return wide.select(id_col, F.expr(stack_expr))
 
 
+def band_keys_wide(
+    wide: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) rows from wide MinHash signatures.
+
+    band id = seed // rows_per_band; band key = md5 of the ordered
+    minhashes in the band — a pure projection off the wide columns
+    (no shuffle). This is the LSH index representation: the pairwise
+    path equi-joins it against itself (:func:`lsh_candidate_pairs_wide`)
+    and the incremental-ingest path equi-joins a new batch's keys
+    against a persisted corpus index, so arriving data is deduped
+    against 100 TB of history without ever rescanning it.
+    """
+    n_bands = -(-num_hashes // rows_per_band)  # ceil: short final band
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_mh{s}")
+                        for s in range(
+                            i * rows_per_band,
+                            min((i + 1) * rows_per_band, num_hashes),
+                        )
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for i in range(n_bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
+
+
 def lsh_candidate_pairs_wide(
     wide: DataFrame,
     id_col: str,
@@ -248,28 +290,7 @@ def lsh_candidate_pairs_wide(
     ``seed // rows_per_band`` (and the DuckDB oracle), so no seed is
     ever silently dropped (ADVICE r01 #2).
     """
-    n_bands = -(-num_hashes // rows_per_band)  # ceil: short final band
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"_mh{s}")
-                        for s in range(
-                            i * rows_per_band,
-                            min((i + 1) * rows_per_band, num_hashes),
-                        )
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for i in range(n_bands)
-    ]
-    bands = wide.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    bands = band_keys_wide(wide, id_col, num_hashes, rows_per_band)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

@@ -952,7 +952,9 @@ _LOW_PRIORITY_TAIL = [
     "weighted_doc_sample", "histogram_quantiles", "zorder_layout",
     "event_burst_triangles", "hard_negative_mining", "vocab_zipf_fit",
     "user_decay_features", "tombstone_scrub", "leakage_safe_split",
-    "source_overlap_matrix", "behavior_sequences",
+    "source_overlap_matrix", "behavior_sequences", "bpe_pair_counts",
+    "event_transition_matrix", "epoch_shuffle", "quality_quantile_gate",
+    "incremental_ingest_dedup",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

@@ -3007,3 +3007,289 @@ def q_behavior_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — tokenizer training, behavior modeling, training-order shuffle,
+# quantile quality gating, incremental-ingest dedup (round 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT w, count(*) AS wc
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    )
+    SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+           CAST(sum(wc) AS BIGINT) AS cnt
+    FROM words, unnest(range(1, length(w))) AS u(i)
+    WHERE length(w) >= 2
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration for tokenizer training: corpus-wide
+    adjacent character-pair frequencies.
+
+    The classic scaling trick: aggregate the corpus down to its WORD
+    VOCABULARY first (one groupBy whose output is Zipf-bounded — a
+    100 TB corpus still has only millions of distinct words), then
+    explode character pairs over the vocab weighted by word frequency.
+    Pair explosion touches the small table, never the corpus; both
+    aggregations are map-side-combined and fully codegen'd (sequence +
+    transform + substring — no UDF). Subsequent merge iterations would
+    re-run the same pair count over the re-segmented vocab table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), "[^a-z]+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst ORDER BY src, dst
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the label/statistics side of next-action-prediction
+    training data (pairs with `behavior_sequences`, which emits the
+    sequences themselves).
+
+    One user-partitioned window (lead) = one shuffle on user_id, the
+    same key every per-user operator here shuffles on; the transition
+    count groupBy then reduces to |event_types|² rows, so the row-wise
+    probability normalization windows over a tiny aggregate, not the
+    corpus. Order within a user is total (ts, then event_id)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wsrc), 6).alias("prob"),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "epoch_shuffle",
+    """
+    SELECT doc_id,
+           md5('epoch-1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos,
+           CAST((row_number() OVER (
+             ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) % 8 AS INTEGER) AS shard
+    FROM documents ORDER BY pos
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch's
+    order is md5(epoch_salt, doc_id) — reproducible across runs and
+    engines, stable under corpus append, no RNG state to checkpoint.
+
+    The global position is computed by TWO-PHASE RANKING, not a global
+    window: rank locally within 256 key-prefix buckets (the hex prefix
+    preserves md5 lexicographic order), then add broadcast per-bucket
+    offsets from a 256-row cumulative sum. No single-partition pass
+    ever sees the corpus — the same plan shape Spark's own sortBy uses,
+    but with the rank materialized as a column. `shard` round-robins
+    positions across 8 data-parallel workers, so each shard is an
+    unbiased 1/8 sample of every quality/source stratum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    keyed = docs.withColumn("bkt", F.substring("shuffle_key", 1, 2))
+    wloc = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
+    local = keyed.withColumn("lrank", F.row_number().over(wloc))
+    wcum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(wcum), F.lit(0)))
+        .select("bkt", "off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn("pos", (F.col("off") + F.col("lrank")).cast("long"))
+        .withColumn("shard", ((F.col("pos") - 1) % 8).cast("int"))
+        .select("doc_id", "shuffle_key", "pos", "shard")
+        .orderBy("pos")
+    )
+
+
+@query(
+    "quality_quantile_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round((len_score + alpha_ratio + stop_score + wl_score) / 4.0, 6) AS quality
+      FROM (
+        SELECT doc_id, source,
+               least(CAST(1.0 AS DOUBLE), length(text) / CAST(500.0 AS DOUBLE)) AS len_score,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+               least(CAST(1.0 AS DOUBLE),
+                     CAST(5.0 AS DOUBLE) * ({_SQL_STOPHITS}) / CAST(greatest(len(t), 1) AS DOUBLE)) AS stop_score,
+               CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))
+                           / CAST(greatest(len(t), 1) AS DOUBLE) BETWEEN 3 AND 12
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wl_score
+        FROM (SELECT doc_id, source, text,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             round(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ), 6) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, quality, pr
+    FROM ranked WHERE pr <= 0.5 ORDER BY doc_id
+    """,
+)
+def q_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quantile gate: keep each source's top half
+    by heuristic quality score (percent_rank <= 0.5 within source).
+
+    Absolute-threshold gates (gopher_quality) misfire when sources
+    have different score distributions — a web crawl's median beats a
+    forum dump's p90. Ranking WITHIN source normalizes that away; the
+    window is partitioned by source, so it shuffles on the same key as
+    every other per-source operator and never concentrates the corpus.
+    Ties broken by doc_id for a total order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.with_quality_score(docs).select("doc_id", "source", "quality")
+    wr = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    ranked = scored.withColumn("pr", F.round(F.percent_rank().over(wr), 6))
+    return ranked.where(F.col("pr") <= 0.5).select(
+        "doc_id", "source", "quality", "pr"
+    ).orderBy("doc_id")
+
+
+@query(
+    "incremental_ingest_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents
+    ),
+    bands AS (
+      WITH mh AS ({SQL_MINHASH})
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    exact_hit AS (
+      SELECT DISTINCT b.doc_id
+      FROM fp b JOIN fp c ON b.fp = c.fp
+      WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+    ),
+    near_hit AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb JOIN bands cb
+        ON nb.band = cb.band AND nb.band_key = cb.band_key
+      WHERE nb.doc_id % 10 = 9 AND cb.doc_id % 10 <> 9
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM documents d
+    LEFT JOIN exact_hit e ON d.doc_id = e.doc_id
+    LEFT JOIN near_hit n ON d.doc_id = n.doc_id
+    WHERE d.doc_id % 10 = 9
+    ORDER BY d.doc_id
+    """,
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify an arriving batch (simulated
+    as doc_id % 10 = 9) against the existing corpus as exact_dup /
+    near_dup / new — the production ingestion path, where new data is
+    deduped against history WITHOUT rescanning history.
+
+    Both probes are key equi-joins against what would be persisted
+    index tables at scale: the exact probe joins the batch's
+    normalized-text md5 against the corpus fingerprint set, and the
+    near probe joins the batch's MinHash LSH band keys
+    (dedup.band_keys_wide — same family as minhash_lsh_near_dups)
+    against the corpus band-key index. The corpus side reduces to
+    distinct keys before the join; nothing pairwise, nothing O(n²),
+    and the batch side (the small side) is broadcastable."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 9
+    fp = docs.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("fp"), is_batch.alias("b"))
+    exact_hit = (
+        fp.where("b")
+        .join(fp.where(~F.col("b")).select("fp").distinct(), "fp")
+        .select("doc_id")
+        .distinct()
+    )
+    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    wide = dedup.minhash_wide_tokens(tok, "doc_id")
+    bands = dedup.band_keys_wide(wide, "doc_id").withColumn("b", is_batch)
+    near_hit = (
+        bands.where("b")
+        .join(
+            bands.where(~F.col("b")).select("band", "band_key").distinct(),
+            ["band", "band_key"],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    batch = docs.where(is_batch).select("doc_id")
+    return (
+        batch.join(exact_hit.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_hit.withColumn("n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e").isNotNull(), "exact_dup")
+            .when(F.col("n").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -254,6 +254,34 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["ObjectHashAggregate"],
         ["Window", "CartesianProduct", "SortMergeJoin"],
     ),
+    # BPE pair counts: two map-side-combined aggregations, no join —
+    # pair explosion happens on the Zipf-bounded vocab, not the corpus
+    "bpe_pair_counts": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # transition matrix: one user-keyed window (lead), then aggregates
+    "event_transition_matrix": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # epoch shuffle: bucket-local ranks + broadcast offset join — the
+    # corpus must NEVER pass through a single-partition global window
+    "epoch_shuffle": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # quantile gate: source-partitioned window, no join
+    "quality_quantile_gate": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # incremental ingest dedup: key equi-joins only (fingerprint set +
+    # LSH band-key index) — nothing pairwise against the corpus
+    "incremental_ingest_dedup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
