@@ -73,6 +73,13 @@ HEADLINE = [
     "weighted_doc_sample",
     "identity_pagerank",
     "embedding_topk_int8",
+    # round-2 tokenizer / sequence-assembly / incremental-ingest suite
+    "bpe_pair_counts",
+    "behavior_sequences",
+    "event_transition_matrix",
+    "epoch_shuffle",
+    "quality_quantile_gate",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -127,23 +127,20 @@ def shingle_arrays(
     )
 
 
-def distinct_shingles(
+def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, token) rows where token = a distinct ``n``-token shingle.
+    """(id, token) shingle rows WITH per-doc duplicates — the cheap
+    form for duplicate-insensitive consumers.
 
-    Formulation: posexplode the token array, then build each shingle
-    as ``concat_ws(token, lead(1), …, lead(n-1))`` over a per-doc
-    window — every operator (explode, window, concat) is codegen'd.
-    Measured 4-6× faster at sf0.1 than constructing the shingle array
-    with higher-order ``transform``+``slice`` lambdas, which are
-    interpreted per element (see :func:`shingle_arrays` for that
-    zero-shuffle alternate — worth it only when the cluster is
-    shuffle-bound rather than CPU-bound).
-
-    Docs shorter than ``n`` tokens contribute their full token
-    sequence as one shingle (``concat_ws`` skips the null leads and
-    the pos filter keeps only pos 0).
+    MinHash signatures are min() aggregates, so repeated shingles
+    cannot change them, and the per-doc window below leaves the data
+    hash-partitioned on the doc id, so a signature groupBy over this
+    form runs without any further shuffle. NOTE: for repetitive
+    corpora this is NOT the fast signature path — see
+    :func:`minhash_lsh_dedup_pairs` for the measurement showing
+    distinct-first wins (fewer md5 evaluations dominate the saved
+    exchange). Set-semantics consumers (Jaccard) must ``.distinct()``.
     """
     tok = df.select(
         F.col(id_col),
@@ -163,8 +160,28 @@ def distinct_shingles(
             & (F.col("token") != "")
         )
         .select(F.col(id_col), "token")
-        .distinct()
     )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, token) rows where token = a distinct ``n``-token shingle.
+
+    Formulation: posexplode the token array, then build each shingle
+    as ``concat_ws(token, lead(1), …, lead(n-1))`` over a per-doc
+    window — every operator (explode, window, concat) is codegen'd.
+    Measured 4-6× faster at sf0.1 than constructing the shingle array
+    with higher-order ``transform``+``slice`` lambdas, which are
+    interpreted per element (see :func:`shingle_arrays` for that
+    zero-shuffle alternate — worth it only when the cluster is
+    shuffle-bound rather than CPU-bound).
+
+    Docs shorter than ``n`` tokens contribute their full token
+    sequence as one shingle (``concat_ws`` skips the null leads and
+    the pos filter keeps only pos 0).
+    """
+    return exploded_shingles(df, id_col, text_col, n).distinct()
 
 
 def minhash_wide_tokens(
@@ -361,6 +378,17 @@ def minhash_lsh_dedup_pairs(
     """Full MinHash→LSH→Jaccard-verify near-dup pipeline.
 
     Returns (id_a, id_b, jaccard) for verified near-duplicate pairs.
+
+    Why distinct-FIRST (measured, sf0.1): feeding the signature path
+    non-distinct shingles looks like it saves the (id, token) distinct
+    exchange — MinHash mins are duplicate-insensitive — but loses 2.5×
+    (1.7 s → 4.4 s warm) because (a) repetitive documents carry heavy
+    within-doc shingle duplication, so distinct-first means one md5
+    per distinct shingle instead of per instance, and (b) Spark's
+    aggregate-based ``distinct()`` partially dedupes map-side before
+    the exchange anyway, so the shuffle being "saved" was already
+    small. The persisted distinct set is then shared by the signature
+    and verify paths.
     """
     tok = distinct_shingles(df, id_col, text_col).persist()
     wide = minhash_wide_tokens(tok, id_col, num_hashes)
