@@ -402,6 +402,77 @@ def minhash_lsh_dedup_pairs(
     return result
 
 
+def corpus_ingest_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two index tables incremental-ingest dedup probes:
+    the distinct normalized-text fingerprint set and the distinct
+    MinHash LSH (band, band_key) set.
+
+    At scale these are persisted tables maintained alongside the
+    corpus (append a batch's keys after it is admitted); they are the
+    reason arriving data can be deduped against 100 TB of history
+    with two key equi-joins instead of any rescan.
+    """
+    fp = docs.select(F.md5(F.trim(F.lower(text_col))).alias("fp")).distinct()
+    tok = distinct_shingles(docs, id_col, text_col)
+    wide = minhash_wide_tokens(tok, id_col, num_hashes)
+    bands = (
+        band_keys_wide(wide, id_col, num_hashes, rows_per_band)
+        .select("band", "band_key")
+        .distinct()
+    )
+    return fp, bands
+
+
+def ingest_verdicts(
+    batch: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Classify an arriving batch against a corpus index as
+    exact_dup / near_dup / new.
+
+    Shared verbatim by the batch catalog query
+    (``incremental_ingest_dedup``) and the streaming ingest path
+    (``streaming.pipeline.stream_ingest_dedup`` runs it per
+    micro-batch inside foreachBatch), so both paths cannot drift.
+    Exact probe: batch fingerprints ⋈ fp_index. Near probe: batch LSH
+    band keys ⋈ band_index. Both joins are batch-sized on the probe
+    side — broadcastable when the micro-batch is small.
+    """
+    fp = batch.select(
+        F.col(id_col), F.md5(F.trim(F.lower(text_col))).alias("fp")
+    )
+    exact_hit = fp.join(fp_index, "fp").select(id_col).distinct()
+    tok = distinct_shingles(batch, id_col, text_col)
+    wide = minhash_wide_tokens(tok, id_col, num_hashes)
+    bands = band_keys_wide(wide, id_col, num_hashes, rows_per_band)
+    near_hit = (
+        bands.join(band_index, ["band", "band_key"]).select(id_col).distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_hit.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_hit.withColumn("_n", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_e").isNotNull(), "exact_dup")
+            .when(F.col("_n").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -3258,38 +3258,14 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.band_keys_wide — same family as minhash_lsh_near_dups)
     against the corpus band-key index. The corpus side reduces to
     distinct keys before the join; nothing pairwise, nothing O(n²),
-    and the batch side (the small side) is broadcastable."""
+    and the batch side (the small side) is broadcastable. The verdict
+    logic (dedup.ingest_verdicts) is shared verbatim with the
+    streaming ingest path — see streaming.pipeline.stream_ingest_dedup."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 9
-    fp = docs.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("fp"), is_batch.alias("b"))
-    exact_hit = (
-        fp.where("b")
-        .join(fp.where(~F.col("b")).select("fp").distinct(), "fp")
-        .select("doc_id")
-        .distinct()
+    fp_index, band_index = dedup.corpus_ingest_index(
+        docs.where(~is_batch), "doc_id", "text"
     )
-    tok = dedup.distinct_shingles(docs, "doc_id", "text")
-    wide = dedup.minhash_wide_tokens(tok, "doc_id")
-    bands = dedup.band_keys_wide(wide, "doc_id").withColumn("b", is_batch)
-    near_hit = (
-        bands.where("b")
-        .join(
-            bands.where(~F.col("b")).select("band", "band_key").distinct(),
-            ["band", "band_key"],
-        )
-        .select("doc_id")
-        .distinct()
-    )
-    batch = docs.where(is_batch).select("doc_id")
-    return (
-        batch.join(exact_hit.withColumn("e", F.lit(1)), "doc_id", "left")
-        .join(near_hit.withColumn("n", F.lit(1)), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("e").isNotNull(), "exact_dup")
-            .when(F.col("n").isNotNull(), "near_dup")
-            .otherwise("new")
-            .alias("verdict"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup.ingest_verdicts(
+        docs.where(is_batch), fp_index, band_index, "doc_id", "text"
+    ).orderBy("doc_id")

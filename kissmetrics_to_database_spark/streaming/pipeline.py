@@ -216,3 +216,57 @@ def stream_hll_distinct(
         .foreachBatch(merge)
         .start()
     )
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    corpus: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Continuous-ingestion dedup: a file-source stream of arriving
+    documents, classified per micro-batch against a STATIC corpus
+    index as exact_dup / near_dup / new.
+
+    The index (fingerprint set + MinHash LSH band keys,
+    ``dedup.corpus_ingest_index``) is built once and persisted; each
+    micro-batch runs ``dedup.ingest_verdicts`` inside foreachBatch —
+    the very same function the batch catalog query uses, so stream
+    and batch verdicts cannot drift (pinned in tests). The probes are
+    micro-batch-sized equi-joins against the cached index; history is
+    never rescanned, which is what makes this viable when the corpus
+    is 100 TB and the stream is a firehose. The checkpoint carries
+    the processed-file index, so each arriving file is classified
+    exactly once; at-least-once replay of a batch is harmless because
+    verdicts are a pure function of (batch, index).
+
+    In production the admit-loop would append admitted docs' keys
+    back to the index tables between batches; here the index is
+    frozen, which matches the oracle-checked batch query semantics.
+    """
+    from kissmetrics_to_database_spark.operators import dedup
+
+    fp_index, band_index = dedup.corpus_ingest_index(
+        corpus, id_col, text_col
+    )
+    fp_index = fp_index.persist()
+    band_index = band_index.persist()
+
+    def _classify(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            dedup.ingest_verdicts(
+                batch_df, fp_index, band_index, id_col, text_col
+            ),
+            epoch_id,
+        )
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_classify)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -238,3 +238,78 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert abs(streamed["a"] - 250) / 250 < 0.2
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (1, "hello world exact duplicate text"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated corpus document three"),
+        ],
+        DOC_SCHEMA,
+    )
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    batch1 = [
+        {"doc_id": 9, "text": "hello world exact duplicate text"},
+        {
+            "doc_id": 19,
+            "text": "the quick brown fox jumps over the lazy dog again and again ok",
+        },
+    ]
+    (src / "1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+
+    got: dict[int, str] = {}
+
+    def sink(verdicts_df, epoch_id):
+        got.update(
+            {r["doc_id"]: r["verdict"] for r in verdicts_df.collect()}
+        )
+
+    q = sp.stream_ingest_dedup(
+        spark,
+        str(src),
+        str(tmp_path / "ingest_ckpt"),
+        DOC_SCHEMA,
+        corpus,
+        sink,
+    )
+    q.processAllAvailable()
+    assert got == {9: "exact_dup", 19: "near_dup"}
+
+    # second file arrives: only the new file is classified (checkpoint
+    # carries the processed-file index), and a genuinely novel doc
+    # comes through as 'new'
+    (src / "2.json").write_text(
+        json.dumps(
+            {"doc_id": 29, "text": "zebra xylophone quartz vortex jackdaw flummox"}
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got[29] == "new"
+    assert len(got) == 3
+
+    # stream verdicts == batch verdicts on the same data (shared code)
+    from kissmetrics_to_database_spark.operators import dedup
+
+    fp_index, band_index = dedup.corpus_ingest_index(corpus)
+    arriving = spark.createDataFrame(
+        [(9, batch1[0]["text"]), (19, batch1[1]["text"]),
+         (29, "zebra xylophone quartz vortex jackdaw flummox")],
+        DOC_SCHEMA,
+    )
+    batch_verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup.ingest_verdicts(arriving, fp_index, band_index).collect()
+    }
+    assert batch_verdicts == got
