@@ -3269,3 +3269,91 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ingest_verdicts(
         docs.where(is_batch), fp_index, band_index, "doc_id", "text"
     ).orderBy("doc_id")
+
+
+@query(
+    "ann_recall_at_k",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS pv, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_sql_cosine('p.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings p CROSS JOIN cent c
+        WHERE p.vec_id < 12
+      ) WHERE r <= 2
+    ),
+    ivf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT pc.probe_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY pc.probe_id
+                 ORDER BY {_sql_cosine('a.embedding', 'pc.pv')} DESC, a.vec_id) AS rnk
+        FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
+        WHERE a.vec_id <> pc.probe_id
+      ) WHERE rnk <= 5
+    ),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 12),
+    bf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.embedding', 'p.pv')} DESC, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN pe p
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.probe_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM bf b LEFT JOIN ivf i
+      ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.probe_id ORDER BY b.probe_id
+    """,
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation: recall@5 of the IVF index
+    (nprobe=2) against exact brute-force ground truth, per probe.
+
+    The eval every production ANN deployment runs before trusting an
+    index: ground truth comes from the exact scorer on a probe SAMPLE
+    (12 probes here; a fixed sample at 100 TB — brute force over the
+    sample is k·|corpus| work, embarrassingly parallel), the index
+    answers the same probes, and recall is the per-probe overlap of
+    the two top-k sets. Sub-1.0 recall rows localize exactly which
+    probes the cell layout fails (their true neighbors sit outside
+    the probed cells) — the signal for retuning nprobe/k-cells. Both
+    sides use rounded scores with id tie-breaks, so the metric is
+    deterministic on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    probes = emb.where(F.col("vec_id") < 12)
+    ivf = similarity.ivf_topk(emb, probes, centroids, k=5, nprobe=2).select(
+        "probe_id", F.col("neighbor_id").alias("n_ivf")
+    )
+    bf = similarity.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    # the index answer set is probes×k rows — broadcast it (the
+    # optimizer can't infer post-top-k cardinality and would SMJ)
+    joined = bf.join(
+        F.broadcast(ivf),
+        (bf["probe_id"] == ivf["probe_id"]) & (bf["neighbor_id"] == ivf["n_ivf"]),
+        "left",
+    ).select(bf["probe_id"], "neighbor_id", "n_ivf")
+    return (
+        joined.groupBy("probe_id")
+        .agg(
+            F.count("n_ivf").cast("long").alias("n_hits"),
+            F.round(F.count("n_ivf") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("probe_id")
+    )

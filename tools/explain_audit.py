@@ -282,6 +282,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # ANN recall eval: probe sides broadcast; no cartesian product
+    # (the probe 'cross' is a broadcast of a 12-row sample)
+    "ann_recall_at_k": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
