@@ -453,6 +453,45 @@ def kmeans_assign(
     )
 
 
+def _kmeans_iterate(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """The Lloyd update loop: deterministic first-k init, then
+    ``iters`` rounds of broadcast assignment + skinny (cluster, pos)
+    mean aggregation. Returns the FINAL (cluster, _c) centroids —
+    shared by :func:`kmeans_lloyd` (which assigns with them) and
+    :func:`kmeans_cluster_quality` (which measures them)."""
+    first = emb.orderBy(id_col).limit(k)
+    wk = Window.orderBy(id_col)
+    centroids = first.select(
+        (F.row_number().over(wk) - 1).alias("cluster"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), ndigits)
+        ).alias("_c"),
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(
+            emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), ndigits).alias("m"))
+        )
+        centroids = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_c")
+        )
+    return centroids
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = 8,
@@ -479,30 +518,9 @@ def kmeans_lloyd(
     is a constant. Empty clusters drop out (their ids vanish from the
     groupBy), matching the unrolled SQL oracle exactly.
     """
-    first = emb.orderBy(id_col).limit(k)
-    wk = Window.orderBy(id_col)
-    centroids = first.select(
-        (F.row_number().over(wk) - 1).alias("cluster"),
-        F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double"), ndigits)
-        ).alias("_c"),
+    centroids = _kmeans_iterate(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, ndigits=ndigits
     )
-    assigned = None
-    for _ in range(iters):
-        assigned = kmeans_assign(
-            emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), ndigits).alias("m"))
-        )
-        centroids = means.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("_c")
-        )
     final = kmeans_assign(
         emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
     )
@@ -510,6 +528,63 @@ def kmeans_lloyd(
     if keep_vector:
         cols.append(F.col("_v"))
     return final.select(*cols)
+
+
+def kmeans_cluster_quality(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Clustering diagnostics per cluster: size, mean distance to own
+    centroid (compactness), min distance to another centroid
+    (separation), and their ratio (Davies-Bouldin-flavored; lower is
+    better).
+
+    This is the gate before trusting a k-means partition for IVF cell
+    layout or SemDeDup blocking: a cluster whose compactness ratio
+    approaches 1 bleeds neighbors into adjacent cells (ANN recall
+    drops — see ann_recall_at_k) and lets near-dups straddle SemDeDup
+    blocks. Cost beyond the clustering itself: one skinny aggregate
+    over the assignment plus a k×k centroid pair join — k rows, driver
+    scale, regardless of corpus size.
+    """
+    centroids = _kmeans_iterate(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, ndigits=ndigits
+    )
+    assigned = kmeans_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col, ndigits=ndigits
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("dist"), ndigits).alias("mean_dist"),
+    )
+    a = centroids.select("cluster", F.col("_c").alias("_ca"))
+    b = centroids.select(F.col("cluster").alias("_clb"), F.col("_c").alias("_cb"))
+    sep = (
+        a.join(F.broadcast(b), F.col("cluster") != F.col("_clb"))
+        .groupBy("cluster")
+        .agg(
+            F.round(F.min(_l2_dist(F.col("_ca"), F.col("_cb"))), ndigits).alias(
+                "min_sep"
+            )
+        )
+    )
+    return (
+        per.join(F.broadcast(sep), "cluster")
+        .select(
+            "cluster",
+            "n",
+            "mean_dist",
+            "min_sep",
+            F.round(F.col("mean_dist") / F.col("min_sep"), ndigits).alias(
+                "compactness_ratio"
+            ),
+        )
+        .orderBy("cluster")
+    )
 
 
 def semantic_dedup(

@@ -954,7 +954,7 @@ _LOW_PRIORITY_TAIL = [
     "user_decay_features", "tombstone_scrub", "leakage_safe_split",
     "source_overlap_matrix", "behavior_sequences", "bpe_pair_counts",
     "event_transition_matrix", "epoch_shuffle", "quality_quantile_gate",
-    "incremental_ingest_dedup", "ann_recall_at_k",
+    "incremental_ingest_dedup", "ann_recall_at_k", "cluster_quality",
     # property-tested + locally re-verified — safe to fall past the window
     "pack_training_sequences", "chunk_documents_sliding",
     # rows-only by declared contract — weakest driver signal either way

@@ -3357,3 +3357,31 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@query(
+    "cluster_quality",
+    f"""
+    WITH {SQL_KMEANS_CTES},
+    per AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+             round(avg(d), 6) AS mean_dist
+      FROM final GROUP BY cluster
+    ),
+    sep AS (
+      SELECT a.cluster, round(min(list_distance(a.c, b.c)), 6) AS min_sep
+      FROM c2 a JOIN c2 b ON a.cluster <> b.cluster
+      GROUP BY a.cluster
+    )
+    SELECT p.cluster, p.n, p.mean_dist, s.min_sep,
+           round(p.mean_dist / s.min_sep, 6) AS compactness_ratio
+    FROM per p JOIN sep s USING (cluster) ORDER BY p.cluster
+    """,
+)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster compactness/separation diagnostics over the k-means
+    partition (k=8, 2 rounds) — the gate before trusting the
+    clustering for IVF cells or SemDeDup blocks. See
+    similarity.kmeans_cluster_quality for the scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_cluster_quality(emb, k=8, iters=2)

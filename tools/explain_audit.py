@@ -288,6 +288,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # cluster diagnostics: broadcast assignment + k-row centroid join;
+    # the corpus is never pair-joined
+    "cluster_quality": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
