@@ -270,3 +270,35 @@ def stream_ingest_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    late_threshold: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows (gap-merged) with an event-time
+    watermark — one definition for both engines' modes: on a static
+    frame it is the catalog's sessionization shape; on a stream the
+    watermark bounds session state and finalizes a session once no
+    event can extend it (event time, not wall clock, exactly the
+    semantics the batch reference loop approximates by file order).
+
+    State per key lives only until watermark > session end + gap, so
+    steady-state memory is rate × (gap + lateness), not history. A
+    finalized session emits exactly once (append mode) — the
+    micro-batch that closes it; replays cannot re-emit it because the
+    checkpoint carries the watermark.
+    """
+    return (
+        events.withWatermark(ts_col, late_threshold)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

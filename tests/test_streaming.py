@@ -313,3 +313,50 @@ def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
         for r in dedup.ingest_verdicts(arriving, fp_index, band_index).collect()
     }
     assert batch_verdicts == got
+
+
+def test_sessionized_counts_streaming_finalizes_sessions(spark, tmp_path):
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # file 1: one two-event session for u1 (10 min apart, 30 min gap)
+    (src / "1.json").write_text(
+        "\n".join(
+            [
+                '{"user_id": 1, "ts": "2024-06-01T10:00:00.000Z", "event_type": "click"}',
+                '{"user_id": 1, "ts": "2024-06-01T10:10:00.000Z", "event_type": "click"}',
+            ]
+        )
+    )
+    # file 2: much-later event advances the watermark past session 1
+    (src / "2.json").write_text(
+        '{"user_id": 1, "ts": "2024-06-01T20:00:00.000Z", "event_type": "click"}'
+    )
+    rows: list = []
+    stream = spark.readStream.schema(ev_schema).json(str(src))
+    q = (
+        sp.sessionized_counts(stream)
+        .writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    finalized = {(r["user_id"], r["session_start"].minute, r["n_events"]) for r in rows}
+    # session 1 (10:00-10:10, 2 events) must have been finalized and
+    # emitted exactly once; the 20:00 session stays open (no later
+    # watermark) and must NOT appear in append output
+    assert (1, 0, 2) in finalized
+    assert len(rows) == 1
+
+    # batch mode: same function, full result (both sessions)
+    static = spark.read.schema(ev_schema).json(str(src))
+    batch = sp.sessionized_counts(static).collect()
+    assert {(r["user_id"], r["n_events"]) for r in batch} == {(1, 2), (1, 1)}
