@@ -209,14 +209,21 @@ def cosine_near_pairs(
     u0 = F.element_at(F.col(vec_col), 1).cast("double") / _norm(F.col(vec_col))
     cell = F.floor(u0 / F.lit(w)).cast("long")
 
+    # Hoist ||v|| out of the pair join (same trick as semantic_dedup):
+    # each side carries its norm, so the per-pair predicate is ONE
+    # zip_with/aggregate fold (the dot) instead of three. dot/(na*nb)
+    # is the same doubles through the same sqrt as cosine(a, b), so
+    # round(…, 6) parity with the oracle is unchanged.
     home = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
         cell.alias("_cell"),
     )
     probe = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
         F.explode(F.array(cell - 1, cell, cell + 1)).alias("_cell"),
     )
     # A qualifying pair (a<b) matches exactly once: b's single home
@@ -228,7 +235,9 @@ def cosine_near_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("score"),
         )
         .where(F.col("score") >= float(threshold))
     )
