@@ -79,14 +79,18 @@ def write_lake(
     partition_by: list[str] | None = None,
     compact_to: int | None = None,
     dedup_cols: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
-    """Lake write: parquet append with optional pre-write dedup (J3)
+    """Lake write: columnar append with optional pre-write dedup (J3)
     and compaction (S9: the reference's VACUUM becomes
     repartition-on-write; with Delta available this would be
     OPTIMIZE/VACUUM).
 
     ``partition_by`` should be a low-cardinality ingest-time column
-    (load date) so downstream reads prune partitions.
+    (load date) so downstream reads prune partitions. ``fmt`` is any
+    Spark-native columnar format (``parquet`` default, ``orc`` for
+    Hive-ecosystem consumers) — both carry footer min/max stats, so
+    the pruning story (PLANS.md pushdown rows) is format-independent.
     """
     out = df
     if dedup_cols:
@@ -96,4 +100,4 @@ def write_lake(
     w = out.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.format(fmt).save(path)

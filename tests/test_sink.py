@@ -110,3 +110,34 @@ def test_dedup_by_fingerprint_row_id_semi_join(spark):
     assert rows == {1: "y", 2: "z"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "Window" not in plan
+
+
+def test_write_lake_orc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "lake_orc")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("dt")
+    )
+    sink.write_lake(df, out, mode="overwrite", partition_by=["dt"], fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "dt"}
+    # partition pruning works on the ORC layout too
+    assert back.where(F.col("dt") == "0").count() == 34
+
+
+def test_gzip_ndjson_scan(spark, tmp_path):
+    import gzip, json as _json
+
+    src = tmp_path / "gz_src"
+    src.mkdir()
+    rows = [{"_p": f"u{i}", "_n": "click", "_t": str(1704067200 + i)} for i in range(50)]
+    with gzip.open(src / "events.json.gz", "wt") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    schema = "_p string, _n string, _t string"
+    # Spark decompresses .gz transparently on read — the ingest path
+    # accepts the reference's compressed exports unchanged (gz files
+    # are NOT splittable: one task per file, so upstream should chunk
+    # exports; documented contract, not a bug)
+    df = spark.read.schema(schema).json(str(src))
+    assert df.count() == 50
+    assert df.where(F.col("_p") == "u7").count() == 1
