@@ -129,3 +129,19 @@ def test_band_keys_wide_pairs_roundtrip(spark):
         .collect()
     }
     assert via_pairs == via_bands
+
+
+def test_hostile_session_timezone_repinned(spark):
+    # The driver may hand queries a session with a non-UTC timezone;
+    # load_table is the choke point that re-pins UTC, so epoch
+    # formatting must be unchanged under a hostile session config.
+    from kissmetrics_to_database_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    baseline = catalog.QUERIES["epoch_format"](spark, sf).limit(5).collect()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = catalog.QUERIES["epoch_format"](spark, sf).limit(5).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == baseline
