@@ -1,0 +1,130 @@
+"""Slowly-changing-dimension (Type 2) versioning.
+
+The reference's whole mission is loading event data into a warehouse
+(Redshift; KissmetricsToDatabase.php:810-867 assembles the INSERT
+batches) — SCD2 is the canonical warehouse pattern one step further:
+instead of append-only facts, maintain a VERSIONED dimension where
+each attribute change closes the previous row (`valid_to`) and opens
+a new one (`valid_from`), so any historical point-in-time join is an
+``BETWEEN valid_from AND valid_to`` lookup.
+
+Two entry points:
+- `scd2_from_change_log` — collapse an ordered change log into
+  version intervals (gaps-and-islands). One shuffle, on the entity
+  key; each entity's history is processed inside its own window
+  partition, so the operator scales with the number of entities,
+  not the per-entity history length skew (AQE skew-split covers
+  pathological single-entity logs).
+- `scd2_merge_batch` — apply a new batch of changes to an existing
+  SCD2 dimension (the incremental form: close out current rows
+  whose entity changed, append the new versions). This is the
+  MERGE-INTO shape warehouses run nightly, expressed as a
+  broadcast-friendly anti/semi join + union, no full-table rewrite
+  of unchanged entities' history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_change_log(
+    log: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an ordered per-entity change log into SCD2 rows.
+
+    Consecutive log rows with the SAME attribute value merge into one
+    version (classic gaps-and-islands via ``lag``); each version row
+    carries (key, attr, valid_from, valid_to, version, is_current)
+    with ``valid_to`` null on the open version. Ordering within an
+    entity is (ts, tiebreak) so equal timestamps resolve identically
+    on every engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        log.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .where(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    wv = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(wv))
+        .withColumn("version", F.row_number().over(wv).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key_col, attr_col, "valid_from", "valid_to", "version",
+            "is_current",
+        )
+    )
+
+
+def scd2_merge_batch(
+    dim: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Incrementally apply one change batch (one row per entity:
+    latest observed attr + ts) to an SCD2 dimension.
+
+    - entities whose current attr DIFFERS from the batch: current row
+      closes (valid_to = batch ts), a new open version appends;
+    - entities matching their current attr, and entities absent from
+      the batch: history passes through untouched;
+    - brand-new entities open at version 1.
+
+    Plan shape: the batch is the small side — every comparison is a
+    join ON THE KEY against only the ``is_current`` slice of the
+    dimension. Historical (closed) rows stream through with no join
+    at all, so a nightly run over a 100 TB dimension moves only the
+    current slice + batch through the shuffle.
+    """
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+    b = batch.select(
+        F.col(key_col),
+        F.col(attr_col).alias("_new_attr"),
+        F.col(ts_col).alias("_new_ts"),
+    )
+
+    joined = cur.join(b, key_col, "left")
+    unchanged = joined.where(
+        F.col("_new_attr").isNull() | (F.col("_new_attr") == F.col(attr_col))
+    ).select(*dim.columns)
+    closing = joined.where(
+        F.col("_new_attr").isNotNull() & (F.col("_new_attr") != F.col(attr_col))
+    )
+    closed = closing.select(
+        key_col, attr_col, "valid_from",
+        F.col("_new_ts").alias("valid_to"), "version",
+        F.lit(False).alias("is_current"),
+    )
+    opened = closing.select(
+        key_col, F.col("_new_attr").alias(attr_col),
+        F.col("_new_ts").alias("valid_from"),
+        F.lit(None).cast(closing.schema["valid_to"].dataType).alias("valid_to"),
+        (F.col("version") + 1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    brand_new = (
+        b.join(cur.select(key_col), key_col, "left_anti")
+        .select(
+            key_col, F.col("_new_attr").alias(attr_col),
+            F.col("_new_ts").alias("valid_from"),
+            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(1).cast("long").alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return hist.unionByName(unchanged).unionByName(closed).unionByName(
+        opened
+    ).unionByName(brand_new)
