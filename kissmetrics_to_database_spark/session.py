@@ -146,6 +146,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # point every query passes through.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (isAdjustedToUTC=false) parquet timestamps must read as
+    # plain TimestampType UTC instants — the same interpretation
+    # DuckDB's naive TIMESTAMP uses — not TIMESTAMP_NTZ, which Spark 4
+    # infers by default and which rejects casts to numeric epoch.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for field in _nanos_columns(path):
         # integer division: `/` would round-trip the nanos long
