@@ -290,11 +290,19 @@ def bm25_search(
     scored = joined.select(id_col, F.round(score, 6).alias("score")).where(
         F.col("score") > 0
     )
+    # Scale shape: ``orderBy().limit(k)`` compiles to
+    # TakeOrderedAndProject — each partition keeps its local top-k and
+    # the driver merges k×partitions candidates.  Ranking with an
+    # unpartitioned Window here instead would shuffle EVERY matching
+    # doc (for common terms, much of the corpus) to one task; the
+    # window below runs over only the k survivors, which is bounded by
+    # construction (same pattern as operators/sampling.py).
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= topk)
-        .select(id_col, "score", "rank")
+    return top.select(
+        id_col,
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

@@ -1409,7 +1409,7 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            round(avg(n_chars), 2) AS avg_chars,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY source ORDER BY source
     """,

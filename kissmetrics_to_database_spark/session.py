@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Defense in depth (ADVICE r02): direct spark.read.parquet
+        # calls (compaction paths) on a fresh session must see the
+        # same timestamp semantics load_table pins — naive parquet
+        # timestamps read as TimestampType UTC instants, never
+        # TIMESTAMP_NTZ, and nanos columns as raw longs.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
@@ -138,6 +145,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _TABLE_CACHE:  # skip the JVM applicationId call on the cold path
         cached = _TABLE_CACHE.get((_session_key(spark), sf_dir, name))
         if cached is not None:
+            # The cached plan was built under pinned confs, but result
+            # FORMATTING still reads the live session timezone — a
+            # hostile session flipping spark.sql.session.timeZone after
+            # cache_tables() would render cached-table timestamps in
+            # its own tz (ADVICE r02). Re-pin on every serve; a conf
+            # set is driver-side and cheap.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: queries may run under a caller-provided session

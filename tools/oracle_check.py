@@ -49,11 +49,62 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
-def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+def dtype_problems(
+    sdf: pd.DataFrame, ddf: pd.DataFrame, duck_types: dict[str, str]
+) -> list[str]:
+    """Dtype-strict checks the driver's value-hash is sensitive to but
+    pandas coercion hides.
+
+    DuckDB ``sum(BIGINT)`` returns HUGEINT (INT128); the driver renders
+    it differently from Spark's LongType even when values are equal, so
+    an uncast integer ``sum()`` in an oracle passes a pandas-coerced
+    comparison locally while failing the driver (round-2
+    ``corpus_source_profile`` red).  Flag (a) any HUGEINT surfacing in
+    oracle output, and (b) integer-vs-float dtype family drift between
+    the two pandas frames.
+    """
+    problems = []
+    for col, t in duck_types.items():
+        if "HUGEINT" in t.upper():
+            problems.append(
+                f"col {col!r}: oracle returns {t} — CAST the aggregate "
+                f"to BIGINT so the driver's value-hash matches Spark"
+            )
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        s_kind = sdf[c].dtype.kind
+        d_kind = ddf[c].dtype.kind
+        # int-vs-float drift is real unless caused by NULL→NaN coercion
+        # (a nullable int column converts to float64 exactly when that
+        # side actually holds NULLs).
+        if (
+            s_kind in "iuf"
+            and d_kind in "iuf"
+            and (s_kind in "iu") != (d_kind in "iu")
+            and not (
+                (s_kind == "f" and sdf[c].isna().any())
+                or (d_kind == "f" and ddf[c].isna().any())
+            )
+        ):
+            problems.append(
+                f"col {c!r}: dtype family drift spark={sdf[c].dtype} "
+                f"duck={ddf[c].dtype}"
+            )
+    return problems
+
+
+def compare(
+    name: str,
+    sdf: pd.DataFrame,
+    ddf: pd.DataFrame,
+    duck_types: dict[str, str] | None = None,
+) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(ddf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
         return problems
+    problems.extend(dtype_problems(sdf, ddf, duck_types or {}))
     if len(sdf) != len(ddf):
         problems.append(f"row count differs: spark={len(sdf)} duck={len(ddf)}")
         return problems
@@ -107,12 +158,14 @@ def main() -> int:
             n_noracle += 1
             continue
         try:
-            ddf = con.sql(catalog.ORACLES[name]).df()
+            rel = con.sql(catalog.ORACLES[name])
+            duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            ddf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, ddf)
+        problems = compare(name, sdf, ddf, duck_types)
         if problems:
             n_fail += 1
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
