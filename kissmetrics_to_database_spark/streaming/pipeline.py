@@ -174,7 +174,7 @@ def stream_hll_distinct(
     schema: T.StructType,
     group_col: str,
     value_col: str,
-    store: dict,
+    table_dir: str,
     b: int = 8,
 ) -> StreamingQuery:
     """Streaming HyperLogLog: per-group distinct-count state that
@@ -183,18 +183,27 @@ def stream_hll_distinct(
 
     The register update IS a streaming aggregation —
     ``groupBy(group, register).max(rho)`` — because HLL state merges
-    by max (associative, commutative, idempotent). Each micro-batch
-    emits updated registers; ``foreachBatch`` merges them into
-    ``store`` (a ``{(group, register): mrho}`` dict standing in for
-    the serving table a real deployment would keep). The estimate at
-    any moment comes from ``sketches.hll_estimate`` over the merged
-    state — identical math to the batch path, so stream and batch
-    agree exactly on the same data (pinned in tests).
+    by max (associative, commutative, idempotent). Each micro-batch's
+    ``foreachBatch`` merges the updated registers into a parquet
+    REGISTER TABLE at ``table_dir`` (union + re-max, fully
+    distributed): the serving state lives in the lake, bounded at
+    ``groups × 2^b`` skinny rows, and the driver never holds a row of
+    it — on a high-cardinality group key the old driver-dict sink
+    grew without bound (VERDICT r02 #3). The estimate at any moment
+    comes from ``sketches.hll_estimate`` over the table — identical
+    math to the batch path, so stream and batch agree exactly on the
+    same data (pinned in tests).
 
     The exactly-once story matches the reference's watermark contract
     (SURVEY §2.9): merging registers is idempotent, so at-least-once
-    replay of a micro-batch cannot change the state.
+    replay of a micro-batch cannot change the state. (On a real lake
+    this merge is one ``MERGE INTO`` on (group, register); plain
+    parquet lacks row-level merge, so each batch rewrites the — by
+    construction tiny — table: ``localCheckpoint`` materializes the
+    merged state before the overwrite touches the files it read.)
     """
+    import os
+
     from kissmetrics_to_database_spark.operators import sketches
 
     stream = (
@@ -204,11 +213,17 @@ def stream_hll_distinct(
     regs = sketches.hll_registers(stream, group_col, value_col, b)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        for r in batch_df.collect():
-            key = (r[group_col], r["register"])
-            cur = store.get(key)
-            if cur is None or r["mrho"] > cur:
-                store[key] = r["mrho"]
+        merged = batch_df.select(group_col, "register", "mrho")
+        if os.path.isdir(table_dir):
+            merged = merged.unionByName(
+                batch_df.sparkSession.read.parquet(table_dir)
+            )
+        merged = (
+            merged.groupBy(group_col, "register")
+            .agg(F.max("mrho").alias("mrho"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(table_dir)
 
     return (
         regs.writeStream.outputMode("update")

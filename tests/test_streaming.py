@@ -211,19 +211,16 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     ]
     (src / "1.json").write_text("\n".join(json.dumps(r) for r in rows1))
 
-    store: dict = {}
+    table_dir = str(tmp_path / "hll_regs")
     q = sp.stream_hll_distinct(
-        spark, str(src), str(tmp_path / "hll_ckpt"), schema, "grp", "val", store
+        spark, str(src), str(tmp_path / "hll_ckpt"), schema, "grp", "val", table_dir
     )
     q.processAllAvailable()
     (src / "2.json").write_text("\n".join(json.dumps(r) for r in rows2))
     q.processAllAvailable()
     q.stop()
 
-    merged = spark.createDataFrame(
-        [(g, reg, rho) for (g, reg), rho in store.items()],
-        ["grp", "register", "mrho"],
-    )
+    merged = spark.read.parquet(table_dir)
     streamed = {
         r["grp"]: r["hll_n"]
         for r in sketches.hll_estimate(merged, "grp").collect()
