@@ -66,7 +66,12 @@ def robust_scale(
     """
     q = group_quantiles(df, group_col, value_col)
     v = F.col(value_col)
-    clamped = F.least(F.greatest(v, F.col("q_05")), F.col("q_95"))
+    # least/greatest SKIP nulls (Spark and DuckDB both follow the
+    # Postgres rule), so a bare clamp would map a NULL value to q_05;
+    # gate on isNotNull so nulls pass through as the docstring says.
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("q_05")), F.col("q_95"))
+    )
     iqr = F.col("q_75") - F.col("q_25")
     return (
         df.join(F.broadcast(q), group_col, "left")

@@ -297,6 +297,23 @@ def bm25_search(
     # doc (for common terms, much of the corpus) to one task; the
     # window below runs over only the k survivors, which is bounded by
     # construction (same pattern as operators/sampling.py).
+    #
+    # The TakeOrdered shape only holds while topk stays under
+    # spark.sql.execution.topKSortFallbackThreshold (default 10000);
+    # beyond it Catalyst silently degrades to a global sort — the
+    # exact single-task shape this code exists to avoid (ADVICE r3).
+    # Guard explicitly rather than degrade silently.
+    fallback = int(
+        df.sparkSession.conf.get(
+            "spark.sql.execution.topKSortFallbackThreshold", "10000"
+        )
+    )
+    if topk >= fallback:
+        raise ValueError(
+            f"topk={topk} >= topKSortFallbackThreshold={fallback}: the "
+            "top-k would degrade to a global single-task sort. Raise "
+            "the threshold or lower topk."
+        )
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.select(

@@ -901,6 +901,7 @@ def q_identity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the tail so the decorator exists; circular-import safe by
 # construction).
 from kissmetrics_to_database_spark.plans import catalog_ext  # noqa: E402,F401
+from kissmetrics_to_database_spark.plans import catalog_feat  # noqa: E402,F401
 from kissmetrics_to_database_spark.plans import catalog_olap  # noqa: E402,F401
 from kissmetrics_to_database_spark.plans import catalog_tpch  # noqa: E402,F401
 
@@ -970,13 +971,24 @@ _VERIFIED_R02 = [
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
 ]
 
-# Queries whose Spark code or oracle SQL changed this round — their
-# prior green row no longer certifies the current code, so they re-enter
-# the head of the window alongside the never-sampled set.
-_REVERIFY_R03 = [
-    "corpus_source_profile",   # oracle CAST(sum AS BIGINT) fix (r2 red)
-    "bm25_search",             # top-k rewritten TakeOrderedAndProject
-    "stratified_sample",       # oracle try_cast parity hardening
+# Round-3 driver-green queries (CORRECTNESS_r03.json): the 50 sampled
+# names — 48 rows+schema+hash green, 2 `no_oracle` rows-only by declared
+# contract (`corrupt_json_repair`, `approx_aggregates`), zero reds.
+_VERIFIED_R03 = [
+    "corpus_source_profile", "bm25_search", "stratified_sample",
+    "identity_pagerank", "multimodal_real_decode", "multimodal_audio_stats",
+    "corrupt_json_repair", "pack_training_sequences",
+    "chunk_documents_sliding", "gopher_quality", "unigram_logprob",
+    "span_dedup", "source_quota_cap", "kmeans_clusters", "semantic_dedup",
+    "perplexity_buckets", "embedding_topk_int8", "hashed_ngram_classifier",
+    "cms_heavy_hitters", "hll_event_users", "bloom_novel_docs",
+    "weighted_doc_sample", "histogram_quantiles", "zorder_layout",
+    "event_burst_triangles", "hard_negative_mining", "vocab_zipf_fit",
+    "user_decay_features", "tombstone_scrub", "leakage_safe_split",
+    "source_overlap_matrix", "behavior_sequences", "bpe_pair_counts",
+    "event_transition_matrix", "epoch_shuffle", "quality_quantile_gate",
+    "incremental_ingest_dedup", "ann_recall_at_k", "cluster_quality",
+    "approx_aggregates",
 ]
 
 
@@ -984,23 +996,39 @@ def _reorder_registration() -> None:
     """Front-load the driver's 50-query correctness window.
 
     The driver samples the FIRST 50 registered queries each round.
-    Order: (1) queries whose code/oracle changed this round, (2) every
-    query with no driver-green row in any prior round (r1∪r2 sampled
-    100 disjoint names; the complement is the round-2 extension suite
-    plus anything newly added this round), (3) already-green queries as
-    the tail, r2 before r1 so the least-recently-confirmed go last.
+    Order:
+    (1) queries whose source fingerprint changed since the committed
+        snapshot (`tools/query_fingerprints.json` — regenerated and
+        committed at the end of every round; see
+        `plans/fingerprints.py`).  This mechanizes the reverify policy:
+        any edit to a query function, its oracle, or an operator module
+        it references re-enters it into the checked window with no
+        hand-listing;
+    (2) every query with no driver-green row in any prior round;
+    (3) already-green unchanged queries as the tail, least-recently
+        confirmed last (r3 greens before r2 before r1).
     """
-    green = set(_VERIFIED_R01) | set(_VERIFIED_R02)
-    reverify = [n for n in _REVERIFY_R03 if n in QUERIES]
+    from kissmetrics_to_database_spark.plans.fingerprints import (
+        changed_queries,
+    )
+
+    green = set(_VERIFIED_R01) | set(_VERIFIED_R02) | set(_VERIFIED_R03)
+    changed = changed_queries()
+    reverify = [n for n in QUERIES if n in changed]
     never_checked = [
-        n for n in QUERIES if n not in green and n not in reverify
+        n for n in QUERIES if n not in green and n not in changed
     ]
     tail = [
         n
-        for n in _VERIFIED_R02 + _VERIFIED_R01
-        if n in QUERIES and n not in reverify
+        for n in _VERIFIED_R03 + _VERIFIED_R02 + _VERIFIED_R01
+        if n in QUERIES and n not in changed and n not in never_checked
     ]
-    ordered = reverify + never_checked + tail
+    seen: set[str] = set()
+    ordered = [
+        n
+        for n in reverify + never_checked + tail
+        if not (n in seen or seen.add(n))
+    ]
     assert len(ordered) == len(QUERIES), (
         f"reorder dropped queries: {sorted(set(QUERIES) - set(ordered))}"
     )

@@ -1,0 +1,382 @@
+"""Feature/LM/warehouse extension catalog: the round-3 operator
+modules wired into the oracle-checked surface (VERDICT r3 item 1).
+
+Queries here cover `operators/collocations.py` (PMI collocations,
+Kneser-Ney sufficient statistics), `operators/scd.py` (SCD2 from a
+change log + incremental MERGE batch), `operators/selection.py`
+(DSIR importance weights) and `operators/features.py` (per-group
+robust quantiles + winsorize/robust-z scaling).  Every oracle mirrors
+the Spark arithmetic exactly — same tokenization family as the text
+suite (lower/trim/whitespace-split, empties dropped), same md5-prefix
+bucket hash as every deterministic operator, doubles rounded to 6 dp
+after aggregation, every ranking totally ordered.
+
+Registered into catalog.QUERIES / catalog.ORACLES via the shared
+decorator; imported from catalog.py's tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.operators import (
+    collocations,
+    features,
+    scd,
+    selection,
+)
+from kissmetrics_to_database_spark.plans.catalog import query
+from kissmetrics_to_database_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE snippets
+# ---------------------------------------------------------------------------
+
+# Positional token stream (pos survives the empty-token filter so
+# adjacency is over the FILTERED sequence — mirrors
+# collocations.bigrams_long, which drops empties before lead()).
+SQL_TOKP = """
+  SELECT doc_id, i AS pos, t[i] AS a
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE t[i] <> ''
+"""
+
+SQL_BIGRAMS = f"""
+  SELECT doc_id, a, b FROM (
+    SELECT doc_id, a,
+           lead(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM ({SQL_TOKP})
+  ) WHERE b IS NOT NULL
+"""
+
+# SCD2 gaps-and-islands over the events change log: (user_id,
+# event_type, ts, event_id) ordered by (ts, event_id) per user —
+# mirrors scd.scd2_from_change_log.
+SQL_SCD2 = """
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         lead(ts) OVER w IS NULL AS is_current
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS _prev
+    FROM {src}
+  )
+  WHERE _prev IS NULL OR event_type <> _prev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# md5-prefix bucket (2 hex chars → 256 buckets) as a nibble decode —
+# mirrors selection.hashed_bucket (F.conv(substr(md5, 1, 2), 16, 10)).
+SQL_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5({col}), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({col}), 2, 1)) - 1))"
+)
+
+# Laplace-smoothed log-prob per bucket over a 256-bucket spine —
+# mirrors selection.bucket_distribution (alpha = 1.0, n_buckets = 256).
+SQL_BUCKET_DIST = """
+  SELECT s.bucket, ln((coalesce(c.c, 0) + 1.0) / (t.n + 256.0)) AS logp
+  FROM (SELECT CAST(unnest(range(0, 256)) AS INTEGER) AS bucket) s
+  LEFT JOIN (SELECT bucket, count(*) AS c FROM ({tok}) GROUP BY bucket) c
+    USING (bucket)
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM ({tok})) t
+"""
+
+# Per-group winsorization quantiles, rounded to 6 dp BEFORE use on
+# both engines — mirrors features.group_quantiles.
+SQL_GROUP_Q = """
+  SELECT event_type,
+         round(q[1], 6) AS q_05, round(q[2], 6) AS q_25,
+         round(q[3], 6) AS q_50, round(q[4], 6) AS q_75,
+         round(q[5], 6) AS q_95
+  FROM (SELECT event_type,
+               quantile_cont(value, [0.05, 0.25, 0.5, 0.75, 0.95]) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collocations / n-gram LM statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH tokp AS ({SQL_TOKP}),
+    bg AS ({SQL_BIGRAMS}),
+    c_ab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY a, b HAVING count(*) >= 5
+    ),
+    c_uni AS (
+      SELECT a AS term, CAST(count(*) AS BIGINT) AS c_t
+      FROM tokp GROUP BY a
+    ),
+    n_bg AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bg),
+    n_tok AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tokp)
+    SELECT c_ab.a, c_ab.b, c_ab.c_ab, ca.c_t AS c_a, cb.c_t AS c_b,
+           round(ln((c_ab.c_ab / n_bigrams)
+                    / ((ca.c_t / n_tokens) * (cb.c_t / n_tokens))), 6)
+             AS pmi
+    FROM c_ab
+    JOIN c_uni ca ON c_ab.a = ca.term
+    JOIN c_uni cb ON c_ab.b = cb.term
+    CROSS JOIN n_bg CROSS JOIN n_tok
+    ORDER BY pmi DESC, c_ab.a, c_ab.b LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (min_count=5) over the
+    document corpus — the multiword-expression miner feeding phrase
+    vocabularies / tokenizer protection lists.  Plan: two map-side-
+    combinable count aggregations, broadcast 1-row totals, TakeOrdered
+    top-k (never a materialized global sort); the min_count filter
+    runs before the unigram joins so they see only surviving bigram
+    TYPES.  See collocations.pmi_collocations."""
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations.pmi_collocations(docs, min_count=5, k=50)
+
+
+@query(
+    "kn_continuation_stats",
+    f"""
+    WITH types AS (
+      SELECT a, b, count(*) AS c_ab FROM ({SQL_BIGRAMS}) GROUP BY a, b
+    ),
+    coc AS (
+      SELECT CAST(sum(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM types
+    ),
+    cont AS (
+      SELECT b AS word, CAST(count(*) AS BIGINT) AS continuation_count
+      FROM types GROUP BY b
+    )
+    SELECT word, continuation_count,
+           round(continuation_count / n_types, 6) AS p_continuation,
+           round(n1 / (n1 + 2.0 * n2), 6) AS d_discount
+    FROM cont CROSS JOIN coc
+    ORDER BY continuation_count DESC, word LIMIT 50
+    """,
+)
+def q_kn_continuation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram sufficient statistics: top-50 words by
+    continuation count (distinct left contexts), continuation
+    probability, and the Ney-Essen-Kneser discount D = N1/(N1+2*N2)
+    from the bigram count-of-counts.  The token stream is reduced to
+    the bigram TYPE table once; everything else aggregates from it
+    with broadcast 1-row constants.  See
+    collocations.kn_continuation_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations.kn_continuation_stats(docs, k=50)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 warehouse versioning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_from_change_log",
+    SQL_SCD2.format(src="events") + " ORDER BY user_id, version",
+)
+def q_scd2_from_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from the events change log: each user's
+    event_type history collapsed into versioned validity intervals
+    (gaps-and-islands via lag; (ts, event_id) total order).  One
+    shuffle on the entity key — scales with entity count, AQE
+    skew-split covers pathological single-entity logs.  The reference
+    loads raw facts only (KissmetricsToDatabase.php:810-867); SCD2 is
+    the canonical warehouse-dimension step beyond it.  See
+    scd.scd2_from_change_log."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd.scd2_from_change_log(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).orderBy("user_id", "version")
+
+
+_SCD2_MERGE_ORACLE = f"""
+    WITH log1 AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    dim AS ({SQL_SCD2.format(src="log1")}),
+    b AS (
+      SELECT user_id, event_type AS new_attr, ts AS new_ts
+      FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      ) WHERE rn = 1
+    ),
+    cur AS (SELECT * FROM dim WHERE is_current),
+    hist AS (SELECT * FROM dim WHERE NOT is_current),
+    j AS (
+      SELECT cur.*, b.new_attr, b.new_ts
+      FROM cur LEFT JOIN b USING (user_id)
+    )
+    SELECT user_id, event_type, valid_from, valid_to, version, is_current
+    FROM hist
+    UNION ALL
+    SELECT user_id, event_type, valid_from, valid_to, version, is_current
+    FROM j WHERE new_attr IS NULL OR new_attr = event_type
+    UNION ALL
+    SELECT user_id, event_type, valid_from, new_ts AS valid_to, version,
+           FALSE AS is_current
+    FROM j WHERE new_attr IS NOT NULL AND new_attr <> event_type
+    UNION ALL
+    SELECT user_id, new_attr AS event_type, new_ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           version + 1 AS version, TRUE AS is_current
+    FROM j WHERE new_attr IS NOT NULL AND new_attr <> event_type
+    UNION ALL
+    SELECT b.user_id, b.new_attr AS event_type, b.new_ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(1 AS BIGINT) AS version, TRUE AS is_current
+    FROM b LEFT JOIN cur ON b.user_id = cur.user_id
+    WHERE cur.user_id IS NULL
+    ORDER BY user_id, version
+"""
+
+
+@query("scd2_merge_batch", _SCD2_MERGE_ORACLE)
+def q_scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE: the dimension built from the first half
+    of the log (ts < Jan 16) absorbs one change batch (latest
+    event_type per user from the second half) — current rows whose
+    attribute changed close at the batch timestamp, new open versions
+    append, untouched entities and all closed history stream through
+    join-free.  The nightly warehouse MERGE-INTO shape: only the
+    current slice + batch move through the shuffle.  See
+    scd.scd2_merge_batch."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    dim = scd.scd2_from_change_log(
+        ev.where(F.col("ts") < cut), "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    batch = (
+        ev.where(F.col("ts") >= cut)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    return scd.scd2_merge_batch(
+        dim, batch, "user_id", "event_type", "ts"
+    ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection
+# ---------------------------------------------------------------------------
+
+_SQL_DOC_TOKENS = """
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents{where}
+"""
+
+
+@query(
+    "dsir_logratio_weights",
+    f"""
+    WITH raw_tok AS ({_SQL_DOC_TOKENS.format(where="")}),
+    tgt_tok AS ({_SQL_DOC_TOKENS.format(where=" WHERE source = 'src0'")}),
+    br AS (
+      SELECT doc_id, {SQL_BUCKET.format(col="token")} AS bucket
+      FROM raw_tok
+    ),
+    bt AS (
+      SELECT doc_id, {SQL_BUCKET.format(col="token")} AS bucket
+      FROM tgt_tok
+    ),
+    lr AS ({SQL_BUCKET_DIST.format(tok="SELECT bucket FROM br")}),
+    lt AS ({SQL_BUCKET_DIST.format(tok="SELECT bucket FROM bt")}),
+    ratio AS (
+      SELECT lt.bucket, lt.logp - lr.logp AS logratio
+      FROM lt JOIN lr ON lt.bucket = lr.bucket
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(logratio), 6) AS log_weight
+    FROM br JOIN ratio USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dsir_logratio_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights of every document
+    toward the 'src0' target domain: hashed-unigram bag models (256
+    md5-prefix buckets, Laplace alpha=1) for target and raw, score =
+    per-doc sum of log-likelihood ratios.  Both distributions reduce
+    to 256-row broadcast tables; scoring is one broadcast join over
+    the token stream + one groupBy per doc — nothing quadratic,
+    nothing driver-side.  See selection.dsir_logratio_weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return selection.dsir_logratio_weights(
+        docs, target, hex_chars=2, alpha=1.0
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Robust feature conditioning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_quantiles",
+    SQL_GROUP_Q + " ORDER BY event_type",
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact winsorization percentiles (p05/p25/p50/
+    p75/p95) of the value column, rounded to 6 dp — one narrow row per
+    group, the broadcast side of robust_scale.  Exact `percentile` is
+    a single shuffle with map-side partial aggregation; at 100 TB the
+    group count stays tiny while the stream is never sorted.  See
+    features.group_quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.group_quantiles(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "robust_scale",
+    f"""
+    WITH q AS ({SQL_GROUP_Q})
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value IS NOT NULL
+                THEN least(greatest(e.value, q.q_05), q.q_95) END AS value_w,
+           CASE WHEN q.q_75 - q.q_25 > 0 AND e.value IS NOT NULL
+                THEN round((least(greatest(e.value, q.q_05), q.q_95)
+                            - q.q_50) / (q.q_75 - q.q_25), 6)
+           END AS rz,
+           CASE WHEN e.value IS NULL THEN NULL
+                WHEN e.value < q.q_05 THEN -1
+                WHEN e.value > q.q_95 THEN 1
+                ELSE 0 END AS clipped
+    FROM events e LEFT JOIN q USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize (clamp to [p05, p95]) + robust z-score ((x − median) /
+    IQR) of event values within each event type; `clipped` flags which
+    tail a value came from.  Quantiles broadcast back onto the stream
+    so the scoring pass is map-only.  See features.robust_scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return features.robust_scale(ev, "event_type", "value").orderBy(
+        "event_id"
+    )

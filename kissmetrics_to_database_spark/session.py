@@ -135,6 +135,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Serves from the warm cache when :func:`cache_tables` has been
     called for this (session, sf_dir) — otherwise a cold read.
 
+    SIDE EFFECT (ADVICE r3): every call — cache hit or cold —
+    re-pins ``spark.sql.session.timeZone`` to UTC on the caller's
+    session.  Catalog results are defined in UTC (FIXTURES.md) and
+    timestamp FORMATTING reads the live session timezone, so serving
+    under a caller-set zone would silently change rendered results.
+    Callers that need a different zone for their own queries must set
+    it after their last ``load_table`` call.
+
     The driver's parquet uses nanosecond timestamps (pandas default),
     which Spark's vectorized reader rejects. We read them as raw
     nanos longs (``nanosAsLong``) and cast back to (microsecond)

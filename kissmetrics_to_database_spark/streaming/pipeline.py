@@ -199,11 +199,21 @@ def stream_hll_distinct(
     replay of a micro-batch cannot change the state. (On a real lake
     this merge is one ``MERGE INTO`` on (group, register); plain
     parquet lacks row-level merge, so each batch rewrites the — by
-    construction tiny — table: ``localCheckpoint`` materializes the
-    merged state before the overwrite touches the files it read.)
-    """
-    import os
+    construction tiny — table.)
 
+    State durability (ADVICE r3): the register table is EPOCH-
+    VERSIONED — each batch writes a fresh ``v=<epoch>`` subdirectory
+    and only then prunes, always retaining the two newest versions.
+    Prior state is the newest ``_SUCCESS``-marked version with epoch
+    STRICTLY BELOW the current batch, so a replayed micro-batch
+    rebuilds its version from the same input deterministically and a
+    crash at any point leaves a complete readable version on disk —
+    no delete-then-write window, no dependence on non-reliable
+    ``localCheckpoint`` storage. Existence checks go through the
+    Hadoop FileSystem API, so the state dir can live on any
+    supported URI (``hdfs://``, ``s3a://``), not just the local FS.
+    Read the serving state with ``hll_state_table``.
+    """
     from kissmetrics_to_database_spark.operators import sketches
 
     stream = (
@@ -213,17 +223,19 @@ def stream_hll_distinct(
     regs = sketches.hll_registers(stream, group_col, value_col, b)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
         merged = batch_df.select(group_col, "register", "mrho")
-        if os.path.isdir(table_dir):
-            merged = merged.unionByName(
-                batch_df.sparkSession.read.parquet(table_dir)
-            )
-        merged = (
-            merged.groupBy(group_col, "register")
-            .agg(F.max("mrho").alias("mrho"))
-            .localCheckpoint(eager=True)
+        prior = _latest_state_version(sess, table_dir, below=epoch_id)
+        if prior is not None:
+            merged = merged.unionByName(sess.read.parquet(prior))
+        merged = merged.groupBy(group_col, "register").agg(
+            F.max("mrho").alias("mrho")
         )
-        merged.write.mode("overwrite").parquet(table_dir)
+        # new version dir: never overwrites what it reads
+        merged.write.mode("overwrite").parquet(
+            f"{table_dir.rstrip('/')}/v={epoch_id}"
+        )
+        _prune_state_versions(sess, table_dir, keep=2)
 
     return (
         regs.writeStream.outputMode("update")
@@ -231,6 +243,67 @@ def stream_hll_distinct(
         .foreachBatch(merge)
         .start()
     )
+
+
+def _state_versions(
+    spark: SparkSession, table_dir: str
+) -> list[tuple[int, object]]:
+    """Complete (``_SUCCESS``-marked) ``v=<epoch>`` state versions
+    under ``table_dir``, ascending by epoch, via the Hadoop
+    FileSystem API (URI-scheme agnostic — ADVICE r3)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                epoch = int(name[2:])
+            except ValueError:
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                out.append((epoch, st.getPath()))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _latest_state_version(
+    spark: SparkSession, table_dir: str, below: int | None = None
+) -> str | None:
+    """Path of the newest complete state version (optionally with
+    epoch strictly below ``below`` — the replay-safe prior for that
+    batch), or None when no state exists yet."""
+    versions = _state_versions(spark, table_dir)
+    if below is not None:
+        versions = [(e, p) for e, p in versions if e < below]
+    return versions[-1][1].toString() if versions else None
+
+
+def _prune_state_versions(
+    spark: SparkSession, table_dir: str, keep: int = 2
+) -> None:
+    """Delete all but the ``keep`` newest complete versions.  Keeping
+    two generations guarantees a replayed batch still finds the prior
+    version it was originally built from."""
+    versions = _state_versions(spark, table_dir)
+    if len(versions) <= keep:
+        return
+    fs = versions[0][1].getFileSystem(spark._jsc.hadoopConfiguration())
+    for _, path in versions[:-keep]:
+        fs.delete(path, True)
+
+
+def hll_state_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The current serving state of a ``stream_hll_distinct`` register
+    table: the newest complete epoch version."""
+    latest = _latest_state_version(spark, table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no complete HLL state under {table_dir}")
+    return spark.read.parquet(latest)
 
 
 def stream_ingest_dedup(

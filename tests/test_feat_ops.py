@@ -1,0 +1,214 @@
+"""Unit tests for the collocations / scd / selection / features
+operators (wired into the catalog in round 4; VERDICT r3 item 1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kissmetrics_to_database_spark.operators import (
+    collocations,
+    features,
+    scd,
+    selection,
+)
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+
+def test_bigrams_respect_doc_boundaries_and_empty_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "  a b  c "), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    ).where(F.col("text").isNotNull())
+    rows = sorted(
+        collocations.bigrams_long(df).collect(),
+        key=lambda r: (r.doc_id, r.a, r.b),
+    )
+    # doc 1 yields (a,b),(b,c) despite ragged whitespace; docs 2/3
+    # contribute nothing; no pair crosses doc 1 → doc 2.
+    assert [(r.doc_id, r.a, r.b) for r in rows] == [
+        (1, "a", "b"),
+        (1, "b", "c"),
+    ]
+
+
+def test_pmi_exact_value(spark):
+    # corpus: "a b" x4 in one doc + "a c b" — c appears once.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a c b")],
+        "doc_id long, text string",
+    )
+    out = collocations.pmi_collocations(df, min_count=4, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a, r.b, r.c_ab) == ("a", "b", 4)
+    # n_bigrams = 7 + 2 = 9; n_tokens = 8 + 3 = 11; c_a = 5, c_b = 5
+    expected = round(math.log((4 / 9) / ((5 / 11) * (5 / 11))), 6)
+    assert r.pmi == pytest.approx(expected, abs=1e-9)
+
+
+def test_kn_continuation_counts(spark):
+    # bigram types: (a,b), (c,b), (b,a) → b follows 2 distinct lefts.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c b")], "doc_id long, text string"
+    )
+    out = {
+        r.word: r for r in collocations.kn_continuation_stats(df, k=10).collect()
+    }
+    # types with counts: (a,b):2, (b,a):1, (c,b):1 → n1=2 n2=1 n_types=3
+    assert out["b"].continuation_count == 2
+    assert out["a"].continuation_count == 1
+    assert out["b"].p_continuation == pytest.approx(round(2 / 3, 6))
+    assert out["b"].d_discount == pytest.approx(round(2 / (2 + 2.0), 6))
+
+
+# ---------------------------------------------------------------------------
+# scd
+# ---------------------------------------------------------------------------
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, attr string, ts long, seq long"
+    )
+
+
+def test_scd2_from_change_log_islands(spark):
+    log = _log(
+        spark,
+        [
+            ("u1", "A", 1, 1),
+            ("u1", "A", 2, 2),  # no change → merges into version 1
+            ("u1", "B", 3, 3),
+            ("u1", "A", 4, 4),  # A again later → NEW version (type 2)
+            ("u2", "X", 1, 5),
+        ],
+    )
+    out = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.version))
+    u1 = [r for r in rows if r.k == "u1"]
+    assert [(r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in u1] == [
+        ("A", 1, 3, 1, False),
+        ("B", 3, 4, 2, False),
+        ("A", 4, None, 3, True),
+    ]
+    u2 = [r for r in rows if r.k == "u2"]
+    assert [(r.attr, r.valid_to, r.is_current) for r in u2] == [
+        ("X", None, True)
+    ]
+
+
+def test_scd2_merge_batch_all_branches(spark):
+    log = _log(
+        spark,
+        [("u1", "A", 1, 1), ("u1", "B", 5, 2), ("u2", "X", 1, 3)],
+    )
+    dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    batch = spark.createDataFrame(
+        # u1 changes B→C (close+open), u2 matches (unchanged),
+        # u3 is brand new; u4 absent from dim and batch.
+        [("u1", "C", 9), ("u2", "X", 9), ("u3", "Z", 9)],
+        "k string, attr string, ts long",
+    )
+    out = scd.scd2_merge_batch(dim, batch, "k", "attr", "ts")
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.version))
+    assert [(r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in rows] == [
+        ("u1", "A", 1, 5, 1, False),   # closed history passes through
+        ("u1", "B", 5, 9, 2, False),   # current closed at batch ts
+        ("u1", "C", 9, None, 3, True), # new open version
+        ("u2", "X", 1, None, 1, True), # unchanged current survives
+        ("u3", "Z", 9, None, 1, True), # brand-new entity at version 1
+    ]
+
+
+def test_scd2_merge_noop_batch_is_identity(spark):
+    log = _log(spark, [("u1", "A", 1, 1), ("u1", "B", 5, 2)])
+    dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    empty = spark.createDataFrame([], "k string, attr string, ts long")
+    out = scd.scd2_merge_batch(dim, empty, "k", "attr", "ts")
+    assert sorted(out.collect()) == sorted(dim.collect())
+
+
+# ---------------------------------------------------------------------------
+# selection (DSIR)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_self_target_weights_zero(spark):
+    # target == raw → identical distributions → every logratio is 0.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    out = selection.dsir_logratio_weights(docs, docs).collect()
+    assert {r.doc_id: r.log_weight for r in out} == {1: 0.0, 2: 0.0}
+    assert {r.doc_id: r.n_feats for r in out} == {1: 3, 2: 3}
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [(1, "cat cat cat"), (2, "dog dog dog")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "cat cat cat cat")], "doc_id long, text string"
+    )
+    w = {
+        r.doc_id: r.log_weight
+        for r in selection.dsir_logratio_weights(raw, target).collect()
+    }
+    assert w[1] > w[2]  # the cat doc is more target-like
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+
+def test_group_quantiles_names_and_values(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 10]] + [("g", None)],
+        "grp string, v double",
+    )
+    out = features.group_quantiles(df, "grp", "v").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert set(r) == {"grp", "q_05", "q_25", "q_50", "q_75", "q_95"}
+    assert r["q_05"] == pytest.approx(1.2)
+    assert r["q_50"] == 3.0
+    assert r["q_95"] == pytest.approx(8.8)
+
+
+def test_robust_scale_clamps_scores_and_passes_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100], 1)]
+        + [("g", 6, None)],
+        "grp string, id long, v double",
+    )
+    out = {r.id: r for r in features.robust_scale(df, "grp", "v").collect()}
+    # p05 = 1.2, p95 = 80.8, median = 3, IQR = 2
+    assert out[1].clipped == -1 and out[1].value_w == pytest.approx(1.2)
+    assert out[5].clipped == 1 and out[5].value_w == pytest.approx(80.8)
+    assert out[2].clipped == 0 and out[2].rz == pytest.approx(-0.5)
+    # the null row keeps null value_w/rz/clipped (least/greatest
+    # null-skip regression: VERDICT r4 wiring fix)
+    assert out[6].value_w is None and out[6].rz is None
+    assert out[6].clipped is None
+
+
+def test_robust_scale_zero_iqr_gives_null_rz(spark):
+    df = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(4)], "grp string, id long, v double"
+    )
+    out = features.robust_scale(df, "grp", "v").collect()
+    assert all(r.rz is None for r in out)
+    assert all(r.clipped == 0 for r in out)

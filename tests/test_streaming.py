@@ -220,11 +220,16 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    merged = spark.read.parquet(table_dir)
+    merged = sp.hll_state_table(spark, table_dir)
     streamed = {
         r["grp"]: r["hll_n"]
         for r in sketches.hll_estimate(merged, "grp").collect()
     }
+    # epoch-versioned state: the two newest complete versions are
+    # retained (replay safety), older ones pruned
+    versions = sp._state_versions(spark, table_dir)
+    assert 1 <= len(versions) <= 2
+    assert versions == sorted(versions, key=lambda t: t[0])
 
     batch_df = spark.createDataFrame(
         [(r["grp"], r["val"]) for r in rows1 + rows2], ["grp", "val"]
@@ -235,6 +240,29 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert abs(streamed["a"] - 250) / 250 < 0.2
+
+
+def test_hll_state_versioning_replay_safety(spark, tmp_path):
+    # the prior for batch N is the newest version STRICTLY BELOW N, so
+    # a replayed batch rebuilds from the same input; incomplete
+    # versions (no _SUCCESS) are invisible
+    table_dir = str(tmp_path / "state")
+    df = spark.createDataFrame([("a", 1, 3)], "grp string, register int, mrho int")
+    df.write.parquet(f"{table_dir}/v=0")
+    df.write.parquet(f"{table_dir}/v=2")
+    incomplete = tmp_path / "state" / "v=5"
+    incomplete.mkdir(parents=True)
+    (incomplete / "part-0.parquet").write_bytes(b"garbage")  # no _SUCCESS
+
+    assert sp._latest_state_version(spark, table_dir).endswith("v=2")
+    assert sp._latest_state_version(spark, table_dir, below=2).endswith("v=0")
+    assert sp._latest_state_version(spark, table_dir, below=0) is None
+    assert sp.hll_state_table(spark, table_dir).count() == 1
+
+    df.write.parquet(f"{table_dir}/v=3")
+    sp._prune_state_versions(spark, table_dir, keep=2)
+    kept = [e for e, _ in sp._state_versions(spark, table_dir)]
+    assert kept == [2, 3]
 
 
 DOC_SCHEMA = T.StructType(

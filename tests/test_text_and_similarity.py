@@ -7,6 +7,8 @@ import hashlib
 import math
 import re
 
+import pytest
+
 from kissmetrics_to_database_spark.operators import similarity, text
 
 
@@ -136,6 +138,17 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert ids[0] == 1  # matches all three terms
     assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bm25_topk_guard_rejects_fallback_degradation(spark):
+    # topk >= topKSortFallbackThreshold would silently degrade the
+    # TakeOrdered plan to a global single-task sort (ADVICE r3) —
+    # the operator must refuse instead
+    from kissmetrics_to_database_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="topKSortFallbackThreshold"):
+        bm25_search(docs, ("a",), topk=10_000)
 
 
 def test_repetition_stats_ground_truth(spark):

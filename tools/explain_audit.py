@@ -301,6 +301,49 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # PMI: bigram/unigram counts combine map-side; totals broadcast as
+    # 1-row NLJ; top-50 via TakeOrdered (never a materialized global
+    # sort); min_count filters the join input to surviving TYPES
+    "pmi_collocations": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # KN stats: one bigram-TYPE aggregation feeds everything; the
+    # 1-row count-of-counts broadcasts; top-k via TakeOrdered
+    "kn_continuation_stats": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # SCD2 build: ONE shuffle on the entity key, windows partitioned
+    # by it — no join, no single-partition exchange anywhere
+    "scd2_from_change_log": (
+        ["hashpartitioning(user_id"],
+        ["Join", "CartesianProduct", "SinglePartition"],
+    ),
+    # SCD2 merge: current-slice⋈batch on the key (broadcast at this
+    # scale); closed history unions through join-free
+    "scd2_merge_batch": (
+        ["BroadcastHashJoin", "Union", "hashpartitioning(user_id"],
+        ["CartesianProduct", "SortMergeJoin", "SinglePartition"],
+    ),
+    # DSIR: 256-row logratio table broadcasts into the token stream;
+    # only corpus shuffle is the per-doc rollup
+    "dsir_logratio_weights": (
+        ["BroadcastHashJoin", "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # group quantiles: one exact-percentile aggregation (object hash
+    # agg with partial_percentile), no join, no window
+    "group_quantiles": (
+        ["ObjectHashAggregate"],
+        ["Join", "CartesianProduct", "Window"],
+    ),
+    # robust scale: the per-group quantile table broadcasts back onto
+    # the stream — scoring is map-only after one skinny aggregation
+    "robust_scale": (
+        ["BroadcastHashJoin", "ObjectHashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
 }
 
 
@@ -347,17 +390,28 @@ def _plan_nodes(plan: str) -> list[tuple[str, str]]:
     return nodes
 
 
-def has_unbounded_global_window(plan: str) -> bool:
+def has_unbounded_global_window(plan: str, lookahead: int = 4) -> bool:
+    """True when an ``Exchange SinglePartition`` feeds a ``Window``
+    within the next ``lookahead`` plan nodes.
+
+    Strict i/i+1/i+2 adjacency (the round-3 version) misses real
+    single-task windows whenever Catalyst interposes a node — a
+    ``Project``, or the ``WindowGroupLimit`` Spark inserts for
+    rank-filter plans (ADVICE r3).  Scanning a small window after the
+    exchange catches those; ``Sort``/``Project``/``WindowGroupLimit``
+    are pass-through for this purpose, and any node that REPARTITIONS
+    (another Exchange) or aggregates ends the chain."""
     nodes = _plan_nodes(plan)
-    for i in range(len(nodes) - 2):
+    passthrough = {"Sort", "Project", "WindowGroupLimit", "Filter"}
+    for i in range(len(nodes)):
         name_a, args_a = nodes[i]
         if name_a == "Exchange" and "SinglePartition" in args_a:
-            name_b, _ = nodes[i + 1]
-            name_c, _ = nodes[i + 2]
-            if name_b == "Sort" and name_c == "Window":
-                return True
-            if name_b == "Window":
-                return True
+            for j in range(i + 1, min(i + 1 + lookahead, len(nodes))):
+                name_b, _ = nodes[j]
+                if name_b == "Window":
+                    return True
+                if name_b not in passthrough:
+                    break
     return False
 
 
