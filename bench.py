@@ -2,18 +2,32 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...},
+   "queries_steady": {name: sec, ...}, "value_steady": <sec>,
+   "sf": <scale factor>}
 
 Each query is materialized through the noop sink (full column
 evaluation, no driver collect) so timings reflect the whole plan.
 Queries come straight from the declared catalog — the bench surface
 IS the correctness surface.
+
+Two timings per query (round-4 bisect of the `minhash_lsh_near_dups`
+"drift"): the FIRST run of a plan pays one-off driver/JVM costs —
+Catalyst planning, whole-stage-codegen compilation, JIT — which for
+wide expression trees dominate the measurement (6.0 s first run vs a
+stable 2.0 s median over the next runs at sf0.1) and jitter with JVM
+state, which is what moved 4.9→5.0→5.6 s across rounds with an
+unchanged plan.  `queries` keeps the historical one-shot numbers
+(comparable to BENCH_r01-r03); `queries_steady` is the median of 3
+subsequent runs — the number that tracks throughput at scale, where
+compilation amortizes to zero.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -99,11 +113,18 @@ def main() -> None:
     cache_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        reruns = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reruns.append(time.perf_counter() - t0)
+        steady[name] = round(statistics.median(reruns), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "value_steady": round(sum(steady.values()), 3),
                 "sf": sf,
             }
         )
