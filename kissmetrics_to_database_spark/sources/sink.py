@@ -58,6 +58,34 @@ def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
     w.mode("append").save()
 
 
+def execute_ddl(spark, cfg: JdbcConfig, statements: list[str]) -> None:
+    """S7/S8: run warehouse DDL (CREATE/ALTER) over the same JDBC
+    coordinates the writer uses.
+
+    The reference issues its ALTER TABLE ADD per new key inline
+    (src/KissmetricsToDatabase.php:202-257); here the statements come
+    pre-computed from `schema_evolution.ddl_add_columns` and execute
+    once per batch, driver-side, on a single short-lived connection —
+    DDL is metadata work and never belongs on executors.  Uses the
+    JVM's DriverManager (the JDBC driver already sits on Spark's
+    classpath), so no extra Python DB client is needed.
+    """
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            for stmt in statements:
+                st.execute(stmt)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def read_jdbc(spark, cfg: JdbcConfig) -> DataFrame:
     """Read a warehouse table back (round-trip verification path)."""
     r = (

@@ -248,3 +248,37 @@ def test_triangle_counts_duplicate_and_reversed_edges_collapse(spark):
     df = spark.createDataFrame(noisy + [("a", "a")], ["src", "dst"])
     out = {r["node"]: r["n_triangles"] for r in identity.triangle_counts(df).collect()}
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_distributed_cc_2m_edges_converges_in_log_rounds(spark):
+    """The distributed pointer-jumping path at a size that FORCES it
+    (above local_threshold), with convergence-rate assertion: block
+    chains of diameter 512 must close in O(log diameter) rounds, not
+    O(diameter) — the property that makes the loop viable at 100 TB
+    (VERDICT r3 item 6).
+    """
+    from pyspark.sql import functions as F
+
+    block = 512
+    n_nodes = 2_097_152  # 4096 chains of 512 nodes → ~2.09M edges
+    edges = (
+        spark.range(n_nodes - 1)
+        .where((F.col("id") + 1) % block != 0)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    stats: dict = {}
+    comp = identity.connected_components(edges, stats=stats)
+    try:
+        assert stats["path"] == "distributed"
+        # component id must be the chain head (min member = id - id%block)
+        n_bad = comp.where(
+            F.col("component_id") != F.col("member") - F.col("member") % block
+        ).count()
+        assert n_bad == 0
+        n_components = comp.select("component_id").distinct().count()
+        assert n_components == n_nodes // block
+        # path-halving convergence: ~log2(512)=9 rounds + slack, far
+        # below the O(diameter)=512 a plain min-label loop would need
+        assert 2 <= stats["rounds"] <= 20, stats
+    finally:
+        comp.unpersist()

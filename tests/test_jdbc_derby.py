@@ -89,3 +89,47 @@ def test_watermark_advances_only_after_jdbc_commit(spark, tmp_path):
     wm.advance("101.json")
     assert wm.read() == "101.json"
     assert sink.read_jdbc(spark, cfg).count() == 9
+
+
+def test_jdbc_schema_evolution_alter_roundtrip(spark, tmp_path):
+    """S8 end-to-end against a real SQL engine: a new key appearing
+    mid-stream becomes an ALTER TABLE ADD COLUMN on the warehouse
+    (emitted by schema_evolution.ddl_add_columns, executed over JDBC),
+    and the next aligned batch lands values in it while earlier rows
+    read back NULL (VERDICT r3 item 7)."""
+    from pyspark.sql import types as T
+
+    from kissmetrics_to_database_spark.operators import schema_evolution
+
+    cfg = _cfg(tmp_path, "tb_evolve")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "event_id long, _p string"
+    )
+    sink.write_jdbc_append(batch1, cfg)
+
+    # batch 2 carries a never-seen key
+    batch2 = spark.createDataFrame(
+        [(3, "gamma", "pro-plan")], "event_id long, _p string, plan string"
+    )
+    new = schema_evolution.new_columns(batch2, batch1.columns)
+    assert new == ["plan"]
+    ddl = schema_evolution.ddl_add_columns(
+        "tb_evolve", new, schema_evolution.max_lengths(batch2, new)
+    )
+    assert ddl == ['ALTER TABLE tb_evolve ADD COLUMN "plan" VARCHAR(16)']
+    sink.execute_ddl(spark, cfg, ddl)
+
+    # the pre-existing rows must align to the evolved table schema
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("_p", T.StringType()),
+            T.StructField("plan", T.StringType()),
+        ]
+    )
+    sink.write_jdbc_append(schema_evolution.align_to_schema(batch2, target), cfg)
+
+    back = sink.read_jdbc(spark, cfg)
+    assert set(back.columns) == {"event_id", "_p", "plan"}
+    got = {r["event_id"]: r["plan"] for r in back.collect()}
+    assert got == {1: None, 2: None, 3: "pro-plan"}
