@@ -6,14 +6,17 @@ decodable from public specs with nothing beyond the stdlib and numpy:
 - PNG  (zlib inflate + per-row unfiltering, RFC 2083) — 8-bit depth,
   color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
   non-interlaced;
+- JPEG (baseline-sequential JFIF, ITU-T T.81 — Huffman + IDCT with
+  4:4:4/4:2:2/4:2:0 sampling and restart markers; see
+  ``functions/jpeg.py``);
 - BMP  (BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows);
 - PPM/PGM (netpbm P5/P6 binary, maxval 255);
 - WAV  (stdlib ``wave``, 16-bit PCM).
 
 These make the engine's decode path REAL (pixels/samples out, verified
 round-trip in tests), not a deterministic fake. When PIL is installed
-it is used as a fallback for formats outside this set (JPEG/WebP/...);
-see :func:`sniff_format` / :func:`decode_image`.
+it is used as a fallback for formats outside this set (progressive
+JPEG/WebP/...); see :func:`sniff_format` / :func:`decode_image`.
 
 Everything here runs inside Arrow-batched ``mapInPandas`` kernels —
 per-payload numpy work, no Spark-side state.
@@ -34,10 +37,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str:
-    """Identify a payload by magic bytes. Returns 'png' | 'bmp' |
-    'ppm' | 'pgm' | 'wav' | 'unknown'."""
+    """Identify a payload by magic bytes. Returns 'png' | 'jpg' |
+    'bmp' | 'ppm' | 'pgm' | 'wav' | 'unknown'."""
     if payload.startswith(PNG_SIGNATURE):
         return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpg"
     if payload.startswith(b"BM") and len(payload) >= 54:
         return "bmp"
     if payload.startswith(b"P6"):
@@ -314,6 +319,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpg":
+        from kissmetrics_to_database_spark.functions import jpeg
+
+        return jpeg.decode_jpeg(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt in ("ppm", "pgm"):

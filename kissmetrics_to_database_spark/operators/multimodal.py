@@ -6,10 +6,12 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row
 objects.
 
-The decode path is REAL for PNG/BMP/PPM/PGM/WAV — implemented from
-the public specs in ``functions/codecs.py`` with stdlib zlib/wave +
-numpy (no codec library needed), with PIL as an optional fallback for
-JPEG/WebP when installed. ``fake_decode_kernel`` remains only for the
+The decode path is REAL for PNG/JPEG/BMP/PPM/PGM/WAV — implemented
+from the public specs in ``functions/codecs.py`` and
+``functions/jpeg.py`` (baseline-sequential T.81: Huffman + IDCT,
+4:4:4/4:2:2/4:2:0, restart markers) with stdlib zlib/wave + numpy (no
+codec library needed), with PIL as an optional fallback for
+progressive JPEG/WebP when installed. ``fake_decode_kernel`` remains only for the
 oracle-checkable catalog query (the driver's synthetic payloads are
 text bytes, not images, and DuckDB can't decode pixels — the fake
 derives deterministic metadata both engines can compute). Video frame
@@ -77,10 +79,11 @@ REAL_DECODED_SCHEMA = (
 def real_decode_kernel(payload: bytes) -> dict:
     """REAL image decode — actual pixels out, no codec library needed.
 
-    PNG/BMP/PPM/PGM are decoded from spec by
-    :mod:`kissmetrics_to_database_spark.functions.codecs` (pure
-    numpy + stdlib zlib); PIL is used as an optional fallback for
-    formats outside that set when installed. Undecodable payloads are
+    PNG/baseline-JPEG/BMP/PPM/PGM are decoded from spec by
+    :mod:`kissmetrics_to_database_spark.functions.codecs` and
+    :mod:`~.functions.jpeg` (pure numpy + stdlib zlib); PIL is used as
+    an optional fallback for formats outside that set when installed.
+    Undecodable payloads are
     reported as format='unknown' with null dimensions rather than
     failing the batch — at 100 TB a decode stage must quarantine bad
     payloads, not die on them.

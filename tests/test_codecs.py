@@ -112,7 +112,11 @@ def test_sniff_format():
     assert codecs.sniff_format(codecs.encode_ppm(img[:, :, :1])) == "pgm"
     wav = codecs.encode_wav(np.zeros(10, np.int16))
     assert codecs.sniff_format(wav) == "wav"
-    assert codecs.sniff_format(b"\xff\xd8\xff junk") == "unknown"
+    from kissmetrics_to_database_spark.functions import jpeg
+
+    assert codecs.sniff_format(b"\xff\xd8\xff junk") == "jpg"
+    assert codecs.sniff_format(jpeg.encode_jpeg(img)) == "jpg"
+    assert codecs.sniff_format(b"GIF89a...") == "unknown"
 
 
 def test_resize_nearest():
