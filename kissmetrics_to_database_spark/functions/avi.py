@@ -1,0 +1,238 @@
+"""Video containers decodable from public specs with no codec library:
+
+- **AVI / MJPEG** (RIFF container, Microsoft AVI spec): every video
+  frame chunk (``00dc``/``00db``) in an MJPEG stream is a standalone
+  baseline JPEG — which ``functions/jpeg.py`` decodes from the T.81
+  spec. Container parsing is a plain RIFF chunk walk.
+- **Y4M** (YUV4MPEG2, the mjpegtools interchange format): a text
+  header then uncompressed ``FRAME`` payloads of planar YCbCr —
+  no entropy coding at all.
+
+Together these give the multimodal suite a REAL video frame-sampling
+path (``operators/multimodal.frame_sample``) in a container with no
+ffmpeg. Inter-coded formats (H.264/VP9/AV1 in MP4/MKV) genuinely
+require a codec library and raise ``ValueError`` for upstream
+quarantine — that boundary is documented, not hidden.
+
+Builders (``build_mjpeg_avi`` / ``build_y4m``) exist so tests can
+round-trip without fixture binaries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — MJPEG streams
+# ---------------------------------------------------------------------------
+
+
+def _walk_riff(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [pos, end); LIST chunks are yielded with their list-type as
+    fourcc ``LIST:<type>`` and then recursed into by the caller."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Parse an AVI container → dict(width, height, fps, n_frames,
+    handler, frames=[bytes per video frame chunk, in stream order]).
+
+    Only the video stream's ``..dc``/``..db`` chunks are collected;
+    audio (``..wb``) and index chunks are skipped. Raises ValueError
+    on non-AVI input.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI header)")
+    info = {
+        "width": None,
+        "height": None,
+        "fps": None,
+        "n_frames": None,
+        "handler": None,
+    }
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        for fourcc, p, size in _walk_riff(payload, pos, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)  # skip the list-type fourcc
+            elif fourcc == b"avih" and size >= 40:
+                (usec_pf,) = struct.unpack_from("<I", payload, p)
+                (total,) = struct.unpack_from("<I", payload, p + 16)
+                w, h = struct.unpack_from("<II", payload, p + 32)
+                info["fps"] = round(1e6 / usec_pf, 6) if usec_pf else None
+                info["n_frames"] = total
+                info["width"], info["height"] = w, h
+            elif fourcc == b"strh" and size >= 8:
+                if payload[p : p + 4] == b"vids":
+                    info["handler"] = payload[p + 4 : p + 8].decode(
+                        "ascii", "replace"
+                    )
+            elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
+                frames.append(payload[p : p + size])
+
+    walk(12, len(payload))
+    info["frames"] = frames
+    return info
+
+
+def build_mjpeg_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Assemble a minimal spec-valid MJPEG AVI from encoded JPEG
+    frames (header chunks: avih + one vids strl; movi list; no idx1
+    — players tolerate its absence, and the parser doesn't need it)."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps),  # dwMicroSecPerFrame
+        0, 0, 0x10,      # maxbytes, padding, flags (HASINDEX off, INTERLEAVED)
+        len(jpeg_frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(jpeg_frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2)
+# ---------------------------------------------------------------------------
+
+
+def parse_y4m(payload: bytes) -> dict:
+    """Parse YUV4MPEG2 → dict(width, height, fps, colorspace,
+    frames=[(h, w, 3) uint8 RGB arrays]). Supports C444 and the C420
+    family (nearest-neighbor chroma upsample); full-range BT.601
+    conversion (the same matrix the JPEG path uses), which is exact
+    for content produced by :func:`build_y4m`."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = None
+    cs = "420"
+    for token in payload[9:nl].split():
+        tag, val = chr(token[0]), token[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(b":")
+            fps = round(int(num) / int(den), 6)
+        elif tag == "C":
+            cs = val.decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("444"):
+        sub = 1
+    elif cs.startswith("420"):
+        sub = 2
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    y_size = w * h
+    c_size = (w // sub) * (h // sub)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        pos = fnl + 1
+        yp = np.frombuffer(payload, np.uint8, y_size, pos).reshape(h, w)
+        cb = np.frombuffer(
+            payload, np.uint8, c_size, pos + y_size
+        ).reshape(h // sub, w // sub)
+        cr = np.frombuffer(
+            payload, np.uint8, c_size, pos + y_size + c_size
+        ).reshape(h // sub, w // sub)
+        pos += y_size + 2 * c_size
+        if sub > 1:
+            cb = np.repeat(np.repeat(cb, sub, 0), sub, 1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, sub, 0), sub, 1)[:h, :w]
+        yf, cbf, crf = (
+            yp.astype(np.float64),
+            cb.astype(np.float64) - 128.0,
+            cr.astype(np.float64) - 128.0,
+        )
+        rgb = np.stack(
+            [
+                yf + 1.402 * crf,
+                yf - 0.344136 * cbf - 0.714136 * crf,
+                yf + 1.772 * cbf,
+            ],
+            axis=2,
+        )
+        frames.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "colorspace": cs,
+        "frames": frames,
+    }
+
+
+def build_y4m(
+    rgb_frames: list[np.ndarray], fps: int = 25, colorspace: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames → Y4M bytes (C444 keeps the
+    round trip near-exact; C420 box-averages chroma)."""
+    if colorspace not in ("444", "420"):
+        raise ValueError("colorspace must be '444' or '420'")
+    h, w = rgb_frames[0].shape[:2]
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{colorspace}\n".encode()
+    )
+    for f in rgb_frames:
+        rgb = np.ascontiguousarray(f, dtype=np.uint8).astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if colorspace == "420":
+            cb = cb.reshape(h // 2, 2, -1, 2).mean((1, 3))
+            cr = cr.reshape(h // 2, 2, -1, 2).mean((1, 3))
+        out += b"FRAME\n"
+        for plane in (y, cb, cr):
+            out += np.clip(np.rint(plane), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def sniff_video(payload: bytes) -> str:
+    """'avi' | 'y4m' | 'unknown' by magic bytes."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    if payload.startswith(b"YUV4MPEG2"):
+        return "y4m"
+    return "unknown"

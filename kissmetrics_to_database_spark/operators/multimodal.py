@@ -15,7 +15,10 @@ progressive JPEG/WebP when installed. ``fake_decode_kernel`` remains only for th
 oracle-checkable catalog query (the driver's synthetic payloads are
 text bytes, not images, and DuckDB can't decode pixels — the fake
 derives deterministic metadata both engines can compute). Video frame
-sampling genuinely requires ffmpeg and stays a documented stub.
+sampling is REAL for MJPEG-AVI and Y4M (``frame_sample``; RIFF/Y4M
+parse in ``functions/avi.py`` + the from-spec JPEG decoder);
+inter-coded formats (H.264/VP9/AV1) genuinely require ffmpeg and
+quarantine instead.
 
 At scale:
 - payload partitions should be sized by bytes not rows
@@ -232,13 +235,74 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
-    """Video frame sampling — requires ffmpeg/pyav. One input row →
-    many output rows (frame index + binary frame), i.e. a flat-map
-    shape under ``mapInPandas`` yielding multiple rows per input."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg/pyav, not present in this container"
-    )
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, "
+    "mean_value double, frame_png binary"
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling for spec-decodable containers: every
+    ``every_n``-th frame of MJPEG-AVI (RIFF walk + the from-spec
+    baseline JPEG decoder) and Y4M (uncompressed planar YCbCr)
+    payloads, emitted as (frame_idx, dims, mean, PNG bytes).
+
+    One input row → many output rows: the flat-map shape under
+    Arrow-batched ``mapInPandas`` (a kernel may yield any number of
+    rows per input). Inter-coded formats (H.264/VP9/AV1 in MP4/MKV)
+    require a real codec library and QUARANTINE — a single row with
+    null frame fields — rather than failing the batch; wire
+    ffmpeg/pyav through the same kernel on clusters that ship it.
+
+    At 100 TB: embarrassingly parallel per payload; the output
+    explodes row counts, so repartition downstream by
+    (doc_id, frame_idx) before any wide operation.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import avi, codecs, jpeg
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def _frames(payload: bytes):
+        kind = avi.sniff_video(payload)
+        if kind == "avi":
+            meta = avi.parse_avi(payload)
+            if meta["handler"] not in (None, "MJPG", "mjpg"):
+                raise ValueError(f"non-MJPEG AVI ({meta['handler']})")
+            for i, raw in enumerate(meta["frames"]):
+                if i % every_n == 0:
+                    yield i, jpeg.decode_jpeg(raw)
+        elif kind == "y4m":
+            for i, frame in enumerate(avi.parse_y4m(payload)["frames"]):
+                if i % every_n == 0:
+                    yield i, frame
+        else:
+            raise ValueError("undecodable video container")
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for idx, arr in _frames(bytes(payload)):
+                        rows.append({
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "mean_value": round(float(arr.mean()), 6),
+                            "frame_png": codecs.encode_png(arr),
+                        })
+                except ValueError:
+                    rows.append({
+                        "doc_id": doc_id, "frame_idx": None, "width": None,
+                        "height": None, "mean_value": None, "frame_png": None,
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def decode_images(df: DataFrame, kernel=fake_decode_kernel) -> DataFrame:

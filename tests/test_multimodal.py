@@ -48,12 +48,66 @@ def test_extract_features_matches_python(spark):
     assert out[1]["entropy"] == 0.0
 
 
-def test_frame_sample_stub_raises_clearly(spark):
-    # resize is REAL now (see test_codecs.py); only video frame
-    # sampling still genuinely requires ffmpeg.
-    payload = multimodal.attach_binary_payload(_docs(spark))
-    with pytest.raises(NotImplementedError, match="ffmpeg|pyav"):
-        multimodal.frame_sample_stub(payload, 10)
+def _gradient_frame(h, w, shift):
+    import numpy as np
+
+    y = np.linspace(0, 200, h)[:, None]
+    x = np.linspace(0, 200, w)[None, :]
+    base = (y + x) / 2 + shift
+    return np.clip(
+        np.stack([base, base[::-1], np.full((h, w), 90.0)], 2), 0, 255
+    ).astype(np.uint8)
+
+
+def test_frame_sample_mjpeg_avi_real(spark):
+    # the former ffmpeg stub, now REAL for MJPEG-AVI: RIFF walk +
+    # from-spec baseline JPEG decode, every_n sampling, PNG frames out
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import avi, codecs, jpeg
+
+    frames = [_gradient_frame(16, 24, 10 * i) for i in range(6)]
+    payload = avi.build_mjpeg_avi(
+        [jpeg.encode_jpeg(f, q=2) for f in frames], 24, 16, fps=10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x00\x00notvideo"))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.frame_sample(df, every_n=2).collect()
+    sampled = sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in sampled] == [0, 2, 4]
+    assert all((r.width, r.height) == (24, 16) for r in sampled)
+    # the PNG payload decodes back to the JPEG-decoded frame exactly
+    png0 = codecs.decode_png(bytes(sampled[0].frame_png))
+    assert np.abs(
+        png0.astype(int) - frames[0].astype(int)
+    ).max() <= 16  # JPEG quantization bound only; PNG step is lossless
+    # non-video payload quarantines to a single null row
+    quarantined = [r for r in out if r.doc_id == 2]
+    assert len(quarantined) == 1 and quarantined[0].frame_idx is None
+
+
+def test_frame_sample_y4m_uncompressed(spark):
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import avi, codecs
+
+    frames = [_gradient_frame(8, 8, 30 * i) for i in range(3)]
+    payload = avi.build_y4m(frames, fps=5, colorspace="444")
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = sorted(
+        multimodal.frame_sample(df, every_n=1).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    # C444 YCbCr round trip is near-exact (rounding only)
+    got = codecs.decode_png(bytes(out[1].frame_png))
+    assert np.abs(got.astype(int) - frames[1].astype(int)).max() <= 2
 
 
 def test_real_decode_quarantines_text_payloads(spark):
