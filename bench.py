@@ -94,6 +94,13 @@ HEADLINE = [
     "epoch_shuffle",
     "quality_quantile_gate",
     "incremental_ingest_dedup",
+    # round-4 collocation / SCD2 / selection / conditioning suite
+    "pmi_collocations",
+    "kn_continuation_stats",
+    "scd2_from_change_log",
+    "scd2_merge_batch",
+    "dsir_logratio_weights",
+    "robust_scale",
 ]
 
 
