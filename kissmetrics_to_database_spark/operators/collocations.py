@@ -163,8 +163,15 @@ def kn_continuation_stats(
             F.round(F.col("continuation_count") / F.col("n_types"), 6).alias(
                 "p_continuation"
             ),
-            F.round(
-                F.col("n1") / (F.col("n1") + 2.0 * F.col("n2")), 6
+            # D is undefined when the corpus has no singleton or
+            # doubleton bigram types (a large corpus over a small
+            # vocabulary — every type frequent): NULL, not a
+            # divide-by-zero under ANSI mode (found by the sf0.1 bench)
+            F.when(
+                (F.col("n1") + 2.0 * F.col("n2")) > 0,
+                F.round(
+                    F.col("n1") / (F.col("n1") + 2.0 * F.col("n2")), 6
+                ),
             ).alias("d_discount"),
         )
         .orderBy(F.desc("continuation_count"), F.asc("word"))

@@ -82,49 +82,73 @@ def scd2_merge_batch(
       the batch: history passes through untouched;
     - brand-new entities open at version 1.
 
-    Plan shape: the batch is the small side — every comparison is a
-    join ON THE KEY against only the ``is_current`` slice of the
-    dimension. Historical (closed) rows stream through with no join
-    at all, so a nightly run over a 100 TB dimension moves only the
-    current slice + batch through the shuffle.
+    Plan shape: ONE left join of the dimension against the (small,
+    broadcastable) batch, then a conditional explode — a changing
+    current row fans out to [closed, opened], every other row passes
+    through as itself. The dimension subtree is evaluated twice
+    (main pass + the brand-new anti-probe), not once per union
+    branch: with a derived dim that's the difference between 2 and 5
+    window computations (sf0.1 bench, round 4), and with a
+    materialized 100 TB dim it's two scans where history moves
+    through untouched.
     """
-    cur = dim.where(F.col("is_current"))
-    hist = dim.where(~F.col("is_current"))
+    ts_type = dim.schema["valid_to"].dataType
     b = batch.select(
         F.col(key_col),
         F.col(attr_col).alias("_new_attr"),
         F.col(ts_col).alias("_new_ts"),
     )
 
-    joined = cur.join(b, key_col, "left")
-    unchanged = joined.where(
-        F.col("_new_attr").isNull() | (F.col("_new_attr") == F.col(attr_col))
-    ).select(*dim.columns)
-    closing = joined.where(
-        F.col("_new_attr").isNotNull() & (F.col("_new_attr") != F.col(attr_col))
+    keep_s = F.struct(
+        F.col(attr_col).alias(attr_col),
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("version"),
+        F.col("is_current"),
     )
-    closed = closing.select(
-        key_col, attr_col, "valid_from",
-        F.col("_new_ts").alias("valid_to"), "version",
+    closed_s = F.struct(
+        F.col(attr_col).alias(attr_col),
+        F.col("valid_from"),
+        F.col("_new_ts").alias("valid_to"),
+        F.col("version"),
         F.lit(False).alias("is_current"),
     )
-    opened = closing.select(
-        key_col, F.col("_new_attr").alias(attr_col),
+    opened_s = F.struct(
+        F.col("_new_attr").alias(attr_col),
         F.col("_new_ts").alias("valid_from"),
-        F.lit(None).cast(closing.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(None).cast(ts_type).alias("valid_to"),
         (F.col("version") + 1).alias("version"),
         F.lit(True).alias("is_current"),
     )
+    changes = (
+        F.col("is_current")
+        & F.col("_new_attr").isNotNull()
+        & (F.col("_new_attr") != F.col(attr_col))
+    )
+    merged = (
+        dim.join(b, key_col, "left")
+        .select(
+            key_col,
+            F.explode(
+                F.when(changes, F.array(closed_s, opened_s)).otherwise(
+                    F.array(keep_s)
+                )
+            ).alias("_r"),
+        )
+        .select(key_col, "_r.*")
+    )
     brand_new = (
-        b.join(cur.select(key_col), key_col, "left_anti")
+        b.join(
+            dim.where(F.col("is_current")).select(key_col),
+            key_col,
+            "left_anti",
+        )
         .select(
             key_col, F.col("_new_attr").alias(attr_col),
             F.col("_new_ts").alias("valid_from"),
-            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(None).cast(ts_type).alias("valid_to"),
             F.lit(1).cast("long").alias("version"),
             F.lit(True).alias("is_current"),
         )
     )
-    return hist.unionByName(unchanged).unionByName(closed).unionByName(
-        opened
-    ).unionByName(brand_new)
+    return merged.unionByName(brand_new)

@@ -162,7 +162,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word, continuation_count,
            round(continuation_count / n_types, 6) AS p_continuation,
-           round(n1 / (n1 + 2.0 * n2), 6) AS d_discount
+           CASE WHEN n1 + 2.0 * n2 > 0
+                THEN round(n1 / (n1 + 2.0 * n2), 6) END AS d_discount
     FROM cont CROSS JOIN coc
     ORDER BY continuation_count DESC, word LIMIT 50
     """,

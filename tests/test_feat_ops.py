@@ -69,6 +69,18 @@ def test_kn_continuation_counts(spark):
     assert out["b"].d_discount == pytest.approx(round(2 / (2 + 2.0), 6))
 
 
+def test_kn_discount_null_when_no_rare_types(spark):
+    # every bigram type occurs >= 3 times → N1 = N2 = 0 → the
+    # Ney-Essen-Kneser discount is undefined and must surface as NULL,
+    # not an ANSI divide-by-zero (sf0.1 bench regression)
+    df = spark.createDataFrame(
+        [(i, "x y x y x y") for i in range(3)], "doc_id long, text string"
+    )
+    out = collocations.kn_continuation_stats(df, k=10).collect()
+    assert len(out) > 0
+    assert all(r.d_discount is None for r in out)
+
+
 # ---------------------------------------------------------------------------
 # scd
 # ---------------------------------------------------------------------------
