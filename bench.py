@@ -99,6 +99,7 @@ HEADLINE = [
     "kn_continuation_stats",
     "scd2_from_change_log",
     "scd2_merge_batch",
+    "scd2_point_in_time",
     "dsir_logratio_weights",
     "robust_scale",
 ]

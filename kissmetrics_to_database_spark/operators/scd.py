@@ -66,6 +66,54 @@ def scd2_from_change_log(
     )
 
 
+def scd2_point_in_time(
+    dim: DataFrame,
+    facts: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup: attach to each fact row the dimension
+    version whose validity interval contains the fact's timestamp
+    (``valid_from <= ts < valid_to``, open version unbounded).
+
+    This is THE feature-store primitive: joining training facts to
+    attributes *as they were at event time* is what makes a feature
+    leakage-free by construction — an ordinary join against current
+    attributes silently leaks the future into training data.
+
+    Plan shape: an equi-join on the entity key with the interval
+    bounds as residual predicates — one key-partitioned shuffle, no
+    range explosion; per key the residual scans that entity's
+    version list (bounded by its change count). SCD2 intervals
+    partition time, so exactly one version matches per fact.
+    """
+    d = dim.select(
+        F.col(key_col).alias("_d_key"),
+        *[
+            F.col(c).alias(f"_d_{c}")
+            for c in dim.columns
+            if c != key_col
+        ],
+    )
+    # residual bounds INSIDE the join condition: a fact whose key has
+    # versions but none containing its ts (possible when facts predate
+    # the dimension's history) keeps its row with null attributes —
+    # a post-join filter would drop it instead
+    cond = (
+        (F.col(key_col) == F.col("_d_key"))
+        & (F.col("_d_valid_from") <= F.col(ts_col))
+        & (
+            F.col("_d_valid_to").isNull()
+            | (F.col(ts_col) < F.col("_d_valid_to"))
+        )
+    )
+    out = facts.join(d, cond, "left").drop("_d_key")
+    for c in dim.columns:
+        if c != key_col:
+            out = out.withColumnRenamed(f"_d_{c}", c)
+    return out
+
+
 def scd2_merge_batch(
     dim: DataFrame,
     batch: DataFrame,

@@ -277,6 +277,44 @@ def q_scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+@query(
+    "scd2_point_in_time",
+    f"""
+    WITH dim AS ({SQL_SCD2.format(src="events")})
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           d.event_type AS type_at_event, d.version
+    FROM events e
+    LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup: each purchase fact joined to the
+    dimension version valid AT ITS OWN TIMESTAMP — the leakage-free
+    feature-store join (an ordinary current-attribute join would leak
+    the future into training facts).  Equi-join on the entity key
+    with interval residuals; SCD2 intervals partition time so exactly
+    one version matches.  See scd.scd2_point_in_time."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd.scd2_from_change_log(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).withColumnRenamed("event_type", "type_at_event")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        scd.scd2_point_in_time(dim, facts, "user_id", "ts")
+        .select(
+            "event_id", "user_id", "ts", "value", "type_at_event", "version"
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR data selection
 # ---------------------------------------------------------------------------

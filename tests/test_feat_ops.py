@@ -142,6 +142,39 @@ def test_scd2_merge_batch_all_branches(spark):
     ]
 
 
+def test_scd2_point_in_time_interval_semantics(spark):
+    log = _log(
+        spark,
+        [("u1", "A", 10, 1), ("u1", "B", 20, 2), ("u2", "X", 10, 3)],
+    )
+    dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    facts = spark.createDataFrame(
+        [
+            (1, "u1", 10),  # boundary: exactly at first valid_from → A
+            (2, "u1", 19),  # inside version 1 → A
+            (3, "u1", 20),  # boundary: valid_to of v1 = valid_from of v2 → B
+            (4, "u1", 99),  # open interval → B
+            (5, "u2", 5),   # predates history → null attributes
+            (6, "u3", 50),  # unknown entity → null attributes
+        ],
+        "fact_id long, k string, ts long",
+    )
+    out = {
+        r.fact_id: (r.attr, r.version)
+        for r in scd.scd2_point_in_time(dim, facts, "k", "ts").collect()
+    }
+    assert out == {
+        1: ("A", 1),
+        2: ("A", 1),
+        3: ("B", 2),
+        4: ("B", 2),
+        5: (None, None),
+        6: (None, None),
+    }
+    # every fact survives exactly once — intervals partition time
+    assert len(out) == 6
+
+
 def test_scd2_merge_noop_batch_is_identity(spark):
     log = _log(spark, [("u1", "A", 1, 1), ("u1", "B", 5, 2)])
     dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")

@@ -326,6 +326,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Union", "hashpartitioning(user_id"],
         ["CartesianProduct", "SortMergeJoin", "SinglePartition"],
     ),
+    # point-in-time: equi-join on the entity key with interval
+    # residuals — never a range explosion or cartesian
+    "scd2_point_in_time": (
+        ["hashpartitioning(user_id"],
+        ["CartesianProduct", "SinglePartition", "BroadcastNestedLoopJoin"],
+    ),
     # DSIR: 256-row logratio table broadcasts into the token stream;
     # only corpus shuffle is the per-doc rollup
     "dsir_logratio_weights": (
