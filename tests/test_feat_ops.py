@@ -257,3 +257,67 @@ def test_robust_scale_zero_iqr_gives_null_rz(spark):
     out = features.robust_scale(df, "grp", "v").collect()
     assert all(r.rz is None for r in out)
     assert all(r.clipped == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# properties (randomized, driver-computed references)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_merge_is_idempotent_on_random_logs(spark):
+    # the warehouse MERGE contract: applying the SAME batch twice must
+    # be a no-op the second time (replay safety for at-least-once
+    # delivery into the dimension)
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (f"u{rng.randrange(6)}", rng.choice("ABC"), t, t)
+        for t in range(40)
+    ]
+    log = _log(spark, rows)
+    dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    batch = spark.createDataFrame(
+        [("u0", "Z", 100), ("u1", "A", 100), ("u9", "N", 100)],
+        "k string, attr string, ts long",
+    )
+    once = scd.scd2_merge_batch(dim, batch, "k", "attr", "ts")
+    twice = scd.scd2_merge_batch(once, batch, "k", "attr", "ts")
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_scd2_point_in_time_preserves_fact_cardinality(spark):
+    # intervals partition time → the PIT join is 1:1 on facts, never
+    # dropping or duplicating, for arbitrary logs and probe times
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"u{rng.randrange(5)}", rng.choice("ABCD"), t, t)
+        for t in range(60)
+    ]
+    log = _log(spark, rows)
+    dim = scd.scd2_from_change_log(log, "k", "attr", "ts", "seq")
+    facts = spark.createDataFrame(
+        [
+            (i, f"u{rng.randrange(7)}", rng.randrange(-5, 70))
+            for i in range(50)
+        ],
+        "fact_id long, k string, ts long",
+    )
+    out = scd.scd2_point_in_time(dim, facts, "k", "ts")
+    assert out.count() == 50
+    assert out.select("fact_id").distinct().count() == 50
+    # spot-verify against a driver-side reference
+    hist = {}
+    for k, attr, ts, _ in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        hist.setdefault(k, [])
+        if not hist[k] or hist[k][-1][1] != attr:
+            hist[k].append((ts, attr))
+    got = {r.fact_id: r.attr for r in out.collect()}
+    for r in facts.collect():
+        expect = None
+        for start, attr in hist.get(r.k, []):
+            if start <= r.ts:
+                expect = attr
+        assert got[r.fact_id] == expect, (r.fact_id, r.k, r.ts)
