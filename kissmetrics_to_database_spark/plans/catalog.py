@@ -1013,8 +1013,14 @@ def _reorder_registration() -> None:
     )
 
     green = set(_VERIFIED_R01) | set(_VERIFIED_R02) | set(_VERIFIED_R03)
-    changed = changed_queries()
-    reverify = [n for n in QUERIES if n in changed]
+    brand_new, modified = changed_queries()
+    changed = brand_new | modified
+    # brand-new queries first — the driver has NO record of them, so
+    # they must land inside the window even when a wide operator edit
+    # flags many already-green queries for re-check
+    reverify = [n for n in QUERIES if n in brand_new] + [
+        n for n in QUERIES if n in modified
+    ]
     never_checked = [
         n for n in QUERIES if n not in green and n not in changed
     ]

@@ -9,12 +9,15 @@ front-loads queries whose live fingerprint differs, so a code change
 anywhere in a query's dependency cone re-enters it into the driver's
 50-query correctness window without hand-listing (VERDICT r3 item 8).
 
-The module scan is textual by design: a query referencing
-``dedup.banded_lsh_candidates`` matches token ``dedup`` and inherits
-`operators/dedup.py`'s source into its hash.  False positives (a
-docstring mentioning a module) only cause a harmless extra reverify;
-false negatives require calling a module without naming it, which the
-catalog style (module-qualified calls) rules out.
+The module scan is textual by design but matches only module-USE
+shapes — ``dedup.`` attribute access or ``import dedup`` /
+``from ...dedup import`` — not bare tokens: the word ``text`` appears
+in nearly every document query as a COLUMN name, and bare-token
+matching flagged 55 queries as changed after a one-line text.py edit
+(round 4), overflowing the driver's 50-query window so genuinely new
+queries fell outside it.  False negatives require calling a module
+without naming it, which the catalog style (module-qualified calls)
+rules out.
 """
 
 from __future__ import annotations
@@ -48,11 +51,24 @@ _DEP_MODULES: dict[str, Path] = {
     "session": _PKG / "session.py",
 }
 
-_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-
-
 def _module_source_cache() -> dict[str, str]:
     return {name: p.read_text() for name, p in _DEP_MODULES.items()}
+
+
+def _referenced_modules(fn_src: str, module_names) -> list[str]:
+    """Modules the function source USES: ``mod.attr`` access or an
+    import statement naming the module — never a bare token (column
+    names like "text" collide with module names)."""
+    deps = []
+    for name in module_names:
+        pat = (
+            rf"\b{re.escape(name)}\s*\."          # text.bm25_search(...)
+            rf"|\bimport\s+{re.escape(name)}\b"    # import text
+            rf"|\b{re.escape(name)}\s+import\b"    # from ...text import f
+        )
+        if re.search(pat, fn_src):
+            deps.append(name)
+    return sorted(deps)
 
 
 def compute_fingerprints() -> dict[str, str]:
@@ -66,8 +82,7 @@ def compute_fingerprints() -> dict[str, str]:
             fn_src = inspect.getsource(fn)
         except (OSError, TypeError):  # pragma: no cover - builtins only
             fn_src = repr(fn)
-        tokens = set(_TOKEN_RE.findall(fn_src))
-        deps = sorted(t for t in tokens if t in srcs)
+        deps = _referenced_modules(fn_src, srcs)
         h = hashlib.md5()
         h.update(fn_src.encode())
         h.update(catalog.ORACLES.get(name, "<no-oracle>").encode())
@@ -78,17 +93,27 @@ def compute_fingerprints() -> dict[str, str]:
     return out
 
 
-def changed_queries() -> set[str]:
-    """Queries whose live fingerprint differs from the committed
-    snapshot (or that have no snapshot entry).  Empty snapshot file →
-    empty set, so a fresh checkout degrades to the hand-curated lists
-    rather than reverifying everything."""
+def _snapshot() -> dict[str, str]:
     try:
         with open(SNAPSHOT_PATH) as f:
-            committed = json.load(f)
+            return json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
-        return set()
+        return {}
+
+
+def changed_queries() -> tuple[set[str], set[str]]:
+    """(brand_new, modified): brand_new have NO snapshot entry at all
+    (added this round — the driver has never seen them and they must
+    claim window slots first); modified have an entry whose hash
+    differs (their prior green no longer certifies current code).
+    Empty snapshot → both empty, so a fresh checkout degrades to the
+    hand-curated lists rather than reverifying everything."""
+    committed = _snapshot()
     if not committed:
-        return set()
+        return set(), set()
     live = compute_fingerprints()
-    return {n for n, fp in live.items() if committed.get(n) != fp}
+    brand_new = {n for n in live if n not in committed}
+    modified = {
+        n for n, fp in live.items() if n in committed and committed[n] != fp
+    }
+    return brand_new, modified
