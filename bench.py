@@ -97,6 +97,7 @@ HEADLINE = [
     # round-4 collocation / SCD2 / selection / conditioning suite
     "pmi_collocations",
     "kn_continuation_stats",
+    "kn_bigram_scores",
     "scd2_from_change_log",
     "scd2_merge_batch",
     "scd2_point_in_time",

@@ -121,6 +121,75 @@ def pmi_collocations(
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
 
 
+def kn_bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document fluency score under an interpolated Kneser-Ney
+    bigram LM trained on the corpus itself — the bigram-order upgrade
+    of `text.unigram_logprob_scores` (CCNet-style perplexity
+    filtering).
+
+    P_KN(b|a) = max(c(a,b) − D, 0) / c(a·)
+              + (D / c(a·)) · N1+(a·) · P_cont(b)
+
+    with c(a·) the left-context mass (row sum of the type table),
+    N1+(a·) the distinct continuations of ``a``, P_cont from
+    continuation counts, and D = N1/(N1 + 2·N2) (degenerate corpora
+    with no singleton/doubleton types yield NULL scores rather than a
+    division blowup, same contract as `kn_continuation_stats`).
+    Returns (id, n_bigrams, mean_logprob) with the mean over bigram
+    OCCURRENCES.
+
+    Plan: the token stream reduces once to the bigram TYPE table;
+    left-context and continuation aggregates reduce FROM it; the
+    per-type probability table joins back to the occurrence stream on
+    (a, b) — vocab²-bounded, equi-keyed, never all-pairs. The 1-row
+    count-of-counts broadcasts.
+    """
+    bg = bigrams_long(df, id_col, text_col)
+    types = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    coc = types.agg(
+        F.sum((F.col("c_ab") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c_ab") == 2).cast("long")).alias("n2"),
+        F.count("*").alias("n_types"),
+    )
+    left = types.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count("*").alias("n1plus_a"),
+    )
+    cont = types.groupBy("b").agg(F.count("*").alias("cc_b"))
+    d = F.when(
+        (F.col("n1") + 2.0 * F.col("n2")) > 0,
+        F.col("n1") / (F.col("n1") + 2.0 * F.col("n2")),
+    )
+    ptab = (
+        types.join(left, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(coc))
+        .select(
+            "a",
+            "b",
+            (
+                F.greatest(F.col("c_ab") - d, F.lit(0.0)) / F.col("c_a")
+                + (d / F.col("c_a"))
+                * F.col("n1plus_a")
+                * (F.col("cc_b") / F.col("n_types"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(ptab, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), ndigits).alias("mean_logprob"),
+        )
+    )
+
+
 def kn_continuation_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -180,6 +180,54 @@ def q_kn_continuation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations.kn_continuation_stats(docs, k=50)
 
 
+@query(
+    "kn_bigram_scores",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, a, b FROM (
+        SELECT doc_id, a,
+               lead(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM ({SQL_TOKP})
+      ) WHERE b IS NOT NULL
+    ),
+    types AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    coc AS (
+      SELECT CAST(sum(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM types
+    ),
+    lft AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+             CAST(count(*) AS BIGINT) AS n1plus_a
+      FROM types GROUP BY a
+    ),
+    cont AS (SELECT b, CAST(count(*) AS BIGINT) AS cc_b FROM types GROUP BY b),
+    ptab AS (
+      SELECT t.a, t.b,
+             greatest(t.c_ab - (n1 / (n1 + 2.0 * n2)), 0.0) / l.c_a
+             + ((n1 / (n1 + 2.0 * n2)) / l.c_a) * l.n1plus_a
+               * (c.cc_b / n_types) AS p
+      FROM types t
+      JOIN lft l ON t.a = l.a
+      JOIN cont c ON t.b = c.b
+      CROSS JOIN coc
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(p)), 6) AS mean_logprob
+    FROM bg JOIN ptab ON bg.a = ptab.a AND bg.b = ptab.b
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+)
+def q_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM fluency scores per document
+    (trained on the corpus itself) — the bigram-order CCNet-style
+    perplexity filter; see collocations.kn_bigram_logprob_scores for
+    the formula and the one-reduction plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations.kn_bigram_logprob_scores(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SCD2 warehouse versioning
 # ---------------------------------------------------------------------------

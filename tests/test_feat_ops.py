@@ -69,6 +69,33 @@ def test_kn_continuation_counts(spark):
     assert out["b"].d_discount == pytest.approx(round(2 / (2 + 2.0), 6))
 
 
+def test_kn_bigram_scores_hand_computed(spark):
+    # corpus: doc1 "a b a b", doc2 "c b"
+    # types: (a,b):2, (b,a):1, (c,b):1 → N1=2, N2=1, n_types=3, D=0.5
+    # P(a,b) = (2-.5)/2 + (.5/2)*1*(2/3) = 0.916667
+    # P(b,a) = (1-.5)/1 + (.5/1)*1*(1/3) = 0.666667
+    # P(c,b) = (1-.5)/1 + (.5/1)*1*(2/3) = 0.833333
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c b")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in collocations.kn_bigram_logprob_scores(df).collect()
+    }
+    p_ab = 0.75 + 0.25 * (2 / 3)
+    p_ba = 0.5 + 0.5 * (1 / 3)
+    p_cb = 0.5 + 0.5 * (2 / 3)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round(math.log(p_cb), 6)
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    assert out[1].mean_logprob == pytest.approx(exp1, abs=2e-6)
+    assert out[2].mean_logprob == pytest.approx(exp2, abs=2e-6)
+    # probabilities must be a proper distribution-ish: all in (0, 1]
+    assert all(
+        r.mean_logprob <= 0 for r in out.values()
+    )
+
+
 def test_kn_discount_null_when_no_rare_types(spark):
     # every bigram type occurs >= 3 times → N1 = N2 = 0 → the
     # Ney-Essen-Kneser discount is undefined and must surface as NULL,

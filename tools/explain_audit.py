@@ -314,6 +314,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # KN scorer: type-table joins are equi-keyed; the 1-row
+    # count-of-counts broadcasts (NLJ); the corpus never pair-joins
+    "kn_bigram_scores": (
+        ["BroadcastNestedLoopJoin", "hashpartitioning(doc_id"],
+        ["CartesianProduct"],
+    ),
     # SCD2 build: ONE shuffle on the entity key, windows partitioned
     # by it — no join, no single-partition exchange anywhere
     "scd2_from_change_log": (
