@@ -917,12 +917,11 @@ from kissmetrics_to_database_spark.plans import catalog_tpch  # noqa: E402,F401
 #
 # Ordering within the priority list: oracle-checkable queries first (full
 # rows+schema+hash comparison), with the weakest-signal entries last —
-# `pack_training_sequences` / `chunk_documents_sliding` are already
-# hypothesis-property-tested and were re-verified locally by
-# tools/oracle_check.py, and `corrupt_json_repair` / `approx_aggregates`
-# only get a rows-only check by declared contract.  A committed full run
-# of tools/oracle_check.py (all queries) provides secondary evidence for
-# whatever falls outside the driver's window.
+# `approx_aggregates` alone keeps a rows-only check by declared contract
+# (sketch outputs are engine-specific; `corrupt_json_repair` gained a
+# hash-exact oracle in round 4 via anchored-RE2 lookaround replay).  A
+# committed full run of tools/oracle_check.py (all queries) provides
+# secondary evidence for whatever falls outside the driver's window.
 # ---------------------------------------------------------------------------
 _VERIFIED_R01 = [
     "ndjson_scan_project", "key_sanitize", "event_name_nullation",

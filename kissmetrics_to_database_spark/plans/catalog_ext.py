@@ -800,12 +800,63 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio(payload).orderBy("doc_id")
 
 
-@query("corrupt_json_repair", None)  # repair regex needs lookbehind; RE2 can't → rows-only check
+@query(
+    "corrupt_json_repair",
+    """
+    WITH lines AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{"w": "' || replace(substr(text, 1, 30), 'a', '"')
+                       || '"}'
+                  ELSE '{"w": "' || substr(text, 1, 30) || '"}'
+             END AS s
+      FROM documents
+    ),
+    -- Character-level replay of the Java repair regex
+    -- (?<!\\\\)(?<![{\\[,:] {0,8})"(?!\\s*[}\\],:]): each lookaround
+    -- becomes an ANCHORED RE2 match on the substring before/after the
+    -- quote, which RE2 can express even though lookbehind itself
+    -- can't. The match consumes only the quote, so every position is
+    -- decided independently on the ORIGINAL string — exactly the
+    -- regexp_replace semantics.
+    chars AS (
+      SELECT doc_id, i,
+             CASE WHEN substr(s, CAST(i AS INTEGER), 1) = '"'
+                   AND NOT (i > 1
+                            AND substr(s, CAST(i - 1 AS INTEGER), 1) = '\\')
+                   AND NOT regexp_matches(
+                         substr(s, 1, CAST(i - 1 AS INTEGER)),
+                         '[{\\[,:] {0,8}$')
+                   AND NOT regexp_matches(
+                         substr(s, CAST(i + 1 AS INTEGER)),
+                         '^[\\s]*[}\\],:]')
+                  THEN '\\"'
+                  ELSE substr(s, CAST(i AS INTEGER), 1) END AS piece
+      FROM lines, unnest(range(1, len(s) + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY i) AS fixed
+      FROM chars GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT l.doc_id, json_valid(l.s) AS ok, json_valid(r.fixed) AS ok_rep
+      FROM lines l JOIN rep r USING (doc_id)
+    )
+    SELECT CAST(count(CASE WHEN ok OR ok_rep THEN 1 END) AS BIGINT)
+             AS n_parsed,
+           CAST(count(CASE WHEN NOT ok AND ok_rep THEN 1 END) AS BIGINT)
+             AS n_repaired,
+           CAST(count(CASE WHEN NOT ok AND NOT ok_rep THEN 1 END) AS BIGINT)
+             AS n_quarantined
+    FROM flags
+    """,
+)
 def q_corrupt_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F11: malformed-JSON repair — corrupt rows get a regexp
     repair pass then re-parse; irreparable rows are quarantined, never
-    silently dropped. (No oracle: the repair regex uses Java-regex
-    lookarounds DuckDB's RE2 cannot express; covered by unit tests.)"""
+    silently dropped. The oracle replays the Java lookaround regex
+    character-by-character with anchored RE2 matches on each quote's
+    prefix/suffix (hash-exact since round 4 — previously rows-only)."""
     from pyspark.sql import types as T
 
     docs = load_table(spark, sf_dir, "documents")

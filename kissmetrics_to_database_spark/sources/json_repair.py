@@ -31,7 +31,9 @@ CORRUPT_COL = "_corrupt_record"
 # the same bracketing the reference's callback regex uses — it treats
 # `"(}|, |,)` as the value terminator and addslashes everything
 # inside (helpers.php:12-18). Bounded lookbehind is Java-regex legal;
-# DuckDB's RE2 cannot express this, hence no oracle for the repair.
+# DuckDB's RE2 lacks lookbehind, but the oracle replays the identical
+# semantics with ANCHORED matches on each quote's prefix/suffix
+# substrings (catalog_ext.corrupt_json_repair — hash-exact).
 _INNER_QUOTE = r'(?<!\\)(?<![{\[,:] {0,8})"(?!\s*[}\],:])'
 
 
