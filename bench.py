@@ -103,6 +103,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "dsir_logratio_weights",
     "robust_scale",
+    "cdc_chunk_dedup",
 ]
 
 

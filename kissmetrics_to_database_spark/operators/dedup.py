@@ -734,3 +734,81 @@ def span_dedup_stats(
         ratio.alias("dup_ratio"),
         (ratio <= max_dup_ratio).alias("keep"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (gear/Rabin-style, token granularity):
+    a token ENDS a chunk when its md5 bucket has the low ``mask_bits``
+    bits zero — expected chunk length ``2^mask_bits`` tokens,
+    geometric distribution.
+
+    Why content-defined instead of fixed windows: the boundary
+    decision is LOCAL to each token, so inserting or deleting text
+    shifts only the chunk containing the edit — every downstream
+    chunk hash is unchanged (pinned in tests). Fixed-stride spans
+    (`span_dedup_stats`) lose all alignment after one insertion; CDC
+    is the primitive storage dedup and shift-robust corpus dedup are
+    built on.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text, chunk_hash,
+    dup_occurrences) where dup_occurrences counts the chunk_hash
+    across the WHOLE corpus.
+
+    Plan: boundary flags are per-row expressions (md5 bucket, no
+    state); chunk assignment is one running sum over the per-doc
+    window — the same doc-keyed shuffle every text operator uses;
+    chunk assembly is sort_array(collect_list(struct(pos, token)))
+    inside the doc partition; the corpus-wide occurrence count is a
+    window partitioned BY CHUNK HASH (hash-partitioned, never a
+    single-task exchange). No joins at all.
+    """
+    n_buckets = 1 << mask_bits
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 2), 16, 10)
+        .cast("int")
+        % n_buckets
+    )
+    flag = (bucket == 0).cast("long")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    with_idx = tok.select(
+        F.col(id_col),
+        "pos",
+        "term",
+        (F.sum(flag).over(w) - flag).alias("chunk_idx"),
+    )
+    chunks = (
+        with_idx.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+    occ = Window.partitionBy("chunk_hash")
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "n_tokens",
+        "chunk_text",
+        "chunk_hash",
+        F.count("*").over(occ).cast("long").alias("dup_occurrences"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from kissmetrics_to_database_spark.operators import (
     collocations,
+    dedup,
     features,
     scd,
     selection,
@@ -413,6 +414,50 @@ def q_dsir_logratio_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_logratio_weights(
         docs, target, hex_chars=2, alpha=1.0
     ).orderBy("doc_id")
+
+
+@query(
+    "cdc_chunk_dedup",
+    f"""
+    WITH flags AS (
+      SELECT doc_id, pos, a,
+             CASE WHEN ((strpos('0123456789abcdef', substr(md5(a), 1, 1)) - 1)
+                        * 16
+                        + (strpos('0123456789abcdef', substr(md5(a), 2, 1))
+                           - 1)) % 32 = 0
+                  THEN 1 ELSE 0 END AS f
+      FROM ({SQL_TOKP})
+    ),
+    idx AS (
+      SELECT doc_id, pos, a,
+             CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) - f
+                  AS BIGINT) AS chunk_idx
+      FROM flags
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(a, ' ' ORDER BY pos) AS chunk_text
+      FROM idx GROUP BY doc_id, chunk_idx
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+           md5(chunk_text) AS chunk_hash,
+           CAST(count(*) OVER (PARTITION BY md5(chunk_text)) AS BIGINT)
+             AS dup_occurrences
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus (token-level gear CDC,
+    expected chunk 32 tokens) with corpus-wide chunk-hash occurrence
+    counts — the shift-robust sub-document dedup primitive: an edit
+    moves only its own chunk's boundary, so all downstream chunk
+    hashes keep matching (unlike fixed-stride spans).  See
+    dedup.cdc_chunks for the windowed-sum plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunks(docs, mask_bits=5).orderBy(
+        "doc_id", "chunk_idx"
+    )
 
 
 # ---------------------------------------------------------------------------

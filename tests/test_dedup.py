@@ -200,3 +200,43 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # sanity: the synthetic clusters actually clustered
     for c in range(12):
         assert len({canon_of[c * 10 + m] for m in range(3)}) == 1
+
+
+def test_cdc_chunks_partition_and_reassemble(spark):
+    from kissmetrics_to_database_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    out = dedup.cdc_chunks(docs, mask_bits=2).collect()
+    chunks = sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.chunk_idx
+    )
+    # chunks reassemble the token stream exactly, in order
+    reassembled = " ".join(r.chunk_text for r in chunks)
+    expected = " ".join(text.lower().split())
+    assert reassembled == expected
+    assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+    assert all(r.n_tokens == len(r.chunk_text.split()) for r in chunks)
+    # doc 2 is byte-identical → every chunk duplicates corpus-wide
+    assert all(r.dup_occurrences >= 2 for r in chunks)
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    # THE property that motivates CDC over fixed windows: prepending
+    # tokens changes only the first chunk's hash; fixed-stride spans
+    # would shift every window
+    from kissmetrics_to_database_spark.operators import dedup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel " * 12
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX " + base)], ["doc_id", "text"]
+    )
+    out = dedup.cdc_chunks(docs, mask_bits=2).collect()
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in out if r.doc_id == 2}
+    shared = h1 & h2
+    # all but the edited leading chunk(s) survive identically
+    assert len(shared) >= len(h1) - 2
+    assert len(shared) > 0

@@ -314,6 +314,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # CDC: per-doc running-sum window + doc-keyed assembly + a
+    # CHUNK-HASH-partitioned occurrence window — no join, and the
+    # occurrence count must never collapse to a single partition
+    "cdc_chunk_dedup": (
+        ["hashpartitioning(doc_id", "hashpartitioning(chunk_hash"],
+        ["Join", "CartesianProduct", "SinglePartition"],
+    ),
     # KN scorer: type-table joins are equi-keyed; the 1-row
     # count-of-counts broadcasts (NLJ); the corpus never pair-joins
     "kn_bigram_scores": (
