@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_logratio_weights",
     "robust_scale",
     "cdc_chunk_dedup",
+    "event_rate_anomalies",
 ]
 
 

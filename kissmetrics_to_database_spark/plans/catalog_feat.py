@@ -466,6 +466,67 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             round(q[1], 6) AS q_25, round(q[2], 6) AS q_50,
+             round(q[3], 6) AS q_75
+      FROM (SELECT event_type,
+                   quantile_cont(CAST(n AS DOUBLE), [0.25, 0.5, 0.75]) AS q
+            FROM hourly GROUP BY event_type)
+    )
+    SELECT h.event_type, h.hour, h.n,
+           CASE WHEN s.q_75 - s.q_25 > 0
+                THEN round((h.n - s.q_50) / (s.q_75 - s.q_25), 6) END AS rz,
+           CASE WHEN s.q_75 - s.q_25 > 0
+                THEN abs((h.n - s.q_50) / (s.q_75 - s.q_25)) > 2.0
+                ELSE FALSE END AS is_anomaly
+    FROM hourly h JOIN stats s USING (event_type)
+    ORDER BY h.event_type, h.hour
+    """,
+)
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality monitor: hourly event counts per type,
+    robust-z-scored against that type's own hourly distribution
+    (median/IQR — outlier hours can't poison the baseline), hours
+    beyond 2 IQRs flagged.  The composition story: tumbling windows ×
+    features.group_quantiles, both already oracle-checked; one skinny
+    per-type stats row broadcasts back onto the hourly series.  At
+    100 TB the hourly rollup is the only corpus-scale aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = features.group_quantiles(
+        hourly.withColumn("nd", F.col("n").cast("double")),
+        "event_type",
+        "nd",
+        probs=(0.25, 0.5, 0.75),
+    )
+    iqr = F.col("q_75") - F.col("q_25")
+    rz = (F.col("n") - F.col("q_50")) / iqr
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.when(iqr > 0, F.round(rz, 6)).alias("rz"),
+            F.when(iqr > 0, F.abs(rz) > 2.0).otherwise(F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@query(
     "group_quantiles",
     SQL_GROUP_Q + " ORDER BY event_type",
 )

@@ -351,6 +351,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "hashpartitioning(doc_id"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # anomaly monitor: hourly rollup is the only corpus-scale agg;
+    # the per-type stats row broadcasts back; no window, no cartesian
+    "event_rate_anomalies": (
+        ["BroadcastHashJoin", "ObjectHashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Window"],
+    ),
     # group quantiles: one exact-percentile aggregation (object hash
     # agg with partial_percentile), no join, no window
     "group_quantiles": (
