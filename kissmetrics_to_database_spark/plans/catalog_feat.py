@@ -466,6 +466,29 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation semantics proof: the two-phase salted
+    aggregation (partial count/sum on (key, salt), final combine on
+    key — spreads a hot key's REDUCE side over num_salts reducers)
+    must produce byte-identical results to a plain GROUP BY, which is
+    exactly what the oracle runs.  events has 5 hot keys — the shape
+    salting exists for.  See skew.salted_agg_count_sum."""
+    from kissmetrics_to_database_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_agg_count_sum(
+        ev, "event_type", "value", num_salts=8
+    ).orderBy("event_type")
+
+
+@query(
     "event_rate_anomalies",
     """
     WITH hourly AS (
