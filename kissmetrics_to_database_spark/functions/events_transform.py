@@ -59,11 +59,6 @@ def sanitize_columns(df: DataFrame) -> DataFrame:
     return df.select(*keep)
 
 
-def sanitize_key_col(col: Column) -> Column:
-    """Value-level variant of P1 for data that *contains* key names."""
-    return F.regexp_replace(col, "[- _]", "_")
-
-
 def with_n_not_null(df: DataFrame, event_name_col: str = EVENT_NAME_KEY) -> DataFrame:
     """P2+P3: preserve the raw event name, then NULL out empties.
 

@@ -35,15 +35,6 @@ def _count_token(text_tokens: Column, word: str) -> Column:
     return F.size(F.filter(text_tokens, lambda t: t == F.lit(word)))
 
 
-def lang_scores(text_col: Column) -> dict[str, Column]:
-    """Marker-hit count per language over whitespace tokens."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    return {
-        lang: sum((_count_token(toks, w) for w in words), F.lit(0))
-        for lang, words in LANG_MARKERS.items()
-    }
-
-
 def with_lang_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
