@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+from kissmetrics_to_database_spark.functions.codecs import quarantineable
+
 
 # ---------------------------------------------------------------------------
 # AVI (RIFF) — MJPEG streams
@@ -41,13 +43,19 @@ def _walk_riff(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
+@quarantineable
 def parse_avi(payload: bytes) -> dict:
     """Parse an AVI container → dict(width, height, fps, n_frames,
     handler, frames=[bytes per video frame chunk, in stream order]).
 
-    Only the video stream's ``..dc``/``..db`` chunks are collected;
-    audio (``..wb``) and index chunks are skipped. Raises ValueError
-    on non-AVI input.
+    Only the VIDEO stream's ``..dc``/``..db`` chunks are collected:
+    ``strh`` order within ``hdrl`` defines stream numbering (AVI
+    spec), the first ``vids`` strh fixes the video stream index, and
+    movi chunks are filtered by that two-digit prefix — so a
+    multi-stream AVI (audio first, or a second video stream) can't
+    interleave foreign frames into ``frames`` (ADVICE r4). Files with
+    no ``strl`` headers default to stream 00. Audio (``..wb``) and
+    index chunks are skipped. Raises ValueError on non-AVI input.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/AVI header)")
@@ -58,7 +66,11 @@ def parse_avi(payload: bytes) -> dict:
         "n_frames": None,
         "handler": None,
     }
-    frames: list[bytes] = []
+    # (stream_prefix, chunk_bytes): filtered once the video stream
+    # index is known (hdrl precedes movi in file order, but filtering
+    # after the walk also covers malformed orderings).
+    raw_frames: list[tuple[bytes, bytes]] = []
+    state = {"strh_seen": 0, "vid_stream": None}
 
     def walk(pos: int, end: int) -> None:
         for fourcc, p, size in _walk_riff(payload, pos, end):
@@ -72,15 +84,21 @@ def parse_avi(payload: bytes) -> dict:
                 info["n_frames"] = total
                 info["width"], info["height"] = w, h
             elif fourcc == b"strh" and size >= 8:
-                if payload[p : p + 4] == b"vids":
+                if (
+                    payload[p : p + 4] == b"vids"
+                    and state["vid_stream"] is None
+                ):
+                    state["vid_stream"] = state["strh_seen"]
                     info["handler"] = payload[p + 4 : p + 8].decode(
                         "ascii", "replace"
                     )
+                state["strh_seen"] += 1
             elif len(fourcc) == 4 and fourcc[2:] in (b"dc", b"db"):
-                frames.append(payload[p : p + size])
+                raw_frames.append((fourcc[:2], payload[p : p + size]))
 
     walk(12, len(payload))
-    info["frames"] = frames
+    prefix = b"%02d" % (state["vid_stream"] or 0)
+    info["frames"] = [f for pfx, f in raw_frames if pfx == prefix]
     return info
 
 
@@ -129,6 +147,7 @@ def build_mjpeg_avi(
 # ---------------------------------------------------------------------------
 
 
+@quarantineable
 def parse_y4m(payload: bytes) -> dict:
     """Parse YUV4MPEG2 → dict(width, height, fps, colorspace,
     frames=[(h, w, 3) uint8 RGB arrays]). Supports C444 and the C420

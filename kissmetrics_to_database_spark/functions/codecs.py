@@ -24,12 +24,54 @@ per-payload numpy work, no Spark-side state.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
 import zlib
 
 import numpy as np
+
+# Exception types a truncated/malformed payload can surface from the
+# spec decoders: short numpy buffers and bit-reader overruns raise
+# IndexError, short struct.unpack_from raises struct.error, a cut IDAT
+# stream raises zlib.error, stdlib wave raises wave.Error/EOFError, a
+# truncated DHT segment raises StopIteration while building the
+# Huffman table, and a corrupt entropy stream can hit a code absent
+# from that table (KeyError).
+_MALFORMED_EXC = (
+    IndexError,
+    KeyError,
+    StopIteration,
+    struct.error,
+    zlib.error,
+    EOFError,
+    wave.Error,
+)
+
+
+def quarantineable(fn):
+    """Normalize malformed/truncated-payload failures to ValueError.
+
+    Decode kernels quarantine bad payloads by catching ValueError; a
+    truncated JPEG escaping as IndexError (or AVI as struct.error, PNG
+    as zlib.error) would kill the whole mapInPandas task instead of
+    nulling the row (ADVICE r4). Every public decode entry point wears
+    this wrapper so "malformed input" has exactly one exception type.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except _MALFORMED_EXC as e:
+            raise ValueError(
+                f"malformed payload in {fn.__name__}: "
+                f"{type(e).__name__}: {e}"
+            ) from e
+
+    return wrapper
+
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -68,6 +110,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+@quarantineable
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit PNG to (h, w, channels) uint8.
 
@@ -187,6 +230,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@quarantineable
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BITMAPINFOHEADER BMP → (h, w, 3)
     uint8 RGB."""
@@ -231,6 +275,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@quarantineable
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode binary netpbm: P5 → (h, w, 1), P6 → (h, w, 3)."""
     magic = payload[:2]
@@ -278,6 +323,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@quarantineable
 def decode_wav(payload: bytes) -> dict:
     """Decode 16-bit PCM WAV → dict(samples=(n, channels) int16 array,
     sample_rate, channels, n_frames)."""
@@ -312,6 +358,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@quarantineable
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode any supported still-image payload → (h, w, channels)
     uint8. Falls back to PIL when installed for formats outside the

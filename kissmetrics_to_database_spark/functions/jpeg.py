@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from kissmetrics_to_database_spark.functions.codecs import quarantineable
+
 # Zigzag scan: ZIGZAG[i] = natural (row-major) index of the i-th
 # coefficient in zigzag order. Generated, not transcribed.
 _ZZ: list[int] = []
@@ -175,6 +177,7 @@ def _decode_block(
     return idct2(coeffs.reshape(8, 8)), dc_pred
 
 
+@quarantineable
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline-sequential JFIF → (h, w, channels) uint8
     (channels = 1 grayscale, 3 RGB after YCbCr conversion)."""

@@ -71,18 +71,44 @@ def _referenced_modules(fn_src: str, module_names) -> list[str]:
     return sorted(deps)
 
 
+def _transitive_closure(
+    direct: list[str], srcs: dict[str, str],
+    module_deps: dict[str, list[str]],
+) -> list[str]:
+    """Expand a query's direct module references to their full
+    dependency cone: each referenced module's own source is scanned
+    against the package module set, unioned until fixpoint (ADVICE
+    r4 — one-level scanning missed e.g. codecs → jpeg, letting a
+    jpeg.py edit leave the decode queries' fingerprints unchanged).
+    ``module_deps`` caches the per-module scan across queries."""
+    seen: set[str] = set()
+    frontier = list(direct)
+    while frontier:
+        mod = frontier.pop()
+        if mod in seen:
+            continue
+        seen.add(mod)
+        if mod not in module_deps:
+            module_deps[mod] = _referenced_modules(srcs[mod], srcs)
+        frontier.extend(d for d in module_deps[mod] if d not in seen)
+    return sorted(seen)
+
+
 def compute_fingerprints() -> dict[str, str]:
     """name → md5 fingerprint for every registered catalog query."""
     from kissmetrics_to_database_spark.plans import catalog
 
     srcs = _module_source_cache()
+    module_deps: dict[str, list[str]] = {}
     out: dict[str, str] = {}
     for name, fn in catalog.QUERIES.items():
         try:
             fn_src = inspect.getsource(fn)
         except (OSError, TypeError):  # pragma: no cover - builtins only
             fn_src = repr(fn)
-        deps = _referenced_modules(fn_src, srcs)
+        deps = _transitive_closure(
+            _referenced_modules(fn_src, srcs), srcs, module_deps
+        )
         h = hashlib.md5()
         h.update(fn_src.encode())
         h.update(catalog.ORACLES.get(name, "<no-oracle>").encode())

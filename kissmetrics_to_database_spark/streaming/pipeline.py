@@ -226,6 +226,25 @@ def stream_hll_distinct(
         sess = batch_df.sparkSession
         merged = batch_df.select(group_col, "register", "mrho")
         prior = _latest_state_version(sess, table_dir, below=epoch_id)
+        if prior is None:
+            # Epoch regression guard (ADVICE r4): a fresh checkpoint
+            # dir restarts epoch ids at 0, but a reused table_dir
+            # still holds higher-epoch versions — silently starting
+            # over would discard the accumulated state while serving
+            # reads keep returning the stale high-epoch version. The
+            # two directories' lifetimes are coupled: clear both or
+            # keep both.
+            stale = [
+                e for e, _ in _state_versions(sess, table_dir)
+                if e >= epoch_id
+            ]
+            if stale:
+                raise RuntimeError(
+                    f"epoch regression: batch epoch {epoch_id} but state "
+                    f"dir {table_dir} already holds epochs {stale} — the "
+                    "checkpoint dir was reset without clearing table_dir "
+                    "(they must be cleared together)"
+                )
         if prior is not None:
             merged = merged.unionByName(sess.read.parquet(prior))
         merged = merged.groupBy(group_col, "register").agg(

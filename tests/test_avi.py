@@ -62,3 +62,93 @@ def test_sniff_video_and_error_paths():
         avi.parse_y4m(b"nope")
     with pytest.raises(ValueError, match="colorspace"):
         avi.parse_y4m(b"YUV4MPEG2 W8 H8 C422\nFRAME\n" + b"\x00" * 200)
+
+
+def test_avi_multistream_filters_to_video_stream():
+    # ADVICE r4: foreign-stream chunks (e.g. '01dc' from a second
+    # stream) must not interleave into frames. Splice junk
+    # '01dc'/'01wb' chunks into the movi list of a valid MJPEG AVI.
+    frames = [_frame(16, 16, 3 * i) for i in range(2)]
+    enc = [jpeg.encode_jpeg(f) for f in frames]
+    import struct
+
+    base = avi.build_mjpeg_avi(enc, 16, 16)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    junk = chunk(b"01dc", b"\x00" * 7) + chunk(b"01wb", b"\x01" * 4)
+    # append junk inside the movi LIST (it is the last list in the
+    # file, so extending its size and the outer RIFF size suffices)
+    movi_hdr = base.index(b"movi") - 8  # back up over 'LIST' + size
+    (movi_size,) = struct.unpack_from("<I", base, movi_hdr + 4)
+    patched = bytearray(base + junk)
+    struct.pack_into("<I", patched, movi_hdr + 4, movi_size + len(junk))
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+
+    meta = avi.parse_avi(bytes(patched))
+    assert len(meta["frames"]) == 2  # the two 00dc JPEGs only
+    for raw, ref in zip(meta["frames"], enc):
+        assert raw == ref
+
+
+def test_avi_video_as_second_stream():
+    # when the vids strl is stream 1 (audio declared first), frames
+    # must come from the '01dc' chunks, not '00..'
+    frames = [_frame(8, 8)]
+    enc = [jpeg.encode_jpeg(f) for f in frames]
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    auds_strh = b"auds" + b"\x00" * 52
+    vids_strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, 8, 8)
+    )
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0x10, 1, 0, 2, 0, 8, 8,
+                       0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh))
+        + lst(b"strl", chunk(b"strh", vids_strh)),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"00wb", b"\xaa" * 6) + chunk(b"01dc", enc[0]),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = avi.parse_avi(payload)
+    assert meta["handler"] == "MJPG"
+    assert len(meta["frames"]) == 1
+    assert meta["frames"][0] == enc[0]
+
+
+def test_truncated_containers_raise_value_error():
+    # ADVICE r4: truncated payloads must normalize to ValueError so
+    # mapInPandas kernels quarantine the row instead of dying
+    frames = [_frame(16, 16)]
+    enc = [jpeg.encode_jpeg(f) for f in frames]
+    full_avi = avi.build_mjpeg_avi(enc, 16, 16)
+    full_y4m = avi.build_y4m(frames)
+    full_jpg = enc[0]
+    for payload, parser in [
+        (full_avi, avi.parse_avi),
+        (full_y4m, avi.parse_y4m),
+        (full_jpg, jpeg.decode_jpeg),
+    ]:
+        for cut in (9, len(payload) // 2, len(payload) - 3):
+            try:
+                parser(payload[:cut])
+            except ValueError:
+                pass  # the one allowed exception type

@@ -117,3 +117,33 @@ def test_real_decode_quarantines_text_payloads(spark):
     out = {r["doc_id"]: r.asDict() for r in multimodal.decode_media(payload).collect()}
     assert all(v["format"] == "unknown" and v["width"] is None for v in out.values())
     assert out[0]["n_bytes"] == 11
+
+
+def test_truncated_payloads_quarantine_not_crash(spark):
+    # ADVICE r4: a mid-entropy-truncated JPEG used to escape as
+    # IndexError, a truncated AVI as struct.error, a cut PNG IDAT as
+    # zlib.error — killing the whole mapInPandas task. All must now
+    # quarantine the single row.
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import avi, codecs, jpeg
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    jpg = jpeg.encode_jpeg(img)
+    png = codecs.encode_png(img)
+    avi_b = avi.build_mjpeg_avi([jpg], 16, 16)
+    bad = [
+        (1, jpg[: len(jpg) // 2]),        # cut entropy stream
+        (2, png[: len(png) // 2]),        # cut mid-IDAT
+        (3, avi_b[:30]),                  # cut RIFF header chunks
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in bad], "doc_id long, payload binary"
+    )
+    decoded = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert len(decoded) == 3
+    assert all(r["width"] is None for r in decoded.values())
+
+    sampled = multimodal.frame_sample(df).collect()
+    assert len(sampled) == 3
+    assert all(r["frame_idx"] is None for r in sampled)

@@ -385,3 +385,37 @@ def test_sessionized_counts_streaming_finalizes_sessions(spark, tmp_path):
     static = spark.read.schema(ev_schema).json(str(src))
     batch = sp.sessionized_counts(static).collect()
     assert {(r["user_id"], r["n_events"]) for r in batch} == {(1, 2), (1, 1)}
+
+
+def test_hll_epoch_regression_raises(spark, tmp_path):
+    # ADVICE r4: fresh checkpoint dir + reused table_dir restarts
+    # epoch ids below the accumulated state's — silently starting
+    # over would serve stale state forever; must raise instead
+    import pytest
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    rows = [{"grp": "a", "val": f"u{i}"} for i in range(50)]
+    (src / "1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    table_dir = str(tmp_path / "regs")
+    q = sp.stream_hll_distinct(
+        spark, str(src), str(tmp_path / "ckpt1"), schema, "grp", "val", table_dir
+    )
+    q.processAllAvailable()
+    q.stop()
+    # simulate accumulated history: plant a high-epoch complete version
+    spark.read.parquet(f"{table_dir}/v=0").write.parquet(f"{table_dir}/v=7")
+
+    # fresh checkpoint dir → epochs restart at 0 → regression
+    q2 = sp.stream_hll_distinct(
+        spark, str(src), str(tmp_path / "ckpt2"), schema, "grp", "val", table_dir
+    )
+    with pytest.raises(Exception, match="epoch regression"):
+        q2.processAllAvailable()
+    q2.stop()
