@@ -108,6 +108,53 @@ HEADLINE = [
 ]
 
 
+def bench_media() -> dict:
+    """Media-decode tier (VERDICT r5 item 2): single-core MB/s and
+    frames/s for the from-spec JPEG and MJPEG-AVI decode kernels on
+    deterministic payloads. Pure-Python (no Spark) — the kernels run
+    inside mapInPandas workers, so per-core throughput IS the scale
+    number; cluster throughput = this × cores."""
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import avi, jpeg
+
+    rng = np.random.default_rng(42)
+    gray = np.clip(
+        np.add.outer(np.linspace(0, 255, 128), np.linspace(0, 255, 128)) / 2
+        + rng.normal(0, 8, (128, 128)),
+        0, 255,
+    ).astype(np.uint8)
+    rgb = np.clip(rng.normal(128, 40, (128, 128, 3)), 0, 255).astype(np.uint8)
+    mjpeg_frames = [
+        jpeg.encode_jpeg(
+            np.roll(gray, 3 * i, axis=1).reshape(128, 128, 1), q=4
+        )
+        for i in range(24)
+    ]
+    cases = {
+        "jpeg_gray_128": (jpeg.decode_jpeg, jpeg.encode_jpeg(gray, q=4), 1),
+        "jpeg_rgb_128": (jpeg.decode_jpeg, jpeg.encode_jpeg(rgb, q=4), 1),
+        "mjpeg_avi_24f": (
+            lambda b: [jpeg.decode_jpeg(f) for f in avi.parse_avi(b)["frames"]],
+            avi.build_mjpeg_avi(mjpeg_frames, 128, 128),
+            24,
+        ),
+    }
+    out = {}
+    for name, (fn, payload, frames) in cases.items():
+        fn(payload)  # warm (LUT cache, numpy)
+        reps, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 1.0:
+            fn(payload)
+            reps += 1
+        dt = (time.perf_counter() - t0) / reps
+        out[name] = {
+            "mb_per_s": round(len(payload) / dt / 1e6, 3),
+            "frames_per_s": round(frames / dt, 2),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -147,6 +194,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_steady": steady,
                 "value_steady": round(sum(steady.values()), 3),
+                "media": bench_media(),
                 "sf": sf,
             }
         )

@@ -18,15 +18,19 @@ optional 4:2:0 subsampling and restart markers, exercising every
 decoder path.  Compression ratio is deliberately not the point.
 
 Like the PNG path, this runs inside Arrow-batched ``mapInPandas``
-kernels — per-payload numpy work, no Spark-side state.  The Huffman
-bit loop is Python-speed: fine for metadata/feature extraction where
-the decode cost is dwarfed by I/O, and the honest trade-off of a
-zero-dependency container (a production cluster would ship
-libjpeg-turbo via a Pandas UDF with PIL).
+kernels — per-payload numpy work, no Spark-side state.  The entropy
+decode is table-driven and batch-vectorized (r5: 16-bit-window
+Huffman LUT cached on DHT bytes, whole-image dequantize/IDCT — ~5×
+over the bit-at-a-time loop; numbers in SCALING.md "Media decode
+bench").  Still honest about the ceiling: a production cluster would
+ship libjpeg-turbo via a Pandas UDF with PIL; this keeps the decode
+REAL in a zero-dependency container.
 """
 
 from __future__ import annotations
 
+import array
+import functools
 import math
 import struct
 
@@ -69,67 +73,6 @@ def idct2(coeffs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    de-stuffing (T.81 §B.1.1.5) and restart-marker resync."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.d = data
-        self.p = pos
-        self.acc = 0
-        self.n = 0
-
-    def read_bit(self) -> int:
-        if self.n == 0:
-            b = self.d[self.p]
-            self.p += 1
-            if b == 0xFF:
-                nxt = self.d[self.p]
-                if nxt == 0x00:
-                    self.p += 1
-                else:
-                    raise ValueError(
-                        f"marker 0xFF{nxt:02X} inside entropy segment"
-                    )
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    def receive_extend(self, size: int) -> int:
-        """T.81 F.2.2.1 EXTEND: map a ``size``-bit magnitude to its
-        signed value."""
-        v = self.read_bits(size)
-        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-    def sync_restart(self, expected_idx: int) -> None:
-        """Discard padding bits and consume the RSTn marker."""
-        self.n = 0
-        if not (
-            self.d[self.p] == 0xFF
-            and self.d[self.p + 1] == 0xD0 + (expected_idx & 7)
-        ):
-            raise ValueError(
-                f"expected RST{expected_idx & 7} at byte {self.p}"
-            )
-        self.p += 2
-
-
 def _build_huffman(counts: list[int], symbols: list[int]) -> dict:
     """Canonical Huffman table per T.81 Annex C:
     (code_length, code) → symbol."""
@@ -144,37 +87,77 @@ def _build_huffman(counts: list[int], symbols: list[int]) -> dict:
     return table
 
 
-def _decode_block(
-    reader: _BitReader,
-    dc_table: dict,
-    ac_table: dict,
-    qt: np.ndarray,
-    dc_pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8x8 block: Huffman → dequantize → dezigzag → IDCT.
-    Returns (spatial block float64, new DC predictor)."""
-    zz = np.zeros(64, dtype=np.int32)
-    size = reader.read_huffman(dc_table)
-    diff = reader.receive_extend(size) if size else 0
-    dc_pred += diff
-    zz[0] = dc_pred
-    k = 1
-    while k < 64:
-        rs = reader.read_huffman(ac_table)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = reader.receive_extend(size)
-        k += 1
-    coeffs = np.zeros(64, dtype=np.float64)
-    coeffs[ZIGZAG] = zz * qt
-    return idct2(coeffs.reshape(8, 8)), dc_pred
+@functools.lru_cache(maxsize=64)
+def _build_lut(counts: bytes, symbols: bytes) -> array.array:
+    """Flatten a canonical table to a 2^16 direct lookup: index by the
+    NEXT 16 bits of the stream, get ``length << 8 | symbol`` in one
+    read — the classic table-driven decode that replaces the
+    bit-at-a-time tree walk (≈16 dict probes per symbol) with one
+    array index. Entries not covered by any code keep length 0
+    (invalid-code sentinel). Cached on the raw DHT bytes: an MJPEG
+    stream reuses identical tables across thousands of frames, so the
+    flatten cost is paid once per distinct table, not per frame."""
+    table = _build_huffman(list(counts), list(symbols))
+    packed = np.zeros(1 << 16, dtype=np.uint16)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        packed[lo:hi] = (length << 8) | s
+    return array.array("H", packed.tobytes())
+
+
+def _destuff_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded region into de-stuffed per-restart
+    segments (T.81 §B.1.1.5): 0xFF00 → literal 0xFF, RSTn closes a
+    segment (markers must cycle D0..D7 in order), EOI or any other
+    marker ends the region. One numpy pass finds the 0xFF positions;
+    Python touches only those."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ff = np.nonzero(arr[pos:] == 0xFF)[0]
+    segments: list[bytes] = []
+    parts: list[bytes] = []
+    cur = pos
+    n_rst = 0
+    for p in (ff + pos).tolist():
+        if p < cur:
+            continue  # consumed as part of a marker/stuffing pair
+        nxt = payload[p + 1]  # IndexError on trailing 0xFF → quarantine
+        if nxt == 0x00:
+            parts.append(payload[cur : p + 1])  # keep the 0xFF
+            cur = p + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            if nxt != 0xD0 + (n_rst & 7):
+                raise ValueError(
+                    f"expected RST{n_rst & 7} at byte {p}, got 0xFF{nxt:02X}"
+                )
+            n_rst += 1
+            parts.append(payload[cur:p])
+            segments.append(b"".join(parts))
+            parts = []
+            cur = p + 2
+        else:  # EOI or next header marker: entropy region ends
+            parts.append(payload[cur:p])
+            segments.append(b"".join(parts))
+            return segments
+    parts.append(payload[cur:])  # truncated stream: no closing marker
+    segments.append(b"".join(parts))
+    return segments
+
+
+def _segment_windows(seg: bytes) -> tuple[array.array, int]:
+    """Sliding 16-bit MSB-first window over a de-stuffed segment:
+    ``win[i]`` = the 16 bits starting at bit position i (zero-padded
+    past the end). Vectorized: a 24-bit value per byte offset
+    (three-byte gather), then one shift/mask per bit offset — no
+    per-bit unpacking. Returned as ``array.array('I')``: builds ~4×
+    faster than ``.tolist()`` and indexes faster than a list in the
+    symbol loop (ints materialize only for positions actually read)."""
+    n_bits = 8 * len(seg)
+    b = np.frombuffer(seg + b"\x00\x00\x00", dtype=np.uint8).astype(np.uint32)
+    w24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    idx = np.arange(n_bits + 1)
+    win = (w24[idx >> 3] >> (8 - (idx & 7))) & 0xFFFF
+    return array.array("I", win.astype(np.uint32).tobytes()), n_bits
 
 
 @quarantineable
@@ -228,10 +211,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
-                counts = list(seg[off + 1 : off + 17])
+                counts = seg[off + 1 : off + 17]
                 n_sym = sum(counts)
-                symbols = list(seg[off + 17 : off + 17 + n_sym])
-                htables[(tc, th)] = _build_huffman(counts, symbols)
+                symbols = seg[off + 17 : off + 17 + n_sym]
+                htables[(tc, th)] = _build_lut(bytes(counts), bytes(symbols))
                 off += 17 + n_sym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -265,38 +248,123 @@ def _decode_scan(
     htables: dict,
     restart_interval: int,
 ) -> np.ndarray:
+    """Entropy decode + reconstruction, vectorized (VERDICT r4 item 2):
+
+    1. one numpy pass de-stuffs the entropy region and splits it at
+       restart markers (``_destuff_segments``);
+    2. per segment, 16 vectorized shifts build a sliding 16-bit window
+       so every Huffman symbol is ONE table lookup (``_build_lut``)
+       and every magnitude read is one shift — no per-bit Python loop;
+    3. coefficients accumulate into one (n_blocks, 64) int32 array;
+       dequantize + dezigzag + IDCT then run as THREE whole-image
+       numpy ops (batched ``T.T @ C @ T``), not per-block matmuls.
+
+    ~9-19× over the bit-at-a-time reference decode (SCALING.md
+    "Media decode bench"), identical output (pinned by the codec
+    round-trip tests)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
     planes = {
         c["id"]: np.zeros(
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
         )
         for c in comps
     }
-    reader = _BitReader(payload, pos)
-    dc_pred = {c["id"]: 0 for c in comps}
-    n_rst = 0
-    for m in range(mcus_x * mcus_y):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart(n_rst)
-            n_rst += 1
-            dc_pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcus_x)
-        for c in comps:
-            dc_t = htables[(0, scan_tabs[c["id"]][0])]
-            ac_t = htables[(1, scan_tabs[c["id"]][1])]
-            qt = qtables[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    block, dc_pred[c["id"]] = _decode_block(
-                        reader, dc_t, ac_t, qt, dc_pred[c["id"]]
-                    )
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    segments = _destuff_segments(payload, pos)
+    per_seg = restart_interval if restart_interval else n_mcus
+    if len(segments) < -(-n_mcus // per_seg):
+        raise ValueError("entropy data ends before the last MCU")
+
+    # per-component coefficient accumulators (zigzag order) + block
+    # placement; filled by the scalar symbol loop, consumed by the
+    # batched numpy reconstruction below
+    zz_all: dict[int, np.ndarray] = {}
+    place: dict[int, list] = {}
+    blocks_per_mcu = {c["id"]: c["h"] * c["v"] for c in comps}
+    for c in comps:
+        n_blocks = n_mcus * blocks_per_mcu[c["id"]]
+        zz_all[c["id"]] = np.zeros((n_blocks, 64), dtype=np.int32)
+        place[c["id"]] = []
+    n_done: dict[int, int] = {c["id"]: 0 for c in comps}
+
+    for seg_idx, seg in enumerate(segments):
+        win, n_bits = _segment_windows(seg)
+        bp = 0
+        dc_pred = {c["id"]: 0 for c in comps}
+        m0 = seg_idx * per_seg
+        for m in range(m0, min(m0 + per_seg, n_mcus)):
+            my, mx = divmod(m, mcus_x)
+            for c in comps:
+                cid = c["id"]
+                dc_lut = htables[(0, scan_tabs[cid][0])]
+                ac_lut = htables[(1, scan_tabs[cid][1])]
+                cz = zz_all[cid]
+                cp = place[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        if bp > n_bits:
+                            raise ValueError("truncated entropy segment")
+                        i = n_done[cid]
+                        row = cz[i]
+                        # --- DC: one LUT probe + EXTEND ---
+                        packed = dc_lut[win[bp]]
+                        if packed == 0:
+                            raise ValueError("invalid Huffman code")
+                        bp += packed >> 8
+                        size = packed & 0xFF
+                        if size:
+                            mag = win[bp] >> (16 - size)
+                            bp += size
+                            if mag < (1 << (size - 1)):
+                                mag += 1 - (1 << size)
+                            dc_pred[cid] += mag
+                        row[0] = dc_pred[cid]
+                        # --- AC run-length loop ---
+                        k = 1
+                        while k < 64:
+                            packed = ac_lut[win[bp]]
+                            if packed == 0:
+                                raise ValueError("invalid Huffman code")
+                            bp += packed >> 8
+                            rs = packed & 0xFF
+                            size = rs & 0x0F
+                            if size == 0:
+                                if rs == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            mag = win[bp] >> (16 - size)
+                            bp += size
+                            if mag < (1 << (size - 1)):
+                                mag += 1 - (1 << size)
+                            row[k] = mag
+                            k += 1
+                        cp.append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
+                        n_done[cid] = i + 1
+
+    # batched reconstruction: dequantize + dezigzag + IDCT per
+    # component in whole-array ops, then scatter 8x8 tiles
+    for c in comps:
+        cid = c["id"]
+        n = n_done[cid]
+        if n == 0:
+            continue
+        qt = qtables[c["tq"]]
+        coeffs = np.zeros((n, 64), dtype=np.float64)
+        coeffs[:, ZIGZAG] = zz_all[cid][:n] * qt
+        spatial = _T.T @ coeffs.reshape(n, 8, 8) @ _T
+        plane = planes[cid]
+        for i, (y0, x0) in enumerate(place[cid]):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
 
     # upsample each component to full MCU resolution, crop, shift
     full = []
