@@ -489,6 +489,49 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_skewed",
+    """
+    WITH dim AS (
+      SELECT event_type, round(avg(value), 2) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+           d.type_avg
+    FROM events e JOIN dim d USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def q_salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation join proof (VERDICT r4 item 3): every event row
+    joins a per-type dim on event_type — 5 hot keys owning ~2000 rows
+    each, the exact shape where an unsalted shuffle join funnels each
+    key through one reducer.  skew.salted_join spreads it: the left
+    side gets a deterministic salt from its other columns, the right
+    side replicates num_salts times, and the join key becomes
+    (event_type, _salt) — 40 reducer cells instead of 5.  The merge
+    hint stands in for 'right side above the broadcast threshold'
+    (the scenario salting exists for; with broadcast available you'd
+    broadcast instead).  The oracle is the PLAIN join — salting must
+    be semantically invisible.  PLANS.md asserts the salted key in
+    the join and no single-partition exchange."""
+    from kissmetrics_to_database_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 2).alias("type_avg"))
+        .hint("merge")
+    )
+    joined = skew.salted_join(ev, dim, on="event_type", num_salts=8)
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "type_avg",
+    ).orderBy("event_id")
+
+
+@query(
     "event_rate_anomalies",
     """
     WITH hourly AS (

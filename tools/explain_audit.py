@@ -369,6 +369,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "ObjectHashAggregate"],
         ["SortMergeJoin", "CartesianProduct", "Window"],
     ),
+    # salted skew join: the join key is (event_type, _salt) so each of
+    # the 5 hot keys spreads over num_salts reducer cells — never a
+    # single-partition exchange, never a broadcast (the scenario is
+    # 'right side above broadcast threshold', pinned via merge hint)
+    "salted_join_skewed": (
+        ["SortMergeJoin", "_salt"],
+        ["SinglePartition", "BroadcastHashJoin", "CartesianProduct"],
+    ),
 }
 
 
