@@ -58,6 +58,96 @@ def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
     w.mode("append").save()
 
 
+def write_jdbc_staged(
+    spark,
+    df: DataFrame,
+    cfg: JdbcConfig,
+    expected_rows: int | None = None,
+) -> int:
+    """S6 at warehouse grade: staged atomic load (VERDICT r4 item 4).
+
+    The reference wraps each file's inserts in one transaction so a
+    file lands whole or not at all (src/Operations/FileImporter.php:
+    142-163). A distributed JDBC append can't give that — each
+    executor task commits its own batch, so a mid-load failure leaves
+    partial rows. This restores per-load atomicity the warehouse way:
+
+    1. executors OVERWRITE a staging table ``<table>_stage`` (a task
+       failure corrupts only the stage, which the next run recreates);
+    2. the driver moves stage → target with ONE transactional
+       ``INSERT INTO target (cols) SELECT cols FROM stage``,
+       validating the moved row count against ``expected_rows`` when
+       given, and ROLLS BACK on any failure — the target is never
+       half-loaded, so the S5 watermark contract (advance only after
+       commit) composes with it directly;
+    3. the stage is dropped after commit (left in place on failure
+       for inspection; the next load overwrites it).
+
+    Returns the number of rows landed in the target. The target table
+    is created from the stage's shape if it doesn't exist yet (same
+    bootstrap-on-first-load behavior as the reference's
+    CreateDatabaseCommand).
+    """
+    stage = f"{cfg.table}_stage"
+    stage_cfg = JdbcConfig(
+        url=cfg.url, table=stage, user=cfg.user, password=cfg.password,
+        batch_size=cfg.batch_size, isolation=cfg.isolation,
+        driver=cfg.driver,
+    )
+    w = (
+        df.write.format("jdbc")
+        .option("url", stage_cfg.url)
+        .option("dbtable", stage_cfg.table)
+        .option("user", stage_cfg.user)
+        .option("password", stage_cfg.password)
+        .option("batchsize", str(stage_cfg.batch_size))
+    )
+    if stage_cfg.driver:
+        w = w.option("driver", stage_cfg.driver)
+    w.mode("overwrite").save()
+
+    # Spark's JDBC writer creates columns as delimited identifiers, so
+    # they are case-sensitive in Derby — quote them the same way
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    props.setProperty("user", cfg.user)
+    props.setProperty("password", cfg.password)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            meta = conn.getMetaData()
+            rs = meta.getTables(None, None, cfg.table.upper(), None)
+            target_exists = rs.next()
+            rs.close()
+            if not target_exists:
+                st.execute(
+                    f"CREATE TABLE {cfg.table} AS "
+                    f"SELECT {cols} FROM {stage} WITH NO DATA"
+                )
+            moved = st.executeUpdate(
+                f"INSERT INTO {cfg.table} ({cols}) SELECT {cols} FROM {stage}"
+            )
+            if expected_rows is not None and moved != expected_rows:
+                raise ValueError(
+                    f"staged load validation failed: moved {moved} rows, "
+                    f"expected {expected_rows} — rolled back, target untouched"
+                )
+            conn.commit()
+            st.execute(f"DROP TABLE {stage}")
+            conn.commit()
+            return moved
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def execute_ddl(spark, cfg: JdbcConfig, statements: list[str]) -> None:
     """S7/S8: run warehouse DDL (CREATE/ALTER) over the same JDBC
     coordinates the writer uses.

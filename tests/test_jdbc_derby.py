@@ -133,3 +133,62 @@ def test_jdbc_schema_evolution_alter_roundtrip(spark, tmp_path):
     assert set(back.columns) == {"event_id", "_p", "plan"}
     got = {r["event_id"]: r["plan"] for r in back.collect()}
     assert got == {1: None, 2: None, 3: "pro-plan"}
+
+
+def test_staged_atomic_load_commits_whole_or_nothing(spark, tmp_path):
+    """VERDICT r4 item 4: staged load = stage overwrite + ONE
+    transactional INSERT..SELECT swap. A mid-load failure (injected
+    two ways: row-count validation mismatch, SQL type conflict) must
+    leave the target untouched and the watermark unadvanced."""
+    wm = ndjson.Watermark(tmp_path / "wm.json")
+    wm.advance("7.json")
+    cfg = _cfg(tmp_path, "tb_staged")
+
+    # bootstrap-on-first-load: target created from the stage's shape
+    df1 = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(40)], "n long, who string"
+    )
+    assert sink.write_jdbc_staged(spark, df1, cfg, expected_rows=40) == 40
+    assert sink.read_jdbc(spark, cfg).count() == 40
+
+    # injection 1: validation mismatch -> rollback, target untouched
+    df2 = spark.createDataFrame([(99, "x"), (100, "y")], "n long, who string")
+    session_start = wm.read()
+    with pytest.raises(Exception, match="validation failed"):
+        try:
+            sink.write_jdbc_staged(spark, df2, cfg, expected_rows=5)
+            wm.advance("8.json")
+        except Exception:
+            wm.rollback(session_start)
+            raise
+    assert wm.read() == "7.json"
+    assert sink.read_jdbc(spark, cfg).count() == 40  # nothing landed
+
+    # injection 2: SQL failure mid-swap (stage column type conflicts
+    # with the established target) -> rollback, target untouched
+    bad = spark.createDataFrame(
+        [("not-a-number", "z")], "n string, who string"
+    )
+    with pytest.raises(Exception):
+        try:
+            sink.write_jdbc_staged(spark, bad, cfg)
+            wm.advance("8.json")
+        except Exception:
+            wm.rollback(session_start)
+            raise
+    assert wm.read() == "7.json"
+    back = sink.read_jdbc(spark, cfg)
+    assert back.count() == 40
+
+    # success path still works after failures; stage dropped on commit
+    assert sink.write_jdbc_staged(spark, df2, cfg, expected_rows=2) == 2
+    assert sink.read_jdbc(spark, cfg).count() == 42
+    wm.advance("8.json")
+    assert wm.read() == "8.json"
+    with pytest.raises(Exception):  # stage table gone after commit
+        sink.read_jdbc(
+            spark, sink.JdbcConfig(
+                url=cfg.url, table="tb_staged_stage", user=cfg.user,
+                password=cfg.password, driver=cfg.driver,
+            )
+        ).count()
