@@ -419,3 +419,85 @@ def test_hll_epoch_regression_raises(spark, tmp_path):
     with pytest.raises(Exception, match="epoch regression"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_stream_scd2_dimension_maintains_history(spark, tmp_path):
+    # VERDICT r4 item 5: scd2_merge_batch under foreachBatch with the
+    # epoch-versioned state pattern; replaying a micro-batch must be
+    # idempotent
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    table_dir = str(tmp_path / "scd_dim")
+    (src / "1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": "a", "tier": "bronze", "ts": 100},
+                {"user": "b", "tier": "silver", "ts": 100},
+                {"user": "a", "tier": "gold", "ts": 150},  # later obs wins
+            ]
+        )
+    )
+    q = sp.stream_scd2_dimension(
+        spark, str(src), str(tmp_path / "scd_ckpt"), schema,
+        table_dir, "user", "tier", "ts",
+    )
+    q.processAllAvailable()
+    state1 = {
+        (r["user"], r["tier"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in sp.scd2_state_table(spark, table_dir).collect()
+    }
+    assert state1 == {
+        ("a", "gold", 150, None, 1, True),
+        ("b", "silver", 100, None, 1, True),
+    }
+
+    # epoch 1: a changes (closes + reopens), c is brand new, b silent
+    (src / "2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": "a", "tier": "platinum", "ts": 200},
+                {"user": "c", "tier": "bronze", "ts": 210},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    state2 = {
+        (r["user"], r["tier"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in sp.scd2_state_table(spark, table_dir).collect()
+    }
+    assert state2 == {
+        ("a", "gold", 150, 200, 1, False),
+        ("a", "platinum", 200, None, 2, True),
+        ("b", "silver", 100, None, 1, True),
+        ("c", "bronze", 210, None, 1, True),
+    }
+
+    # replay epoch 1 with the same input: state must not change
+    replay = spark.createDataFrame(
+        [("a", "platinum", 200), ("c", "bronze", 210)], schema
+    )
+    sp.scd2_apply_epoch(replay, 1, table_dir, "user", "tier", "ts")
+    state2b = {
+        (r["user"], r["tier"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in sp.scd2_state_table(spark, table_dir).collect()
+    }
+    assert state2b == state2
+
+    # epoch regression guard applies to the SCD2 state too
+    import pytest
+
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        sp.scd2_apply_epoch(replay, 0, table_dir, "user", "tier", "ts")
