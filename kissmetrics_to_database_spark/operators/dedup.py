@@ -812,3 +812,71 @@ def cdc_chunks(
         "chunk_hash",
         F.count("*").over(occ).cast("long").alias("dup_occurrences"),
     )
+
+
+def cdc_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 5,
+) -> DataFrame:
+    """CDC-based corpus rewrite: the dedup ACTION on top of
+    :func:`cdc_chunks` (VERDICT r4 item 6 — the chunker counted
+    duplicates but nothing consumed them).
+
+    Per chunk_hash the corpus-wide FIRST occurrence wins — minimum
+    (id, chunk_idx), the same deterministic winner rule as span
+    dedup — and every other occurrence is dropped. Each document is
+    reassembled from its surviving chunks in order, and the bytes
+    reclaimed are reported against the normalized original
+    (whitespace-normalized text == all chunks joined, so the
+    accounting is exact, not estimated).
+
+    Returns one row per document: (id, n_chunks, n_kept,
+    deduped_text, bytes_saved).
+
+    Plan shape: cdc_chunks' per-doc window + doc rollup, plus ONE
+    window partitioned by chunk_hash for the winner (hash-partitioned
+    across reducers — a hot chunk costs one cell, never a
+    single-task exchange) and ONE doc-keyed rollup for reassembly.
+    No joins; scales exactly like the chunker itself.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, mask_bits).select(
+        id_col, "chunk_idx", "chunk_text", "chunk_hash"
+    )
+    w = Window.partitionBy("chunk_hash")
+    winner = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
+    flagged = chunks.withColumn(
+        "_keep",
+        (F.col(id_col) == winner[id_col])
+        & (F.col("chunk_idx") == winner["chunk_idx"]),
+    )
+    items = F.sort_array(
+        F.collect_list(F.struct("chunk_idx", "_keep", "chunk_text"))
+    )
+    full = F.array_join(F.transform(items, lambda s: s["chunk_text"]), " ")
+    kept = F.array_join(
+        F.transform(
+            F.filter(items, lambda s: s["_keep"]),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            full.alias("_full"),
+            kept.alias("deduped_text"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            "deduped_text",
+            (F.octet_length("_full") - F.octet_length("deduped_text"))
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+    )

@@ -460,6 +460,65 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_dedup_rewrite",
+    f"""
+    WITH flags AS (
+      SELECT doc_id, pos, a,
+             CASE WHEN ((strpos('0123456789abcdef', substr(md5(a), 1, 1)) - 1)
+                        * 16
+                        + (strpos('0123456789abcdef', substr(md5(a), 2, 1))
+                           - 1)) % 32 = 0
+                  THEN 1 ELSE 0 END AS f
+      FROM ({SQL_TOKP})
+    ),
+    idx AS (
+      SELECT doc_id, pos, a,
+             CAST(sum(f) OVER (PARTITION BY doc_id ORDER BY pos) - f
+                  AS BIGINT) AS chunk_idx
+      FROM flags
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(a, ' ' ORDER BY pos) AS chunk_text
+      FROM idx GROUP BY doc_id, chunk_idx
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx
+             ) = 1 AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+             string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                        ORDER BY chunk_idx) FILTER (WHERE keep),
+             ''
+           ) AS deduped_text,
+           CAST(
+             strlen(string_agg(chunk_text, ' ' ORDER BY chunk_idx))
+             - strlen(coalesce(
+                 string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                            ORDER BY chunk_idx) FILTER (WHERE keep),
+                 ''))
+             AS BIGINT) AS bytes_saved
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_cdc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC dedup ACTION (VERDICT r4 item 6): corpus-wide
+    first-occurrence-wins per chunk hash (min (doc_id, chunk_idx) —
+    span-dedup's winner rule), documents reassembled from surviving
+    chunks, exact bytes-saved accounting against the normalized
+    original.  See dedup.cdc_dedup_rewrite for the two-window
+    no-join plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_dedup_rewrite(docs, mask_bits=5).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Robust feature conditioning
 # ---------------------------------------------------------------------------

@@ -240,3 +240,30 @@ def test_cdc_chunks_are_shift_robust(spark):
     # all but the edited leading chunk(s) survive identically
     assert len(shared) >= len(h1) - 2
     assert len(shared) > 0
+
+
+def test_cdc_dedup_rewrite_first_occurrence_wins(spark):
+    # two docs sharing a chunk: the corpus-wide first occurrence
+    # (min doc_id, chunk_idx) survives, later ones are dropped and
+    # the byte accounting is exact vs the normalized original
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    # mask_bits=0 => every token is its own chunk (bucket % 1 == 0),
+    # making the winner rule trivially hand-checkable
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dd.cdc_dedup_rewrite(df, mask_bits=0).collect()
+    }
+    # doc 1: chunks alpha/beta/alpha -> keeps (1,0) alpha and (1,1)
+    # beta; the second alpha (1,2) loses to (1,0)
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["deduped_text"] == "alpha beta"
+    assert out[1]["bytes_saved"] == len("alpha beta alpha") - len("alpha beta")
+    # doc 2: beta lost to doc 1, gamma survives
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["deduped_text"] == "gamma"
+    assert out[2]["bytes_saved"] == len("beta gamma") - len("gamma")
