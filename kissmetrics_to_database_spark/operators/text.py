@@ -626,3 +626,90 @@ def zipf_fit(
             ndigits,
         ).alias("r2"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE tokenizer training: learn ``n_merges`` merge
+    rules from the corpus (the actual training loop, not just the
+    first pair count — extends the ``bpe_pair_counts`` single step).
+
+    Classic scaling shape: the corpus reduces ONCE to its Zipf-bounded
+    word-frequency vocabulary; every iteration then runs on the vocab
+    table only — (1) adjacent-symbol pair counts weighted by word
+    frequency (map-side-combinable groupBy), (2) argmax pair to the
+    driver (ONE row, the same driver-loop pattern as k-means /
+    connected components), (3) greedy left-to-right merge application
+    as a codegen'd ``aggregate`` fold over each word's symbol array —
+    non-overlapping occurrences merge in run-parity order, the
+    standard BPE rule. The vocab is re-cached per iteration so
+    lineage stays flat.
+
+    Deterministic: ties break lexicographically on (left, right).
+    Returns (merge_idx, left_sym, right_sym, pair_count, new_sym) —
+    the merge table a tokenizer ships as its vocabulary artifact.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.expr("split(w, '')"))
+        .persist()
+    )
+    words.count()
+    merges = []
+    prev = words
+    try:
+        for k in range(n_merges):
+            pair = F.struct(
+                F.col("s").alias("a"), F.col("nxt").alias("b")
+            )
+            pairs = (
+                prev.select(
+                    "wc",
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(syms, 1, size(syms) - 1)").alias("s"),
+                            F.expr("slice(syms, 2, size(syms) - 1)").alias("nxt"),
+                        )
+                    ).alias("p"),
+                )
+                .select("wc", F.col("p.s").alias("a"), F.col("p.nxt").alias("b"))
+                .groupBy("a", "b")
+                .agg(F.sum("wc").cast("long").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), "a", "b").first()
+            if best is None:
+                break
+            a, b = best["a"], best["b"]
+            merges.append((k, a, b, best["cnt"], a + b))
+            fold = F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                f"(acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+                f" AND x = '{b}', "
+                "concat(slice(acc, 1, size(acc) - 1), "
+                "array(concat(element_at(acc, -1), x))), "
+                "concat(acc, array(x))))"
+            )
+            nxt = prev.withColumn("syms", fold).persist()
+            nxt.count()
+            prev.unpersist()
+            prev = nxt
+    finally:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_idx long, left_sym string, right_sym string, "
+        "pair_count long, new_sym string",
+    )

@@ -3194,6 +3194,95 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the unrolled DuckDB oracle for ``bpe_train_merges``:
+    one CTE block per iteration — pair counts over the current
+    segmentation, argmax (ties lexicographic), then greedy
+    non-overlapping merge application in ROW form: a match is active
+    iff its offset within its run of consecutive matches is even
+    (run-parity — the only overlap case is left==right), the matched
+    right symbol is absorbed, positions re-index. This replays the
+    Spark fold's left-to-right greedy semantics exactly, so the merge
+    table is hash-comparable."""
+    sql = ["""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    state0 AS (
+      SELECT w, wc, CAST(i AS BIGINT) AS pos,
+             substr(w, CAST(i AS INTEGER), 1) AS sym
+      FROM words, unnest(range(1, length(w) + 1)) AS u(i)
+    )"""]
+    for k in range(n_merges):
+        sql.append(f""",
+    pairs{k} AS (
+      SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, sym AS a,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+        FROM state{k}
+      ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    best{k} AS (SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    flag{k} AS (
+      SELECT s.w, s.wc, s.pos, s.sym,
+             CASE WHEN s.sym = t.a
+                   AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = t.b
+                  THEN 1 ELSE 0 END AS f
+      FROM state{k} s CROSS JOIN best{k} t
+    ),
+    runs{k} AS (
+      SELECT w, wc, pos, sym, f,
+             CASE WHEN f = 1
+                  THEN pos - row_number() OVER (PARTITION BY w, f ORDER BY pos)
+             END AS run_id
+      FROM flag{k}
+    ),
+    act{k} AS (
+      SELECT w, wc, pos, sym,
+             CASE WHEN f = 1
+                   AND (pos - min(pos) OVER (PARTITION BY w, run_id)) % 2 = 0
+                  THEN 1 ELSE 0 END AS act
+      FROM runs{k}
+    ),
+    state{k + 1} AS (
+      SELECT w, wc,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT)
+               AS pos,
+             CASE WHEN act = 1 THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT w, wc, pos, sym, act,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+               lag(act) OVER (PARTITION BY w ORDER BY pos) AS prev_act
+        FROM act{k}
+      )
+      WHERE coalesce(prev_act, 0) = 0
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_idx, a AS left_sym, "
+        f"b AS right_sym, cnt AS pair_count, a || b AS new_sym FROM best{k}"
+        for k in range(n_merges)
+    )
+    sql.append(f"\n    SELECT * FROM ({selects}) ORDER BY merge_idx")
+    return "".join(sql)
+
+
+@query("bpe_train_merges", _bpe_oracle(4))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE training LOOP (4 merges): per iteration the
+    vocab-table pair counts produce an argmax merge rule (driver gets
+    ONE row — k-means-style iteration), which re-segments every word
+    via a codegen'd greedy fold. The oracle unrolls the identical
+    four iterations in SQL (run-parity greedy in row form), so the
+    learned merge table is hash-exact across engines. See
+    text.bpe_train_merges for the scaling shape (corpus reduced once;
+    iterations touch only the Zipf-bounded vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=4).orderBy("merge_idx")
+
+
 @query(
     "event_transition_matrix",
     """

@@ -492,3 +492,42 @@ def test_zipf_fit_flat_corpus_slope_zero(spark):
     df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
     [row] = text.zipf_fit(df, top_n=40).collect()
     assert row["slope"] == 0.0  # all freqs equal -> zero slope
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    # corpus: "low low low lower" -> words {low:3, lower:1}
+    # iter0 pairs: lo:4, ow:4, we:1, er:1 -> tie lo/ow -> 'lo' wins lex
+    # iter1 (l o->lo): [lo,w]x3, [lo,w,e,r]: pairs low:4, we:1, er:1 -> low
+    # iter2: [low]x3, [low,e,r]: pairs lowe:1, er:1 -> 'er' wins lex? cnt
+    #   equal (1,1): lexicographic (left,right): ('e','r') < ('low','e')
+    # iter3: [low]x3, [low,e,er]... wait after merging e+r: [low, e, er]?
+    #   no — greedy merges (e,r) -> [low, er]; pairs: lower... 'low'+'er'
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("low low low lower",)], ["text"])
+    got = [
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_count"],
+         r["new_sym"])
+        for r in t.bpe_train_merges(df, n_merges=4).orderBy("merge_idx").collect()
+    ]
+    assert got == [
+        (0, "l", "o", 4, "lo"),
+        (1, "lo", "w", 4, "low"),
+        (2, "e", "r", 1, "er"),
+        (3, "low", "er", 1, "lower"),
+    ]
+
+
+def test_bpe_fold_handles_self_overlap(spark):
+    # 'aaaaa' with merge (a,a): greedy left-to-right -> [aa, aa, a],
+    # so iteration 1 sees pairs (aa,aa):1 and (aa,a):1 — the cnt tie
+    # breaks lexicographically on (left, right): ('aa','a') wins
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("aaaaa",)], ["text"])
+    got = [
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["new_sym"])
+        for r in t.bpe_train_merges(df, n_merges=2).collect()
+    ]
+    assert got[0] == (0, "a", "a", "aa")
+    assert got[1] == (1, "aa", "a", "aaa")

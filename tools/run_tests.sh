@@ -10,7 +10,10 @@ cd "$(dirname "$0")/.."
 LOG="${1:-PYTEST_run.log}"
 TIMEOUT="${PYTEST_TIMEOUT_SECS:-3600}"
 
-timeout "$TIMEOUT" python -m pytest tests/ -q --tb=short 2>&1 | tee "$LOG"
+# NOTE: pytest.ini already sets -q; passing -q again would make it
+# -qq, which SUPPRESSES the final summary line — the very thing this
+# script exists to capture.
+timeout "$TIMEOUT" python -m pytest tests/ --tb=short 2>&1 | tee "$LOG"
 rc=${PIPESTATUS[0]}
 if [ "$rc" -eq 124 ]; then
     echo "TIMEOUT after ${TIMEOUT}s" | tee -a "$LOG"
