@@ -105,6 +105,11 @@ HEADLINE = [
     "robust_scale",
     "cdc_chunk_dedup",
     "event_rate_anomalies",
+    # round-5 additions
+    "salted_join_skewed",
+    "cdc_dedup_rewrite",
+    "bpe_train_merges",
+    "video_frame_sample",
 ]
 
 
