@@ -880,3 +880,123 @@ def cdc_dedup_rewrite(
             .alias("bytes_saved"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each window of ``w``
+    consecutive ``k``-gram hashes, select the MINIMUM (rightmost on
+    ties), then dedup — a guaranteed-density sample of the document's
+    k-gram set that two documents sharing any run of ≥ w+k-1 tokens
+    are guaranteed to sample identically. This catches CONTAINMENT
+    (one doc embedding a chunk of another) that whole-document
+    MinHash misses.
+
+    Hashes are md5 12-hex prefixes compared AS STRINGS — min over hex
+    strings is total, engine-portable, and avoids hex→int conversion
+    that DuckDB can't replay.
+
+    Returns distinct (id, fp) rows. Plan: the token stream gains
+    k-grams via ``lead`` in the per-doc window (the shingle shape);
+    each k-gram explodes into the ≤ w windows containing it
+    (sequence+explode, a w× row expansion of the TOKEN stream, not a
+    join); per-window winners are one groupBy min(struct(hash, -pos));
+    the final distinct is per (doc, fp). All codegen'd; one doc-keyed
+    shuffle + one (doc, window) groupBy.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("p0", "term"),
+    ).where(F.col("term") != "")
+    dw = Window.partitionBy(id_col).orderBy("p0")
+    idx = tok.select(
+        F.col(id_col),
+        F.row_number().over(dw).alias("i"),
+        F.col("term"),
+    )
+    # k-gram at i: terms i..i+k-1 joined by space (null-padded leads
+    # filtered out at the edge of the doc)
+    grams = idx.select(
+        id_col,
+        "i",
+        F.concat_ws(
+            " ", F.col("term"),
+            *[F.lead("term", j).over(Window.partitionBy(id_col).orderBy("i")) for j in range(1, k)],
+        ).alias("kg"),
+        F.lead("term", k - 1).over(
+            Window.partitionBy(id_col).orderBy("i")
+        ).isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    hashed = grams.select(
+        id_col, "i", F.substring(F.md5("kg"), 1, 12).alias("h"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("_n"),
+    )
+    # windows s = 1 .. n-w+1; k-gram i belongs to s in
+    # [max(1, i-w+1), min(i, n-w+1)]
+    win_start = F.explode(
+        F.sequence(
+            F.greatest(F.lit(1), F.col("i") - F.lit(w - 1)),
+            F.least(F.col("i"), F.col("_n") - F.lit(w - 1)),
+        )
+    ).alias("s")
+    exploded = hashed.where(F.col("_n") >= w).select(id_col, "i", "h", win_start)
+    winners = (
+        exploded.groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("_m"))
+        .select(id_col, F.col("_m.h").alias("fp"))
+        .distinct()
+    )
+    return winners
+
+
+def winnow_containment(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment detection over winnowing fingerprints: for ordered
+    doc pairs, |FP_a ∩ FP_b| / |FP_a| — near 1.0 when doc ``a`` is
+    (mostly) contained in ``b`` even if ``b`` is much larger.
+
+    Fingerprints appearing in more than ``max_doc_freq`` documents are
+    dropped BEFORE the pair join (MOSS's boilerplate suppression):
+    at corpus scale a boilerplate k-gram is a quadratic hot key, and
+    it carries no containment signal. The join is an equi-join on fp,
+    cost Σ df(fp)² over surviving fingerprints — bounded by the cap.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    dfreq = Window.partitionBy("fp")
+    rare = fps.withColumn("_df", F.count("*").over(dfreq)).where(
+        F.col("_df") <= max_doc_freq
+    ).select(id_col, "fp")
+    sizes = rare.groupBy(id_col).agg(F.count("*").cast("long").alias("n_fp"))
+    a = rare.select(F.col(id_col).alias("doc_a"), "fp")
+    b = rare.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "doc_a"), "doc_a"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.col("n_fp"), 6).alias("containment"),
+        )
+    )

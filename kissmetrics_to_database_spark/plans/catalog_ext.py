@@ -3269,6 +3269,87 @@ def _bpe_oracle(n_merges: int) -> str:
     return "".join(sql)
 
 
+@query(
+    "winnow_containment",
+    """
+    WITH tokp AS (
+      SELECT doc_id, i AS pos, t[i] AS a
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    idx AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i, a
+      FROM tokp
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             a || ' ' || lead(a, 1) OVER w || ' ' || lead(a, 2) OVER w AS kg,
+             lead(a, 2) OVER w IS NOT NULL AS fullg
+      FROM idx WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    hashed AS (
+      SELECT doc_id, i, substr(md5(kg), 1, 12) AS h,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM grams WHERE fullg
+    ),
+    expl AS (
+      SELECT doc_id, i, h, s
+      FROM hashed,
+           unnest(range(greatest(1, i - 3), least(i, n - 3) + 1)) AS u(s)
+      WHERE n >= 4
+    ),
+    winners AS (
+      SELECT DISTINCT doc_id, h AS fp FROM (
+        SELECT doc_id, s, h,
+               row_number() OVER (PARTITION BY doc_id, s
+                                  ORDER BY h, i DESC) AS r
+        FROM expl
+      ) WHERE r = 1
+    ),
+    rare AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfreq
+        FROM winners
+      ) WHERE dfreq <= 50
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM rare GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM rare a JOIN rare b USING (fp)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared / CAST(n_fp AS DOUBLE), 6) AS containment
+    FROM shared JOIN sizes ON sizes.doc_id = shared.doc_a
+    ORDER BY containment DESC, doc_a, doc_b LIMIT 100
+    """,
+)
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment detection (Schleimer et al. 2003, the
+    MOSS primitive): guaranteed-density k-gram fingerprints (rightmost
+    window minimum, k=3 w=4, md5 12-hex-prefix hashes compared as
+    strings), boilerplate fingerprints (doc-freq > 50) suppressed
+    before the pair join, per-ordered-pair containment
+    |FP_a ∩ FP_b| / |FP_a| — catches one document embedding a chunk
+    of another, which whole-document MinHash misses. See
+    dedup.winnow_fingerprints / winnow_containment for the plan
+    shape (w× token-stream expansion, one (doc, window) groupBy, a
+    frequency-capped fp equi-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.winnow_containment(docs, k=3, w=4, max_doc_freq=50)
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
 @query("bpe_train_merges", _bpe_oracle(4))
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual BPE training LOOP (4 merges): per iteration the

@@ -267,3 +267,43 @@ def test_cdc_dedup_rewrite_first_occurrence_wins(spark):
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
     assert out[2]["deduped_text"] == "gamma"
     assert out[2]["bytes_saved"] == len("beta gamma") - len("gamma")
+
+
+def test_winnow_containment_detects_embedded_doc(spark):
+    # doc 1's full text is embedded inside doc 2: containment(1->2)
+    # must be 1.0 (every fingerprint of 1 appears in 2 — the
+    # winnowing guarantee for shared runs >= w+k-1 tokens), while the
+    # reverse direction is partial and the unrelated doc pairs with
+    # nothing
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    d1 = "the quick brown fox jumps over the lazy dog again and again today"
+    d2 = "xx yy zz " + d1 + " aa bb cc dd ee ff"
+    d3 = "completely different content with no overlap whatsoever here at all"
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dd.winnow_containment(df).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0 < got[(2, 1)] < 1.0
+    assert not any(3 in pair for pair in got)
+
+
+def test_winnow_fingerprints_are_position_invariant(spark):
+    # shifting a document by a prefix must not change the fingerprint
+    # SET of the shared suffix region (content-defined selection —
+    # the property fixed-stride sampling lacks)
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, body), (2, "pre1 pre2 pre3 pre4 " + body)], ["doc_id", "text"]
+    )
+    fps = {
+        r["doc_id"]: set()
+        for r in df.select("doc_id").collect()
+    }
+    for r in dd.winnow_fingerprints(df).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] <= fps[2]  # every body fingerprint survives the shift
