@@ -192,3 +192,76 @@ def test_staged_atomic_load_commits_whole_or_nothing(spark, tmp_path):
                 password=cfg.password, driver=cfg.driver,
             )
         ).count()
+
+
+def test_streaming_scd2_staged_warehouse_load(spark, tmp_path):
+    """The reference's production shape, composed end-to-end: a
+    file-source stream folds into the epoch-versioned SCD2 dimension,
+    and each micro-batch lands the serving dimension in the warehouse
+    via the staged atomic swap — stream -> dimension state -> Derby,
+    every hop replay-safe."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from kissmetrics_to_database_spark.streaming import pipeline as sp
+
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    table_dir = str(tmp_path / "dim_state")
+    cfg = _cfg(tmp_path, "tb_dim")
+
+    def apply_and_load(batch_df, epoch_id):
+        sp.scd2_apply_epoch(batch_df, epoch_id, table_dir, "user", "tier", "ts")
+        dim = sp.scd2_state_table(batch_df.sparkSession, table_dir)
+        # full-refresh semantics: the staged swap must land the whole
+        # dimension or nothing, so clear-and-load inside one txn is
+        # modeled as expected_rows validation on the swap
+        sink.execute_ddl(
+            batch_df.sparkSession, cfg,
+            ["TRUNCATE TABLE tb_dim"] if epoch_id > 0 else [],
+        )
+        sink.write_jdbc_staged(
+            batch_df.sparkSession, dim, cfg, expected_rows=dim.count()
+        )
+
+    (src / "1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user": "a", "tier": "bronze", "ts": 100},
+                {"user": "b", "tier": "silver", "ts": 110},
+            ]
+        )
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(apply_and_load)
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "2.json").write_text(
+        _json.dumps({"user": "a", "tier": "gold", "ts": 200})
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = {
+        (r["user"], r["tier"], r["version"], r["is_current"])
+        for r in sink.read_jdbc(spark, cfg).collect()
+    }
+    assert back == {
+        ("a", "bronze", 1, False),
+        ("a", "gold", 2, True),
+        ("b", "silver", 1, True),
+    }
