@@ -377,6 +377,21 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "_salt"],
         ["SinglePartition", "BroadcastHashJoin", "CartesianProduct"],
     ),
+    # CDC rewrite: the dedup ACTION is two windows (per-doc chunking,
+    # chunk-hash winner) + one doc rollup — NO joins at all, and every
+    # window/agg is hash-partitioned, never single-partition
+    "cdc_dedup_rewrite": (
+        ["hashpartitioning"],
+        ["Join", "SinglePartition", "CartesianProduct"],
+    ),
+    # winnowing containment: the only join is the frequency-capped fp
+    # equi-join (small enough to broadcast at this SF; at scale it is
+    # a hash-partitioned equi-join on fp) — never cartesian, never a
+    # single-partition exchange; top-k via TakeOrdered, no global sort
+    "winnow_containment": (
+        ["TakeOrderedAndProject"],
+        ["SinglePartition", "CartesianProduct"],
+    ),
 }
 
 
