@@ -145,6 +145,49 @@ def stream_static_enrich(
     return stream_events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream–stream equi-join with an event-time interval bound —
+    the attribution shape (click stream ⋈ purchase stream: purchases
+    within ``within`` after the click, same key).
+
+    Both sides carry a watermark, and the time-range predicate bounds
+    the join state: the engine can discard a buffered left row once
+    the right watermark passes ``left.ts + within`` (and vice versa),
+    so state is rate × (within + watermark) — never unbounded. This
+    is the one join shape that genuinely requires Structured
+    Streaming state; every other catalog join is stateless per batch.
+
+    Returns (key, ts_left, ts_right, lag_seconds) plus the payload
+    columns, usable identically on static frames (tested both ways).
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("ts_left"),
+        F.col(f"r.{ts_col}").alias("ts_right"),
+        (
+            F.col(f"r.{ts_col}").cast("long")
+            - F.col(f"l.{ts_col}").cast("long")
+        ).alias("lag_seconds"),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

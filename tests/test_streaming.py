@@ -501,3 +501,64 @@ def test_stream_scd2_dimension_maintains_history(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="epoch regression"):
         sp.scd2_apply_epoch(replay, 0, table_dir, "user", "tier", "ts")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # click stream x purchase stream: purchases within 1h of the
+    # click, per user — stream result must equal the static join
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    clicks = [
+        {"user": "a", "ts": "2024-01-01T10:00:00.000Z"},
+        {"user": "a", "ts": "2024-01-01T12:00:00.000Z"},
+        {"user": "b", "ts": "2024-01-01T10:30:00.000Z"},
+    ]
+    buys = [
+        {"user": "a", "ts": "2024-01-01T10:45:00.000Z"},  # joins click 1
+        {"user": "a", "ts": "2024-01-01T12:10:00.000Z"},  # joins click 2
+        {"user": "b", "ts": "2024-01-01T13:00:00.000Z"},  # outside 1h
+        {"user": "c", "ts": "2024-01-01T10:00:00.000Z"},  # no click
+    ]
+    (clicks_dir / "1.json").write_text(
+        "\n".join(json.dumps(r) for r in clicks)
+    )
+    (buys_dir / "1.json").write_text("\n".join(json.dumps(r) for r in buys))
+
+    lc = spark.readStream.schema(schema).json(str(clicks_dir))
+    rb = spark.readStream.schema(schema).json(str(buys_dir))
+    joined = sp.stream_stream_interval_join(lc, rb, "user")
+    seen = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .foreachBatch(lambda df, eid: seen.extend(df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["user"], r["lag_seconds"]) for r in seen)
+    assert got == [("a", 600), ("a", 2700)]
+
+    # same function over static frames gives the identical result
+    static = sp.stream_stream_interval_join(
+        spark.createDataFrame(
+            [(r["user"], r["ts"].replace("T", " ").rstrip("Z")) for r in clicks],
+            "user string, ts string",
+        ).selectExpr("user", "cast(ts as timestamp) ts"),
+        spark.createDataFrame(
+            [(r["user"], r["ts"].replace("T", " ").rstrip("Z")) for r in buys],
+            "user string, ts string",
+        ).selectExpr("user", "cast(ts as timestamp) ts"),
+        "user",
+    )
+    got_static = sorted(
+        (r["user"], r["lag_seconds"]) for r in static.collect()
+    )
+    assert got_static == got
