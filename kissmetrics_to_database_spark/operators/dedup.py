@@ -1000,3 +1000,61 @@ def winnow_containment(
             F.round(F.col("shared") / F.col("n_fp"), 6).alias("containment"),
         )
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8),
+) -> DataFrame:
+    """Index-quality eval for the LSH dedup path (the dedup-family
+    counterpart of ``ann_recall_at_k``): per Jaccard threshold, what
+    fraction of the EXACT near-dup pairs does the banded-LSH
+    candidate set recover?
+
+    recall(t) = |{exact pairs ≥ t} ∩ candidates| / |{exact pairs ≥ t}|
+
+    Recall rises with t by construction (the S-curve: a (bands, rows)
+    scheme catches high-similarity pairs with probability
+    1-(1-s^r)^b), so the row at the operating threshold tells you
+    whether to re-band. Exact ground truth is the all-pairs token
+    join — an EVAL to run on a sample at scale, never the corpus
+    (same contract as ann_recall_at_k).
+
+    Returns (threshold, n_true, n_caught, recall) ordered by
+    threshold.
+    """
+    tok = distinct_shingles(df, id_col, text_col).persist()
+    wide = minhash_wide_tokens(tok, id_col, num_hashes)
+    cand = lsh_candidate_pairs_wide(wide, id_col, num_hashes, rows_per_band)
+    truth = jaccard_pairs(tok, id_col, None, min(thresholds))
+    flagged = truth.join(
+        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select("jaccard", F.coalesce("_c", F.lit(0)).alias("_c"))
+    per_t = flagged.select(
+        "jaccard",
+        "_c",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("threshold"),
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    out = (
+        per_t.groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum("_c").cast("long").alias("n_caught"),
+        )
+        .select(
+            "threshold",
+            "n_true",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_true"), 6).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+    result = out.localCheckpoint(eager=True)
+    tok.unpersist()
+    return result

@@ -167,6 +167,40 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_recall_eval",
+    f"""
+    WITH cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    flagged AS (
+      SELECT j.jaccard,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM jac j LEFT JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold)
+    SELECT threshold, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(c) AS BIGINT) AS n_caught,
+           round(sum(c) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM flagged JOIN t ON flagged.jaccard >= t.threshold
+    GROUP BY threshold ORDER BY threshold
+    """,
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-quality eval (the dedup counterpart of
+    ann_recall_at_k): per Jaccard threshold, the fraction of EXACT
+    near-dup pairs the banded candidate set recovers — the S-curve
+    observed, not assumed, so the (bands, rows) scheme can be re-cut
+    when recall at the operating threshold drops. Ground truth is the
+    all-pairs token join (an eval for samples, never the corpus).
+    See dedup.lsh_recall_eval."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_recall_eval(
+        docs, num_hashes=8, rows_per_band=2,
+        thresholds=(0.5, 0.6, 0.7, 0.8),
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     SELECT id_a, id_b, jaccard FROM ({SQL_JACCARD})
