@@ -208,3 +208,61 @@ def test_hll_python_model_merge_and_bounds(vals):
     assert est > 0
     if len(vs) <= 200:
         assert abs(est - len(vs)) / len(vs) < 0.5  # loose 3-sigma-ish bound
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        min_size=8,
+        max_size=14,
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_winnowing_guarantee_shared_run(spark, body_toks, prefix_toks):
+    """THE winnowing guarantee (Schleimer et al. Thm): documents
+    sharing a token run of length >= w+k-1 (here 6) select at least
+    one identical fingerprint from it — regardless of what surrounds
+    the run."""
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    body = " ".join(body_toks)  # >= 8 tokens >= w+k-1 = 6
+    other = " ".join(prefix_toks) + (" " if prefix_toks else "") + body
+    df = spark.createDataFrame([(1, body), (2, other)], ["doc_id", "text"])
+    fps = {1: set(), 2: set()}
+    for r in dd.winnow_fingerprints(df, k=3, w=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=2),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_rewrite_invariants(spark, toks, ndocs):
+    """CDC rewrite invariants on arbitrary corpora: (a) every
+    distinct chunk survives exactly once corpus-wide, (b) per doc
+    n_kept <= n_chunks, (c) bytes_saved == normalized-original minus
+    deduped length, (d) total kept == distinct chunk count."""
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    docs = [(i, " ".join(toks[i % len(toks):] + toks[: i % len(toks)]))
+            for i in range(ndocs)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    chunks = dd.cdc_chunks(df, mask_bits=1).collect()
+    distinct_hashes = {r["chunk_hash"] for r in chunks}
+    out = dd.cdc_dedup_rewrite(df, mask_bits=1).collect()
+    assert sum(r["n_kept"] for r in out) == len(distinct_hashes)
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        doc_norm = " ".join(dict(docs)[r["doc_id"]].split())
+        assert r["bytes_saved"] == len(doc_norm) - len(r["deduped_text"])
