@@ -850,3 +850,67 @@ def hard_negative_mining(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each
+    vector into ``m`` contiguous subvectors, train an independent
+    k-means codebook per subspace (the same deterministic Lloyd
+    schedule as :func:`kmeans_lloyd`), and encode every vector as its
+    m nearest-codeword ids — the compression tier between int8 scalar
+    quantization (4×) and raw floats: m·log2(k) bits per vector
+    (here 12 bits vs 2048) while preserving approximate distances via
+    per-subspace lookup tables.
+
+    Returns (id, code_0..code_{m-1}, q_err) where q_err is the total
+    quantization error sqrt(Σ d_j²) over the subspace distances —
+    the reconstruction-quality number that decides m/k sizing.
+
+    Scale shape: m sequential codebook trainings, each over a SLICED
+    projection (subvectors never materialize as new tables — the
+    slice fuses into the scan); assignment passes are broadcast
+    map-only; the final result is an m-way equi-join of skinny
+    (id, code, dist) tables on the id. Nothing ever shuffles the full
+    vectors.
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = emb.select(id_col)
+    dcols = []
+    for j in range(m):
+        s = emb.select(
+            id_col,
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv"),
+        )
+        cents = _kmeans_iterate(
+            s, k=k, iters=iters, id_col=id_col, vec_col="_sv", ndigits=ndigits
+        )
+        assigned = kmeans_assign(
+            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
+        )
+        out = out.join(
+            assigned.select(
+                id_col,
+                F.col("cluster").alias(f"code_{j}"),
+                F.col("dist").alias(f"_d{j}"),
+            ),
+            id_col,
+        )
+        dcols.append(f"_d{j}")
+    q_err = F.round(
+        F.sqrt(sum(F.col(c) * F.col(c) for c in dcols)), ndigits
+    )
+    return out.select(
+        id_col, *[f"code_{j}" for j in range(m)], q_err.alias("q_err")
+    )

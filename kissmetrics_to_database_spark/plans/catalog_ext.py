@@ -2061,6 +2061,53 @@ SQL_KMEANS_CTES = """
 """
 
 
+def _pq_oracle(m: int = 4, sub: int = 16) -> str:
+    """Generate the unrolled product-quantization oracle: one copy of
+    the shared Lloyd CTE block per subspace, retargeted at the sliced
+    vector ``(embedding::DOUBLE[])[lo:hi]`` with suffixed CTE names,
+    then an m-way join of the per-subspace final assignments. The
+    total quantization error combines the per-subspace rounded
+    distances exactly as similarity.pq_encode does."""
+    import re as _re
+
+    blocks = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        block = SQL_KMEANS_CTES.replace(
+            "embedding::DOUBLE[]", f"(embedding::DOUBLE[])[{lo}:{hi}]"
+        )
+        for name in ("final", "c0", "a1", "c1", "a2", "c2", "e"):
+            block = _re.sub(rf"\b{name}\b", f"{name}_{j}", block)
+        blocks.append(block)
+    joins = " ".join(
+        f"JOIN final_{j} f{j} ON f0.vec_id = f{j}.vec_id"
+        for j in range(1, m)
+    )
+    codes = ", ".join(f"f{j}.cluster AS code_{j}" for j in range(m))
+    err = " + ".join(f"f{j}.d * f{j}.d" for j in range(m))
+    return (
+        "WITH " + ",".join(blocks)
+        + f"""
+    SELECT f0.vec_id, {codes}, round(sqrt({err}), 6) AS q_err
+    FROM final_0 f0 {joins}
+    ORDER BY f0.vec_id
+    """
+    )
+
+
+@query("pq_encode", _pq_oracle(4, 16))
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): 4 independent
+    deterministic k-means codebooks over 16-dim subvector slices,
+    every vector encoded as its 4 nearest-codeword ids (12 bits vs
+    2048) plus the total quantization error — the compression tier
+    between int8 scalar quantization and raw floats. The oracle
+    unrolls the identical 4 Lloyd schedules over sliced lists. See
+    similarity.pq_encode for the no-full-vector-shuffle plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, m=4, k=8, iters=2).orderBy("vec_id")
+
+
 @query(
     "kmeans_clusters",
     f"""

@@ -531,3 +531,38 @@ def test_bpe_fold_handles_self_overlap(spark):
     ]
     assert got[0] == (0, "a", "a", "aa")
     assert got[1] == (1, "aa", "a", "aaa")
+
+
+def test_pq_encode_exact_on_codebook_vectors(spark):
+    # corpus = 8 distinct vectors repeated: with k=8 codewords per
+    # subspace, every vector IS a codeword after convergence, so the
+    # quantization error is exactly 0 and codes are consistent for
+    # identical vectors
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    base = [[float((i * 7 + d) % 5) for d in range(8)] for i in range(8)]
+    # ids 0..7 are the 8 distinct vectors (the deterministic first-k
+    # init picks exactly them as codewords); higher ids are repeats
+    rows = [(i, base[i]) for i in range(8)] + [
+        (100 + i * 10 + r, base[i]) for i in range(8) for r in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.pq_encode(df, m=2, k=8, iters=2).collect()
+    assert len(out) == 24
+    codes = {}
+    for r in out:
+        assert r["q_err"] == 0.0
+        assert 0 <= r["code_0"] < 8 and 0 <= r["code_1"] < 8
+        i = r["vec_id"] if r["vec_id"] < 8 else (r["vec_id"] - 100) // 10
+        code = (r["code_0"], r["code_1"])
+        assert codes.setdefault(tuple(base[i]), code) == code
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    import pytest
+
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_encode(df, m=2)
