@@ -914,3 +914,100 @@ def pq_encode(
     return out.select(
         id_col, *[f"code_{j}" for j in range(m)], q_err.alias("q_err")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """PQ serving path: asymmetric distance computation (ADC) top-k.
+
+    The probe stays un-quantized; per subspace it computes a k_codes-
+    entry DISTANCE TABLE against the codebook, and every corpus
+    vector's approximate distance is the table lookups at its codes:
+    ``sqrt(Σ_j d_j(probe_subvec, codeword[code_j])²)``. The expensive
+    part per (probe, vector) pair is therefore m integer lookups, not
+    a dim-length float scan — the reason PQ serves billion-vector ANN
+    from RAM.
+
+    Plan shape: codebook training + encoding as :func:`pq_encode`;
+    the m distance tables are probes × k_codes rows (driver-scale,
+    broadcast); scoring is a chain of m broadcast equi-joins on the
+    code columns — the corpus vectors themselves never enter the
+    scoring join. Returns (probe_id, neighbor_id, adist, rank),
+    rank 1..k ascending approximate distance, ties on neighbor id,
+    self-matches excluded.
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    codes = corpus.select(id_col)
+    dtabs = []
+    for j in range(m):
+        s = corpus.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+        )
+        cents = _kmeans_iterate(
+            s, k=k_codes, iters=iters, id_col=id_col, vec_col="_sv",
+            ndigits=ndigits,
+        )
+        assigned = kmeans_assign(
+            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
+        )
+        codes = codes.join(
+            assigned.select(id_col, F.col("cluster").alias(f"code_{j}")),
+            id_col,
+        )
+        dtabs.append(
+            probes.select(
+                F.col(id_col).alias("probe_id"),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("_pv"),
+            )
+            .join(F.broadcast(cents.select(
+                F.col("cluster").alias(f"code_{j}"), F.col("_c")
+            )))
+            .select(
+                "probe_id",
+                f"code_{j}",
+                F.round(_l2_dist(F.col("_pv"), F.col("_c")), ndigits).alias(
+                    f"_d{j}"
+                ),
+            )
+        )
+    scored = codes.join(F.broadcast(dtabs[0]), f"code_{0}")
+    for j in range(1, m):
+        scored = scored.join(
+            F.broadcast(dtabs[j]), ["probe_id", f"code_{j}"]
+        )
+    adist = F.round(
+        F.sqrt(sum(F.col(f"_d{j}") * F.col(f"_d{j}") for j in range(m))),
+        ndigits,
+    )
+    ranked = (
+        scored.where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    "adist", "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked

@@ -2095,6 +2095,84 @@ def _pq_oracle(m: int = 4, sub: int = 16) -> str:
     )
 
 
+def _pq_topk_oracle(
+    m: int = 4, sub: int = 16, n_probes: int = 2, k: int = 5
+) -> str:
+    """Unrolled ADC oracle: the per-subspace Lloyd blocks from
+    :func:`_pq_oracle` plus probe distance tables (probes × codebook,
+    per subspace) and the m-way code-lookup join, ranked ascending by
+    approximate distance."""
+    import re as _re
+
+    blocks = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        block = SQL_KMEANS_CTES.replace(
+            "embedding::DOUBLE[]", f"(embedding::DOUBLE[])[{lo}:{hi}]"
+        )
+        for name in ("final", "c0", "a1", "c1", "a2", "c2", "e"):
+            block = _re.sub(rf"\b{name}\b", f"{name}_{j}", block)
+        blocks.append(block)
+    dtabs = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dtabs.append(f"""
+    dtab_{j} AS (
+      SELECT p.probe_id, c.cluster AS code_{j},
+             round(list_distance(p.pv[{lo}:{hi}], c.c), 6) AS d_{j}
+      FROM probes p CROSS JOIN c2_{j} c
+    )""")
+    fjoins = " ".join(
+        f"JOIN final_{j} f{j} ON f0.vec_id = f{j}.vec_id"
+        for j in range(1, m)
+    )
+    djoins = "JOIN dtab_0 d0 ON d0.code_0 = f0.cluster " + " ".join(
+        f"JOIN dtab_{j} d{j} ON d{j}.probe_id = d0.probe_id "
+        f"AND d{j}.code_{j} = f{j}.cluster"
+        for j in range(1, m)
+    )
+    err = " + ".join(f"d{j}.d_{j} * d{j}.d_{j}" for j in range(m))
+    return (
+        "WITH " + ",".join(blocks)
+        + f""",
+    probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id < {n_probes}
+    ),{",".join(dtabs)},
+    scored AS (
+      SELECT d0.probe_id, f0.vec_id AS neighbor_id,
+             round(sqrt({err}), 6) AS adist
+      FROM final_0 f0 {fjoins} {djoins}
+      WHERE f0.vec_id <> d0.probe_id
+    )
+    SELECT probe_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT probe_id, neighbor_id, adist,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY adist, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY probe_id, rank
+    """
+    )
+
+
+@query("pq_topk_adc", _pq_topk_oracle(4, 16, 2, 5))
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path: asymmetric distance computation top-k — the
+    probe stays float, per-subspace distance tables against the
+    trained codebooks are broadcast, and every corpus vector scores
+    via m code lookups instead of a dim-length scan. See
+    similarity.pq_topk; ranked ascending approximate distance,
+    self-matches excluded, k=5 for the first 2 vectors as probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 2)
+    out = similarity.pq_topk(emb, probes, m=4, k_codes=8, iters=2, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
 @query("pq_encode", _pq_oracle(4, 16))
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): 4 independent
