@@ -83,3 +83,58 @@ def range_band_join(
     """
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
     return facts.join(F.broadcast(bands), cond, "left")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    band_us: int,
+    l_start: str = "s_us",
+    l_end: str = "e_us",
+    r_start: str = "s_us",
+    r_end: str = "e_us",
+) -> DataFrame:
+    """General interval-overlap equi-join via band decomposition —
+    the two-sided generalization of :func:`time_proximity_pairs`.
+
+    Each interval explodes into the ``band_us``-wide bands it covers
+    (``sequence(floor(s/W), floor(e/W))``); overlapping intervals
+    necessarily share a band, so the candidate join is an equi-join
+    on the band id, then the exact predicate
+    ``l.s < r.e AND r.s <= l.e`` filters and ``distinct`` collapses
+    multi-band matches. Lossless: recall and precision 1.0 vs the
+    quadratic theta-join, which Spark would otherwise execute as a
+    nested-loop.
+
+    ``band_us`` is the knob: ~ the typical interval length. Too small
+    → wide explode fan-out; too large → fat band buckets. Replication
+    is ceil(len/W)+1 per interval, and a pathological mega-interval
+    is the skew case — cap or split upstream.
+
+    Interval semantics: the left interval is CLOSED ``[s, e]``, the
+    right HALF-OPEN ``[s, e)`` — the predicate is
+    ``l.s < r.e AND r.s <= l.e`` (what calendar-window joins want:
+    an activity span touching the start of an hour window overlaps
+    it; one touching only its exclusive end does not).
+
+    Returns all left columns + all right columns (callers alias to
+    avoid collisions) for exactly the overlapping pairs.
+    """
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(l_start) / band_us),
+            F.floor(F.col(l_end) / band_us),
+        )
+    ).alias("_band")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(r_start) / band_us),
+            F.floor(F.col(r_end) / band_us),
+        )
+    ).alias("_band")
+    lx = left.select("*", lb)
+    rx = right.select("*", rb)
+    joined = lx.join(rx, "_band").where(
+        (lx[l_start] < rx[r_end]) & (rx[r_start] <= lx[l_end])
+    )
+    return joined.drop("_band").distinct()

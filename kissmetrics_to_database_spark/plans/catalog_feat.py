@@ -698,3 +698,82 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.robust_scale(ev, "event_type", "value").orderBy(
         "event_id"
     )
+
+
+@query(
+    "burst_exposure_overlap",
+    """
+    WITH acts AS (
+      SELECT user_id, min(ts) AS s, max(ts) AS e
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bursts AS (
+      SELECT hour, n FROM (
+        SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (
+                 ORDER BY count(*) DESC, date_trunc('hour', ts)
+               ) AS r
+        FROM events WHERE event_type = 'error' GROUP BY 1
+      ) WHERE r <= 20
+    )
+    SELECT a.user_id, b.hour AS burst_hour, b.n AS n_errors,
+           CAST(epoch_us(least(a.e, b.hour + INTERVAL 1 HOUR))
+                - epoch_us(greatest(a.s, b.hour)) AS BIGINT) AS overlap_us
+    FROM acts a JOIN bursts b
+      ON a.s < b.hour + INTERVAL 1 HOUR AND b.hour <= a.e
+    ORDER BY user_id, burst_hour
+    """,
+)
+def q_burst_exposure_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval-overlap join (r5): which users' daily
+    activity spans overlap the top-20 error-burst hours, and by how
+    much — the banded two-sided interval join
+    (interval.interval_overlap_join, 1-hour bands): overlapping
+    intervals share a band, so candidates come from an EQUI-join, and
+    the exact predicate + distinct make it lossless vs the quadratic
+    theta-join Spark would otherwise nested-loop."""
+    from kissmetrics_to_database_spark.operators import interval as iv
+
+    ev = load_table(spark, sf_dir, "events")
+    acts = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.min("ts").alias("_s"), F.max("ts").alias("_e"))
+        .select(
+            "user_id",
+            F.unix_micros("_s").alias("s_us"),
+            F.unix_micros("_e").alias("e_us"),
+        )
+    )
+    hour_us = 3_600_000_000
+    bursts = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("burst_hour"))
+        .agg(F.count("*").cast("long").alias("n_errors"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_errors"), "burst_hour")
+            ),
+        )
+        .where(F.col("_r") <= 20)
+        .select(
+            "burst_hour",
+            "n_errors",
+            F.unix_micros("burst_hour").alias("b_s_us"),
+            (F.unix_micros("burst_hour") + hour_us).alias("b_e_us"),
+        )
+    )
+    joined = iv.interval_overlap_join(
+        acts, bursts, band_us=hour_us,
+        l_start="s_us", l_end="e_us", r_start="b_s_us", r_end="b_e_us",
+    )
+    return joined.select(
+        "user_id",
+        "burst_hour",
+        "n_errors",
+        (
+            F.least("e_us", "b_e_us") - F.greatest("s_us", "b_s_us")
+        ).cast("long").alias("overlap_us"),
+    ).orderBy("user_id", "burst_hour")

@@ -65,3 +65,30 @@ def test_range_band_join_assigns_tiers(spark):
     )
     out = {r.id: r.tier for r in range_band_join(facts, bands, "v").collect()}
     assert out == {1: "low", 2: "mid", 3: "high", 4: None}
+
+
+def test_interval_overlap_join_matches_quadratic(spark):
+    # banded overlap join == exact theta-join on random-ish intervals,
+    # including band-straddling and multi-band-spanning cases
+    from kissmetrics_to_database_spark.operators import interval as iv
+
+    lrows = [(i, (i * 37) % 100, (i * 37) % 100 + (i * 13) % 40)
+             for i in range(30)]
+    rrows = [(j, (j * 53) % 110, (j * 53) % 110 + 25) for j in range(12)]
+    left = spark.createDataFrame(lrows, ["lid", "s_us", "e_us"])
+    right = spark.createDataFrame(rrows, ["rid", "b_s_us", "b_e_us"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in iv.interval_overlap_join(
+            left, right, band_us=16,
+            l_start="s_us", l_end="e_us",
+            r_start="b_s_us", r_end="b_e_us",
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re_ in rrows
+        if ls < re_ and rs <= le  # [s,e] x [s,e) overlap
+    }
+    assert got == want and want  # non-trivial case set

@@ -415,6 +415,13 @@ UNBOUNDED_WINDOW_ALLOW: dict[str, str] = {
     # per ingest file, metadata-scale) — the reference sorts its file
     # listing the same way; data rows never enter this window
     "natural_sort_files": "window input = file listing (metadata-scale)",
+    # top-20 burst ranking over the HOURLY ERROR AGGREGATE (one row
+    # per hour — calendar-scale, ~9k rows/year regardless of event
+    # volume); the event stream itself only passes through
+    # hash-partitioned groupBys and the banded interval join
+    "burst_exposure_overlap": (
+        "window input = hourly aggregate (calendar-scale)"
+    ),
 }
 
 
