@@ -713,3 +713,36 @@ def bpe_train_merges(
         "merge_idx long, left_sym string, right_sym string, "
         "pair_count long, new_sym string",
     )
+
+
+# Tag-stripping stages shared by the Spark operator and (structurally)
+# the DuckDB oracle: drop script/style subtrees first — their CONTENT
+# is not text — then flatten every remaining tag to a space, decode
+# the common entities, and collapse whitespace. Plain regex, RE2-safe
+# (no lookaround, no backreferences — one pattern per subtree tag) so
+# any engine can replay it; a production pipeline would put
+# trafilatura/jusText behind the same column contract.
+HTML_SCRIPT_RE = r"(?s)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?s)<style\b[^>]*>.*?</style>"
+HTML_TAG_RE = r"<[^>]*>"
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Extract visible text from an HTML column: script/style subtrees
+    removed, tags flattened to spaces, the five ubiquitous entities
+    decoded, whitespace collapsed. Pure codegen'd regexp_replace
+    chain — linear, no UDF, fuses into the scan."""
+    c = F.regexp_replace(F.col(html_col), HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

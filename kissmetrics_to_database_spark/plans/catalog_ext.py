@@ -3429,6 +3429,64 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 @query(
+    "html_extract",
+    r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><style>.x{color:red}</style>'
+             || '<script type="text/javascript">var a = "<p>ignored</p>";'
+             || '</script></head><body><h1>Doc ' || doc_id
+             || '</h1>  <p class="b">' || text
+             || '</p><br/><div>&amp; tail &lt;' || doc_id
+             || '&gt;&nbsp;&quot;q&quot;&#39;s</div></body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<script\b[^>]*>.*?</script>',
+                                  ' ', 'g'),
+                   '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text_clean
+    FROM wrapped ORDER BY doc_id
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (r5): each document wrapped in
+    deterministic HTML (script/style subtrees, nested-tag bait inside
+    the script string, entities) and run through text.html_to_text —
+    a pure codegen'd regexp_replace chain (RE2-safe: no lookaround,
+    no backreferences) that both engines replay byte-identically.
+    The ingestion primitive for web-corpus pipelines; production
+    swaps trafilatura behind the same column contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>.x{color:red}</style>'
+            '<script type="text/javascript">var a = "<p>ignored</p>";'
+            "</script></head><body><h1>Doc "
+        ),
+        F.col("doc_id"),
+        F.lit('</h1>  <p class="b">'),
+        F.col("text"),
+        F.lit("</p><br/><div>&amp; tail &lt;"),
+        F.col("doc_id"),
+        F.lit("&gt;&nbsp;&quot;q&quot;&#39;s</div></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return (
+        text.html_to_text(wrapped)
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "winnow_containment",
     """
     WITH tokp AS (

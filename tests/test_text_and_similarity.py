@@ -566,3 +566,22 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_encode(df, m=2)
+
+
+def test_html_to_text_ground_truth(spark):
+    from kissmetrics_to_database_spark.operators.text import html_to_text
+
+    cases = [
+        (1, '<p>hello <b>world</b></p>', "hello world"),
+        (2, '<script>var x = "<p>no</p>";</script>visible', "visible"),
+        (3, "<style>a{..}</style>a &amp; b &lt;c&gt;", "a & b <c>"),
+        (4, "no markup at all", "no markup at all"),
+        (5, "x<br/>y\n\n  z &nbsp; w", "x y z w"),
+        (6, "<SCRIPT>shouty</SCRIPT>kept?", "shouty kept?"),  # case-sensitive by contract
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], ["doc_id", "html"]
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in html_to_text(df).collect()}
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i])
