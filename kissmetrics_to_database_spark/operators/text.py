@@ -722,8 +722,8 @@ def bpe_train_merges(
 # (no lookaround, no backreferences — one pattern per subtree tag) so
 # any engine can replay it; a production pipeline would put
 # trafilatura/jusText behind the same column contract.
-HTML_SCRIPT_RE = r"(?s)<script\b[^>]*>.*?</script>"
-HTML_STYLE_RE = r"(?s)<style\b[^>]*>.*?</style>"
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
 HTML_TAG_RE = r"<[^>]*>"
 
 

@@ -3446,9 +3446,9 @@ def _bpe_oracle(n_merges: int) -> str:
              replace(replace(replace(replace(replace(replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(html, '(?s)<script\b[^>]*>.*?</script>',
+                   regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>',
                                   ' ', 'g'),
-                   '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
                  '<[^>]*>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
