@@ -91,3 +91,61 @@ def robust_scale(
         )
         .drop("q_05", "q_25", "q_50", "q_75", "q_95")
     )
+
+
+def ewma_forecast_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    horizon: int = 8,
+    ratio_hi: float = 2.0,
+    ratio_lo: float = 0.5,
+) -> DataFrame:
+    """EWMA forecast-residual anomaly monitor over hourly rates — the
+    trend-following complement to the median/IQR robust-z monitor
+    (event_rate_anomalies): a gradual ramp shifts the EWMA baseline
+    along with it, so only deviations from the RECENT trajectory
+    flag.
+
+    The forecast for hour t is the geometrically-decayed weighted
+    mean of the previous ``horizon`` hourly counts
+    (w_j = (1-alpha)^(j-1), normalized over the lags that exist) —
+    the EWMA recurrence unrolled to a fixed trailing window, which
+    keeps it a pure per-key window expression (no recursion) that
+    both engines evaluate identically. Hours with n/forecast outside
+    [ratio_lo, ratio_hi] flag.
+
+    Plan: one hash aggregation to hourly counts, one window
+    partitioned by key (hours per key = calendar-scale), all
+    arithmetic codegen'd. Returns (key, hour, n, forecast, ratio,
+    is_anomaly) for every hour with at least one prior observation.
+    """
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(
+        F.col(key_col), F.date_trunc("hour", ts_col).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy(key_col).orderBy("hour")
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(1, horizon + 1):
+        lagged = F.lag("n", j).over(w)
+        wt = F.lit(decay ** (j - 1))
+        num = num + F.coalesce(lagged.cast("double") * wt, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wt).otherwise(F.lit(0.0))
+    # the first hour per key has no lags: den == 0, forecast NULL
+    # (guarded — ANSI mode raises on a bare divide)
+    forecast = F.round(F.when(den > 0, num / den), 6)
+    out = hourly.select(
+        key_col,
+        "hour",
+        "n",
+        forecast.alias("forecast"),
+        F.round(F.col("n") / forecast, 6).alias("ratio"),
+    ).where(F.col("forecast").isNotNull())
+    return out.withColumn(
+        "is_anomaly",
+        (F.col("ratio") >= ratio_hi) | (F.col("ratio") <= ratio_lo),
+    )

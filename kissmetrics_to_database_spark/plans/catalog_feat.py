@@ -777,3 +777,52 @@ def q_burst_exposure_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("e_us", "b_e_us") - F.greatest("s_us", "b_s_us")
         ).cast("long").alias("overlap_us"),
     ).orderBy("user_id", "burst_hour")
+
+
+def _ewma_oracle(alpha: float = 0.3, horizon: int = 8) -> str:
+    """Generate the EWMA oracle with the identical unrolled lag
+    weights (Python float repr round-trips exactly, so both engines
+    multiply by the same doubles)."""
+    d = 1.0 - alpha
+    num = " + ".join(
+        f"coalesce(lag(n, {j}) OVER w * {d ** (j - 1)!r}, 0.0)"
+        for j in range(1, horizon + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(n, {j}) OVER w IS NOT NULL"
+        f" THEN {d ** (j - 1)!r} ELSE 0.0 END)"
+        for j in range(1, horizon + 1)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hour, n,
+             round(({num}) / nullif({den}, 0), 6) AS forecast
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type, hour, n, forecast,
+           round(n / forecast, 6) AS ratio,
+           (round(n / forecast, 6) >= 2.0 OR round(n / forecast, 6) <= 0.5)
+             AS is_anomaly
+    FROM scored WHERE forecast IS NOT NULL
+    ORDER BY event_type, hour
+    """
+
+
+@query("ewma_rate_anomalies", _ewma_oracle(0.3, 8))
+def q_ewma_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA forecast-residual anomaly monitor (r5): hourly per-type
+    rates scored against the geometrically-decayed trailing-window
+    forecast — the trend-following complement to
+    event_rate_anomalies' global median/IQR z-score. See
+    features.ewma_forecast_anomalies for the unrolled-recurrence
+    window shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return features.ewma_forecast_anomalies(
+        ev, "event_type", alpha=0.3, horizon=8
+    ).orderBy("event_type", "hour")

@@ -348,3 +348,28 @@ def test_scd2_point_in_time_preserves_fact_cardinality(spark):
             if start <= r.ts:
                 expect = attr
         assert got[r.fact_id] == expect, (r.fact_id, r.k, r.ts)
+
+
+def test_ewma_forecast_hand_computed(spark):
+    # one key, hourly counts 10, 10, 40: forecast for h2 with alpha=.3
+    # is (10*1 + 10*0.7) / (1 + 0.7) = 10.0 -> ratio 4.0 -> anomaly;
+    # forecast for h1 is 10/1 = 10 -> ratio 1.0 -> normal
+    from datetime import datetime, timezone
+
+    from kissmetrics_to_database_spark.operators import features as ft
+
+    rows = []
+    for h, n in [(0, 10), (1, 10), (2, 40)]:
+        for i in range(n):
+            rows.append(
+                ("k", datetime(2024, 1, 1, h, i % 60, tzinfo=timezone.utc))
+            )
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {
+        r["hour"].hour: r
+        for r in ft.ewma_forecast_anomalies(df, "event_type").collect()
+    }
+    assert 0 not in out  # no prior hours -> filtered
+    assert out[1]["forecast"] == 10.0 and out[1]["is_anomaly"] is False
+    assert out[2]["forecast"] == 10.0
+    assert out[2]["ratio"] == 4.0 and out[2]["is_anomaly"] is True
