@@ -30,7 +30,7 @@ tie-break (FileImporter.php:107) is replaced by min-id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -456,3 +456,48 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected graph: every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors (ties
+    → minimum label, so the algorithm is fully deterministic — the
+    async/random variant is not oracle-comparable).
+
+    Communities differ from connected components: LPA splits a
+    sparsely-bridged component along its dense cores, which for an
+    identity graph separates genuinely-shared devices from
+    weakly-linked alias chains before an irreversible merge.
+
+    Constant-depth unrolled loop, like pagerank: per round one
+    co-partitioned join (neighbor labels) + one (node, label) count +
+    one per-node argmax window — all keyed on the node id, so the
+    rounds reuse one partitioning. Returns (node, community).
+    """
+    und = undirect_edges(edges, src, dst)
+    labels = (
+        und.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "_nb"),
+            F.col(dst) == F.col("_nb"),
+        ).select(F.col(src).alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count("*").alias("_n")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("_n"), "label")
+        labels = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("node", "label")
+        )
+    return labels.withColumnRenamed("label", "community")

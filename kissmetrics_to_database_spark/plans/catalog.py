@@ -884,6 +884,55 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, rank FROM r3 ORDER BY node
     """,
 )
+@query(
+    "identity_communities",
+    f"""
+    WITH edges AS ({SQL_ALIAS_EDGES}),
+    und AS (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    n1 AS (
+      SELECT u.src AS node, l.label, CAST(count(*) AS BIGINT) AS n
+      FROM und u JOIN l0 l ON u.dst = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY n DESC, label) r
+        FROM n1
+      ) WHERE r = 1
+    ),
+    n2 AS (
+      SELECT u.src AS node, l.label, CAST(count(*) AS BIGINT) AS n
+      FROM und u JOIN l1 l ON u.dst = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY n DESC, label) r
+        FROM n2
+      ) WHERE r = 1
+    )
+    SELECT node, label AS community FROM l2 ORDER BY node
+    """,
+)
+def q_identity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds, min-
+    label ties) over the alias graph — community detection that
+    splits sparsely-bridged components along their dense cores, the
+    pre-merge review signal connected components can't give. See
+    identity.label_propagation; oracle unrolls the identical rounds."""
+    from kissmetrics_to_database_spark.operators.identity import (
+        label_propagation,
+    )
+
+    edges = _alias_edges(spark, sf_dir)
+    return label_propagation(edges, iters=2).orderBy("node")
+
+
 def q_identity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph extension of the identity suite: 3-iteration PageRank
     over the undirected alias graph (damping 0.85). Within a merged

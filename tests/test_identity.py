@@ -282,3 +282,27 @@ def test_distributed_cc_2m_edges_converges_in_log_rounds(spark):
         assert 2 <= stats["rounds"] <= 20, stats
     finally:
         comp.unpersist()
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    # two triangles joined by one bridge edge: LPA (2 sync rounds,
+    # min-label ties) keeps each triangle's community at its own min
+    # label, while connected components would merge everything
+    from kissmetrics_to_database_spark.operators.identity import (
+        label_propagation,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),      # triangle 1
+        ("x", "y"), ("y", "z"), ("x", "z"),      # triangle 2
+        ("c", "x"),                                # bridge
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=2).collect()
+    }
+    assert got["a"] == got["b"] == "a"
+    assert got["y"] == got["z"]
+    # communities stay distinct across the bridge
+    assert len({got["a"], got["y"]}) == 2
