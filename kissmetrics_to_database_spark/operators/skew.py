@@ -77,3 +77,77 @@ def salted_agg_count_sum(
     return partial.groupBy(key).agg(
         F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    cols: list[str],
+    top_n: int = 3,
+) -> DataFrame:
+    """Shuffle-planning diagnostic: per candidate key column, the
+    numbers that decide between plain shuffle / AQE / salting /
+    broadcast — distinct-key count, the hottest key's share of all
+    rows, the skew ratio (hottest / mean bucket), and the top keys.
+
+    Interpretation: ``top_share`` ≈ 1/parallelism means one reducer
+    owns that fraction of the shuffle regardless of partition count —
+    the signal to salt (salted_join / salted_agg_count_sum) or
+    broadcast the other side. ``skew_ratio`` near 1 = uniform.
+
+    One hash aggregation per column (map-side combined), top keys via
+    a bounded sort inside the (column-count-sized) aggregate — output
+    is one row per audited column, driver-scale.
+    """
+    spark = df.sparkSession
+    outs = []
+    for c in cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+        )
+        top = (
+            counts.orderBy(F.desc("n"), "k")
+            .limit(top_n)
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("n")).alias("nn"), F.col("k")
+                                )
+                            )
+                        ),
+                        lambda s: s["k"],
+                    ),
+                ).alias("top_keys")
+            )
+        )
+        stats = counts.agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        outs.append(
+            stats.crossJoin(top).select(
+                F.lit(c).alias("key_column"),
+                "n_distinct",
+                "n_rows",
+                F.round(F.col("max_bucket") / F.col("n_rows"), 6).alias(
+                    "top_share"
+                ),
+                F.round(
+                    F.col("max_bucket")
+                    * F.col("n_distinct")
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_ratio"),
+                "top_keys",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -826,3 +826,50 @@ def q_ewma_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.ewma_forecast_anomalies(
         ev, "event_type", alpha=0.3, horizon=8
     ).orderBy("event_type", "hour")
+
+
+@query(
+    "key_skew_report",
+    """
+    WITH ce AS (
+      SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    cu AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT 'event_type' AS key_column,
+           (SELECT CAST(count(*) AS BIGINT) FROM ce) AS n_distinct,
+           (SELECT CAST(sum(n) AS BIGINT) FROM ce) AS n_rows,
+           round((SELECT max(n) FROM ce)
+                 / CAST((SELECT sum(n) FROM ce) AS DOUBLE), 6) AS top_share,
+           round((SELECT max(n) FROM ce) * (SELECT count(*) FROM ce)
+                 / CAST((SELECT sum(n) FROM ce) AS DOUBLE), 6) AS skew_ratio,
+           (SELECT string_agg(k, ',' ORDER BY n DESC, k)
+            FROM (SELECT k, n FROM ce ORDER BY n DESC, k LIMIT 3)) AS top_keys
+    UNION ALL
+    SELECT 'user_id',
+           (SELECT CAST(count(*) AS BIGINT) FROM cu),
+           (SELECT CAST(sum(n) AS BIGINT) FROM cu),
+           round((SELECT max(n) FROM cu)
+                 / CAST((SELECT sum(n) FROM cu) AS DOUBLE), 6),
+           round((SELECT max(n) FROM cu) * (SELECT count(*) FROM cu)
+                 / CAST((SELECT sum(n) FROM cu) AS DOUBLE), 6),
+           (SELECT string_agg(k, ',' ORDER BY n DESC, k)
+            FROM (SELECT k, n FROM cu ORDER BY n DESC, k LIMIT 3))
+    ORDER BY key_column
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning skew diagnostic (r5): per candidate join/agg
+    key, distinct-key count, hottest key's row share, skew ratio
+    (hottest bucket / mean bucket) and top keys — the observed
+    numbers behind the broadcast / AQE / salt decision the skew
+    module implements. See skew.key_skew_report."""
+    from kissmetrics_to_database_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.key_skew_report(ev, ["event_type", "user_id"]).orderBy(
+        "key_column"
+    )

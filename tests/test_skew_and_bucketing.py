@@ -66,3 +66,17 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_key_skew_report_hand_computed(spark):
+    from kissmetrics_to_database_spark.operators import skew
+
+    # key 'a' owns 6 of 10 rows; 3 distinct keys
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    r = skew.key_skew_report(df, ["k"]).collect()[0]
+    assert r["key_column"] == "k"
+    assert r["n_distinct"] == 3 and r["n_rows"] == 10
+    assert r["top_share"] == 0.6
+    assert r["skew_ratio"] == round(6 * 3 / 10, 6)  # 1.8x the mean bucket
+    assert r["top_keys"] == "a,b,c"
