@@ -174,13 +174,15 @@ def parse_y4m(payload: bytes) -> dict:
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
     if cs.startswith("444"):
-        sub = 1
+        sx = sy = 1
+    elif cs.startswith("422"):
+        sx, sy = 2, 1
     elif cs.startswith("420"):
-        sub = 2
+        sx = sy = 2
     else:
         raise ValueError(f"unsupported Y4M colorspace C{cs}")
     y_size = w * h
-    c_size = (w // sub) * (h // sub)
+    c_size = (w // sx) * (h // sy)
     frames = []
     pos = nl + 1
     while pos < len(payload):
@@ -191,14 +193,14 @@ def parse_y4m(payload: bytes) -> dict:
         yp = np.frombuffer(payload, np.uint8, y_size, pos).reshape(h, w)
         cb = np.frombuffer(
             payload, np.uint8, c_size, pos + y_size
-        ).reshape(h // sub, w // sub)
+        ).reshape(h // sy, w // sx)
         cr = np.frombuffer(
             payload, np.uint8, c_size, pos + y_size + c_size
-        ).reshape(h // sub, w // sub)
+        ).reshape(h // sy, w // sx)
         pos += y_size + 2 * c_size
-        if sub > 1:
-            cb = np.repeat(np.repeat(cb, sub, 0), sub, 1)[:h, :w]
-            cr = np.repeat(np.repeat(cr, sub, 0), sub, 1)[:h, :w]
+        if sx > 1 or sy > 1:
+            cb = np.repeat(np.repeat(cb, sy, 0), sx, 1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, sy, 0), sx, 1)[:h, :w]
         yf, cbf, crf = (
             yp.astype(np.float64),
             cb.astype(np.float64) - 128.0,
@@ -226,9 +228,10 @@ def build_y4m(
     rgb_frames: list[np.ndarray], fps: int = 25, colorspace: str = "444"
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames → Y4M bytes (C444 keeps the
-    round trip near-exact; C420 box-averages chroma)."""
-    if colorspace not in ("444", "420"):
-        raise ValueError("colorspace must be '444' or '420'")
+    round trip near-exact; C422 box-averages chroma horizontally,
+    C420 in both axes)."""
+    if colorspace not in ("444", "422", "420"):
+        raise ValueError("colorspace must be '444', '422' or '420'")
     h, w = rgb_frames[0].shape[:2]
     out = bytearray(
         f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{colorspace}\n".encode()
@@ -239,7 +242,10 @@ def build_y4m(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if colorspace == "420":
+        if colorspace == "422":
+            cb = cb.reshape(h, -1, 2).mean(2)
+            cr = cr.reshape(h, -1, 2).mean(2)
+        elif colorspace == "420":
             cb = cb.reshape(h // 2, 2, -1, 2).mean((1, 3))
             cr = cr.reshape(h // 2, 2, -1, 2).mean((1, 3))
         out += b"FRAME\n"

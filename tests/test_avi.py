@@ -61,7 +61,7 @@ def test_sniff_video_and_error_paths():
     with pytest.raises(ValueError, match="Y4M"):
         avi.parse_y4m(b"nope")
     with pytest.raises(ValueError, match="colorspace"):
-        avi.parse_y4m(b"YUV4MPEG2 W8 H8 C422\nFRAME\n" + b"\x00" * 200)
+        avi.parse_y4m(b"YUV4MPEG2 W8 H8 Cmono\nFRAME\n" + b"\x00" * 200)
 
 
 def test_avi_multistream_filters_to_video_stream():
@@ -152,3 +152,18 @@ def test_truncated_containers_raise_value_error():
                 parser(payload[:cut])
             except ValueError:
                 pass  # the one allowed exception type
+
+
+def test_y4m_422_roundtrip():
+    frames = [_frame(12, 16, 7)]
+    enc = avi.build_y4m(frames, colorspace="422")
+    meta = avi.parse_y4m(enc)
+    assert meta["colorspace"] == "422"
+    got = meta["frames"][0]
+    assert got.shape == (12, 16, 3)
+    # horizontal box-average + nearest upsample: close but not exact
+    assert np.abs(got.astype(int) - frames[0].astype(int)).max() <= 16
+    # constant gray stays exact under any subsampling
+    const = np.full((12, 16, 3), 77, dtype=np.uint8)
+    out = avi.parse_y4m(avi.build_y4m([const], colorspace="422"))["frames"][0]
+    assert (out == 77).all()
