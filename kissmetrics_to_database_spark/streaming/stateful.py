@@ -58,3 +58,80 @@ def running_user_totals_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "key string, n long, ewma double, ratio double, is_anomaly boolean"
+)
+EWMA_STATE_SCHEMA = "ewma double, n_seen long"
+
+
+def _update_ewma_state(alpha: float, ratio_hi: float, ratio_lo: float):
+    """Kernel factory: per-key streaming EWMA rate monitor.
+
+    State = (ewma of per-batch event counts, batches seen). Each
+    micro-batch contributes its count for the key; the batch is
+    scored against the PRIOR ewma (forecast residual — the same
+    contract as the batch operator features.ewma_forecast_anomalies,
+    with micro-batches standing in for hours), then the recurrence
+    ``ewma ← α·n + (1-α)·ewma`` advances. The first batch per key
+    seeds the state and never flags.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            prior, seen = state.get
+            ratio = round(n / prior, 6) if prior > 0 else None
+            anom = ratio is not None and (
+                ratio >= ratio_hi or ratio <= ratio_lo
+            )
+            new = round(alpha * n + (1.0 - alpha) * prior, 6)
+            state.update((new, seen + 1))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "ewma": [prior],
+                    "ratio": [ratio],
+                    "is_anomaly": [anom],
+                }
+            )
+        else:
+            state.update((float(n), 1))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "ewma": [None],
+                    "ratio": [None],
+                    "is_anomaly": [False],
+                }
+            )
+
+    return update
+
+
+def ewma_rate_monitor_stream(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    alpha: float = 0.3,
+    ratio_hi: float = 2.0,
+    ratio_lo: float = 0.5,
+) -> DataFrame:
+    """Streaming per-key EWMA rate monitor via the state store: each
+    key holds TWO numbers (ewma, batches-seen) no matter how many
+    events stream through — the fixed-size-state complement to the
+    batch trailing-window monitor. Update-mode output: one scored
+    row per key per micro-batch."""
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        _update_ewma_state(alpha, ratio_hi, ratio_lo),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
