@@ -76,3 +76,50 @@ def weighted_priority_sample(
         "wkey",
         F.row_number().over(win).cast("long").alias("rank"),
     )
+
+
+def temporal_split_audit(
+    df: DataFrame,
+    cutoff: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal train/eval split with the leakage audit that must
+    accompany it: rows at ``ts < cutoff`` are train, the rest eval,
+    and the report counts the entities appearing on BOTH sides —
+    every one of them leaks behavioral signal across the boundary
+    (per-entity features fit on train describe the same entity being
+    evaluated). The standard hygiene check before any time-based
+    eval; the fix (entity-disjoint temporal split) drops or reassigns
+    the overlap set.
+
+    One aggregation pass: per entity, rows before/after the cutoff,
+    collapsed to a single summary row (split sizes, entity counts,
+    leaking-entity count and ratio). All map-side-combinable; no
+    joins.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    per_entity = (
+        df.where(F.col(entity_col).isNotNull())
+        .groupBy(entity_col)
+        .agg(
+            F.sum((F.col(ts_col) < cut).cast("long")).alias("_train"),
+            F.sum((F.col(ts_col) >= cut).cast("long")).alias("_eval"),
+        )
+    )
+    return per_entity.agg(
+        F.sum("_train").cast("long").alias("train_rows"),
+        F.sum("_eval").cast("long").alias("eval_rows"),
+        F.sum((F.col("_train") > 0).cast("long")).alias("train_entities"),
+        F.sum((F.col("_eval") > 0).cast("long")).alias("eval_entities"),
+        F.sum(
+            ((F.col("_train") > 0) & (F.col("_eval") > 0)).cast("long")
+        ).alias("leaking_entities"),
+    ).select(
+        "*",
+        F.round(
+            F.col("leaking_entities")
+            / F.greatest(F.col("eval_entities"), F.lit(1)),
+            6,
+        ).alias("leakage_ratio"),
+    )

@@ -873,3 +873,40 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.key_skew_report(ev, ["event_type", "user_id"]).orderBy(
         "key_column"
     )
+
+
+@query(
+    "temporal_split_audit",
+    """
+    WITH pe AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                      THEN 1 ELSE 0 END) AS tr,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+                      THEN 1 ELSE 0 END) AS ev
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST(sum(tr) AS BIGINT) AS train_rows,
+           CAST(sum(ev) AS BIGINT) AS eval_rows,
+           CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS train_entities,
+           CAST(sum(CASE WHEN ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS eval_entities,
+           CAST(sum(CASE WHEN tr > 0 AND ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaking_entities,
+           round(sum(CASE WHEN tr > 0 AND ev > 0 THEN 1 ELSE 0 END)
+                 / CAST(greatest(sum(CASE WHEN ev > 0 THEN 1 ELSE 0 END), 1)
+                        AS DOUBLE), 6) AS leakage_ratio
+    FROM pe
+    """,
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split + entity-leakage audit (r5): rows
+    before 2024-01-22 train, after eval; entities appearing on both
+    sides leak behavioral signal across the boundary — the count and
+    ratio every time-based eval must report before being trusted.
+    See sampling.temporal_split_audit (one aggregation, no joins)."""
+    from kissmetrics_to_database_spark.operators import sampling
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.temporal_split_audit(ev, "2024-01-22 00:00:00")

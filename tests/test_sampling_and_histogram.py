@@ -123,3 +123,22 @@ def test_histogram_quantiles_multiple_groups_independent(spark):
     }
     assert abs(out[("a", 0.5)] - 49.5) < 1.0
     assert abs(out[("b", 0.5)] - 495.0) < 10.0
+
+
+def test_temporal_split_audit_hand_computed(spark):
+    from datetime import datetime
+
+    from kissmetrics_to_database_spark.operators import sampling
+
+    rows = [
+        (1, datetime(2024, 1, 1)),   # train only
+        (2, datetime(2024, 1, 1)), (2, datetime(2024, 2, 1)),  # leaks
+        (3, datetime(2024, 2, 2)),   # eval only
+        (None, datetime(2024, 2, 3)),  # null entity dropped
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    r = sampling.temporal_split_audit(df, "2024-01-15 00:00:00").collect()[0]
+    assert (r["train_rows"], r["eval_rows"]) == (2, 2)
+    assert (r["train_entities"], r["eval_entities"]) == (2, 2)
+    assert r["leaking_entities"] == 1
+    assert r["leakage_ratio"] == 0.5
