@@ -884,6 +884,19 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, rank FROM r3 ORDER BY node
     """,
 )
+def q_identity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension of the identity suite: 3-iteration PageRank
+    over the undirected alias graph (damping 0.85). Within a merged
+    cluster the top-ranked node is the natural canonical record; rank
+    mass flags hub identities worth review before an irreversible
+    merge. Constant-depth unrolled loop — one Catalyst plan, no
+    driver-side state."""
+    from kissmetrics_to_database_spark.operators.identity import pagerank
+
+    edges = _alias_edges(spark, sf_dir)
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
 @query(
     "identity_communities",
     f"""
@@ -932,18 +945,6 @@ def q_identity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _alias_edges(spark, sf_dir)
     return label_propagation(edges, iters=2).orderBy("node")
 
-
-def q_identity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph extension of the identity suite: 3-iteration PageRank
-    over the undirected alias graph (damping 0.85). Within a merged
-    cluster the top-ranked node is the natural canonical record; rank
-    mass flags hub identities worth review before an irreversible
-    merge. Constant-depth unrolled loop — one Catalyst plan, no
-    driver-side state."""
-    from kissmetrics_to_database_spark.operators.identity import pagerank
-
-    edges = _alias_edges(spark, sf_dir)
-    return pagerank(edges, iters=3, damping=0.85).orderBy("node")
 
 
 # Extension suites register themselves into QUERIES/ORACLES (imports
