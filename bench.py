@@ -110,6 +110,11 @@ HEADLINE = [
     "cdc_dedup_rewrite",
     "bpe_train_merges",
     "video_frame_sample",
+    "winnow_containment",
+    "pq_encode",
+    "html_extract",
+    "identity_communities",
+    "ewma_rate_anomalies",
 ]
 
 
