@@ -318,3 +318,56 @@ def decode_images(df: DataFrame, kernel=fake_decode_kernel) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, dhash string"
+
+
+def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels: each image
+    is decoded, grayscaled, nearest-resampled to
+    (hash_size, hash_size+1), and each cell compared to its right
+    neighbor — a 64-bit gradient signature robust to re-encoding,
+    resizing and brightness shifts, the standard near-dup key for
+    IMAGE corpora (the visual counterpart of SimHash for text).
+
+    Emitted as a '0'/'1' bit string (row-major) so any engine can
+    group on it without 64-bit sign gymnastics. Undecodable payloads
+    quarantine to a null hash. Arrow-batched mapInPandas; exact-dup
+    grouping downstream is a plain groupBy on the hash, near-dup
+    (Hamming ≤ k) reuses the SimHash pigeonhole-block join shape.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    arr = codecs.decode_image(bytes(payload))
+                    gray = (
+                        arr[:, :, 0].astype(np.float64)
+                        if arr.shape[2] == 1
+                        else arr.astype(np.float64).mean(axis=2)
+                    )
+                    small = codecs.resize_nearest(
+                        gray[:, :, None], hash_size + 1, hash_size
+                    )[:, :, 0]
+                    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "dhash": "".join(
+                                "1" if b else "0" for b in bits.ravel()
+                            ),
+                        }
+                    )
+                except ValueError:
+                    rows.append({"doc_id": doc_id, "dhash": None})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)

@@ -3899,3 +3899,82 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.kmeans_cluster_quality for the scale shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_cluster_quality(emb, k=8, iters=2)
+
+
+@query(
+    "image_dhash_dedup",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             16 + (doc_id % 5) * 4 AS h,
+             16 + (doc_id % 3) * 4 AS w
+      FROM documents WHERE doc_id <= 300
+    ),
+    bits AS (
+      SELECT d.doc_id, i.i, j.j,
+             CASE WHEN (3 * ((j.j + 1) * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                     > (3 * (j.j * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                  THEN '1' ELSE '0' END AS b
+      FROM dims d
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    hashes AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size
+    FROM hashes ORDER BY doc_id
+    """,
+)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual difference-hash over REAL
+    decoded pixels (r5): per doc a deterministic gradient PGM
+    ((3x + 7y + doc_id) mod 256 at doc-dependent dimensions) is
+    ENCODED, decoded back by the from-spec codec, grayscale-resampled
+    and dHashed (multimodal.image_dhash); corpus-wide hash groups are
+    the duplicate clusters. The oracle replays the generation + the
+    nearest-neighbor index arithmetic + the comparison bits exactly —
+    one wrong pixel anywhere in the netpbm codec, the resampler, or
+    the hash breaks the value hash. The visual counterpart of SimHash
+    closes the dedup story for multimodal corpora."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select("doc_id")
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 16 + (d % 5) * 4, 16 + (d % 3) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((3 * xx + 7 * yy + d) % 256).astype(np.uint8)
+                payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    hashes = multimodal.image_dhash(payload)
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.count("*")
+        .over(Window.partitionBy("dhash"))
+        .cast("long")
+        .alias("group_size"),
+    ).orderBy("doc_id")

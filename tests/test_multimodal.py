@@ -147,3 +147,31 @@ def test_truncated_payloads_quarantine_not_crash(spark):
     sampled = multimodal.frame_sample(df).collect()
     assert len(sampled) == 3
     assert all(r["frame_idx"] is None for r in sampled)
+
+
+def test_image_dhash_invariances(spark):
+    # the perceptual contract: identical pixels under different
+    # encodings hash identically; a global brightness shift (no
+    # clipping) preserves every left<right comparison; a genuinely
+    # different image differs
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    yy, xx = np.mgrid[0:20, 0:24]
+    base = ((5 * xx + 3 * yy) % 200).astype(np.uint8)
+    rows = [
+        (1, codecs.encode_ppm(base)),                       # PGM
+        (2, codecs.encode_png(base)),                       # same pixels, PNG
+        (3, codecs.encode_ppm((base + 30).astype(np.uint8))),  # brightness
+        (4, codecs.encode_ppm(base[:, ::-1].copy())),       # mirrored image
+        (5, b"not an image"),                               # quarantine
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r["dhash"] for r in multimodal.image_dhash(df).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+    assert got[5] is None
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
