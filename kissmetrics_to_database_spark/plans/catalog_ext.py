@@ -3978,3 +3978,123 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("group_size"),
     ).orderBy("doc_id")
+
+
+@query(
+    "image_dhash_near_dups",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             16 + (doc_id % 5) * 4 AS h,
+             16 + (doc_id % 3) * 4 AS w
+      FROM documents WHERE doc_id <= 150
+    ),
+    bits AS (
+      SELECT d.doc_id, i.i, j.j,
+             CASE WHEN (3 * ((j.j + 1) * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                     > (3 * (j.j * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                  THEN '1' ELSE '0' END AS b
+      FROM dims d
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    hashes AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, dhash, blk,
+             substr(dhash, blk * 16 + 1, 16) AS bkey
+      FROM hashes, (SELECT unnest(range(0, 4)) AS blk) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST((SELECT count(*) FROM unnest(range(1, 65)) AS u(p)
+                   WHERE substr(ha, CAST(p AS INTEGER), 1)
+                      <> substr(hb, CAST(p AS INTEGER), 1)) AS BIGINT)
+               AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 1 ORDER BY id_a, id_b
+    """,
+)
+def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs at Hamming ≤ 1 over the perceptual
+    dHashes (r5): the SimHash pigeonhole argument on the 64-bit
+    signature — ≤3 differing bits cannot touch all 4 of its 16-bit
+    blocks, so candidates come from 4 equi-joins on block keys with
+    exact recall, and the Hamming verify runs only on candidates.
+    Same generated corpus as image_dhash_dedup; oracle replays the
+    block join + positional Hamming count exactly."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id")
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 16 + (d % 5) * 4, 16 + (d % 3) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((3 * xx + 7 * yy + d) % 256).astype(np.uint8)
+                payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    hashes = multimodal.image_dhash(payload)
+    blocks = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn(
+        "bkey", F.expr("substring(dhash, blk * 16 + 1, 16)")
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "blk", "bkey",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"),
+        "blk", "bkey",
+    )
+    cand = (
+        a.join(b, ["blk", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("ha", ""), F.split("hb", ""), lambda x, y: x != y
+            ),
+            lambda v: v,
+        )
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    )
