@@ -115,6 +115,13 @@ HEADLINE = [
     "html_extract",
     "identity_communities",
     "ewma_rate_anomalies",
+    "image_dhash_dedup",
+    "image_dhash_near_dups",
+    "pq_topk_adc",
+    "lsh_recall_eval",
+    "burst_exposure_overlap",
+    "temporal_split_audit",
+    "key_skew_report",
 ]
 
 
