@@ -35,8 +35,12 @@ import numpy as np
 # Exception types a truncated/malformed payload can surface from the
 # spec decoders: short numpy buffers and bit-reader overruns raise
 # IndexError, short struct.unpack_from raises struct.error, a cut IDAT
-# stream raises zlib.error, stdlib wave raises wave.Error/EOFError, a
-# truncated DHT segment raises StopIteration while building the
+# stream raises zlib.error, stdlib wave raises wave.Error/EOFError —
+# and, found by the decoder fuzz, bare RuntimeError from wave/chunk on
+# certain malformed headers (RecursionError from adversarially nested
+# RIFF lists is the same family: within these pure from-spec parsers
+# any RuntimeError is input-induced, so quarantining it is correct).
+# A truncated DHT segment raises StopIteration while building the
 # Huffman table, and a corrupt entropy stream can hit a code absent
 # from that table (KeyError).
 _MALFORMED_EXC = (
@@ -47,6 +51,7 @@ _MALFORMED_EXC = (
     zlib.error,
     EOFError,
     wave.Error,
+    RuntimeError,
 )
 
 

@@ -203,3 +203,54 @@ def test_decode_audio_real(spark):
     assert out[4]["duration_sec"] == 0.1
     assert out[4]["rms"] > 10000
     assert out[1]["sample_rate"] is None  # png is not audio
+
+
+def test_decoder_fuzz_quarantine_contract():
+    """The quarantine contract, fuzzed: EVERY decode entry point
+    either succeeds or raises ValueError on arbitrary byte garbage —
+    never IndexError/struct.error/zlib.error/StopIteration etc.
+    (those would kill a whole mapInPandas task at scale). Seeds
+    include valid-magic prefixes so the fuzz reaches deep into each
+    parser, plus mutated valid payloads."""
+    import numpy as np
+
+    from kissmetrics_to_database_spark.functions import avi, codecs, jpeg
+
+    rng = np.random.default_rng(1234)
+    img = rng.integers(0, 256, (12, 14, 3)).astype(np.uint8)
+    valid = [
+        codecs.encode_png(img),
+        jpeg.encode_jpeg(img, q=4),
+        codecs.encode_bmp(img),
+        codecs.encode_ppm(img),
+        codecs.encode_wav(rng.integers(-500, 500, (300, 1)).astype("<i2")),
+        avi.build_mjpeg_avi([jpeg.encode_jpeg(img, q=4)], 14, 12),
+        avi.build_y4m([img]),
+    ]
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"BM", b"P6\n", b"P5\n",
+        b"RIFF????WAVE", b"RIFF????AVI ", b"YUV4MPEG2 ",
+    ]
+    decoders = [
+        codecs.decode_image, codecs.decode_png, codecs.decode_bmp,
+        codecs.decode_ppm, codecs.decode_wav, jpeg.decode_jpeg,
+        avi.parse_avi, avi.parse_y4m,
+    ]
+    payloads = []
+    for _ in range(40):
+        n = int(rng.integers(0, 400))
+        junk = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        payloads.append(junk)
+        payloads.append(magics[int(rng.integers(len(magics)))] + junk)
+    for v in valid:  # mutate valid payloads: truncate + corrupt bytes
+        for _ in range(6):
+            b = bytearray(v[: int(rng.integers(1, len(v) + 1))])
+            for _ in range(int(rng.integers(0, 5))):
+                b[int(rng.integers(len(b)))] = int(rng.integers(256))
+            payloads.append(bytes(b))
+    for payload in payloads:
+        for dec in decoders:
+            try:
+                dec(payload)
+            except ValueError:
+                pass  # the contract: ValueError or success, nothing else
