@@ -152,6 +152,7 @@ def stream_stream_interval_join(
     ts_col: str = "ts",
     within: str = "1 hour",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream–stream equi-join with an event-time interval bound —
     the attribution shape (click stream ⋈ purchase stream: purchases
@@ -164,9 +165,18 @@ def stream_stream_interval_join(
     is the one join shape that genuinely requires Structured
     Streaming state; every other catalog join is stateless per batch.
 
-    Returns (key, ts_left, ts_right, lag_seconds) plus the payload
-    columns, usable identically on static frames (tested both ways).
+    ``how='left_outer'`` adds attribution's other half: a left row
+    with NO right match within the interval is emitted exactly once —
+    with null right fields — when the watermark passes its match
+    window (a click that never converted, finalized). Outer results
+    are therefore delayed by the watermark; inner results stream
+    immediately.
+
+    Returns (key, ts_left, ts_right, lag_seconds), usable identically
+    on static frames (tested both ways).
     """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = right.withWatermark(ts_col, watermark).alias("r")
     cond = (
@@ -177,7 +187,7 @@ def stream_stream_interval_join(
             <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return lw.join(rw, cond).select(
+    return lw.join(rw, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{ts_col}").alias("ts_left"),
         F.col(f"r.{ts_col}").alias("ts_right"),

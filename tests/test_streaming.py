@@ -562,3 +562,52 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r["user"], r["lag_seconds"]) for r in static.collect()
     )
     assert got_static == got
+
+
+def test_stream_stream_left_outer_finalizes_unmatched(spark, tmp_path):
+    # a click with no purchase inside the interval is emitted once,
+    # with null right fields, after the watermark passes its window
+    clicks_dir = tmp_path / "lo_clicks"
+    buys_dir = tmp_path / "lo_buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    (clicks_dir / "1.json").write_text(
+        json.dumps({"user": "a", "ts": "2024-01-01T10:00:00.000Z"})
+        + "\n"
+        + json.dumps({"user": "b", "ts": "2024-01-01T10:00:00.000Z"})
+    )
+    (buys_dir / "1.json").write_text(
+        json.dumps({"user": "a", "ts": "2024-01-01T10:30:00.000Z"})
+    )
+    lc = spark.readStream.schema(schema).json(str(clicks_dir))
+    rb = spark.readStream.schema(schema).json(str(buys_dir))
+    joined = sp.stream_stream_interval_join(
+        lc, rb, "user", within="1 hour", watermark="10 minutes",
+        how="left_outer",
+    )
+    seen = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lo_ck"))
+        .foreachBatch(lambda df, eid: seen.extend(df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance both watermarks far past b's match window
+    (clicks_dir / "2.json").write_text(
+        json.dumps({"user": "zz", "ts": "2024-01-01T20:00:00.000Z"})
+    )
+    (buys_dir / "2.json").write_text(
+        json.dumps({"user": "zz2", "ts": "2024-01-01T20:00:00.000Z"})
+    )
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user"], r["lag_seconds"]) for r in seen}
+    assert ("a", 1800) in got          # matched pair streams normally
+    assert ("b", None) in got          # unmatched click finalized as null
