@@ -540,7 +540,7 @@ def test_pq_encode_exact_on_codebook_vectors(spark):
     # identical vectors
     from kissmetrics_to_database_spark.operators import similarity as sim
 
-    base = [[float((i * 7 + d) % 5) for d in range(8)] for i in range(8)]
+    base = [[float((i * 7 + d) % 9) for d in range(8)] for i in range(8)]
     # ids 0..7 are the 8 distinct vectors (the deterministic first-k
     # init picks exactly them as codewords); higher ids are repeats
     rows = [(i, base[i]) for i in range(8)] + [
@@ -585,3 +585,27 @@ def test_html_to_text_ground_truth(spark):
     out = {r["doc_id"]: r["text_clean"] for r in html_to_text(df).collect()}
     for i, _, want in cases:
         assert out[i] == want, (i, out[i])
+
+
+def test_pq_topk_adc_exact_on_codebook_corpus(spark):
+    # when every vector IS a codeword (zero quantization error), the
+    # ADC distance equals the true subspace-decomposed distance, so
+    # the top-1 neighbor of any probe is an exact duplicate at 0.0
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    base = [[float((i * 7 + d) % 9) for d in range(8)] for i in range(8)]
+    rows = [(i, base[i]) for i in range(8)] + [
+        (100 + i, base[i]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.where("vec_id < 2")
+    out = sim.pq_topk(df, probes, m=2, k_codes=8, iters=2, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rank"])
+        # rank 1 = the duplicate at distance exactly 0
+        assert rs[0]["neighbor_id"] == 100 + pid and rs[0]["adist"] == 0.0
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert all(a["adist"] <= b["adist"] for a, b in zip(rs, rs[1:]))
