@@ -1011,3 +1011,152 @@ def pq_topk(
         .where(F.col("rank") <= k)
     )
     return ranked
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN shape (FAISS IVFPQ) —
+    a coarse inverted file prunes the corpus to ``nprobe`` cells, and
+    within them candidates score by product-quantized RESIDUALS
+    (vector − cell centroid), which PQ encodes far more accurately
+    than raw vectors because residual magnitudes are a cell-diameter,
+    not a corpus-diameter.
+
+    Pipeline: (1) coarse assignment (:func:`ivf_assign`, broadcast
+    centroids); (2) residuals as a zip_with subtraction fused into the
+    scan; (3) ONE shared PQ codebook set trained on all residuals
+    (the standard IVFPQ layout) via the deterministic Lloyd schedule;
+    (4) per (probe, probed-cell) ADC distance tables — the probe's
+    OWN residual differs per cell, so tables are (probes × nprobe ×
+    k_codes) rows per subspace, still driver-scale, broadcast; (5)
+    scoring = candidate codes in probed cells joined through the m
+    tables — corpus vectors never enter the scoring join.
+
+    Returns (probe_id, neighbor_id, cell, adist, rank), rank 1..k
+    ascending approximate distance, deterministic ties, self-matches
+    excluded.
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    assigned = ivf_assign(corpus, c, id_col, vec_col)
+    resid = assigned.join(
+        F.broadcast(c), assigned["cell"] == c["cent_id"]
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col), F.col("cent_vec"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("rv"),
+    )
+
+    codes = resid.select(id_col, "cell")
+    cents_by_sub = []
+    for j in range(m):
+        s = resid.select(
+            id_col, F.slice(F.col("rv"), j * sub + 1, sub).alias("_sv")
+        )
+        cents = _kmeans_iterate(
+            s, k=k_codes, iters=iters, id_col=id_col, vec_col="_sv",
+            ndigits=ndigits,
+        )
+        cents_by_sub.append(cents)
+        assigned_j = kmeans_assign(
+            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
+        )
+        codes = codes.join(
+            assigned_j.select(id_col, F.col("cluster").alias(f"code_{j}")),
+            id_col,
+        )
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    pc_scored = p.join(F.broadcast(c)).select(
+        "probe_id",
+        "probe_vec",
+        F.col("cent_id").alias("cell"),
+        F.col("cent_vec"),
+        F.round(cosine(F.col("probe_vec"), F.col("cent_vec")), ndigits).alias(
+            "_s"
+        ),
+    )
+    wpc = Window.partitionBy("probe_id").orderBy(F.desc("_s"), "cell")
+    probe_cells = (
+        pc_scored.withColumn("_r", F.row_number().over(wpc))
+        .where(F.col("_r") <= nprobe)
+        .select(
+            "probe_id",
+            "cell",
+            F.zip_with(
+                F.col("probe_vec"), F.col("cent_vec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("prv"),
+        )
+    )
+    dtabs = []
+    for j in range(m):
+        dtabs.append(
+            probe_cells.select(
+                "probe_id", "cell",
+                F.slice(F.col("prv"), j * sub + 1, sub).alias("_pv"),
+            )
+            .join(F.broadcast(
+                cents_by_sub[j].select(
+                    F.col("cluster").alias(f"code_{j}"), F.col("_c")
+                )
+            ))
+            .select(
+                "probe_id", "cell", f"code_{j}",
+                F.round(_l2_dist(F.col("_pv"), F.col("_c")), ndigits).alias(
+                    f"_d{j}"
+                ),
+            )
+        )
+    scored = codes.join(
+        F.broadcast(probe_cells.select("probe_id", "cell")), "cell"
+    )
+    for j in range(m):
+        scored = scored.join(
+            F.broadcast(dtabs[j]), ["probe_id", "cell", f"code_{j}"]
+        )
+    adist = F.round(
+        F.sqrt(sum(F.col(f"_d{j}") * F.col(f"_d{j}") for j in range(m))),
+        ndigits,
+    )
+    return (
+        scored.where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            adist.alias("adist"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    "adist", "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )

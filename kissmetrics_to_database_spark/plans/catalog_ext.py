@@ -2173,6 +2173,119 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+def _ivfpq_oracle(
+    m: int = 4, sub: int = 16, n_probes: int = 2, k: int = 5,
+    nprobe: int = 2, n_cents: int = 8,
+) -> str:
+    """Unrolled IVF-PQ oracle: coarse cosine cell assignment (the
+    embedding_topk_ivf pattern), element-wise residuals, the shared
+    per-subspace Lloyd blocks retargeted at residual slices, per
+    (probe, probed-cell) distance tables, and the cell-restricted
+    code-lookup scoring."""
+    import re as _re
+
+    dim = m * sub
+    blocks = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        block = SQL_KMEANS_CTES.replace(
+            "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+            f"SELECT vec_id, rv[{lo}:{hi}] AS v FROM resid",
+        )
+        for name in ("final", "c0", "a1", "c1", "a2", "c2", "e"):
+            block = _re.sub(rf"\b{name}\b", f"{name}_{j}", block)
+        blocks.append(block)
+    dtabs = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dtabs.append(f"""
+    dtab_{j} AS (
+      SELECT pc.probe_id, pc.cell, cj.cluster AS code_{j},
+             round(list_distance(pc.prv[{lo}:{hi}], cj.c), 6) AS d_{j}
+      FROM probe_cells pc CROSS JOIN c2_{j} cj
+    )""")
+    fjoins = " ".join(
+        f"JOIN final_{j} f{j} ON f{j}.vec_id = a.vec_id" for j in range(m)
+    )
+    djoins = " ".join(
+        f"JOIN dtab_{j} d{j} ON d{j}.probe_id = pc.probe_id "
+        f"AND d{j}.cell = a.cell AND d{j}.code_{j} = f{j}.cluster"
+        for j in range(m)
+    )
+    err = " + ".join(f"d{j}.d_{j} * d{j}.d_{j}" for j in range(m))
+    cos = _sql_cosine("p.embedding", "c.cvec")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {n_cents}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC,
+                          c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, {dim} + 1),
+               i -> (a.embedding::DOUBLE[])[i] - (c.cvec::DOUBLE[])[i]) AS rv
+      FROM assigned a JOIN cent c ON a.cell = c.cent_id
+    ),{",".join(blocks)},
+    probe_cells AS (
+      SELECT probe_id, cell, prv FROM (
+        SELECT p.vec_id AS probe_id, c.cent_id AS cell,
+               list_transform(range(1, {dim} + 1),
+                 i -> (p.embedding::DOUBLE[])[i] - (c.cvec::DOUBLE[])[i])
+                 AS prv,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {cos} DESC, c.cent_id) AS r
+        FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < {n_probes}
+      ) WHERE r <= {nprobe}
+    ),{",".join(dtabs)},
+    scored AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id, a.cell,
+             round(sqrt({err}), 6) AS adist
+      FROM assigned a
+      JOIN probe_cells pc ON pc.cell = a.cell
+      {fjoins}
+      {djoins}
+      WHERE a.vec_id <> pc.probe_id
+    )
+    SELECT probe_id, neighbor_id, cell, adist, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    ORDER BY probe_id, rank
+    """
+
+
+@query("ivfpq_topk", _ivfpq_oracle(4, 16, 2, 5, 2, 8))
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (r5): the production billion-vector ANN shape —
+    coarse inverted-file pruning to nprobe=2 cells, candidates scored
+    by product-quantized RESIDUALS through per-(probe, cell) ADC
+    tables (residual magnitudes are cell-diameter, so the same code
+    budget quantizes far tighter than raw-vector PQ). See
+    similarity.ivfpq_topk; the oracle unrolls cell assignment,
+    residuals, four residual-slice Lloyd schedules, and the
+    cell-restricted code-lookup scoring — hash-exact end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    probes = emb.where(F.col("vec_id") < 2)
+    out = similarity.ivfpq_topk(
+        emb, probes, centroids, m=4, k_codes=8, iters=2, k=5, nprobe=2
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "cell", "adist",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("probe_id", "rank")
+
+
 @query("pq_encode", _pq_oracle(4, 16))
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): 4 independent

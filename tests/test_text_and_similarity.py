@@ -609,3 +609,29 @@ def test_pq_topk_adc_exact_on_codebook_corpus(spark):
         assert rs[0]["neighbor_id"] == 100 + pid and rs[0]["adist"] == 0.0
         assert [r["rank"] for r in rs] == [1, 2, 3]
         assert all(a["adist"] <= b["adist"] for a, b in zip(rs, rs[1:]))
+
+
+def test_ivfpq_zero_residual_corpus(spark):
+    # every vector sits exactly ON its cell centroid: residuals are
+    # all-zero, so every candidate in a probed cell scores adist 0.0
+    # and ranking falls back to the deterministic id tie-break
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    c0 = [1.0, 0.0] * 4
+    c1 = [0.0, 1.0] * 4
+    rows = [(0, c0), (1, c1)] + [
+        (10 + i, c0 if i % 2 == 0 else c1) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.where("vec_id < 2")
+    probes = df.where("vec_id = 0")
+    out = sorted(
+        sim.ivfpq_topk(
+            df, probes, cents, m=2, k_codes=4, iters=1, k=3, nprobe=1
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["adist"] for r in out] == [0.0, 0.0, 0.0]
+    # cell 0 members sorted by id after the self-exclusion
+    assert [r["neighbor_id"] for r in out] == [10, 12, 14]
+    assert all(r["cell"] == 0 for r in out)
