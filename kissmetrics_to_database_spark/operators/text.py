@@ -746,3 +746,44 @@ def html_to_text(
         c = F.regexp_replace(c, ent, ch)
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus vocabulary:
+    words re-segment through the merges IN TRAINING ORDER (each a
+    greedy left-to-right fold — the same codegen'd expression the
+    trainer uses), weighted by word frequency.
+
+    Returns the segmented vocab (w, wc, syms). The merge list is
+    driver-side by design (a tokenizer artifact, one row per merge);
+    each merge adds one fold to the expression tree, so apply depth
+    equals merge count — fine for the catalog's 4, while a production
+    32k-merge tokenizer would apply via a linear-time Pandas UDF
+    encoder instead (same artifact, different kernel).
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.expr("split(w, '')"))
+    )
+    for a, b in merges:
+        fold = F.expr(
+            "aggregate(syms, cast(array() as array<string>), "
+            f"(acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+            f" AND x = '{b}', "
+            "concat(slice(acc, 1, size(acc) - 1), "
+            "array(concat(element_at(acc, -1), x))), "
+            "concat(acc, array(x))))"
+        )
+        words = words.withColumn("syms", fold)
+    return words

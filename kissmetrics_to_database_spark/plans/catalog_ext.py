@@ -3680,6 +3680,64 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_stats_oracle(n_merges: int = 4, topk: int = 10) -> str:
+    """Post-apply segmentation stats oracle: the same unrolled merge
+    iterations as :func:`_bpe_oracle`, read out at state{n} — top
+    symbols by corpus-weighted frequency with their share of all
+    symbol occurrences."""
+    base = _bpe_oracle(n_merges)
+    # keep everything up to (and including) the last state CTE; swap
+    # the final SELECT for the stats readout
+    cut = base.rindex("\n    SELECT * FROM (")
+    return base[:cut] + f""",
+    occ AS (
+      SELECT sym, CAST(sum(wc) AS BIGINT) AS n_occ
+      FROM state{n_merges} GROUP BY sym
+    ),
+    tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS t FROM occ)
+    SELECT sym, n_occ, round(n_occ / t, 6) AS share
+    FROM occ CROSS JOIN tot
+    ORDER BY n_occ DESC, sym LIMIT {topk}
+    """
+
+
+@query("bpe_segmentation_stats", _bpe_stats_oracle(4, 10))
+def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply → evaluate for the BPE tokenizer (r5): the 4
+    learned merges re-segment the corpus vocabulary
+    (text.bpe_apply_merges — the same greedy fold the trainer uses,
+    in training order), and the readout is the top-10 symbols by
+    corpus-weighted occurrence with their share of all symbol
+    occurrences — the vocabulary-coverage signal that decides whether
+    the merge budget is spent well. Oracle reuses the trainer's
+    unrolled iterations read out at the final segmentation state."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in text.bpe_train_merges(docs, n_merges=4)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    segmented = text.bpe_apply_merges(docs, merges)
+    occ = (
+        segmented.select(
+            F.explode("syms").alias("sym"), F.col("wc")
+        )
+        .groupBy("sym")
+        .agg(F.sum("wc").cast("long").alias("n_occ"))
+    )
+    total = occ.agg(F.sum("n_occ").cast("double").alias("t"))
+    return (
+        occ.crossJoin(F.broadcast(total))
+        .select(
+            "sym", "n_occ",
+            F.round(F.col("n_occ") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_occ"), "sym")
+        .limit(10)
+    )
+
+
 @query("bpe_train_merges", _bpe_oracle(4))
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual BPE training LOOP (4 merges): per iteration the

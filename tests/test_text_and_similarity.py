@@ -635,3 +635,19 @@ def test_ivfpq_zero_residual_corpus(spark):
     # cell 0 members sorted by id after the self-exclusion
     assert [r["neighbor_id"] for r in out] == [10, 12, 14]
     assert all(r["cell"] == 0 for r in out)
+
+
+def test_bpe_apply_merges_matches_training_segmentation(spark):
+    # applying the learned merges reproduces the trainer's final
+    # segmentation: "low low lower" after (l,o),(lo,w) merges
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("low low lower",)], ["text"])
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in t.bpe_train_merges(df, n_merges=2).orderBy("merge_idx").collect()
+    ]
+    assert merges == [("l", "o"), ("lo", "w")]
+    seg = {r["w"]: (r["wc"], r["syms"]) for r in t.bpe_apply_merges(df, merges).collect()}
+    assert seg["low"] == (2, ["low"])
+    assert seg["lower"] == (1, ["low", "e", "r"])
