@@ -122,6 +122,8 @@ HEADLINE = [
     "burst_exposure_overlap",
     "temporal_split_audit",
     "key_skew_report",
+    "ivfpq_topk",
+    "bpe_segmentation_stats",
 ]
 
 
