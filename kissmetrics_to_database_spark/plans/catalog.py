@@ -1041,6 +1041,20 @@ _VERIFIED_R03 = [
 ]
 
 
+# Queries whose EXECUTION PATH changed this round (not merely their
+# fingerprint via a shared-module append) — promoted to the head of
+# the modified set so the driver certifies the actual changes even
+# when the fingerprint flood exceeds the 50-query window. Curated per
+# round alongside the round's functional commits.
+_REVERIFY_BEHAVIOR_CHANGED = [
+    "semantic_dedup",        # r5: cell-blocked within-cluster pair join
+    "multimodal_real_decode",  # r5: vectorized JPEG decode path
+    "multimodal_decode",
+    "multimodal_audio_stats",
+    "multimodal_byte_features",
+]
+
+
 def _reorder_registration() -> None:
     """Front-load the driver's 50-query correctness window.
 
@@ -1066,10 +1080,23 @@ def _reorder_registration() -> None:
     changed = brand_new | modified
     # brand-new queries first — the driver has NO record of them, so
     # they must land inside the window even when a wide operator edit
-    # flags many already-green queries for re-check
-    reverify = [n for n in QUERIES if n in brand_new] + [
-        n for n in QUERIES if n in modified
+    # flags many already-green queries for re-check. Within "modified",
+    # hand-listed BEHAVIOR-relevant changes outrank fingerprint-only
+    # flags (appending a function to a shared module changes every
+    # referencing query's fingerprint without changing its plan; the
+    # hand list marks the queries whose own execution path changed
+    # this round, so they claim window slots before the flood).
+    behavior_priority = [
+        n for n in _REVERIFY_BEHAVIOR_CHANGED if n in modified
     ]
+    reverify = (
+        [n for n in QUERIES if n in brand_new]
+        + behavior_priority
+        + [
+            n for n in QUERIES
+            if n in modified and n not in behavior_priority
+        ]
+    )
     never_checked = [
         n for n in QUERIES if n not in green and n not in changed
     ]
