@@ -350,6 +350,15 @@ def _decode_scan(
                             ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
                         )
                         n_done[cid] = i + 1
+        # _segment_windows zero-pads past the data end so the symbol
+        # loop can always read a full 16-bit window; if the LAST block
+        # advanced bp beyond the real bit count it consumed phantom
+        # padding bits (a truncated stream), which must quarantine —
+        # not silently decode up to ~16 zero bits as coefficients
+        # (ADVICE r5). Mid-segment overruns already hit the per-block
+        # bp guard above.
+        if bp > n_bits:
+            raise ValueError("truncated entropy segment")
 
     # batched reconstruction: dequantize + dezigzag + IDCT per
     # component in whole-array ops, then scatter 8x8 tiles

@@ -27,6 +27,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row — with a clear error
+    on an empty input or a null vector instead of the opaque
+    'NoneType is not subscriptable' (ADVICE r5)."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"empty embedding input: no non-null '{vec_col}' row to "
+            "probe dimensionality from"
+        )
+    return len(first[0])
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ a_i*b_i via zip_with + aggregate (element order fixed)."""
     return F.aggregate(
@@ -504,7 +517,16 @@ def _kmeans_iterate(
     # with m subspace codebooks (PQ/IVF-PQ) the combined lazy tree
     # grows multiplicatively. Lineage truncation here cut ivfpq_topk
     # ~40% at sf0.1 with identical results (deterministic math).
-    return centroids.localCheckpoint(eager=True)
+    # Collect-and-recreate rather than localCheckpoint: the table is
+    # k rows (driver-scale), and localCheckpoint pins blocks to
+    # executors with lineage severed — on a real cluster an executor
+    # loss (dynamic allocation, preemption) would make every
+    # downstream job unrecoverable (ADVICE r5). A k-row
+    # createDataFrame is lineage-free and loss-proof on any deploy.
+    schema = centroids.schema
+    return centroids.sparkSession.createDataFrame(
+        centroids.collect(), schema
+    )
 
 
 def kmeans_lloyd(
@@ -887,8 +909,7 @@ def pq_encode(
     (id, code, dist) tables on the id. Nothing ever shuffles the full
     vectors.
     """
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
+    dim = _probe_dim(emb, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -952,8 +973,7 @@ def pq_topk(
     rank 1..k ascending approximate distance, ties on neighbor id,
     self-matches excluded.
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _probe_dim(corpus, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -1054,8 +1074,7 @@ def ivfpq_topk(
     ascending approximate distance, deterministic ties, self-matches
     excluded.
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _probe_dim(corpus, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

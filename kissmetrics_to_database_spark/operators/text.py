@@ -762,9 +762,22 @@ def bpe_apply_merges(
     driver-side by design (a tokenizer artifact, one row per merge);
     each merge adds one fold to the expression tree, so apply depth
     equals merge count — fine for the catalog's 4, while a production
-    32k-merge tokenizer would apply via a linear-time Pandas UDF
-    encoder instead (same artifact, different kernel).
+    32k-merge tokenizer applies via :func:`bpe_encode_corpus`
+    (linear-time Arrow kernel; same artifact, different kernel).
     """
+    # Symbols are interpolated into an F.expr string below; restrict
+    # to the trainer's own [a-z] alphabet so a quote/backslash in a
+    # caller-supplied tuple can't break or inject expression text
+    # (ADVICE r5). bpe_encode_corpus has no such restriction (the
+    # merge table travels as data, never as SQL).
+    for a, b in merges:
+        if not (a and b and a.isascii() and b.isascii()
+                and a.isalpha() and b.isalpha()
+                and a == a.lower() and b == b.lower()):
+            raise ValueError(
+                f"merge symbols must match [a-z]+ (got {(a, b)!r}); "
+                "use bpe_encode_corpus for arbitrary alphabets"
+            )
     words = (
         df.select(
             F.explode(

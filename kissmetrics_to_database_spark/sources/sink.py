@@ -63,6 +63,7 @@ def write_jdbc_staged(
     df: DataFrame,
     cfg: JdbcConfig,
     expected_rows: int | None = None,
+    load_id: str | None = None,
 ) -> int:
     """S6 at warehouse grade: staged atomic load (VERDICT r4 item 4).
 
@@ -83,12 +84,29 @@ def write_jdbc_staged(
     3. the stage is dropped after commit (left in place on failure
        for inspection; the next load overwrites it).
 
+    Concurrency contract (ADVICE r5): with the default shared stage
+    name ``<table>_stage`` this is SINGLE-WRITER per target — two
+    concurrent loads would clobber each other's stage between steps 1
+    and 2 (compose with ``sources.lock.SingleWriterLock``, as
+    ``pipeline.py`` does). For concurrent loads pass a distinct
+    ``load_id`` per caller: the stage becomes
+    ``<table>_stage_<load_id>`` (private to the load) and is dropped
+    on success AND on validated failure, so no per-load garbage
+    accumulates.
+
     Returns the number of rows landed in the target. The target table
     is created from the stage's shape if it doesn't exist yet (same
     bootstrap-on-first-load behavior as the reference's
     CreateDatabaseCommand).
     """
-    stage = f"{cfg.table}_stage"
+    if load_id is not None:
+        if not load_id.replace("_", "").isalnum():
+            raise ValueError(
+                f"load_id must be alphanumeric/underscore, got {load_id!r}"
+            )
+        stage = f"{cfg.table}_stage_{load_id}"
+    else:
+        stage = f"{cfg.table}_stage"
     stage_cfg = JdbcConfig(
         url=cfg.url, table=stage, user=cfg.user, password=cfg.password,
         batch_size=cfg.batch_size, isolation=cfg.isolation,
@@ -141,6 +159,15 @@ def write_jdbc_staged(
             return moved
         except Exception:
             conn.rollback()
+            if load_id is not None:
+                # private per-load stage: drop on failure too (best
+                # effort) so retries with fresh load_ids don't leak
+                # tables; the shared default stays for inspection.
+                try:
+                    st.execute(f"DROP TABLE {stage}")
+                    conn.commit()
+                except Exception:
+                    pass
             raise
         finally:
             st.close()
