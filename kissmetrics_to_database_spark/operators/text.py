@@ -11,6 +11,7 @@ engine adds for 100 TB corpus curation (BASELINE.json north star).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -800,3 +801,209 @@ def bpe_apply_merges(
         )
         words = words.withColumn("syms", fold)
     return words
+
+
+def _merge_pair(seq: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Greedy left-to-right merge of non-overlapping (a, b)
+    occurrences — run-parity semantics, identical to the trainer's
+    SQL fold (the only overlap case is a == b)."""
+    out: list[str] = []
+    j, n = 0, len(seq)
+    while j < n:
+        if j + 1 < n and seq[j] == a and seq[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(seq[j])
+            j += 1
+    return tuple(out)
+
+
+def bpe_train_merges_local(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_vocab: int = 5_000_000,
+) -> list[tuple[int, str, str, int, str]]:
+    """BPE training on the DRIVER over the distributed word-frequency
+    table — the production-shape trainer for realistic merge budgets
+    (:func:`bpe_train_merges` runs one Spark round-trip PER merge,
+    fine for single-digit budgets, unusable at 32k).
+
+    The corpus reduces once (distributed, map-side-combined groupBy)
+    to its Zipf-bounded vocabulary — a 100 TB corpus still has only
+    millions of distinct words, which is exactly what every public
+    tokenizer trainer (Sennrich 2016 learn_bpe, HuggingFace) trains
+    on. The vocab collects to the driver behind a ``max_vocab`` guard;
+    training then runs in memory with incremental pair-count updates
+    (only words containing the merged pair are re-segmented per
+    iteration — the Sennrich trick), so a 32k-merge budget is minutes,
+    not hours. Semantics are IDENTICAL to the distributed trainer:
+    count-desc argmax with (left, right) lexicographic tie-break,
+    greedy left-to-right run-parity merge application — asserted by
+    test and by the unrolled-SQL oracle.
+
+    Stops early when no adjacent pair remains (every word fully
+    merged). Returns [(merge_idx, left, right, pair_count, new_sym)].
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    vocab_df = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    n_vocab = vocab_df.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary has {n_vocab} words > max_vocab={max_vocab}; "
+            "raise the cap or use the distributed bpe_train_merges"
+        )
+    rows = vocab_df.collect()
+    words: list[tuple[str, ...]] = [tuple(r["w"]) for r in rows]
+    wcs: list[int] = [r["wc"] for r in rows]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_sites: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + wcs[i]
+            pair_sites.setdefault(p, set()).add(i)
+
+    merges: list[tuple[int, str, str, int, str]] = []
+    for k in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((k, a, b, cnt, a + b))
+        for i in sorted(pair_sites.get((a, b), ())):
+            old = words[i]
+            for p in zip(old, old[1:]):
+                c = pair_counts.get(p)
+                if c is not None:
+                    c -= wcs[i]
+                    if c > 0:
+                        pair_counts[p] = c
+                    else:
+                        del pair_counts[p]
+                        pair_sites.pop(p, None)
+                s = pair_sites.get(p)
+                if s is not None:
+                    s.discard(i)
+            new = _merge_pair(old, a, b)
+            words[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + wcs[i]
+                pair_sites.setdefault(p, set()).add(i)
+    return merges
+
+
+def bpe_merge_table(spark, merges: list[tuple[int, str, str, int, str]]):
+    """Driver merge list → the (merge_idx, left_sym, right_sym,
+    pair_count, new_sym) DataFrame :func:`bpe_train_merges` returns —
+    the shipped tokenizer artifact, engine-comparable."""
+    return spark.createDataFrame(
+        merges,
+        "merge_idx long, left_sym string, right_sym string, "
+        "pair_count long, new_sym string",
+    )
+
+
+BPE_ENCODE_SCHEMA = (
+    "doc_id long, n_words long, n_chars long, n_tokens long, "
+    "compression_ratio double"
+)
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION corpus encoder: apply a learned BPE merge table to
+    every document in ONE linear Arrow-batched ``mapInPandas`` pass —
+    the kernel :func:`bpe_apply_merges`'s docstring promises
+    (VERDICT r5 item 1). Works at any merge budget (32k is fine):
+    encode cost per word is O(len · distinct-pair-rounds) via the
+    public rank-dict greedy algorithm (Sennrich 2016 §3 / the GPT-2
+    ``bpe()`` loop — repeatedly merge the LOWEST-rank pair present,
+    all occurrences left-to-right), with a per-task word→segmentation
+    memo so each distinct word encodes once per batch stream (Zipf
+    makes the memo hit rate ~1 at corpus scale).
+
+    Applying merges in rank order is provably identical to the
+    trainer's sequential application: merging two symbols never
+    creates a new adjacency between OLDER symbols, so an
+    already-passed rank can never become applicable again.
+
+    Scale shape: the merge table broadcasts (one pickle per executor,
+    a 32k-merge table is ~1 MB); the corpus is never shuffled — the
+    stage is map-only and embarrassingly parallel. Emits per-doc
+    token accounting (n_words, n_chars, n_tokens, chars-per-token
+    compression ratio) — the corpus-tokenization readout a training
+    pipeline feeds its data-mixing ledger.
+    """
+    import re
+    from collections.abc import Iterator as _It
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        rk = bc.value
+        cache: dict[str, int] = {}
+        splitter = re.compile("[^a-z]+")
+
+        def n_syms(word: str) -> int:
+            n = cache.get(word)
+            if n is not None:
+                return n
+            seq: tuple[str, ...] = tuple(word)
+            while len(seq) > 1:
+                best_rank = None
+                best_pair = None
+                for p in zip(seq, seq[1:]):
+                    r = rk.get(p)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, p
+                if best_pair is None:
+                    break
+                seq = _merge_pair(seq, *best_pair)
+            cache[word] = len(seq)
+            return len(seq)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                ws = [
+                    w
+                    for w in splitter.split((txt or "").strip().lower())
+                    if w
+                ]
+                n_chars = sum(map(len, ws))
+                n_tokens = sum(n_syms(w) for w in ws)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_words": len(ws),
+                        "n_chars": n_chars,
+                        "n_tokens": n_tokens,
+                        "compression_ratio": (
+                            round(n_chars / n_tokens, 6) if n_tokens else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=BPE_ENCODE_SCHEMA)

@@ -3477,13 +3477,13 @@ def _bpe_oracle(n_merges: int) -> str:
     Spark fold's left-to-right greedy semantics exactly, so the merge
     table is hash-comparable."""
     sql = ["""
-    WITH words AS (
+    WITH words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS wc
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
             FROM documents)
       WHERE w <> '' GROUP BY w
     ),
-    state0 AS (
+    state0 AS MATERIALIZED (
       SELECT w, wc, CAST(i AS BIGINT) AS pos,
              substr(w, CAST(i AS INTEGER), 1) AS sym
       FROM words, unnest(range(1, length(w) + 1)) AS u(i)
@@ -3497,7 +3497,7 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM state{k}
       ) WHERE b IS NOT NULL GROUP BY a, b
     ),
-    best{k} AS (SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    best{k} AS MATERIALIZED (SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1),
     flag{k} AS (
       SELECT s.w, s.wc, s.pos, s.sym,
              CASE WHEN s.sym = t.a
@@ -3519,7 +3519,7 @@ def _bpe_oracle(n_merges: int) -> str:
                   THEN 1 ELSE 0 END AS act
       FROM runs{k}
     ),
-    state{k + 1} AS (
+    state{k + 1} AS MATERIALIZED (
       SELECT w, wc,
              CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT)
                AS pos,
@@ -3736,6 +3736,63 @@ def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "sym")
         .limit(10)
     )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Oracle for the production corpus encoder: the same unrolled
+    training iterations as :func:`_bpe_oracle`, then per-doc token
+    accounting by joining each document's word stream against the
+    final segmentation state (valid because rank-order encoding of an
+    in-corpus word equals its final training segmentation — merging
+    never creates new adjacency between older symbols)."""
+    base = _bpe_oracle(n_merges)
+    cut = base.rindex("\n    SELECT * FROM (")
+    return base[:cut] + f""",
+    seglen AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+      FROM state{n_merges} GROUP BY w
+    ),
+    docw AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             CAST(sum(n_syms) AS BIGINT) AS n_tokens
+      FROM docw JOIN seglen USING (w)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(p.n_chars / CAST(p.n_tokens AS DOUBLE), 6) AS compression_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("bpe_encode_corpus", _bpe_encode_oracle(32))
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION BPE pipeline (r6): train 32 merges with the
+    driver-side trainer (text.bpe_train_merges_local — the corpus
+    reduces once to its Zipf-bounded vocab, training is in-memory
+    with incremental pair counts), then encode EVERY document in one
+    linear Arrow-batched mapInPandas pass (text.bpe_encode_corpus —
+    rank-dict greedy, per-task word memo, broadcast merge table).
+    Unlike the expression-fold apply, this path works at 32k merges;
+    32 here is only what the unrolled SQL oracle can replay. Emits
+    per-doc token accounting + chars-per-token compression — the
+    tokenization ledger of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges_local(docs, n_merges=32)
+    enc = text.bpe_encode_corpus(docs, [(m[1], m[2]) for m in merges])
+    return enc.orderBy("doc_id")
 
 
 @query("bpe_train_merges", _bpe_oracle(4))

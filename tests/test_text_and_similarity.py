@@ -651,3 +651,127 @@ def test_bpe_apply_merges_matches_training_segmentation(spark):
     seg = {r["w"]: (r["wc"], r["syms"]) for r in t.bpe_apply_merges(df, merges).collect()}
     assert seg["low"] == (2, ["low"])
     assert seg["lower"] == (1, ["low", "e", "r"])
+
+
+def test_bpe_local_trainer_matches_distributed(spark):
+    # the driver-side trainer must be semantically identical to the
+    # distributed per-iteration trainer: same argmax, same tie-break,
+    # same greedy run-parity application
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest newer newest wide wider",),
+         ("aaaaa banana bandana low newer",)],
+        ["text"],
+    )
+    dist = [
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_count"],
+         r["new_sym"])
+        for r in t.bpe_train_merges(df, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    local = t.bpe_train_merges_local(df, n_merges=8)
+    assert local == dist
+
+
+def test_bpe_local_trainer_early_stop_and_full_merge(spark):
+    # asking for more merges than pairs exist: trainer stops when the
+    # vocab is fully merged (every word one symbol) instead of failing
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("ab ab cd cd cd ab",)], ["text"])
+    merges = t.bpe_train_merges_local(df, n_merges=100)
+    assert len(merges) == 2  # (c,d) then (a,b) — nothing left after
+    assert {m[4] for m in merges} == {"ab", "cd"}
+
+
+def test_bpe_encode_corpus_matches_fold_apply(spark):
+    # the linear-time kernel and the expression-fold apply agree on
+    # per-doc token counts (rank-greedy == sequential application)
+    from pyspark.sql import functions as F
+
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(0, "low low lower lowest the the them"),
+         (1, "newer newest wide wider aaaaa"),
+         (2, ""),
+         (3, "banana bandana low")],
+        ["doc_id", "text"],
+    )
+    merges = [(m[1], m[2]) for m in t.bpe_train_merges_local(df, n_merges=6)]
+    enc = {r["doc_id"]: r for r in t.bpe_encode_corpus(df, merges).collect()}
+
+    seg = t.bpe_apply_merges(df, merges).select(
+        "w", F.size("syms").alias("n_syms")
+    )
+    docw = df.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), "[^a-z]+")).alias("w"),
+    ).where(F.col("w") != "")
+    expected = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("n_tokens"))
+        .collect()
+    }
+    for d, n in expected.items():
+        assert enc[d]["n_tokens"] == n
+    assert enc[2]["n_words"] == 0 and enc[2]["n_tokens"] == 0
+    assert enc[2]["compression_ratio"] is None
+    assert enc[0]["n_chars"] == len("lowlowlowerlowestthethethem")
+
+
+def test_bpe_encode_rank_greedy_equals_sequential_property():
+    # pure-Python property: for random words and a random learned-like
+    # merge list, encoding by min-rank-first equals applying every
+    # merge sequentially in rank order (the equivalence the kernel
+    # docstring claims)
+    import random
+
+    from kissmetrics_to_database_spark.operators.text import _merge_pair
+
+    rng = random.Random(7)
+    for _ in range(200):
+        word = "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        # build a plausible merge list: symbols built bottom-up
+        symbols = list("abc")
+        merges = []
+        for _k in range(rng.randint(0, 10)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            merges.append((a, b))
+            symbols.append(a + b)
+        # sequential application
+        seq = tuple(word)
+        for a, b in merges:
+            seq = _merge_pair(seq, a, b)
+        # rank-greedy application
+        ranks = {}
+        for i, p in enumerate(merges):
+            ranks.setdefault(p, i)  # first occurrence wins, like dict build
+        out = tuple(word)
+        while len(out) > 1:
+            cands = [(ranks[p], p) for p in zip(out, out[1:]) if p in ranks]
+            if not cands:
+                break
+            _, best = min(cands)
+            out = _merge_pair(out, *best)
+        assert out == seq, (word, merges, out, seq)
+
+
+def test_bpe_apply_merges_rejects_unsafe_symbols(spark):
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("low",)], ["text"])
+    with pytest.raises(ValueError, match="merge symbols"):
+        t.bpe_apply_merges(df, [("l'", "o")])
+    with pytest.raises(ValueError, match="merge symbols"):
+        t.bpe_apply_merges(df, [("", "o")])
+
+
+def test_probe_dim_empty_input_raises(spark):
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embedding input"):
+        sim.pq_encode(empty, m=2, k=2, iters=1)
