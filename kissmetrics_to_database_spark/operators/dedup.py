@@ -1058,3 +1058,176 @@ def lsh_recall_eval(
     result = out.localCheckpoint(eager=True)
     tok.unpersist()
     return result
+
+
+def _positional_kgram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram_hash) for every STRICT ``k``-token gram (grams
+    shorter than ``k`` — doc tails, short docs — are excluded; exact
+    substring semantics need full-length runs only). Same window-lead
+    formulation as :func:`positional_shingles`, one doc-keyed shuffle;
+    only the 32-hex md5 of the gram travels downstream, never text."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "_tk"),
+    ).where(F.col("_tk") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("_g"),
+            F.lead("_tk", k - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(F.col(id_col), "pos", F.md5("_g").alias("gram_hash"))
+    )
+
+
+def _removed_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Token positions covered by a duplicated ``k``-gram occurrence
+    that is NOT the corpus-wide first (min (doc, pos)) occurrence of
+    its gram — the removal set of Lee et al. 2021-style exact
+    substring dedup. Distinct (id, cpos) rows.
+
+    Plan: one groupBy on the 32-hex gram hash with a map-side-combined
+    min(struct(doc, pos)) winner + occurrence count, an equi-join back
+    on the hash (output rows == occurrences — LINEAR, no pair
+    explosion: a gram occurring N times costs N rows, never N²; this
+    is why the corpus-frequency cap winnowing needs is NOT needed
+    here), then a k-row positional explode. Hot boilerplate grams make
+    one heavy reduce key — AQE skew handling splits it."""
+    grams = _positional_kgram_hashes(df, id_col, text_col, k)
+    winners = grams.groupBy("gram_hash").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("_w"),
+        F.count("*").alias("_occ"),
+    )
+    removable = grams.join(winners, "gram_hash").where(
+        (F.col("_occ") > 1)
+        & ~(
+            (F.col("_w.d") == F.col(id_col)) & (F.col("_w.p") == F.col("pos"))
+        )
+    )
+    return (
+        removable.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """EXACT duplicated-substring spans (the Lee et al. 2021
+    'Deduplicating Training Data Makes Language Models Better' shape,
+    arXiv:2107.06499, distributed): report every MAXIMAL run of token
+    positions covered by duplicated ``k``-gram occurrences that lost
+    the corpus-wide first-occurrence race.
+
+    A duplicated run of length L ≥ k shared between documents yields
+    L-k+1 removable gram occurrences in the later document; the union
+    of their k-token extents is exactly the run, and the
+    gaps-and-islands merge (pos - row_number, the scd.py pattern)
+    recovers it as one (start, end) span — the surgical-removal
+    coordinates whole-document MinHash and winnowing containment
+    cannot produce (they say WHICH docs overlap, not WHERE).
+
+    Returns (id, span_start, span_end, span_len), token coordinates,
+    0-based inclusive.
+
+    Scale: the suffix-array of the public single-machine algorithm is
+    replaced by the gram-hash equi-join — O(corpus tokens) rows end to
+    end, no all-pairs stage anywhere; see SCALING.md (exact-substring
+    section) for the hot-gram and memory story.
+    """
+    covered = _removed_positions(df, id_col, text_col, k)
+    w = Window.partitionBy(id_col).orderBy("cpos")
+    islands = covered.withColumn(
+        "_isl", F.col("cpos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("cpos").cast("long").alias("span_start"),
+            F.max("cpos").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
+def exact_substring_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The dedup ACTION for :func:`exact_substring_spans`:
+    first-occurrence-wins rewrite (the ``cdc_dedup_rewrite`` contract
+    at exact-substring granularity). Every token inside a removed span
+    is dropped; each document is reassembled from its surviving tokens
+    in order, with exact token accounting.
+
+    Returns one row per INPUT document (short/empty docs included):
+    (id, n_tokens, n_kept, n_removed, n_dup_spans, text_rewritten).
+
+    Plan: the removal set's linear join + one anti-join on (doc, pos)
+    + doc-keyed rollups — same keys throughout, no pair joins, no
+    windows over the corpus except doc-partitioned ones.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    covered = _removed_positions(df, id_col, text_col, k)
+    spans = exact_substring_spans(df, id_col, text_col, k)
+
+    kept = tok.join(
+        covered.withColumnRenamed("cpos", "pos"), [id_col, "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    totals = tok.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    n_spans = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans")
+    )
+    base = df.select(id_col)
+    return (
+        base.join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .join(n_spans, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("text_rewritten", F.lit("")).alias("text_rewritten"),
+        )
+    )

@@ -3738,6 +3738,128 @@ def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE chain for the exact-substring dedup oracle (k=5):
+# strict positional 5-grams → first-occurrence rank per gram →
+# removable occurrences (rank > 1) → covered positions. Mirrors
+# dedup._removed_positions exactly (min(struct(doc,pos)) winner ==
+# ORDER BY doc_id, pos rank 1).
+SQL_EXACT_SUB_COV = """
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, pos, md5(g) AS h FROM (
+        SELECT doc_id, pos,
+               term || ' ' || lead(term, 1) OVER w || ' ' ||
+               lead(term, 2) OVER w || ' ' || lead(term, 3) OVER w || ' ' ||
+               lead(term, 4) OVER w AS g,
+               lead(term, 4) OVER w IS NOT NULL AS f
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE f
+    ),
+    rem AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY h) AS occ
+        FROM grams
+      ) WHERE rn > 1
+    ),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT doc_id, pos + d AS cpos
+      FROM rem, unnest(range(0, 5)) AS u(d)
+    )
+"""
+
+
+@query(
+    "exact_substring_spans",
+    f"""
+    WITH {SQL_EXACT_SUB_COV}
+    SELECT doc_id,
+           CAST(min(cpos) AS BIGINT) AS span_start,
+           CAST(max(cpos) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM (SELECT doc_id, cpos,
+                 cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos)
+                   AS isl
+          FROM cov)
+    GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (r6, Lee et al. 2107.06499
+    shape): maximal token runs covered by 5-gram occurrences that lost
+    the corpus-wide first-occurrence race — the exact (doc, start,
+    end) coordinates for surgical removal, which winnowing containment
+    (which doc pairs overlap) and span_dedup (fixed 3-token units)
+    cannot emit. Linear plan: gram-hash groupBy + equi-join back, NO
+    pair join — see dedup.exact_substring_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, k=5).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@query(
+    "exact_substring_rewrite",
+    f"""
+    WITH {SQL_EXACT_SUB_COV},
+    kept AS (
+      SELECT t.doc_id, t.pos, t.term
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.cpos
+      WHERE c.cpos IS NULL
+    ),
+    re AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(term, ' ' ORDER BY pos) AS text_rewritten
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id
+    ),
+    ns AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans FROM (
+        SELECT doc_id,
+               cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos)
+                 AS isl
+        FROM cov
+      ) GROUP BY doc_id, isl
+      -- one row per island; re-aggregate to per-doc span counts
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(nt.n_tokens, 0) - coalesce(re.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           coalesce(re.text_rewritten, '') AS text_rewritten
+    FROM documents d
+    LEFT JOIN nt ON nt.doc_id = d.doc_id
+    LEFT JOIN re ON re.doc_id = d.doc_id
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+               FROM ns GROUP BY doc_id) sp ON sp.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins exact-substring REWRITE (r6): tokens
+    inside every removed span are dropped, documents reassembled from
+    survivors in order, with exact token accounting — the
+    cdc_dedup_rewrite contract at exact-substring granularity,
+    completing the Lee et al. dedup action. Hash-exact including the
+    rewritten text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_rewrite(docs, k=5).orderBy("doc_id")
+
+
 def _bpe_encode_oracle(n_merges: int) -> str:
     """Oracle for the production corpus encoder: the same unrolled
     training iterations as :func:`_bpe_oracle`, then per-doc token

@@ -307,3 +307,85 @@ def test_winnow_fingerprints_are_position_invariant(spark):
     for r in dd.winnow_fingerprints(df).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] <= fps[2]  # every body fingerprint survives the shift
+
+
+class TestExactSubstring:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_spans_exact_coordinates(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        # doc 1 embeds doc 0's 6-token run at offset 2: with k=5 that
+        # is two removable grams (pos 2,3) whose union is [2,7] — the
+        # exact embedded run; doc 0 (first occurrence) keeps everything
+        run = "a b c d e f"
+        df = self._df(
+            spark,
+            [(0, f"{run} x y"), (1, f"p q {run} r")],
+        )
+        spans = [
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in dedup.exact_substring_spans(df, k=5)
+            .orderBy("doc_id", "span_start")
+            .collect()
+        ]
+        assert spans == [(1, 2, 7, 6)]
+
+    def test_within_doc_duplicate_keeps_first(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        # same 5-token run twice within ONE doc: the second occurrence
+        # (pos 7..11) is removed, the first kept
+        df = self._df(spark, [(0, "a b c d e xx yy a b c d e")])
+        spans = [
+            (r["span_start"], r["span_end"])
+            for r in dedup.exact_substring_spans(df, k=5).collect()
+        ]
+        assert spans == [(7, 11)]
+
+    def test_no_dup_no_spans(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        df = self._df(spark, [(0, "a b c d e"), (1, "f g h i j")])
+        assert dedup.exact_substring_spans(df, k=5).count() == 0
+
+    def test_short_docs_excluded(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        # identical docs shorter than k produce no strict k-gram
+        df = self._df(spark, [(0, "a b c"), (1, "a b c")])
+        assert dedup.exact_substring_spans(df, k=5).count() == 0
+
+    def test_rewrite_reassembles_and_accounts(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        run = "a b c d e f"
+        df = self._df(
+            spark,
+            [(0, f"{run} x y"), (1, f"p q {run} r"), (2, "tiny")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.exact_substring_rewrite(df, k=5).collect()
+        }
+        assert out[0]["n_removed"] == 0
+        assert out[0]["text_rewritten"] == f"{run} x y"
+        assert out[1]["n_tokens"] == 9
+        assert out[1]["n_removed"] == 6
+        assert out[1]["n_dup_spans"] == 1
+        assert out[1]["text_rewritten"] == "p q r"
+        assert out[2]["n_tokens"] == 1 and out[2]["n_removed"] == 0
+
+    def test_three_way_duplicate_single_winner(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        # the run appears in three docs: only the (min doc) copy
+        # survives; both later docs lose the whole run
+        run = "a b c d e"
+        df = self._df(spark, [(0, run), (1, run), (2, run)])
+        out = {
+            r["doc_id"]: r["n_removed"]
+            for r in dedup.exact_substring_rewrite(df, k=5).collect()
+        }
+        assert out == {0: 0, 1: 5, 2: 5}
