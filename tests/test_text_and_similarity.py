@@ -775,3 +775,42 @@ def test_probe_dim_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty embedding input"):
         sim.pq_encode(empty, m=2, k=2, iters=1)
+
+
+def test_train_serve_split_matches_end_to_end(spark):
+    # pre-trained artifacts must reproduce the monolithic results
+    # exactly (the bench.py train/serve split depends on it)
+    from kissmetrics_to_database_spark.operators import similarity as sim
+    from kissmetrics_to_database_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.where("vec_id < 2")
+    cents = emb.where("vec_id < 8")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cb = sim.pq_train_codebooks(emb, m=4, k_codes=8, iters=2)
+    assert rows(sim.pq_encode(emb, m=4, k=8, iters=2, codebooks=cb)) == rows(
+        sim.pq_encode(emb, m=4, k=8, iters=2)
+    )
+    assert rows(
+        sim.pq_topk(emb, probes, m=4, k_codes=8, iters=2, k=5, codebooks=cb)
+    ) == rows(sim.pq_topk(emb, probes, m=4, k_codes=8, iters=2, k=5))
+
+    icb = sim.ivfpq_train_codebooks(emb, cents, m=4, k_codes=8, iters=2)
+    assert rows(
+        sim.ivfpq_topk(
+            emb, probes, cents, m=4, k_codes=8, iters=2, k=5, nprobe=2,
+            codebooks=icb,
+        )
+    ) == rows(
+        sim.ivfpq_topk(emb, probes, cents, m=4, k_codes=8, iters=2, k=5,
+                       nprobe=2)
+    )
+
+    kc = sim.kmeans_train_centroids(emb, k=8, iters=2)
+    assert rows(sim.kmeans_lloyd(emb, k=8, iters=2, centroids=kc)) == rows(
+        sim.kmeans_lloyd(emb, k=8, iters=2)
+    )
