@@ -224,6 +224,58 @@ def bench_trainers(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_layout(spark, sf_dir: str) -> dict:
+    """IVF at-rest layout A/B (VERDICT r5 item 3): write the
+    cell-assigned embedding corpus ``partitionBy(cell)``, then scan it
+    twice — all cells vs an nprobe=2 ``read_ivf_cells`` pruned read
+    (PartitionFilters, see PLANS.md `op:ivf_layout_prune`). At 100 TB
+    the pruned scan touches nprobe cells' FILES only; the A/B records
+    that the pruning actually pays even at toy SF."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kissmetrics_to_database_spark.operators import layout, similarity
+    from kissmetrics_to_database_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    root = tempfile.mkdtemp(prefix="bench_ivf_layout_")
+    path = root + "/ivf"
+    try:
+        t0 = time.perf_counter()
+        layout.write_ivf_layout(similarity.ivf_assign(emb, cents), path)
+        write_s = round(time.perf_counter() - t0, 3)
+
+        agg = lambda df: df.agg(  # noqa: E731 — force vector column read
+            F.count("*"), F.sum(F.element_at("embedding", 1))
+        ).collect()
+        full = spark.read.parquet(path)
+        pruned = layout.read_ivf_cells(spark, path, [0, 1])
+        agg(full), agg(pruned)  # warm
+        full_t, pruned_t = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            agg(full)
+            full_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            agg(pruned)
+            pruned_t.append(time.perf_counter() - t0)
+        n_cells = full.select("cell").distinct().count()
+        return {
+            "write_s": write_s,
+            "n_cells": n_cells,
+            "pruned_cells": 2,
+            "full_scan_s": round(statistics.median(full_t), 4),
+            "pruned_scan_s": round(statistics.median(pruned_t), 4),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_media() -> dict:
     """Media-decode tier (VERDICT r5 item 2): single-core MB/s and
     frames/s for the from-spec JPEG and MJPEG-AVI decode kernels on
@@ -311,6 +363,7 @@ def main() -> None:
                 "queries_steady": steady,
                 "value_steady": round(sum(steady.values()), 3),
                 "trainers": bench_trainers(spark, sf_dir),
+                "layout": bench_layout(spark, sf_dir),
                 "media": bench_media(),
                 "sf": sf,
             }

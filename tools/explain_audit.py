@@ -134,14 +134,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # argmin folds in-expression — the vectors are NEVER exchanged
     # (no hashpartitioning on the vector id); the only shuffles are
     # the skinny (cluster, pos) centroid means
+    # (r6: training is eager — collect-and-recreate centroids — so
+    # the audited lazy plan is the pure SERVE plan: scan → broadcast
+    # packed centroids → map-only assignment. The training shuffle is
+    # audited separately as op:kmeans_train_update.)
     "kmeans_clusters": (
-        ["BroadcastNestedLoopJoin", "hashpartitioning(cluster"],
+        ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "CartesianProduct", "hashpartitioning(vec_id"],
     ),
-    # SemDeDup: the pair join is equi-keyed on cluster (hash exchange
-    # on cluster), never an unkeyed cartesian blowup
+    # SemDeDup: the pair join is EQUI-keyed on (cluster, cell) —
+    # broadcast at this SF by size, a hash-partitioned equi-join at
+    # scale — never an unkeyed cartesian blowup
     "semantic_dedup": (
-        ["hashpartitioning(cluster"],
+        ["Left keys [2]: [cluster#"],
         ["CartesianProduct"],
     ),
     # CCNet terciles: cutoff table broadcasts back; deliberately no
@@ -510,11 +515,67 @@ def main() -> int:
     # (min(struct) compiles to SortAggregate, not HashAggregate —
     # struct buffers aren't hash-aggregatable — but the partial/final
     # split is what matters for shuffle volume.)
+    # IVF at-rest layout: the nprobe cell filter must reach the
+    # parquet scan as PartitionFilters (FILE-level pruning — query
+    # cost O(nprobe cells), not O(corpus); VERDICT r5 item 3). The
+    # layout is written to a temp dir from the sf testdata first.
+    def _ivf_layout_plan():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.operators import layout, similarity
+        from kissmetrics_to_database_spark.session import load_table
+
+        emb = load_table(spark, args.sf, "embeddings")
+        cents = emb.where("vec_id < 8").select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        path = tempfile.mkdtemp(prefix="ivf_layout_audit_") + "/ivf"
+        layout.write_ivf_layout(similarity.ivf_assign(emb, cents), path)
+        return layout.read_ivf_cells(spark, path, [0, 1])
+
+    # one Lloyd update step (what each eager training iteration runs):
+    # the only shuffle is the SKINNY (cluster, pos) centroid-mean
+    # aggregation — the corpus vectors are never exchanged
+    def _kmeans_update_plan():
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.operators import similarity
+        from kissmetrics_to_database_spark.session import load_table
+
+        emb = load_table(spark, args.sf, "embeddings")
+        wk = Window.orderBy("vec_id")
+        cents = emb.orderBy("vec_id").limit(8).select(
+            (F.row_number().over(wk) - 1).alias("cluster"),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("_c"),
+        )
+        assigned = similarity.kmeans_assign(emb, cents)
+        return (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        )
+
     operator_checks = {
         "op:dedup_by_fingerprint": (
             _dedup_fp_plan,
             ["partial_min", "hashpartitioning(md5hash"],
             ["Window", "row_number"],
+        ),
+        "op:kmeans_train_update": (
+            _kmeans_update_plan,
+            ["hashpartitioning(cluster"],
+            ["hashpartitioning(vec_id", "SortMergeJoin", "CartesianProduct"],
+        ),
+        "op:ivf_layout_prune": (
+            _ivf_layout_plan,
+            ["PartitionFilters: [cell#", " IN (0,1)]"],
+            ["CartesianProduct"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
