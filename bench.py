@@ -128,6 +128,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "exact_substring_spans",
     "exact_substring_rewrite",
+    "audio_spectral_features",
 ]
 
 

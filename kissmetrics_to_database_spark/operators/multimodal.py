@@ -371,3 +371,85 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "doc_id long, sample_rate long, n_fft long, dominant_bin long, "
+    "dominant_freq_hz double, peak_share double, band_energy_frac array<double>"
+)
+
+
+def audio_spectral(
+    df: DataFrame, n_fft: int = 512, n_bands: int = 4
+) -> DataFrame:
+    """Spectral audio features from a from-spec FFT (numpy) — the
+    quality-gate tier above :func:`decode_audio`'s waveform stats
+    (VERDICT r5 item 5): tones, silence and clipping all hide from
+    mean/RMS but are obvious in the spectrum.
+
+    Per clip: decode 16-bit PCM WAV, mono-mix channels, rectangular-
+    window rFFT over the first ``n_fft`` samples (zero-padded when
+    shorter), power spectrum with DC excluded. Emits the dominant
+    non-DC bin and its frequency in Hz, the dominant bin's share of
+    total non-DC power (→ 1.0 for a pure bin-aligned tone, → 1/bins
+    for white noise — the tonality gate), and the energy fraction per
+    ``n_bands`` equal frequency bands (band spectrogram). Deterministic:
+    rounded to 6 decimals; bin-aligned tones are oracle-exact
+    arithmetic. Non-WAV payloads quarantine to nulls.
+
+    Arrow-batched ``mapInPandas``, embarrassingly parallel — same
+    scale shape as every media kernel here (SCALING.md media section).
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    if n_fft < 4 or n_fft & (n_fft - 1):
+        raise ValueError("n_fft must be a power of two >= 4")
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        null_row = {
+            "sample_rate": None, "n_fft": None, "dominant_bin": None,
+            "dominant_freq_hz": None, "peak_share": None,
+            "band_energy_frac": None,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(b))
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1)
+                x = mono[:n_fft]
+                if x.size < n_fft:
+                    x = np.pad(x, (0, n_fft - x.size))
+                power = np.abs(np.fft.rfft(x)) ** 2
+                nondc = power[1:]
+                total = float(nondc.sum())
+                dom = int(nondc.argmax()) + 1 if total > 0 else 0
+                share = float(nondc[dom - 1] / total) if total > 0 else 0.0
+                # equal bands over bins 1..n_fft//2 (DC excluded)
+                splits = np.array_split(nondc, n_bands)
+                bands = (
+                    [round(float(s.sum()) / total, 6) for s in splits]
+                    if total > 0
+                    else [0.0] * n_bands
+                )
+                rows.append({
+                    "doc_id": doc_id,
+                    "sample_rate": d["sample_rate"],
+                    "n_fft": n_fft,
+                    "dominant_bin": dom,
+                    "dominant_freq_hz": round(
+                        dom * d["sample_rate"] / n_fft, 6
+                    ),
+                    "peak_share": round(share, 6),
+                    "band_energy_frac": bands,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)

@@ -835,6 +835,72 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_spectral_features",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS BIGINT)
+             AS sample_rate,
+           CAST(512 AS BIGINT) AS n_fft,
+           CAST(5 + doc_id % 20 AS BIGINT) AS dominant_bin,
+           round((5 + doc_id % 20)
+                 * (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END)
+                 / 512.0, 6) AS dominant_freq_hz,
+           CAST(1.0 AS DOUBLE) AS peak_share
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis end-to-end (r6): per doc a bin-aligned
+    sine tone (bin = 5 + doc_id % 20 of a 512-point window, amplitude
+    8000 + (doc_id % 4) * 1000) is WAV-encoded, decoded by the real
+    codec, and FFT-analyzed by multimodal.audio_spectral. Bin
+    alignment puts ALL tone energy in one bin, so dominant bin/freq
+    are exact arithmetic and peak_share rounds to exactly 1.0 (int16
+    quantization noise is ~90 dB down — 1e-9 of total power, invisible
+    at 6 decimals); a wrong byte anywhere in the WAV codec or a
+    leaky/mis-indexed FFT readout breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 16000 if d % 2 == 0 else 8000
+                k = 5 + d % 20
+                amp = 8000 + (d % 4) * 1000
+                t = np.arange(512)
+                samples = np.rint(
+                    amp * np.sin(2 * np.pi * k * t / 512)
+                ).astype(np.int16)
+                payloads.append(codecs.encode_wav(samples, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return (
+        multimodal.audio_spectral(payload, n_fft=512)
+        .select(
+            "doc_id", "sample_rate", "n_fft", "dominant_bin",
+            "dominant_freq_hz", "peak_share",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "video_frame_sample",
     """
     SELECT d.doc_id,

@@ -175,3 +175,88 @@ def test_image_dhash_invariances(spark):
     assert got[4] != got[1]
     assert got[5] is None
     assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+
+
+class TestAudioSpectral:
+    def _wav(self, samples, rate=16000):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        return codecs.encode_wav(
+            np.asarray(samples, dtype=np.int16), sample_rate=rate
+        )
+
+    def test_pure_tone_exact(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        t = np.arange(512)
+        tone = np.rint(9000 * np.sin(2 * np.pi * 11 * t / 512))
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(tone)))], "doc_id long, payload binary"
+        )
+        [r] = multimodal.audio_spectral(df, n_fft=512).collect()
+        assert r["dominant_bin"] == 11
+        assert r["dominant_freq_hz"] == round(11 * 16000 / 512, 6)
+        assert r["peak_share"] == 1.0
+        # bin 11 of 256 non-DC bins -> entirely inside band 0 of 4
+        assert r["band_energy_frac"][0] == 1.0
+        assert r["band_energy_frac"][1:] == [0.0, 0.0, 0.0]
+
+    def test_two_tones_band_split(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        t = np.arange(512)
+        # equal-amplitude tones in band 0 (bin 10) and band 3 (bin 220)
+        x = 6000 * np.sin(2 * np.pi * 10 * t / 512) + 6000 * np.sin(
+            2 * np.pi * 220 * t / 512
+        )
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(np.rint(x))))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_spectral(df, n_fft=512, n_bands=4).collect()
+        b = r["band_energy_frac"]
+        assert abs(b[0] - 0.5) < 1e-4 and abs(b[3] - 0.5) < 1e-4
+        assert r["dominant_bin"] in (10, 220)
+        assert abs(r["peak_share"] - 0.5) < 1e-4
+
+    def test_stereo_mono_mix_and_short_clip_pad(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        t = np.arange(256)  # shorter than n_fft=512 -> zero-padded
+        tone = np.rint(7000 * np.sin(2 * np.pi * 16 * t / 256))
+        stereo = np.stack([tone, tone], axis=1)
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(stereo, rate=8000)))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_spectral(df, n_fft=512).collect()
+        # 16 cycles over 256 samples = 32 cycles over 512 -> bin 32
+        assert r["dominant_bin"] == 32
+        assert r["sample_rate"] == 8000
+
+    def test_non_wav_quarantines(self, spark):
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"not audio at all"))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_spectral(df).collect()
+        assert r["dominant_bin"] is None and r["peak_share"] is None
+
+    def test_bad_n_fft_rejected(self, spark):
+        import pytest as _pytest
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame([], "doc_id long, payload binary")
+        with _pytest.raises(ValueError, match="power of two"):
+            multimodal.audio_spectral(df, n_fft=500)
