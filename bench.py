@@ -303,6 +303,11 @@ def bench_media() -> dict:
     cases = {
         "jpeg_gray_128": (jpeg.decode_jpeg, jpeg.encode_jpeg(gray, q=4), 1),
         "jpeg_rgb_128": (jpeg.decode_jpeg, jpeg.encode_jpeg(rgb, q=4), 1),
+        "jpeg_prog_rgb_128": (
+            jpeg.decode_jpeg,
+            jpeg.encode_jpeg_progressive(rgb, q=4),
+            1,
+        ),
         "mjpeg_avi_24f": (
             lambda b: [jpeg.decode_jpeg(f) for f in avi.parse_avi(b)["frames"]],
             avi.build_mjpeg_avi(mjpeg_frames, 128, 128),

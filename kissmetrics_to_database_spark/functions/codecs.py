@@ -15,8 +15,9 @@ decodable from public specs with nothing beyond the stdlib and numpy:
 
 These make the engine's decode path REAL (pixels/samples out, verified
 round-trip in tests), not a deterministic fake. When PIL is installed
-it is used as a fallback for formats outside this set (progressive
-JPEG/WebP/...); see :func:`sniff_format` / :func:`decode_image`.
+it is used as a fallback for formats outside this set (WebP/...;
+progressive JPEG decodes natively since r6); see
+:func:`sniff_format` / :func:`decode_image`.
 
 Everything here runs inside Arrow-batched ``mapInPandas`` kernels —
 per-payload numpy work, no Spark-side state.

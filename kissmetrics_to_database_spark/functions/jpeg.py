@@ -4,13 +4,17 @@
 Completes the "real codecs" story (VERDICT r3 item 4): the decoder
 handles the general baseline case — arbitrary DQT/DHT tables, SOF0
 sampling factors (4:4:4 / 4:2:2 / 4:2:0 and grayscale), restart
-intervals, byte stuffing — so real-world baseline JPEGs decode, not
-just this module's own output.  Progressive (SOF2), arithmetic coding
-and 12-bit precision raise ``ValueError`` (quarantine semantics
-upstream, `operators/multimodal.real_decode_kernel`).
+intervals, byte stuffing — AND progressive JPEG (SOF2, T.81 Annex G:
+spectral selection + successive approximation with Huffman coding,
+r6) — so real-world web JPEGs decode, not just this module's own
+output.  Arithmetic coding, hierarchical (SOF3+) and 12-bit
+precision raise ``ValueError`` (quarantine semantics upstream,
+`operators/multimodal.real_decode_kernel`).
 
-The encoder exists primarily so the decoder is testable in a
-container with no image library: it emits spec-valid baseline JFIF
+The encoders exist primarily so the decoder is testable in a
+container with no image library: they emit spec-valid baseline JFIF
+(and, `encode_jpeg_progressive`, a six-scan progressive stream
+covering every Annex-G decode path)
 (flat quantization tables; canonical Huffman tables with all DC
 symbols at 4 bits and all 162 AC symbols at 8 bits — valid by
 construction, no Annex-K table transcription to get wrong) with
@@ -106,12 +110,14 @@ def _build_lut(counts: bytes, symbols: bytes) -> array.array:
     return array.array("H", packed.tobytes())
 
 
-def _destuff_segments(payload: bytes, pos: int) -> list[bytes]:
+def _destuff_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded region into de-stuffed per-restart
     segments (T.81 §B.1.1.5): 0xFF00 → literal 0xFF, RSTn closes a
     segment (markers must cycle D0..D7 in order), EOI or any other
     marker ends the region. One numpy pass finds the 0xFF positions;
-    Python touches only those."""
+    Python touches only those. Returns (segments, end) where ``end``
+    is the byte offset of the terminating marker's 0xFF (so a
+    progressive decoder can resume header parsing after the scan)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     ff = np.nonzero(arr[pos:] == 0xFF)[0]
     segments: list[bytes] = []
@@ -138,10 +144,10 @@ def _destuff_segments(payload: bytes, pos: int) -> list[bytes]:
         else:  # EOI or next header marker: entropy region ends
             parts.append(payload[cur:p])
             segments.append(b"".join(parts))
-            return segments
+            return segments, p
     parts.append(payload[cur:])  # truncated stream: no closing marker
     segments.append(b"".join(parts))
-    return segments
+    return segments, len(payload)
 
 
 def _segment_windows(seg: bytes) -> tuple[array.array, int]:
@@ -162,8 +168,10 @@ def _segment_windows(seg: bytes) -> tuple[array.array, int]:
 
 @quarantineable
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline-sequential JFIF → (h, w, channels) uint8
-    (channels = 1 grayscale, 3 RGB after YCbCr conversion)."""
+    """Decode baseline-sequential (SOF0) or progressive (SOF2, T.81
+    Annex G: spectral selection + successive approximation) JFIF →
+    (h, w, channels) uint8 (channels = 1 grayscale, 3 RGB after YCbCr
+    conversion)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -171,6 +179,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_state: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -191,7 +201,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     seg, np.uint8, count=64, offset=off
                 ).astype(np.float64)
                 off += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, n_comp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -202,10 +212,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG type (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -220,22 +231,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             n_scan = seg[0]
-            scan_tabs = {}
-            for i in range(n_scan):
-                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                payload,
-                pos + seg_len,
-                frame,
-                scan_tabs,
-                qtables,
-                htables,
-                restart_interval,
+            if not progressive:
+                scan_tabs = {}
+                for i in range(n_scan):
+                    cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    payload,
+                    pos + seg_len,
+                    frame,
+                    scan_tabs,
+                    qtables,
+                    htables,
+                    restart_interval,
+                )
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(n_scan)
+            ]
+            ss, se = seg[1 + 2 * n_scan], seg[2 + 2 * n_scan]
+            ahal = seg[3 + 2 * n_scan]
+            if coef_state is None:
+                coef_state = _init_coef_state(frame)
+            pos = _decode_progressive_scan(
+                payload, pos + seg_len, frame, scan_comps,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                htables, restart_interval, coef_state,
             )
+            continue
         pos += seg_len
+    if progressive and coef_state is not None:
+        return _reconstruct_progressive(frame, coef_state, qtables)
     raise ValueError("no SOS segment found")
 
 
@@ -274,7 +302,7 @@ def _decode_scan(
         )
         for c in comps
     }
-    segments = _destuff_segments(payload, pos)
+    segments, _ = _destuff_segments(payload, pos)
     per_seg = restart_interval if restart_interval else n_mcus
     if len(segments) < -(-n_mcus // per_seg):
         raise ValueError("entropy data ends before the last MCU")
@@ -376,9 +404,16 @@ def _decode_scan(
             plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
 
     # upsample each component to full MCU resolution, crop, shift
+    return _finish_image(
+        [planes[c["id"]] for c in comps], comps, h, w, hmax, vmax
+    )
+
+
+def _finish_image(plane_list, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, level-shift
+    and color-convert — shared by the baseline and progressive paths."""
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    for c, p in zip(comps, plane_list):
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w] + 128.0)
     if len(full) == 1:
@@ -395,6 +430,248 @@ def _decode_scan(
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _frame_geometry(frame: dict):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_blocks(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2):
+    ceil(comp samples / 8) per axis — can be SMALLER than the padded
+    MCU grid, and a non-interleaved scan visits only these blocks."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _init_coef_state(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component (grid_y, grid_x, 64) coefficient accumulators in
+    zigzag order, sized to the padded MCU grid (interleaved DC scans
+    visit every padded block; non-interleaved scans a subset)."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+        )
+        for c in frame["comps"]
+    }
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+    state: dict[int, np.ndarray],
+) -> int:
+    """One progressive scan (T.81 Annex G, Huffman): DC first/refine
+    (interleaved or single-component) and AC first/refine
+    (single-component, spectral band [Ss, Se], point transform Al).
+    Mutates the coefficient ``state``; returns the byte offset of the
+    marker terminating the entropy region.
+
+    The control flow mirrors the public successive-approximation
+    decode procedure (T.81 G.1.2 / the libjpeg jdphuff structure):
+    EOB runs span blocks, refinement reads correction bits for
+    already-nonzero coefficients along every path, and two's-
+    complement OR appends DC refinement bits.
+    """
+    comps = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    interleaved = len(scan_comps) > 1
+    if ss > 0:
+        if interleaved:
+            raise ValueError("AC progressive scan must be single-component")
+        if se < ss or se > 63:
+            raise ValueError("bad spectral band")
+    elif se != 0:
+        raise ValueError("DC scan must have Se=0")
+
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        cid0 = scan_comps[0][0]
+        nby, nbx = _comp_blocks(frame, comps[cid0])
+        units = nby * nbx
+
+    segments, end = _destuff_segments(payload, pos)
+    per_seg = restart_interval if restart_interval else units
+    if len(segments) < -(-units // per_seg):
+        raise ValueError("entropy data ends before the last block")
+
+    p1 = 1 << al
+    m1 = -p1
+    for seg_idx, seg in enumerate(segments):
+        win, n_bits = _segment_windows(seg)
+        bp = 0
+        dc_pred = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+
+        def get_bits(n: int) -> int:
+            nonlocal bp
+            if n == 0:
+                return 0
+            v = win[bp] >> (16 - n)
+            bp += n
+            return v
+
+        def huff(lut) -> int:
+            nonlocal bp
+            packed = lut[win[bp]]
+            if packed == 0:
+                raise ValueError("invalid Huffman code")
+            bp += packed >> 8
+            return packed & 0xFF
+
+        def extend(mag: int, size: int) -> int:
+            if size and mag < (1 << (size - 1)):
+                mag += 1 - (1 << size)
+            return mag
+
+        def dc_first(cid: int, blk, lut) -> None:
+            size = huff(lut)
+            dc_pred[cid] += extend(get_bits(size), size)
+            blk[0] = dc_pred[cid] << al
+
+        def dc_refine(blk) -> None:
+            if get_bits(1):
+                blk[0] |= p1
+
+        def ac_first(blk, lut) -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = huff(lut)
+                r, size = rs >> 4, rs & 0x0F
+                if size:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = extend(get_bits(size), size) << al
+                    k += 1
+                elif r == 15:
+                    k += 16
+                else:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += get_bits(r)
+                    break
+
+        def ac_refine(blk, lut) -> None:
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = huff(lut)
+                    r, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError("bad refinement magnitude")
+                        newval = p1 if get_bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += get_bits(r)
+                        break
+                    # walk the band: correction bits for nonzero
+                    # history, count down r zero-history positions
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if get_bits(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if size:
+                        if k > se:
+                            raise ValueError("refinement ran past band")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if get_bits(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        u0 = seg_idx * per_seg
+        for u in range(u0, min(u0 + per_seg, units)):
+            if bp > n_bits:
+                raise ValueError("truncated entropy segment")
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                for cid, tdc, _tac in scan_comps:
+                    c = comps[cid]
+                    grid = state[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = grid[my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                dc_first(cid, blk, htables[(0, tdc)])
+                            else:
+                                dc_refine(blk)
+            else:
+                cid, tdc, tac = scan_comps[0]
+                by, bx = divmod(u, nbx)
+                blk = state[cid][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(cid, blk, htables[(0, tdc)])
+                    else:
+                        dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, htables[(1, tac)])
+                else:
+                    ac_refine(blk, htables[(1, tac)])
+        if bp > n_bits:
+            raise ValueError("truncated entropy segment")
+    return end
+
+
+def _reconstruct_progressive(
+    frame: dict, state: dict[int, np.ndarray], qtables: dict
+) -> np.ndarray:
+    """Final reconstruction after all scans: whole-component
+    dequantize + dezigzag + batched IDCT, tiles assembled by one
+    reshape/transpose (no per-block Python)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for c in comps:
+        grid = state[c["id"]]
+        gy, gx = grid.shape[:2]
+        qt = qtables[c["tq"]]
+        coeffs = np.zeros((gy * gx, 64), dtype=np.float64)
+        coeffs[:, ZIGZAG] = grid.reshape(-1, 64) * qt
+        spatial = _T.T @ coeffs.reshape(-1, 8, 8) @ _T
+        planes.append(
+            spatial.reshape(gy, gx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gy * 8, gx * 8)
+        )
+    return _finish_image(planes, comps, h, w, hmax, vmax)
+
+
 # ---------------------------------------------------------------------------
 # Encoder (spec-valid baseline; flat tables by construction)
 # ---------------------------------------------------------------------------
@@ -402,12 +679,16 @@ def _decode_scan(
 # DC: 12 symbols (sizes 0-11), all 4-bit codes → canonical code == symbol.
 _DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_SYMBOLS = list(range(12))
-# AC: EOB, ZRL and every (run 0-15, size 1-10) pair, all 8-bit codes.
+# AC: EOB, ZRL, every (run 0-15, size 1-10) pair, plus the EOBn
+# symbols (r<<4, r=1..14) progressive scans use for end-of-band runs
+# up to 32767 — all 8-bit codes.
 _AC_SYMBOLS = sorted(
-    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(1, 15)}
 )
 _AC_COUNTS = [0] * 16
-_AC_COUNTS[7] = len(_AC_SYMBOLS)  # all at length 8 (162 < 256, Kraft-safe)
+_AC_COUNTS[7] = len(_AC_SYMBOLS)  # all at length 8 (176 < 256, Kraft-safe)
 _DC_ENC = {s: (i, 4) for i, s in enumerate(_DC_SYMBOLS)}
 _AC_ENC = {s: (i, 8) for i, s in enumerate(_AC_SYMBOLS)}
 
@@ -482,30 +763,19 @@ def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    q: int = 4,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (h, w[, 1|3]) uint8 → baseline JFIF bytes.
-
-    ``q`` is the flat quantization step applied to every coefficient
-    (small = near-lossless). ``subsampling``: "444" or "420" (RGB
-    only). ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs.
-    """
+def _prepare_planes(arr: np.ndarray, subsampling: str):
+    """Shared encoder front: color transform, chroma subsampling and
+    MCU-grid edge padding. Returns (h, w, samp, padded_planes)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, channels = arr.shape
     if channels not in (1, 3):
-        raise ValueError("encode_jpeg takes 1- or 3-channel input")
+        raise ValueError("the encoder takes 1- or 3-channel input")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    gray = channels == 1
 
-    if gray:
+    if channels == 1:
         planes = [arr[:, :, 0].astype(np.float64)]
         samp = [(1, 1)]
     else:
@@ -524,10 +794,8 @@ def encode_jpeg(
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
 
-    qt = np.full(64, float(q))
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    # pad each plane so the MCU grid divides it exactly
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     padded = []
@@ -542,6 +810,28 @@ def encode_jpeg(
                 mode="edge",
             )
         )
+    return h, w, samp, padded
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    q: int = 4,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w[, 1|3]) uint8 → baseline JFIF bytes.
+
+    ``q`` is the flat quantization step applied to every coefficient
+    (small = near-lossless). ``subsampling``: "444" or "420" (RGB
+    only). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs.
+    """
+    h, w, samp, padded = _prepare_planes(arr, subsampling)
+    qt = np.full(64, float(q))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -550,7 +840,7 @@ def encode_jpeg(
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
         int(v) for v in qt
     )  # DQT id 0
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", 8, h, w, len(padded))
     for i, (sh, sv) in enumerate(samp):
         sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
@@ -562,14 +852,14 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body  # DHT
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    sos = bytes([len(planes)])
-    for i in range(len(planes)):
+    sos = bytes([len(padded)])
+    for i in range(len(padded)):
         sos += struct.pack(">BB", i + 1, 0x00)  # DC table 0, AC table 0
     sos += b"\x00\x3f\x00"  # spectral selection (full, baseline)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
 
     writer = _BitWriter()
-    dc_pred = [0] * len(planes)
+    dc_pred = [0] * len(padded)
     n_rst = 0
     for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
@@ -578,7 +868,7 @@ def encode_jpeg(
             writer = _BitWriter()
             out += bytes([0xFF, 0xD0 + (n_rst & 7)])
             n_rst += 1
-            dc_pred = [0] * len(planes)
+            dc_pred = [0] * len(padded)
         my, mx = divmod(m, mcus_x)
         for i, ((sh, sv), p) in enumerate(zip(samp, padded)):
             for by in range(sv):
@@ -591,4 +881,237 @@ def encode_jpeg(
     writer.pad()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_grids(padded, samp, qt):
+    """All quantized coefficient blocks up front, per component:
+    (grid_y, grid_x, 64) int32 in zigzag order — batched FDCT, the
+    encoder-side mirror of the decoder's coefficient state."""
+    grids = []
+    for p in padded:
+        gy, gx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (
+            p.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+            - 128.0
+        )
+        coeffs = _T @ blocks @ _T.T
+        zz = np.rint(coeffs.reshape(gy, gx, 64)[..., ZIGZAG] / qt[ZIGZAG])
+        grids.append(zz.astype(np.int32))
+    return grids
+
+
+def _emit_eobn(writer: _BitWriter, eobrun: int) -> None:
+    """EOBn symbol: n = floor(log2(eobrun)), extra bits = remainder."""
+    nbits = eobrun.bit_length() - 1
+    writer.write(*_AC_ENC[nbits << 4])
+    if nbits:
+        writer.write(eobrun - (1 << nbits), nbits)
+
+
+def _encode_ac_first_scan(writer, blocks, ss, se, al):
+    """AC first scan (Ah=0): magnitudes point-transformed toward zero
+    (|v| >> Al, sign restored), run-length + EOBn coding spanning
+    blocks (T.81 G.1.2.2)."""
+    eobrun = 0
+    for blk in blocks:
+        band = blk[ss : se + 1]
+        mags = np.abs(band) >> al
+        nz = np.nonzero(mags)[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobn(writer, eobrun)
+                eobrun = 0
+            continue
+        if eobrun:
+            _emit_eobn(writer, eobrun)
+            eobrun = 0
+        run = 0
+        for idx in range(nz[-1] + 1):
+            m = int(mags[idx])
+            if m == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.write(*_AC_ENC[0xF0])
+                run -= 16
+            v = m if band[idx] > 0 else -m
+            _encode_value(writer, v, _AC_ENC, run)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    if eobrun:
+        _emit_eobn(writer, eobrun)
+
+
+def _encode_ac_refine_scan(writer, blocks, ss, se, al):
+    """AC refinement scan (Ah=Al+1): correction bits for history-
+    nonzero coefficients, ±1 for newly nonzero ones, EOB runs
+    carrying the skipped blocks' correction bits (T.81 G.1.2.3 —
+    the published successive-approximation procedure; bit ordering
+    matches the decoder's walk exactly)."""
+    eobrun = 0
+    pend_bits: list[int] = []
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            _emit_eobn(writer, eobrun)
+            for b in pend_bits:
+                writer.write(b, 1)
+            pend_bits.clear()
+            eobrun = 0
+
+    for blk in blocks:
+        band = blk[ss : se + 1]
+        mags = np.abs(band) >> al
+        newnz = np.nonzero(mags == 1)[0]
+        eob = newnz[-1] if newnz.size else -1
+        run = 0
+        cur_bits: list[int] = []
+        for idx in range(band.size):
+            m = int(mags[idx])
+            if m == 0:
+                run += 1
+                continue
+            while run > 15 and idx <= eob:
+                flush_eobrun()
+                writer.write(*_AC_ENC[0xF0])
+                run -= 16
+                for b in cur_bits:
+                    writer.write(b, 1)
+                cur_bits = []
+            if m > 1:
+                cur_bits.append(m & 1)
+                continue
+            flush_eobrun()
+            writer.write(*_AC_ENC[(run << 4) | 1])
+            writer.write(1 if band[idx] > 0 else 0, 1)
+            for b in cur_bits:
+                writer.write(b, 1)
+            cur_bits = []
+            run = 0
+        if run > 0 or cur_bits:
+            eobrun += 1
+            pend_bits.extend(cur_bits)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, q: int = 4, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w[, 1|3]) uint8 → PROGRESSIVE JFIF (SOF2).
+
+    Fixed six-scan script exercising every Annex-G decode path:
+      1. DC first, all components interleaved, Al=1
+      2-3. AC first per component, bands [1,5] and [6,63], Al=1
+      4. DC refinement (raw bits), Al=0
+      5-6. AC refinement per component, same bands, Ah=1 → Al=0
+    Lossless with respect to the quantized coefficients — decoding
+    this stream must produce bit-identical pixels to decoding the
+    baseline encoding at the same ``q`` (asserted in tests).
+
+    Exists so the progressive decoder is testable in a container with
+    no image library (the same reason the baseline encoder exists);
+    web-corpus progressive JPEGs hit the decoder, not this.
+    """
+    h, w, samp, padded = _prepare_planes(arr, subsampling)
+    qt = np.full(64, float(q))
+    hmax = max(s_[0] for s_ in samp)
+    vmax = max(s_[1] for s_ in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = _quantized_grids(padded, samp, qt)
+    n_comp = len(padded)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes(
+        int(v) for v in qt
+    )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for i, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, counts, syms in (
+        (0, _DC_COUNTS, _DC_SYMBOLS),
+        (1, _AC_COUNTS, _AC_SYMBOLS),
+    ):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += struct.pack(">BB", cid, 0x00)
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def comp_block_iter(i):
+        """Non-interleaved block order (the decoder's _comp_blocks)."""
+        sh, sv = samp[i]
+        nby = -(-(-(-h * sv // vmax)) // 8)
+        nbx = -(-(-(-w * sh // hmax)) // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                yield grids[i][by, bx]
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos_header(list(range(1, n_comp + 1)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    dc_pred = [0] * n_comp
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for i, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    v = int(grids[i][my * sv + by, mx * sh + bx, 0]) >> 1
+                    _encode_value(writer, v - dc_pred[i], _DC_ENC)
+                    dc_pred[i] = v
+    writer.pad()
+    out += writer.out
+
+    # scans 2-3: AC first per component, two spectral bands, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for i in range(n_comp):
+            out += sos_header([i + 1], ss, se, 0, 1)
+            writer = _BitWriter()
+            _encode_ac_first_scan(writer, comp_block_iter(i), ss, se, 1)
+            writer.pad()
+            out += writer.out
+
+    # scan 4: DC refinement — one raw bit per block, interleaved
+    out += sos_header(list(range(1, n_comp + 1)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for i, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    writer.write(
+                        int(grids[i][my * sv + by, mx * sh + bx, 0]) & 1, 1
+                    )
+    writer.pad()
+    out += writer.out
+
+    # scans 5-6: AC refinement per component, Ah=1 → Al=0
+    for ss, se in ((1, 5), (6, 63)):
+        for i in range(n_comp):
+            out += sos_header([i + 1], ss, se, 1, 0)
+            writer = _BitWriter()
+            _encode_ac_refine_scan(writer, comp_block_iter(i), ss, se, 0)
+            writer.pad()
+            out += writer.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -161,12 +161,18 @@ def test_sniff_and_unified_decode_dispatch():
     assert codecs.decode_image(payload).shape == (8, 8, 3)
 
 
-def test_progressive_and_truncated_raise():
+def test_invalid_streams_raise():
+    # r6: SOF2 is now SUPPORTED — but a baseline stream merely
+    # relabelled as progressive has an invalid progressive scan
+    # header (a full-band Ss=0..Se=63 scan is illegal in Annex G)
     img = _gradient(8, 8, 1)
     payload = bytearray(jpeg.encode_jpeg(img, q=2))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
+        jpeg.decode_jpeg(bytes(payload))
+    payload[sof + 1] = 0xC9  # SOF9: arithmetic coding — unsupported
+    with pytest.raises(ValueError, match="unsupported JPEG type"):
         jpeg.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0junk")
@@ -185,3 +191,84 @@ def test_decode_media_quarantines_and_decodes_jpeg(spark):
     assert out[1].format == "jpg"
     assert (out[1].width, out[1].height, out[1].channels) == (16, 16, 3)
     assert out[2].format == "unknown" and out[2].width is None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — r6
+# ---------------------------------------------------------------------------
+
+
+class TestProgressive:
+    def _rt(self, img, q=4, sub="444"):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q=q, subsampling=sub))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, q=q, subsampling=sub)
+        )
+        return base, prog
+
+    def test_bit_identical_to_baseline_gray(self):
+        base, prog = self._rt(_gradient(37, 29, 1))
+        assert np.array_equal(base, prog)
+
+    def test_bit_identical_to_baseline_rgb_444_and_420(self):
+        rng = np.random.default_rng(3)
+        img = np.clip(rng.normal(128, 50, (45, 37, 3)), 0, 255).astype(
+            np.uint8
+        )
+        for sub in ("444", "420"):
+            base, prog = self._rt(img, q=4, sub=sub)
+            assert np.array_equal(base, prog), sub
+
+    def test_sparse_blocks_exercise_eob_runs(self):
+        # flat background + isolated dots: most blocks have empty AC
+        # bands, so the encoder emits multi-block EOBn runs and the
+        # decoder's eobrun>0 paths (first AND refinement) must walk
+        # correction bits through the skipped blocks
+        img = np.full((64, 96), 128, np.uint8)
+        img[5, 7] = 255
+        img[40, 80] = 0
+        base, prog = self._rt(img[:, :, None], q=8)
+        assert np.array_equal(base, prog)
+
+    def test_flat_image_giant_eobrun(self):
+        base, prog = self._rt(np.full((48, 48, 3), 77, np.uint8))
+        assert np.array_equal(base, prog)
+
+    def test_checkerboard_exercises_zrl_in_band(self):
+        # isolated high-frequency energy → zero runs > 15 inside the
+        # wide [6, 63] band → ZRL symbols in first and refine scans
+        hf = np.zeros((16, 16), np.uint8)
+        hf[::2, ::2] = 255
+        base, prog = self._rt(hf[:, :, None], q=2)
+        assert np.array_equal(base, prog)
+
+    def test_coarse_quant_420(self):
+        rng = np.random.default_rng(4)
+        img = np.clip(rng.normal(128, 60, (40, 56, 3)), 0, 255).astype(
+            np.uint8
+        )
+        base, prog = self._rt(img, q=16, sub="420")
+        assert np.array_equal(base, prog)
+
+    def test_tiny_image(self):
+        rng = np.random.default_rng(5)
+        img = np.clip(rng.normal(128, 60, (3, 5, 3)), 0, 255).astype(np.uint8)
+        base, prog = self._rt(img)
+        assert np.array_equal(base, prog)
+
+    def test_truncated_progressive_raises(self):
+        rng = np.random.default_rng(6)
+        img = np.clip(rng.normal(128, 60, (24, 24, 3)), 0, 255).astype(
+            np.uint8
+        )
+        full = jpeg.encode_jpeg_progressive(img, q=4)
+        for cut in (len(full) // 2, len(full) - 30):
+            with pytest.raises(ValueError):
+                jpeg.decode_jpeg(full[:cut])
+
+    def test_decode_image_dispatches_progressive(self):
+        img = _gradient(16, 16, 3)
+        payload = jpeg.encode_jpeg_progressive(img, q=2)
+        assert codecs.sniff_format(payload) == "jpg"
+        out = codecs.decode_image(payload)
+        assert out.shape == (16, 16, 3)
