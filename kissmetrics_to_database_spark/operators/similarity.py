@@ -883,6 +883,57 @@ def hard_negative_mining(
     )
 
 
+
+def _pq_code_columns(
+    df: DataFrame,
+    vec_col: str,
+    all_cents: list[DataFrame],
+    sub: int,
+    ndigits: int,
+) -> DataFrame:
+    """Append ``code_j`` / ``_d{j}`` columns for every subspace in ONE
+    map-only pass: each k-row codebook collapses to a single broadcast
+    row holding its cluster-sorted centroid array, and the per-vector
+    argmin folds in-expression (the :func:`kmeans_assign` shape,
+    generalized to m subspaces).
+
+    This replaces the r5 shape — m per-subspace ``kmeans_assign``
+    passes re-JOINED on the id — which at toy SF compiled to broadcast
+    joins but at 100 TB would be m full-corpus hash shuffles and m+1
+    corpus scans. Here the corpus is scanned ONCE and never exchanged;
+    ties and rounding are identical (round before argmin, smaller
+    cluster id wins via struct ordering on the cluster-ascending
+    array), so results are bit-equal to the join formulation.
+    """
+    out = df
+    for j, cents in enumerate(all_cents):
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cluster").alias("k"), F.col("_c").alias("c"))
+                )
+            ).alias(f"_cs{j}")
+        )
+        out = out.crossJoin(F.broadcast(packed))
+    m = len(all_cents)
+
+    def scorer(sv):
+        # single-arg lambda factory: a default-arg closure would make
+        # transform() treat the extra parameter as the element INDEX
+        return lambda cc: F.struct(
+            F.round(_l2_dist(sv, cc["c"]), ndigits).alias("d"),
+            cc["k"].alias("k"),
+        )
+
+    for j in range(m):
+        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        best = F.array_min(F.transform(F.col(f"_cs{j}"), scorer(sv)))
+        out = out.withColumn(f"code_{j}", best["k"]).withColumn(
+            f"_d{j}", best["d"]
+        )
+    return out.drop(*[f"_cs{j}" for j in range(m)])
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 4,
@@ -906,19 +957,17 @@ def pq_encode(
     quantization error sqrt(Σ d_j²) over the subspace distances —
     the reconstruction-quality number that decides m/k sizing.
 
-    Scale shape: m sequential codebook trainings, each over a SLICED
-    projection (subvectors never materialize as new tables — the
-    slice fuses into the scan); assignment passes are broadcast
-    map-only; the final result is an m-way equi-join of skinny
-    (id, code, dist) tables on the id. Nothing ever shuffles the full
-    vectors.
+    Scale shape (r6): m concurrent codebook trainings, each over a
+    SLICED projection (subvectors never materialize as new tables —
+    the slice fuses into the scan); encoding is then ONE map-only
+    corpus pass — every codebook collapses to a single broadcast row
+    and all m argmins fold in-expression (``_pq_code_columns``), so
+    the corpus is scanned once and NEVER shuffled or re-joined.
     """
     dim = _probe_dim(emb, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    out = emb.select(id_col)
-    dcols = []
     # train-once / serve-many: pass pre-trained ``codebooks`` (from
     # :func:`pq_train_codebooks`) to skip training — the production
     # split, and what bench.py times separately (VERDICT r5 item 4)
@@ -931,26 +980,10 @@ def pq_encode(
             emb, vec_col, m, sub, k, iters, id_col, ndigits
         )
     )
-    for j in range(m):
-        s = emb.select(
-            id_col,
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv"),
-        )
-        cents = all_cents[j]
-        assigned = kmeans_assign(
-            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
-        )
-        out = out.join(
-            assigned.select(
-                id_col,
-                F.col("cluster").alias(f"code_{j}"),
-                F.col("dist").alias(f"_d{j}"),
-            ),
-            id_col,
-        )
-        dcols.append(f"_d{j}")
+    out = _pq_code_columns(emb, vec_col, all_cents, sub, ndigits)
     q_err = F.round(
-        F.sqrt(sum(F.col(c) * F.col(c) for c in dcols)), ndigits
+        F.sqrt(sum(F.col(f"_d{j}") * F.col(f"_d{j}") for j in range(m))),
+        ndigits,
     )
     return out.select(
         id_col, *[f"code_{j}" for j in range(m)], q_err.alias("q_err")
@@ -992,8 +1025,6 @@ def pq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    codes = corpus.select(id_col)
-    dtabs = []
     if codebooks is not None and len(codebooks) != m:
         raise ValueError(f"expected {m} codebooks, got {len(codebooks)}")
     all_cents = (
@@ -1003,18 +1034,12 @@ def pq_topk(
             corpus, vec_col, m, sub, k_codes, iters, id_col, ndigits
         )
     )
+    codes = _pq_code_columns(
+        corpus, vec_col, all_cents, sub, ndigits
+    ).select(id_col, *[f"code_{j}" for j in range(m)])
+    dtabs = []
     for j in range(m):
-        s = corpus.select(
-            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
-        )
         cents = all_cents[j]
-        assigned = kmeans_assign(
-            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
-        )
-        codes = codes.join(
-            assigned.select(id_col, F.col("cluster").alias(f"code_{j}")),
-            id_col,
-        )
         dtabs.append(
             probes.select(
                 F.col(id_col).alias("probe_id"),
@@ -1108,7 +1133,6 @@ def ivfpq_topk(
     # cosine argmax) through this lineage — m x iters x 2 times
     resid = _ivf_residuals(corpus, c, id_col, vec_col).persist()
 
-    codes = resid.select(id_col, "cell")
     if codebooks is not None and len(codebooks) != m:
         raise ValueError(f"expected {m} codebooks, got {len(codebooks)}")
     cents_by_sub = (
@@ -1118,18 +1142,12 @@ def ivfpq_topk(
             resid, "rv", m, sub, k_codes, iters, id_col, ndigits
         )
     )
-    for j in range(m):
-        s = resid.select(
-            id_col, F.slice(F.col("rv"), j * sub + 1, sub).alias("_sv")
-        )
-        cents = cents_by_sub[j]
-        assigned_j = kmeans_assign(
-            s, cents, id_col=id_col, vec_col="_sv", ndigits=ndigits
-        )
-        codes = codes.join(
-            assigned_j.select(id_col, F.col("cluster").alias(f"code_{j}")),
-            id_col,
-        )
+    # ONE map-only encoding pass over the residuals (packed broadcast
+    # codebooks) — the residual table is never re-scanned per subspace
+    # nor re-joined on the id (r6; see _pq_code_columns)
+    codes = _pq_code_columns(resid, "rv", cents_by_sub, sub, ndigits).select(
+        id_col, "cell", *[f"code_{j}" for j in range(m)]
+    )
 
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")

@@ -561,6 +561,14 @@ def main() -> int:
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
         )
 
+    def _pq_encode_serve_plan():
+        from kissmetrics_to_database_spark.operators import similarity
+        from kissmetrics_to_database_spark.session import load_table
+
+        emb = load_table(spark, args.sf, "embeddings")
+        cb = similarity.pq_train_codebooks(emb, m=4, k_codes=8, iters=2)
+        return similarity.pq_encode(emb, m=4, k=8, iters=2, codebooks=cb)
+
     operator_checks = {
         "op:dedup_by_fingerprint": (
             _dedup_fp_plan,
@@ -571,6 +579,13 @@ def main() -> int:
             _kmeans_update_plan,
             ["hashpartitioning(cluster"],
             ["hashpartitioning(vec_id", "SortMergeJoin", "CartesianProduct"],
+        ),
+        # PQ serve path: encoding must be ONE corpus scan with packed
+        # broadcast codebooks — no id re-join, no corpus exchange (r6)
+        "op:pq_encode_serve": (
+            _pq_encode_serve_plan,
+            ["BroadcastNestedLoopJoin"],
+            ["SortMergeJoin", "hashpartitioning(vec_id", "CartesianProduct"],
         ),
         "op:ivf_layout_prune": (
             _ivf_layout_plan,
