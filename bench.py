@@ -129,6 +129,7 @@ HEADLINE = [
     "exact_substring_spans",
     "exact_substring_rewrite",
     "audio_spectral_features",
+    "classifier_train_confusion",
 ]
 
 
@@ -205,6 +206,19 @@ def bench_trainers(spark, sf_dir: str) -> dict:
         "bpe_encode_corpus": (
             lambda: text.bpe_train_merges_local(docs, n_merges=256),
             lambda a: text.bpe_encode_corpus(docs, [(x[1], x[2]) for x in a]),
+        ),
+        "classifier_train_confusion": (
+            lambda: text.train_hashed_classifier(
+                docs.withColumn(
+                    "y",
+                    F.array_contains(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        "spark",
+                    ).cast("double"),
+                ),
+                "y", iters=3, lr=10.0,
+            ),
+            lambda a: text.hashed_classifier_score(docs, a),
         ),
     }
     out = {}

@@ -510,6 +510,28 @@ def perplexity_buckets(
     )
 
 
+def hashed_ngram_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket) rows: hashed uni+bigram features (the hashing
+    trick — md5 3-hex-prefix into 4096 buckets), MULTISET semantics.
+    Shared by classifier inference and training."""
+    from .dedup import positional_shingles, tokens
+
+    uni = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    bi = positional_shingles(df, id_col, text_col, n=2).select(
+        F.col(id_col), "token"
+    )
+    return uni.unionByName(bi).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
 def hashed_ngram_classifier(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -532,20 +554,7 @@ def hashed_ngram_classifier(
     per-doc aggregation); a fastText bucket table at the standard 2M
     buckets is ~16 MB — comfortably broadcast.
     """
-    from .dedup import positional_shingles, tokens
-
-    uni = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    )
-    bi = positional_shingles(df, id_col, text_col, n=2).select(
-        F.col(id_col), "token"
-    )
-    feats = uni.unionByName(bi).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
-        .cast("long")
-        .alias("bucket"),
-    )
+    feats = hashed_ngram_features(df, id_col, text_col)
     spark = df.sparkSession
     wt = spark.range(buckets).select(
         F.col("id").alias("bucket"),
@@ -1007,3 +1016,133 @@ def bpe_encode_corpus(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema=BPE_ENCODE_SCHEMA)
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    iters: int = 3,
+    lr: float = 1.0,
+    ndigits: int = 6,
+) -> list[float]:
+    """TRAIN the hashed n-gram classifier: full-batch gradient descent
+    for logistic regression over mean-pooled hashed uni+bigram
+    features — upgrading :func:`hashed_ngram_classifier`'s stand-in
+    weight table to a REAL learned artifact (the fastText linear
+    shape, distributed).
+
+    Model: ``p_d = sigmoid( Σ_{b∈feats(d)} cnt_{d,b}·w_b / n_d )``.
+    Gradient (logistic loss): ``∂L/∂w_b = Σ_d cnt_{d,b}·(p_d−y_d)/n_d``.
+
+    The classic distributed-GD split: DATA stays distributed (the
+    feature table materializes once, doc-keyed), the MODEL lives on
+    the driver (``buckets`` floats — KBs) and broadcasts into each
+    iteration's scoring join. Per iteration: one broadcast model join
+    + one doc-keyed aggregation (the score), one doc-keyed join back
+    (the residual) + one bucket-keyed aggregation (the gradient,
+    map-side combinable), and a ``buckets``-row collect. The corpus
+    shuffles on the SAME doc key every iteration, so the exchange is
+    reused; iteration count is a constant.
+
+    Determinism / oracle-exactness: scores, probabilities, gradients
+    and weights all round to ``ndigits`` at each step (the k-means
+    convention), so the unrolled-SQL oracle replays training
+    hash-exactly. Returns the final per-bucket weight list.
+    """
+    spark = df.sparkSession
+    feats = (
+        hashed_ngram_features(df, id_col, text_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    nfeat = feats.groupBy(id_col).agg(F.sum("cnt").alias("n_d"))
+    base = (
+        feats.join(nfeat, id_col)
+        .join(df.select(id_col, F.col(label_col).cast("double").alias("y")), id_col)
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    base.count()
+    try:
+        w = [0.0] * buckets
+        for _ in range(iters):
+            wt = spark.createDataFrame(
+                [(b, w[b]) for b in range(buckets)], "bucket long, wgt double"
+            )
+            scored = (
+                base.join(F.broadcast(wt), "bucket")
+                .groupBy(id_col, "n_d", "y")
+                .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("_s"))
+                .select(
+                    id_col,
+                    "y",
+                    "n_d",
+                    F.round(F.col("_s") / F.col("n_d"), ndigits).alias("score"),
+                )
+            )
+            resid = scored.select(
+                id_col,
+                (
+                    F.round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))),
+                        ndigits,
+                    )
+                    - F.col("y")
+                ).alias("_r"),
+            )
+            grad = (
+                base.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.col("cnt") * F.col("_r") / F.col("n_d")),
+                        ndigits,
+                    ).alias("g")
+                )
+            )
+            for row in grad.collect():
+                b = int(row["bucket"])
+                w[b] = round(w[b] - lr * row["g"], ndigits)
+    finally:
+        base.unpersist()
+    return w
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score documents with a TRAINED weight vector (the serve path
+    of :func:`train_hashed_classifier`): broadcast (bucket, wgt)
+    join, one per-doc aggregation, sigmoid. Returns
+    (id, n_features, score, prob, pred)."""
+    spark = df.sparkSession
+    wt = spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(weights)],
+        "bucket long, wgt double",
+    )
+    feats = hashed_ngram_features(df, id_col, text_col)
+    agg = (
+        feats.join(F.broadcast(wt), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.round(F.sum("wgt") / F.count("*"), ndigits).alias("score"),
+        )
+    )
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), ndigits
+    )
+    return agg.select(
+        id_col,
+        "n_features",
+        "score",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("pred"),
+    )

@@ -814,3 +814,32 @@ def test_train_serve_split_matches_end_to_end(spark):
     assert rows(sim.kmeans_lloyd(emb, k=8, iters=2, centroids=kc)) == rows(
         sim.kmeans_lloyd(emb, k=8, iters=2)
     )
+
+
+def test_train_hashed_classifier_separates_disjoint_vocab(spark):
+    # two disjoint vocabularies: full-batch GD must reach perfect
+    # separation in a few iterations (no shared buckets to fight over)
+    from kissmetrics_to_database_spark.operators import text as t
+
+    pos = [f"good great fine nice doc{i}" for i in range(8)]
+    neg = [f"bad awful poor sad doc{i}x" for i in range(8)]
+    rows = [(i, txt, 1.0) for i, txt in enumerate(pos)] + [
+        (100 + i, txt, 0.0) for i, txt in enumerate(neg)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w = t.train_hashed_classifier(df, "y", iters=4, lr=10.0)
+    scored = {r["doc_id"]: r for r in t.hashed_classifier_score(df, w).collect()}
+    for i, _ in enumerate(pos):
+        assert scored[i]["pred"] is True, scored[i]
+    for i, _ in enumerate(neg):
+        assert scored[100 + i]["pred"] is False, scored[100 + i]
+
+
+def test_train_hashed_classifier_zero_iters_rejected_and_weights_shape(spark):
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([(0, "a b", 1.0)], ["doc_id", "text", "y"])
+    w = t.train_hashed_classifier(df, "y", iters=1, lr=1.0)
+    assert len(w) == 4096
+    # only buckets present in the corpus move off zero
+    assert sum(1 for v in w if v != 0.0) <= 3  # 'a','b','a b'
