@@ -130,6 +130,8 @@ HEADLINE = [
     "exact_substring_rewrite",
     "audio_spectral_features",
     "classifier_train_confusion",
+    "url_canonicalize",
+    "domain_quota_sample",
 ]
 
 

@@ -2581,6 +2581,178 @@ def q_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_ngram_classifier(docs).orderBy("doc_id")
 
 
+# Deterministic synthetic URL per document (doc_id arithmetic) —
+# mixed-case hosts, default/explicit ports, tracking params, scrambled
+# param order, fragments: every branch of the canonicalizer.
+SQL_URL_GEN = """
+    gen AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE doc_id % 5
+                   WHEN 0 THEN 'Example.COM'
+                   WHEN 1 THEN 'news.Example.co.uk'
+                   WHEN 2 THEN 'CDN.media.ORG'
+                   WHEN 3 THEN 'shop.example.com.au'
+                   ELSE 'blog.example.net' END)
+             || (CASE WHEN doc_id % 7 = 0
+                      THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                      WHEN doc_id % 7 = 1 THEN ':8080'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0 THEN ''
+                      ELSE '/a/' || CAST(doc_id % 17 AS VARCHAR) END)
+             || (CASE doc_id % 4
+                   WHEN 0 THEN '?z=1&utm_source=tw&a=2'
+                   WHEN 1 THEN '?b=2&a=1'
+                   WHEN 2 THEN '?gclid=abc123'
+                   ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    )
+"""
+
+# Canonicalization replayed from first principles in SQL — the same
+# regexes (RE2-safe) and list ops as operators/web.py.
+SQL_URL_PARSE = """
+    parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_replace(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+               ':[0-9]+$', '')) AS host,
+             regexp_extract(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+               ':([0-9]+)$', 1) AS port,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM gen
+    ),
+    dom AS (
+      SELECT *,
+             string_split(host, '.') AS hp,
+             CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                  WHEN array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+                       IN ('co.uk', 'com.au', 'co.jp', 'com.br', 'org.uk')
+                  THEN array_to_string(list_slice(string_split(host, '.'), -3, -1), '.')
+                  ELSE array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+             END AS registered_domain
+      FROM parsed
+    ),
+    canon AS (
+      SELECT doc_id, url, scheme, host, registered_domain,
+             scheme || '://' || host
+             || (CASE WHEN port <> ''
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                      THEN ':' || port ELSE '' END)
+             || (CASE WHEN path = '' THEN '/' ELSE path END)
+             || (CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(list_sort(params), '&')
+                      ELSE '' END) AS url_canonical
+      FROM (
+        SELECT *,
+               list_filter(
+                 string_split(query, '&'),
+                 x -> x <> '' AND NOT regexp_matches(
+                   x, '^(utm_[a-z0-9]+|gclid|fbclid|ref)=')
+               ) AS params
+        FROM dom
+      )
+    )
+"""
+
+
+def _gen_urls_spark(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    sch = F.when(d % 3 == 0, "http").otherwise("https")
+    host = (
+        F.when(d % 5 == 0, "Example.COM")
+        .when(d % 5 == 1, "news.Example.co.uk")
+        .when(d % 5 == 2, "CDN.media.ORG")
+        .when(d % 5 == 3, "shop.example.com.au")
+        .otherwise("blog.example.net")
+    )
+    prt = (
+        F.when((d % 7 == 0) & (d % 3 == 0), ":80")
+        .when(d % 7 == 0, ":443")
+        .when(d % 7 == 1, ":8080")
+        .otherwise("")
+    )
+    pth = F.when(d % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/a/"), (d % 17).cast("string"))
+    )
+    q = (
+        F.when(d % 4 == 0, "?z=1&utm_source=tw&a=2")
+        .when(d % 4 == 1, "?b=2&a=1")
+        .when(d % 4 == 2, "?gclid=abc123")
+        .otherwise("")
+    )
+    frg = F.when(d % 2 == 0, "#sec").otherwise("")
+    return docs.select(
+        "doc_id", F.concat(sch, F.lit("://"), host, prt, pth, q, frg).alias("url")
+    )
+
+
+@query(
+    "url_canonicalize",
+    f"""
+    WITH {SQL_URL_GEN}, {SQL_URL_PARSE}
+    SELECT doc_id, url, scheme, host, registered_domain, url_canonical
+    FROM canon ORDER BY doc_id
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization (r6): deterministic synthetic
+    URLs (mixed-case hosts, default vs explicit ports, UTM/click-id
+    tracking params in scrambled order, fragments, multi-part public
+    suffixes) parsed and canonicalized by web.canonicalize_urls —
+    pure codegen'd regexp/array expressions, byte-exact vs the
+    DuckDB replay. The dedup key every crawler derives first."""
+    from kissmetrics_to_database_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        web.canonicalize_urls(_gen_urls_spark(docs))
+        .select(
+            "doc_id", "url", "scheme", "host", "registered_domain",
+            "url_canonical",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "domain_quota_sample",
+    f"""
+    WITH {SQL_URL_GEN}, {SQL_URL_PARSE},
+    ranked AS (
+      SELECT registered_domain,
+             row_number() OVER (
+               PARTITION BY registered_domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM canon
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY registered_domain ORDER BY registered_domain
+    """,
+)
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain cap (r6): deterministic md5-rank inside
+    each domain keeps ≤ 60 docs — the anti-over-representation gate
+    applied after URL canonicalization (web.domain_quota_cap; one
+    domain-keyed window, AQE-skew-safe for mega-domains)."""
+    from kissmetrics_to_database_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = web.canonicalize_urls(_gen_urls_spark(docs))
+    return web.domain_quota_cap(parsed, cap=60).orderBy("registered_domain")
+
+
 def _classifier_train_oracle(iters: int = 3, lr: float = 1.0) -> str:
     """Unrolled full-batch GD for the hashed logistic classifier: the
     same featurization CTEs as the inference oracle, then one
