@@ -32,7 +32,9 @@ import argparse
 import json
 import sys
 
-sys.path.insert(0, "/root/repo")
+# repo-relative so the tool can run inside a git worktree of an older
+# commit (round-START snapshotting) without importing the live repo
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 from kissmetrics_to_database_spark.plans.fingerprints import (  # noqa: E402
     SNAPSHOT_PATH,
