@@ -132,6 +132,7 @@ HEADLINE = [
     "classifier_train_confusion",
     "url_canonicalize",
     "domain_quota_sample",
+    "audio_stft_segments",
 ]
 
 

@@ -453,3 +453,86 @@ def audio_spectral(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+STFT_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, dominant_bin long, "
+    "dominant_freq_hz double, peak_share double"
+)
+
+
+def audio_stft_frames(
+    df: DataFrame, n_fft: int = 256, hop: int | None = None
+) -> DataFrame:
+    """Frame-level STFT spectrogram: the TIME-VARYING complement of
+    :func:`audio_spectral` (which summarizes one window) — per clip,
+    rectangular-window rFFT frames every ``hop`` samples, each frame
+    emitting its dominant non-DC bin, frequency and peak power share.
+    The primitive for chirp/segment detection, silence trimming and
+    per-segment quality gating in speech corpora.
+
+    One input row → ``n_frames`` output rows (flat-map under Arrow
+    ``mapInPandas``, the ``frame_sample`` shape); clips shorter than
+    ``n_fft`` or undecodable quarantine to ONE all-null row so no
+    document silently disappears. Frames are computed as one strided
+    numpy view + a single batched rFFT per clip — no per-frame Python.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    if n_fft < 4 or n_fft & (n_fft - 1):
+        raise ValueError("n_fft must be a power of two >= 4")
+    hop = n_fft if hop is None else hop
+    if hop < 1:
+        raise ValueError("hop must be >= 1")
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        null_row = {
+            "frame_idx": None, "n_frames": None, "dominant_bin": None,
+            "dominant_freq_hz": None, "peak_share": None,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(b))
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1)
+                if mono.size < n_fft:
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                n_frames = (mono.size - n_fft) // hop + 1
+                frames = np.lib.stride_tricks.as_strided(
+                    mono,
+                    shape=(n_frames, n_fft),
+                    strides=(mono.strides[0] * hop, mono.strides[0]),
+                )
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                nondc = power[:, 1:]
+                totals = nondc.sum(axis=1)
+                doms = nondc.argmax(axis=1) + 1
+                for i in range(n_frames):
+                    total = float(totals[i])
+                    dom = int(doms[i]) if total > 0 else 0
+                    rows.append({
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "n_frames": n_frames,
+                        "dominant_bin": dom,
+                        "dominant_freq_hz": round(
+                            dom * d["sample_rate"] / n_fft, 6
+                        ),
+                        "peak_share": round(
+                            float(nondc[i, dom - 1] / total), 6
+                        )
+                        if total > 0
+                        else 0.0,
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=STFT_SCHEMA)

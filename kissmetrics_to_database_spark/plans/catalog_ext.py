@@ -901,6 +901,68 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_stft_segments",
+    """
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN f < 2 THEN 4 + doc_id % 10
+                     ELSE 16 + doc_id % 10 END AS BIGINT) AS dominant_bin,
+           round((CASE WHEN f < 2 THEN 4 + doc_id % 10
+                       ELSE 16 + doc_id % 10 END)
+                 * (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END)
+                 / 256.0, 6) AS dominant_freq_hz,
+           CAST(1.0 AS DOUBLE) AS peak_share
+    FROM documents, unnest(range(0, 4)) AS u(f)
+    WHERE doc_id <= 200 ORDER BY doc_id, frame_idx
+    """,
+)
+def q_audio_stft_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level STFT end-to-end (r6): each doc's clip is TWO
+    back-to-back tones (bin 4+d%10 for the first half, 16+d%10 for
+    the second, both bin-aligned to the 256-sample frame and switching
+    exactly on a frame boundary), so the 4 hop=n_fft frames must
+    report the first tone twice then the second twice, each with
+    peak_share exactly 1.0 — a per-frame readout a whole-clip FFT
+    cannot produce. multimodal.audio_stft_frames; arithmetic oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        n_fft = 256
+        t = np.arange(4 * n_fft)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 16000 if d % 2 == 0 else 8000
+                k1, k2 = 4 + d % 10, 16 + d % 10
+                k = np.where(t < 2 * n_fft, k1, k2)
+                x = np.rint(
+                    9000 * np.sin(2 * np.pi * k * t / n_fft)
+                ).astype(np.int16)
+                payloads.append(codecs.encode_wav(x, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return multimodal.audio_stft_frames(payload, n_fft=256).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "video_frame_sample",
     """
     SELECT d.doc_id,

@@ -260,3 +260,67 @@ class TestAudioSpectral:
         df = spark.createDataFrame([], "doc_id long, payload binary")
         with _pytest.raises(ValueError, match="power of two"):
             multimodal.audio_spectral(df, n_fft=500)
+
+
+class TestAudioStft:
+    def _wav(self, samples, rate=16000):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        return codecs.encode_wav(
+            np.asarray(samples, dtype=np.int16), sample_rate=rate
+        )
+
+    def test_chirp_segments_tracked_per_frame(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        n = 256
+        t = np.arange(4 * n)
+        k = np.where(t < 2 * n, 5, 40)
+        x = np.rint(9000 * np.sin(2 * np.pi * k * t / n))
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(x)))], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            multimodal.audio_stft_frames(df, n_fft=256).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["dominant_bin"] for r in rows] == [5, 5, 40, 40]
+        assert all(r["peak_share"] == 1.0 for r in rows)
+        assert all(r["n_frames"] == 4 for r in rows)
+
+    def test_overlap_hop_frame_count(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        n = 256
+        t = np.arange(4 * n)
+        x = np.rint(8000 * np.sin(2 * np.pi * 8 * t / n))
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(x)))], "doc_id long, payload binary"
+        )
+        rows = multimodal.audio_stft_frames(df, n_fft=256, hop=128).collect()
+        # (1024 - 256) / 128 + 1 = 7 frames, all the same tone
+        assert len(rows) == 7
+        assert all(r["dominant_bin"] == 8 for r in rows)
+
+    def test_short_and_bad_clips_quarantine_one_row(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        short = np.rint(1000 * np.sin(np.arange(100)))
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(self._wav(short))),
+                (1, bytearray(b"junk bytes")),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in multimodal.audio_stft_frames(df).collect()}
+        assert len(out) == 2
+        assert out[0]["frame_idx"] is None and out[1]["frame_idx"] is None
