@@ -133,6 +133,7 @@ HEADLINE = [
     "url_canonicalize",
     "domain_quota_sample",
     "audio_stft_segments",
+    "exact_substring_ingest_spans",
 ]
 
 

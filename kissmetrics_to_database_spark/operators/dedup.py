@@ -1125,6 +1125,24 @@ def _removed_positions(
     )
 
 
+def _spans_from_covered(covered: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of distinct covered positions into
+    maximal (span_start, span_end, span_len) runs per doc."""
+    w = Window.partitionBy(id_col).orderBy("cpos")
+    islands = covered.withColumn(
+        "_isl", F.col("cpos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("cpos").cast("long").alias("span_start"),
+            F.max("cpos").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1154,19 +1172,7 @@ def exact_substring_spans(
     section) for the hot-gram and memory story.
     """
     covered = _removed_positions(df, id_col, text_col, k)
-    w = Window.partitionBy(id_col).orderBy("cpos")
-    islands = covered.withColumn(
-        "_isl", F.col("cpos") - F.row_number().over(w)
-    )
-    return (
-        islands.groupBy(id_col, "_isl")
-        .agg(
-            F.min("cpos").cast("long").alias("span_start"),
-            F.max("cpos").cast("long").alias("span_end"),
-            F.count("*").cast("long").alias("span_len"),
-        )
-        .select(id_col, "span_start", "span_end", "span_len")
-    )
+    return _spans_from_covered(covered, id_col)
 
 
 def exact_substring_rewrite(
@@ -1231,3 +1237,68 @@ def exact_substring_rewrite(
             F.coalesce("text_rewritten", F.lit("")).alias("text_rewritten"),
         )
     )
+
+
+def exact_substring_ingest_spans(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Incremental exact-substring dedup: duplicated-run spans of a
+    NEW batch against the already-ingested corpus — the ingest-time
+    complement of :func:`exact_substring_spans` (same contract as
+    ``incremental_ingest_dedup`` for MinHash: history is never
+    re-deduped or rescanned beyond its gram index).
+
+    A batch gram occurrence is removable when its gram exists ANYWHERE
+    in history (history always wins — those tokens are already in the
+    corpus) OR when it lost the batch-internal first-occurrence race.
+    Returns maximal (id, span_start, span_end, span_len) runs over
+    batch docs only.
+
+    At scale the history side is the PERSISTED gram index (gram_hash
+    → presence), built once and appended per ingest — this function
+    derives it from the history frame for self-containedness; the
+    plan is the same linear groupBy + equi-join shape as the batch
+    operator (no pair join), with the index join a plain equi-join on
+    the 32-hex hash.
+    """
+    hist_idx = (
+        _positional_kgram_hashes(history, id_col, text_col, k)
+        .select("gram_hash")
+        .distinct()
+        .withColumn("_in_hist", F.lit(True))
+    )
+    grams = _positional_kgram_hashes(batch, id_col, text_col, k)
+    winners = grams.groupBy("gram_hash").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("_w"),
+        F.count("*").alias("_occ"),
+    )
+    removable = (
+        grams.join(winners, "gram_hash")
+        .join(hist_idx, "gram_hash", "left")
+        .where(
+            F.coalesce(F.col("_in_hist"), F.lit(False))
+            | (
+                (F.col("_occ") > 1)
+                & ~(
+                    (F.col("_w.d") == F.col(id_col))
+                    & (F.col("_w.p") == F.col("pos"))
+                )
+            )
+        )
+    )
+    covered = (
+        removable.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    return _spans_from_covered(covered, id_col)

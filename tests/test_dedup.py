@@ -389,3 +389,49 @@ class TestExactSubstring:
             for r in dedup.exact_substring_rewrite(df, k=5).collect()
         }
         assert out == {0: 0, 1: 5, 2: 5}
+
+
+class TestExactSubstringIngest:
+    def test_history_wins_and_batch_internal_dedup(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        run = "a b c d e"
+        history = spark.createDataFrame(
+            [(0, f"{run} tail words")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, f"p q {run}"),         # run known from history
+                (11, "x y z w v"),           # fresh run, batch-first
+                (12, "x y z w v extra"),     # loses to doc 11
+            ],
+            ["doc_id", "text"],
+        )
+        spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.exact_substring_ingest_spans(
+                history, batch, k=5
+            ).collect()
+        }
+        assert (10, 2, 6) in spans      # history copy removed
+        assert (12, 0, 4) in spans      # batch-internal dup removed
+        assert not any(d == 11 for d, *_ in spans)  # batch-first kept
+
+    def test_empty_history_equals_batch_dedup(self, spark):
+        from kissmetrics_to_database_spark.operators import dedup
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        run = "a b c d e f"
+        batch = spark.createDataFrame(
+            [(0, f"{run} x y"), (1, f"p q {run} r")], ["doc_id", "text"]
+        )
+        got = sorted(
+            tuple(r)
+            for r in dedup.exact_substring_ingest_spans(
+                empty, batch, k=5
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in dedup.exact_substring_spans(batch, k=5).collect()
+        )
+        assert got == want
