@@ -1265,12 +1265,41 @@ def exact_substring_ingest_spans(
     operator (no pair join), with the index join a plain equi-join on
     the 32-hex hash.
     """
-    hist_idx = (
-        _positional_kgram_hashes(history, id_col, text_col, k)
+    return exact_substring_spans_vs_index(
+        exact_substring_gram_index(history, id_col, text_col, k),
+        batch, id_col, text_col, k,
+    )
+
+
+def exact_substring_gram_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The persisted artifact of incremental exact-substring dedup:
+    distinct ``gram_hash`` rows of a corpus (32-hex md5 per distinct
+    k-gram — presence is all the ingest probe needs). Append new
+    batches' indexes with union+distinct."""
+    return (
+        _positional_kgram_hashes(df, id_col, text_col, k)
         .select("gram_hash")
         .distinct()
-        .withColumn("_in_hist", F.lit(True))
     )
+
+
+def exact_substring_spans_vs_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Probe half of :func:`exact_substring_ingest_spans`: spans of a
+    batch against an already-built gram index (plus the
+    batch-internal first-occurrence race). Same linear plan; the
+    index join is a plain equi-join on the hash."""
+    hist_idx = index.select("gram_hash").withColumn("_in_hist", F.lit(True))
     grams = _positional_kgram_hashes(batch, id_col, text_col, k)
     winners = grams.groupBy("gram_hash").agg(
         F.min(

@@ -579,3 +579,105 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def bootstrap_exact_substring_index(
+    history: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> None:
+    """Write the history corpus's gram index as epoch version ``v=-1``
+    (strictly below every micro-batch epoch, so batch 0's replay-safe
+    prior). Call once before :func:`stream_exact_substring_ingest`."""
+    from kissmetrics_to_database_spark.operators import dedup
+
+    dedup.exact_substring_gram_index(
+        history, id_col, text_col, k
+    ).write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}/v=-1")
+
+
+def stream_exact_substring_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    index_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact-substring dedup with an ACCUMULATING gram
+    index: each arriving micro-batch is probed against the epoch-
+    versioned index (history + every earlier batch — so a later batch
+    duplicating an EARLIER BATCH's run is caught, which the
+    frozen-index ``stream_ingest_dedup`` shape cannot do), its
+    duplicated-run spans go to the sink, and the batch's own grams
+    append as the batch's index version.
+
+    Replay safety is the proven epoch contract (HLL / SCD2 sinks):
+    the prior is the newest version STRICTLY below the batch epoch,
+    each version is written whole to its own ``v=<epoch>`` dir, two
+    generations are retained, and a reset checkpoint over a stale
+    index dir raises instead of silently rewinding. With arriving
+    doc ids above history's, the stream's union of span outputs
+    equals the one-shot batch ``exact_substring_ingest_spans`` over
+    all arrived docs (pinned in tests). At scale the union+distinct
+    index append becomes a MERGE INTO on a row-level-merge table
+    format, same as the SCD2 note.
+    """
+    from kissmetrics_to_database_spark.operators import dedup
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        prior = _latest_state_version(sess, index_dir, below=epoch_id)
+        if prior is None:
+            stale = [
+                e for e, _ in _state_versions(sess, index_dir)
+                if e >= epoch_id
+            ]
+            raise RuntimeError(
+                f"no index version below epoch {epoch_id} under "
+                f"{index_dir}"
+                + (
+                    f" but stale epochs {stale} exist — checkpoint dir was "
+                    "reset without clearing the index dir"
+                    if stale
+                    else " — run bootstrap_exact_substring_index first"
+                )
+            )
+        idx = sess.read.parquet(prior)
+        batch_df = batch_df.persist()
+        try:
+            sink(
+                dedup.exact_substring_spans_vs_index(
+                    idx, batch_df, id_col, text_col, k
+                ),
+                epoch_id,
+            )
+            (
+                idx.unionByName(
+                    dedup.exact_substring_gram_index(
+                        batch_df, id_col, text_col, k
+                    )
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{index_dir.rstrip('/')}/v={epoch_id}")
+            )
+            _prune_state_versions(sess, index_dir, keep=2)
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -812,3 +812,153 @@ def test_stream_left_outer_exactly_once_finalization_property(spark, tmp_path):
         if r["ts_right"] is None
     }
     assert nulls == {k for k, n in matches.items() if n == 0}
+
+
+def test_stream_exact_substring_ingest_accumulates_index(spark, tmp_path):
+    # batch B duplicates a run from batch A (an EARLIER micro-batch,
+    # not history) — only the accumulating index catches it; and the
+    # union of stream outputs equals the one-shot batch operator
+    from kissmetrics_to_database_spark.operators import dedup
+
+    run_h = "h1 h2 h3 h4 h5"
+    run_a = "a1 a2 a3 a4 a5"
+    history = spark.createDataFrame(
+        [(0, f"{run_h} filler words")], "doc_id long, text string"
+    )
+    batch_a = [(10, f"{run_a} fresh stuff")]
+    batch_b = [
+        (20, f"pre {run_a} post"),   # dups batch A -> caught only via index growth
+        (21, f"{run_h} again here"), # dups history
+        (22, "totally novel text here five"),
+    ]
+    src = tmp_path / "ess_src"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    now = _time.time()
+    for i, rows in enumerate((batch_a, batch_b)):
+        f = src / f"{i}.json"
+        f.write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            )
+        )
+        _os.utime(f, (now - 10 + i, now - 10 + i))
+
+    index_dir = str(tmp_path / "ess_index")
+    sp.bootstrap_exact_substring_index(history, index_dir)
+    seen = []
+    q = sp.stream_exact_substring_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "ess_ck"),
+        schema,
+        index_dir,
+        lambda df, eid: seen.extend(df.collect()),
+        max_files_per_trigger=1,  # one micro-batch per file: doc 20's
+        # dup of batch A is caught ONLY via the index accumulated at
+        # epoch 0 (they never share a batch-internal race)
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in seen
+    )
+    batch_all = spark.createDataFrame(
+        batch_a + batch_b, "doc_id long, text string"
+    )
+    want = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substring_ingest_spans(
+            history, batch_all
+        ).collect()
+    )
+    assert got == want
+    assert (20, 1, 5) in got   # batch-A run inside doc 20 (after 'pre')
+    assert (21, 0, 4) in got   # history run inside doc 21
+    assert not any(d == 22 for d, *_ in got)
+
+
+def test_stream_exact_substring_ingest_multi_batch_and_replay_guard(
+    spark, tmp_path
+):
+    import os as _os
+    import time as _time
+
+    import pytest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    history = spark.createDataFrame(
+        [(0, "z1 z2 z3 z4 z5 pad")], "doc_id long, text string"
+    )
+    src = tmp_path / "ess2_src"
+    src.mkdir()
+    run = "m1 m2 m3 m4 m5"
+    now = _time.time()
+    files = [
+        [(10, f"{run} first time")],
+        [(20, f"copy {run} late")],
+    ]
+    for i, rows in enumerate(files):
+        f = src / f"{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+        )
+        _os.utime(f, (now - 10 + i, now - 10 + i))
+
+    index_dir = str(tmp_path / "ess2_index")
+    sp.bootstrap_exact_substring_index(history, index_dir)
+    seen = []
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    qq = sp.stream_exact_substring_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "ess2_ck"),
+        schema,
+        index_dir,
+        lambda df, eid: seen.extend(df.collect()),
+        max_files_per_trigger=1,
+    )
+    qq.processAllAvailable()
+    qq.stop()
+    # doc 20's copy of doc 10's run was caught ACROSS micro-batches
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in seen}
+    assert (20, 1, 5) in got
+    assert not any(d == 10 for d, *_ in got)
+
+    # replay guard: fresh checkpoint over the stale index dir fails
+    # the batch (epochs restart at 0, but the pruned index only holds
+    # epochs >= 0 — silently rewinding would discard accumulation)
+    seen2 = []
+    q2 = sp.stream_exact_substring_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "ess2_ck_fresh"),
+        schema,
+        index_dir,
+        lambda df, eid: seen2.extend(df.collect()),
+    )
+    try:
+        q2.processAllAvailable()
+    except Exception:
+        pass  # some Spark versions propagate here, some via exception()
+    exc = q2.exception()
+    q2.stop()
+    assert exc is not None and "index" in str(exc)
+    assert seen2 == []
