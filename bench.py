@@ -134,6 +134,7 @@ HEADLINE = [
     "domain_quota_sample",
     "audio_stft_segments",
     "exact_substring_ingest_spans",
+    "unigram_tokenizer_stats",
 ]
 
 
@@ -210,6 +211,10 @@ def bench_trainers(spark, sf_dir: str) -> dict:
         "bpe_encode_corpus": (
             lambda: text.bpe_train_merges_local(docs, n_merges=256),
             lambda a: text.bpe_encode_corpus(docs, [(x[1], x[2]) for x in a]),
+        ),
+        "unigram_tokenizer_stats": (
+            lambda: text.train_unigram_pieces(docs, n_multi=48, iters=2),
+            lambda a: text.unigram_segment_vocab(docs, a),
         ),
         "classifier_train_confusion": (
             lambda: text.train_hashed_classifier(

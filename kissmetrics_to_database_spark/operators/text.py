@@ -1146,3 +1146,205 @@ def hashed_classifier_score(
         prob.alias("prob"),
         (prob >= 0.5).alias("pred"),
     )
+
+
+def _unigram_viterbi_segment(
+    words: DataFrame,
+    pieces: list[tuple[str, float]],
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """Viterbi segmentation of the vocab table under a unigram piece
+    model — ONE ``aggregate`` fold per word, no UDF: the accumulator
+    is the growing array of per-position best (score, path) structs;
+    each step takes the struct-max over the ≤ ``max_piece_len``
+    candidate predecessors (piece score looked up through a literal
+    map — the piece table is the k-row tokenizer artifact). A fold
+    keeps the expression tree CONSTANT-size; the naive unrolled
+    formulation embeds each level's expression in the next and goes
+    exponential (OOMs the planner at depth ~12). Ties break on the
+    path string, replayed by the oracle's ORDER BY val DESC,
+    path DESC. Adds ``score`` and ``pieces`` (array) columns;
+    unreachable/overlong words get score -1e9 and no pieces.
+    ``max_word_len`` bounds the DP only through the caller's guard —
+    the fold itself runs to each word's own length."""
+    score_map = F.create_map(
+        *[x for p, sc in pieces for x in (F.lit(p), F.lit(float(sc)))]
+    )
+    neg = F.struct(F.lit(-1e9).alias("val"), F.lit("").alias("path"))
+
+    def step(acc, i):
+        built = []
+        for jj in range(1, max_piece_len + 1):
+            idx = i - jj + 1  # accumulator slot of best[i - jj]
+            prev = F.element_at(acc, F.greatest(idx, F.lit(1)))
+            sub = F.substring(F.col("w"), idx, jj)
+            sc = score_map[sub]
+            valid = (
+                (idx >= 1)
+                & sc.isNotNull()
+                & (prev["val"] > F.lit(-1e8))
+            )
+            built.append(
+                F.when(
+                    valid,
+                    F.struct(
+                        (prev["val"] + sc).alias("val"),
+                        F.concat(prev["path"], F.lit("|"), sub).alias(
+                            "path"
+                        ),
+                    ),
+                ).otherwise(neg)
+            )
+        return F.concat(acc, F.array(F.array_max(F.array(*built))))
+
+    init = F.array(F.struct(F.lit(0.0).alias("val"), F.lit("").alias("path")))
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")), init, step
+    )
+    final = F.element_at(dp, F.length("w") + 1)
+    return words.withColumn("score", final["val"]).withColumn(
+        "pieces",
+        F.filter(F.split(final["path"], r"\|"), lambda x: x != ""),
+    )
+
+
+def train_unigram_pieces(
+    df: DataFrame,
+    n_multi: int = 48,
+    max_piece_len: int = 4,
+    iters: int = 2,
+    text_col: str = "text",
+    max_word_len: int = 16,
+    ndigits: int = 6,
+) -> list[tuple[str, float]]:
+    """SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959 — the other major tokenizer family next to BPE),
+    hard-EM (Viterbi) variant with exact cross-engine replay:
+
+    - candidate pieces = every single character plus the ``n_multi``
+      most frequent substrings of length 2..``max_piece_len`` of the
+      corpus vocabulary (ties on the substring; counts weighted by
+      word frequency), scored log(count/total), rounded;
+    - E-step: Viterbi-best segmentation of every vocab word under the
+      current scores — the unrolled codegen'd DP of
+      :func:`_unigram_viterbi_segment` (the corpus is never touched
+      after the one vocab reduction, same scaling argument as BPE);
+    - M-step: piece usage counts (weighted by word frequency) →
+      re-scored log(count/total); unused MULTI-char pieces prune,
+      single characters always survive (with a 0.5-count floor) so
+      every word stays segmentable — the SentencePiece coverage rule.
+
+    Determinism: scores rounded to ``ndigits`` each M-step; DP ties
+    break on the path string; candidate ranking ties on the piece.
+    Returns the final [(piece, score)] artifact, score-descending
+    then piece-ascending.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .persist()
+    )
+    maxlen = words.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    if maxlen > max_word_len:
+        raise ValueError(
+            f"longest word has {maxlen} chars > max_word_len="
+            f"{max_word_len}; raise the cap (DP depth) accordingly"
+        )
+    try:
+        subs = (
+            words.select(
+                "wc",
+                F.explode(
+                    # IF-guard, not greatest(): Spark's sequence(1, 0)
+                    # DESCENDS ([1, 0]) instead of being empty, which
+                    # would fabricate substrings for words shorter
+                    # than l
+                    F.expr(
+                        "flatten(transform(sequence(1, "
+                        f"{max_piece_len}), l -> "
+                        "IF(length(w) >= l, "
+                        "transform(sequence(1, length(w) - l + 1), "
+                        "i -> substring(w, i, l)), "
+                        "cast(array() as array<string>))))"
+                    )
+                ).alias("sub"),
+            )
+            .groupBy("sub")
+            .agg(F.sum("wc").alias("cnt"))
+            .persist()
+        )
+        singles = subs.where(F.length("sub") == 1)
+        multis = (
+            subs.where(F.length("sub") > 1)
+            .orderBy(F.desc("cnt"), "sub")
+            .limit(n_multi)
+        )
+        sel = [
+            (r["sub"], r["cnt"])
+            for r in singles.unionByName(multis).collect()
+        ]
+        subs.unpersist()
+        import math as _math
+
+        total = sum(c for _, c in sel)
+        pieces = [
+            (p, round(_math.log(c / total), ndigits)) for p, c in sel
+        ]
+        for _ in range(iters):
+            seg = _unigram_viterbi_segment(
+                words, pieces, max_piece_len, max_word_len
+            )
+            counts = {
+                r["piece"]: r["n"]
+                for r in seg.select(
+                    F.explode("pieces").alias("piece"), "wc"
+                )
+                .groupBy("piece")
+                .agg(F.sum("wc").alias("n"))
+                .collect()
+            }
+            total = sum(counts.values())
+            new_pieces = []
+            for p, _s in pieces:
+                c = counts.get(p, 0)
+                if c == 0 and len(p) > 1:
+                    continue  # prune unused multi-char pieces
+                eff = c if c > 0 else 0.5
+                new_pieces.append(
+                    (p, round(_math.log(eff / total), ndigits))
+                )
+            pieces = new_pieces
+    finally:
+        words.unpersist()
+    return sorted(pieces, key=lambda ps: (-ps[1], ps[0]))
+
+
+def unigram_segment_vocab(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Serve path: segment the corpus vocabulary with a trained
+    unigram piece table. Returns (w, wc, score, pieces)."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    return _unigram_viterbi_segment(words, pieces, max_piece_len, max_word_len)

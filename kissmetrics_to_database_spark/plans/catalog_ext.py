@@ -4383,6 +4383,147 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     """
 
 
+def _unigram_dp_block(tag: str, ptab: str, mpl: int, max_len: int) -> str:
+    """One unrolled Viterbi-DP chain: position CTEs b{tag}_i holding
+    each word's best (val, path) prefix segmentation under piece
+    table ``ptab`` (ties: val DESC then path DESC — the Spark fold's
+    struct-max), then seg{tag} = each word read out at its own
+    length."""
+    ctes = [
+        f"""
+    b{tag}_0 AS (SELECT w, wc, 0.0 AS val, '' AS path FROM words)"""
+    ]
+    for i in range(1, max_len + 1):
+        branches = []
+        for jj in range(1, mpl + 1):
+            j = i - jj
+            if j < 0:
+                continue
+            branches.append(f"""
+        SELECT b.w, b.wc, b.val + p.score AS val,
+               b.path || '|' || substr(b.w, {j + 1}, {jj}) AS path
+        FROM b{tag}_{j} b JOIN {ptab} p
+          ON p.piece = substr(b.w, {j + 1}, {jj})
+        WHERE length(b.w) >= {i}""")
+        union = " UNION ALL ".join(branches)
+        ctes.append(f"""
+    b{tag}_{i} AS MATERIALIZED (
+      SELECT w, wc, val, path FROM (
+        SELECT w, wc, val, path,
+               row_number() OVER (PARTITION BY w
+                                  ORDER BY val DESC, path DESC) AS rn
+        FROM ({union})
+      ) WHERE rn = 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM b{tag}_{i} WHERE length(w) = {i}"
+        for i in range(1, max_len + 1)
+    )
+    ctes.append(f"""
+    seg{tag} AS MATERIALIZED (SELECT * FROM ({finals}))""")
+    return ",".join(ctes)
+
+
+def _unigram_counts_block(tag: str) -> str:
+    return f"""
+    c{tag} AS MATERIALIZED (
+      SELECT piece, CAST(sum(wc) AS BIGINT) AS n
+      FROM (SELECT wc,
+                   unnest(list_filter(string_split(path, '|'),
+                                      x -> x <> '')) AS piece
+            FROM seg{tag})
+      GROUP BY piece
+    )"""
+
+
+def _unigram_oracle(
+    n_multi: int = 48, mpl: int = 4, iters: int = 2, topk: int = 10,
+    max_len: int = 12,
+) -> str:
+    """Unrolled Viterbi-EM replay of text.train_unigram_pieces: piece
+    candidates + initial log-frequency scores, ``iters`` (segment →
+    count → re-score/prune) blocks, a final eval segmentation under
+    the trained pieces, and the top-``topk`` usage readout."""
+    sql = [f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    subs AS (
+      SELECT sub, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS sub
+        FROM words,
+             unnest(range(1, {mpl} + 1)) AS t1(l),
+             unnest(range(1, greatest(length(w) - l + 1, 0) + 1)) AS t2(i)
+      ) GROUP BY sub
+    ),
+    sel AS (
+      SELECT sub, cnt FROM subs WHERE length(sub) = 1
+      UNION ALL
+      SELECT sub, cnt FROM (
+        SELECT sub, cnt,
+               row_number() OVER (ORDER BY cnt DESC, sub) AS rn
+        FROM subs WHERE length(sub) > 1
+      ) WHERE rn <= {n_multi}
+    ),
+    p0 AS MATERIALIZED (
+      SELECT sub AS piece, round(ln(cnt / t.total), 6) AS score
+      FROM sel, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM sel) t
+    )"""]
+    for k in range(iters):
+        sql.append("," + _unigram_dp_block(f"i{k}", f"p{k}", mpl, max_len))
+        sql.append("," + _unigram_counts_block(f"i{k}"))
+        sql.append(f""",
+    p{k + 1} AS MATERIALIZED (
+      SELECT p.piece,
+             round(ln((CASE WHEN c.n IS NULL THEN 0.5 ELSE c.n END)
+                      / t.total), 6) AS score
+      FROM p{k} p
+      LEFT JOIN ci{k} c ON c.piece = p.piece
+      CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS total FROM ci{k}) t
+      WHERE c.n IS NOT NULL OR length(p.piece) = 1
+    )""")
+    sql.append("," + _unigram_dp_block("e", f"p{iters}", mpl, max_len))
+    sql.append("," + _unigram_counts_block("e"))
+    sql.append(f"""
+    SELECT c.piece, c.n AS n_uses, p.score
+    FROM ce c JOIN p{iters} p USING (piece)
+    ORDER BY n_uses DESC, c.piece LIMIT {topk}
+    """)
+    return "".join(sql)
+
+
+@query("unigram_tokenizer_stats", _unigram_oracle(48, 4, 2, 10, 12))
+def q_unigram_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM tokenizer training (r6, Kudo
+    2018 arXiv:1804.10959 — the other major tokenizer family next to
+    BPE): candidate pieces (all chars + top-48 substrings ≤ 4), two
+    Viterbi-EM iterations (segment the Zipf-bounded vocab under the
+    current log-prob scores via a codegen'd aggregate-fold DP, count
+    usage, re-score with pruning and the char coverage floor), then a
+    final eval segmentation — readout is the top-10 pieces by
+    corpus-weighted usage with their trained scores. The oracle
+    unrolls ALL THREE Viterbi passes position-by-position plus both
+    EM updates, so training replays hash-exactly across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = text.train_unigram_pieces(docs, n_multi=48, iters=2)
+    seg = text.unigram_segment_vocab(docs, pieces)
+    counts = (
+        seg.select(F.explode("pieces").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("n_uses"))
+    )
+    ptab = spark.createDataFrame(pieces, "piece string, score double")
+    return (
+        counts.join(F.broadcast(ptab), "piece")
+        .select("piece", "n_uses", "score")
+        .orderBy(F.desc("n_uses"), "piece")
+        .limit(10)
+    )
+
+
 @query("bpe_encode_corpus", _bpe_encode_oracle(32))
 def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION BPE pipeline (r6): train 32 merges with the

@@ -843,3 +843,54 @@ def test_train_hashed_classifier_zero_iters_rejected_and_weights_shape(spark):
     assert len(w) == 4096
     # only buckets present in the corpus move off zero
     assert sum(1 for v in w if v != 0.0) <= 3  # 'a','b','a b'
+
+
+def test_unigram_tokenizer_hand_computed(spark):
+    import math
+
+    from kissmetrics_to_database_spark.operators import text as t
+
+    # words {abc:2, ab:1}; best segmentations stay [abc] / [ab] through
+    # both EM iterations; bc prunes (never used), singles floor at 0.5
+    df = spark.createDataFrame([("abc abc ab",)], ["text"])
+    pieces = dict(t.train_unigram_pieces(df, n_multi=8, iters=2))
+    assert pieces["abc"] == round(math.log(2 / 3), 6)
+    assert pieces["ab"] == round(math.log(1 / 3), 6)
+    assert "bc" not in pieces            # unused multi pruned
+    assert pieces["a"] == round(math.log(0.5 / 3), 6)  # char floor
+    seg = {
+        r["w"]: list(r["pieces"])
+        for r in t.unigram_segment_vocab(
+            df, sorted(pieces.items())
+        ).collect()
+    }
+    assert seg == {"abc": ["abc"], "ab": ["ab"]}
+
+
+def test_unigram_tokenizer_char_coverage(spark):
+    from kissmetrics_to_database_spark.operators import text as t
+
+    # rare chars survive pruning so every word stays segmentable
+    df = spark.createDataFrame(
+        [("the the the quick xylophone q",)], ["text"]
+    )
+    pieces = t.train_unigram_pieces(df, n_multi=4, iters=2)
+    have = {p for p, _ in pieces}
+    for ch in "qxy":
+        assert ch in have
+    seg = {
+        r["w"]: list(r["pieces"])
+        for r in t.unigram_segment_vocab(df, pieces).collect()
+    }
+    for w, ps in seg.items():
+        assert "".join(ps) == w, (w, ps)  # lossless segmentation
+
+
+def test_unigram_tokenizer_overlong_word_raises(spark):
+    import pytest as _pytest
+
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame([("supercalifragilisticexpialidocious",)], ["text"])
+    with _pytest.raises(ValueError, match="max_word_len"):
+        t.train_unigram_pieces(df, max_word_len=16)
