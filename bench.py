@@ -135,6 +135,7 @@ HEADLINE = [
     "audio_stft_segments",
     "exact_substring_ingest_spans",
     "unigram_tokenizer_stats",
+    "corpus_snapshot_diff",
 ]
 
 

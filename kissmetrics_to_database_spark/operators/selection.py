@@ -137,3 +137,57 @@ def dsir_logratio_weights(
             F.round(F.sum("logratio"), ndigits).alias("log_weight"),
         )
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots — the
+    audit every release pipeline runs before shipping a new training
+    set: per document id, classify as ``added`` (id only in new),
+    ``removed`` (id only in old), ``modified`` (id in both, content
+    hash differs) or ``unchanged``; plus byte accounting.
+
+    Returns one row per status:
+    (status, n_docs, n_chars_old, n_chars_new) — the shape of a
+    dataset-card changelog entry. Content identity is md5 of the raw
+    text (swap in ``normalization_fingerprint`` upstream for
+    whitespace-robust identity).
+
+    Plan: one full-outer join on the id (both sides hash-partitioned
+    once) + a 4-row aggregation — linear, no windows, skew-free
+    (ids are unique per side).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_ho"),
+        F.length(F.col(text_col)).alias("_lo"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_hn"),
+        F.length(F.col(text_col)).alias("_ln"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("_lo", F.lit(0)).alias("_lo"),
+            F.coalesce("_ln", F.lit(0)).alias("_ln"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_lo").cast("long").alias("n_chars_old"),
+            F.sum("_ln").cast("long").alias("n_chars_new"),
+        )
+    )

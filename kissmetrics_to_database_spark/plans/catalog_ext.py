@@ -2643,6 +2643,56 @@ def q_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_ngram_classifier(docs).orderBy("doc_id")
 
 
+@query(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h, length(text) AS l
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
+                      ELSE text END) AS h,
+             length(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
+                         ELSE text END) AS l
+      FROM documents WHERE doc_id % 9 <> 0
+    ),
+    j AS (
+      SELECT CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'modified'
+                  ELSE 'unchanged' END AS status,
+             coalesce(o.l, 0) AS lo, coalesce(n.l, 0) AS ln
+      FROM old o FULL OUTER JOIN new n USING (doc_id)
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lo) AS BIGINT) AS n_chars_old,
+           CAST(sum(ln) AS BIGINT) AS n_chars_new
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (r6): two deterministic snapshot views
+    of the documents table (old drops every 10th doc, new drops every
+    9th and appends text to every 7th) classified per id as added /
+    removed / modified / unchanged with byte accounting — the
+    dataset-card changelog a release pipeline emits.
+    selection.corpus_snapshot_diff: one full-outer id join + a 4-row
+    aggregation."""
+    from kissmetrics_to_database_spark.operators import selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" appended"))
+        ).otherwise(F.col("text")),
+    )
+    return selection.corpus_snapshot_diff(old, new).orderBy("status")
+
+
 # Deterministic synthetic URL per document (doc_id arithmetic) —
 # mixed-case hosts, default/explicit ports, tracking params, scrambled
 # param order, fragments: every branch of the canonicalizer.

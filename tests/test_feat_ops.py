@@ -373,3 +373,24 @@ def test_ewma_forecast_hand_computed(spark):
     assert out[1]["forecast"] == 10.0 and out[1]["is_anomaly"] is False
     assert out[2]["forecast"] == 10.0
     assert out[2]["ratio"] == 4.0 and out[2]["is_anomaly"] is True
+
+
+def test_corpus_snapshot_diff_hand_computed(spark):
+    from kissmetrics_to_database_spark.operators import selection
+
+    old = spark.createDataFrame(
+        [(1, "aaa"), (2, "bb"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "bb"), (3, "changed"), (4, "dddd")], ["doc_id", "text"]
+    )
+    out = {
+        r["status"]: (r["n_docs"], r["n_chars_old"], r["n_chars_new"])
+        for r in selection.corpus_snapshot_diff(old, new).collect()
+    }
+    assert out == {
+        "removed": (1, 3, 0),
+        "unchanged": (1, 2, 2),
+        "modified": (1, 1, 7),
+        "added": (1, 0, 4),
+    }
