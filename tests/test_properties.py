@@ -266,3 +266,72 @@ def test_cdc_rewrite_invariants(spark, toks, ndocs):
         assert 0 <= r["n_kept"] <= r["n_chunks"]
         doc_norm = " ".join(dict(docs)[r["doc_id"]].split())
         assert r["bytes_saved"] == len(doc_norm) - len(r["deduped_text"])
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_exact_substring_invariants(spark, docs_toks):
+    # spans: length >= k, non-overlapping, inside doc bounds;
+    # rewrite: accounting exact (kept + removed == total,
+    # removed == Σ span lengths per doc)
+    from kissmetrics_to_database_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 3
+    spans = dedup.exact_substring_spans(df, k=k).collect()
+    n_toks = {i: len([t for t in toks if t]) for i, toks in enumerate(docs_toks)}
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_len"] >= k
+        assert r["span_end"] - r["span_start"] + 1 == r["span_len"]
+        assert 0 <= r["span_start"] <= r["span_end"] < n_toks[r["doc_id"]]
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for d, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, _e2) in zip(ss, ss[1:]):
+            assert e1 < s2 - 1 or e1 < s2  # maximal runs never touch
+
+    rewritten = dedup.exact_substring_rewrite(df, k=k).collect()
+    span_sum = {
+        d: sum(e - s + 1 for s, e in ss) for d, ss in per_doc.items()
+    }
+    for r in rewritten:
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        assert r["n_removed"] == span_sum.get(r["doc_id"], 0)
+        assert len([t for t in r["text_rewritten"].split() if t]) == r["n_kept"]
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from(["http", "https", "ftp"]),
+    st.sampled_from(
+        ["Example.COM", "news.site.co.uk", "localhost", "A.B.C.example.net"]
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/Path/X", "/a/b/c"]),
+    st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?z=9&a=1&gclid=g", "?b=2&a=1&a=0"]
+    ),
+    st.sampled_from(["", "#frag"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_url_canonicalize_idempotent(spark, n, sch, host, port, path, q, frag):
+    from kissmetrics_to_database_spark.operators import web
+
+    url = f"{sch}://{host}{port}{path}{q}{frag}"
+    df = spark.createDataFrame([(n, url)], ["doc_id", "url"])
+    c1 = web.canonicalize_urls(df).collect()[0]["url_canonical"]
+    df2 = spark.createDataFrame([(n, c1)], ["doc_id", "url"])
+    c2 = web.canonicalize_urls(df2).collect()[0]["url_canonical"]
+    assert c2 == c1  # canonical form is a fixed point
