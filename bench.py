@@ -136,6 +136,7 @@ HEADLINE = [
     "exact_substring_ingest_spans",
     "unigram_tokenizer_stats",
     "corpus_snapshot_diff",
+    "audio_silence_segments",
 ]
 
 

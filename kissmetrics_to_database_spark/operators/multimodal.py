@@ -536,3 +536,97 @@ def audio_stft_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=STFT_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, rms double"
+)
+
+
+def audio_frame_energy(
+    df: DataFrame, n_fft: int = 256, hop: int | None = None
+) -> DataFrame:
+    """Per-frame RMS energy (mono mix), the waveform-domain companion
+    of :func:`audio_stft_frames` — one strided view + one vectorized
+    reduction per clip. Quarantine: one all-null row."""
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    if n_fft < 4:
+        raise ValueError("n_fft must be >= 4")
+    hop = n_fft if hop is None else hop
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        null_row = {"frame_idx": None, "n_frames": None, "rms": None}
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(b))
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1)
+                if mono.size < n_fft:
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                n_frames = (mono.size - n_fft) // hop + 1
+                frames = np.lib.stride_tricks.as_strided(
+                    mono,
+                    shape=(n_frames, n_fft),
+                    strides=(mono.strides[0] * hop, mono.strides[0]),
+                )
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                for i in range(n_frames):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "n_frames": n_frames,
+                        "rms": round(float(rms[i]), 6),
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_ENERGY_SCHEMA)
+
+
+def silence_segments(
+    frames: DataFrame, threshold: float = 100.0
+) -> DataFrame:
+    """Voice-activity segmentation over :func:`audio_frame_energy`
+    output: consecutive frames on the same side of the RMS
+    ``threshold`` merge into maximal speech/silence segments
+    (gaps-and-islands per (doc, kind) — the scd.py pattern), numbered
+    per doc. The silence-trimming / dead-air-gating primitive for
+    speech corpora; pure DataFrame ops, one doc-keyed shuffle.
+
+    Returns (doc_id, seg_idx, kind, frame_start, frame_end, n_frames).
+    """
+    from pyspark.sql import Window
+
+    flagged = frames.where(F.col("frame_idx").isNotNull()).select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.col("rms") >= threshold, "speech")
+        .otherwise("silence")
+        .alias("kind"),
+    )
+    w = Window.partitionBy("doc_id", "kind").orderBy("frame_idx")
+    segs = flagged.withColumn(
+        "_isl", F.col("frame_idx") - F.row_number().over(w)
+    ).groupBy("doc_id", "kind", "_isl").agg(
+        F.min("frame_idx").cast("long").alias("frame_start"),
+        F.max("frame_idx").cast("long").alias("frame_end"),
+        F.count("*").cast("long").alias("n_frames"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("frame_start")
+    return segs.select(
+        "doc_id",
+        (F.row_number().over(ws) - 1).cast("long").alias("seg_idx"),
+        "kind",
+        "frame_start",
+        "frame_end",
+        "n_frames",
+    )

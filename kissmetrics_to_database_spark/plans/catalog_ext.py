@@ -963,6 +963,79 @@ def q_audio_stft_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_silence_segments",
+    """
+    WITH seg AS (
+      SELECT doc_id, s,
+             CASE WHEN doc_id % 2 = 0 THEN
+               CASE s WHEN 0 THEN {'k': 'speech', 'a': 0, 'b': 1, 'n': 2}
+                      WHEN 1 THEN {'k': 'silence', 'a': 2, 'b': 3, 'n': 2}
+                      ELSE {'k': 'speech', 'a': 4, 'b': 5, 'n': 2} END
+             ELSE
+               CASE s WHEN 0 THEN {'k': 'silence', 'a': 0, 'b': 0, 'n': 1}
+                      WHEN 1 THEN {'k': 'speech', 'a': 1, 'b': 3, 'n': 3}
+                      ELSE {'k': 'silence', 'a': 4, 'b': 5, 'n': 2} END
+             END AS v
+      FROM documents, unnest(range(0, 3)) AS u(s)
+      WHERE doc_id <= 200
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS seg_idx, v.k AS kind,
+           CAST(v.a AS BIGINT) AS frame_start,
+           CAST(v.b AS BIGINT) AS frame_end,
+           CAST(v.n AS BIGINT) AS n_frames
+    FROM seg ORDER BY doc_id, seg_idx
+    """,
+)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation end-to-end (r6): each doc's clip is
+    six 256-sample frames with tone/zero segments on exact frame
+    boundaries (even doc_ids: tone,tone,zero,zero,tone,tone; odd:
+    zero,tone,tone,tone,zero,zero), decoded, frame-RMS'd
+    (multimodal.audio_frame_energy) and merged to maximal
+    speech/silence segments (multimodal.silence_segments —
+    gaps-and-islands per kind). A tone frame's RMS ≈ 6364 ≫ the 100
+    threshold, zero frames are exactly 0, so segment boundaries are
+    arithmetic — the oracle enumerates them."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        n = 256
+        t = np.arange(6 * n)
+        frame = t // n
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    active = np.isin(frame, (0, 1, 4, 5))
+                else:
+                    active = np.isin(frame, (1, 2, 3))
+                tone = np.rint(9000 * np.sin(2 * np.pi * (8 + d % 8) * t / n))
+                x = np.where(active, tone, 0.0).astype(np.int16)
+                payloads.append(codecs.encode_wav(x, sample_rate=8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    frames = multimodal.audio_frame_energy(payload, n_fft=256)
+    return multimodal.silence_segments(frames, threshold=100.0).orderBy(
+        "doc_id", "seg_idx"
+    )
+
+
+@query(
     "video_frame_sample",
     """
     SELECT d.doc_id,

@@ -324,3 +324,58 @@ class TestAudioStft:
         out = {r["doc_id"]: r for r in multimodal.audio_stft_frames(df).collect()}
         assert len(out) == 2
         assert out[0]["frame_idx"] is None and out[1]["frame_idx"] is None
+
+
+class TestSilenceSegments:
+    def test_alternating_segments(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        n = 128
+        t = np.arange(5 * n)
+        frame = t // n
+        tone = np.rint(8000 * np.sin(2 * np.pi * 4 * t / n))
+        x = np.where(np.isin(frame, (1, 2)), tone, 0.0).astype(np.int16)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(x, sample_rate=8000)))],
+            "doc_id long, payload binary",
+        )
+        frames = multimodal.audio_frame_energy(df, n_fft=128)
+        segs = [
+            (r["seg_idx"], r["kind"], r["frame_start"], r["frame_end"])
+            for r in multimodal.silence_segments(frames)
+            .orderBy("seg_idx")
+            .collect()
+        ]
+        assert segs == [
+            (0, "silence", 0, 0),
+            (1, "speech", 1, 2),
+            (2, "silence", 3, 4),
+        ]
+
+    def test_all_silence_single_segment(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        x = np.zeros(512, np.int16)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(x)))],
+            "doc_id long, payload binary",
+        )
+        frames = multimodal.audio_frame_energy(df, n_fft=128)
+        segs = multimodal.silence_segments(frames).collect()
+        assert len(segs) == 1
+        assert segs[0]["kind"] == "silence" and segs[0]["n_frames"] == 4
+
+    def test_quarantined_rows_excluded(self, spark):
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"nope"))], "doc_id long, payload binary"
+        )
+        frames = multimodal.audio_frame_energy(df)
+        assert multimodal.silence_segments(frames).count() == 0
