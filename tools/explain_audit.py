@@ -389,6 +389,37 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["Join", "SinglePartition", "CartesianProduct"],
     ),
+    # exact-substring dedup (r6): gram winner via map-side-combinable
+    # min(struct) agg on the gram hash; shuffles only on gram_hash /
+    # doc_id; the hist/winner joins are equi-joins (broadcast at this
+    # SF), never cartesian; no single-partition exchange
+    "exact_substring_spans": (
+        ["partial_min", "hashpartitioning(gram_hash",
+         "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
+    "exact_substring_rewrite": (
+        ["partial_min", "hashpartitioning(doc_id"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
+    # production BPE encode: ONE Arrow mapInPandas pass — no joins, no
+    # hash shuffle at all (the only exchange is the final sort's range
+    # partitioning)
+    "bpe_encode_corpus": (
+        ["MapInPandas", "rangepartitioning"],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # URL canonicalization: pure codegen'd projection — zero joins,
+    # zero hash shuffles
+    "url_canonicalize": (
+        [],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # per-domain quota: ONE domain-keyed window, no joins
+    "domain_quota_sample": (
+        ["hashpartitioning(registered_domain"],
+        ["Join", "CartesianProduct", "SinglePartition"],
+    ),
     # winnowing containment: the only join is the frequency-capped fp
     # equi-join (small enough to broadcast at this SF; at scale it is
     # a hash-partitioned equi-join on fp) — never cartesian, never a
