@@ -137,6 +137,7 @@ HEADLINE = [
     "unigram_tokenizer_stats",
     "corpus_snapshot_diff",
     "audio_silence_segments",
+    "image_sharpness_gate",
 ]
 
 

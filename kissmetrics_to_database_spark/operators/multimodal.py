@@ -630,3 +630,72 @@ def silence_segments(
         "frame_end",
         "n_frames",
     )
+
+
+SHARPNESS_SCHEMA = (
+    "doc_id long, width long, height long, var_laplacian double, "
+    "blurry boolean"
+)
+
+
+def image_sharpness(
+    df: DataFrame, blur_threshold: float = 100.0
+) -> DataFrame:
+    """Blur detection — variance of the 4-neighbor Laplacian over the
+    grayscale interior (the classic focus measure: defocused or
+    low-detail images have small high-frequency response). The
+    standard image-corpus quality gate next to dHash dedup; smooth
+    gradients score 0 by construction (the Laplacian of a linear ramp
+    vanishes), which is exactly the property the gate exploits.
+
+    Emits (width, height, var_laplacian, blurry); undecodable
+    payloads quarantine to nulls. Arrow-batched, vectorized convolve
+    via shifted-array sums — no per-pixel Python.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        null_row = {
+            "width": None, "height": None, "var_laplacian": None,
+            "blurry": None,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    arr = codecs.decode_image(bytes(b))
+                except ValueError:
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                gray = (
+                    arr[:, :, 0].astype(np.float64)
+                    if arr.shape[2] == 1
+                    else arr.astype(np.float64).mean(axis=2)
+                )
+                h, w = gray.shape
+                if h < 3 or w < 3:
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                g = gray[1:-1, 1:-1]
+                lap = (
+                    4 * g
+                    - gray[:-2, 1:-1]
+                    - gray[2:, 1:-1]
+                    - gray[1:-1, :-2]
+                    - gray[1:-1, 2:]
+                )
+                var = float(lap.var())
+                rows.append({
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "var_laplacian": round(var, 6),
+                    "blurry": var < blur_threshold,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=SHARPNESS_SCHEMA)

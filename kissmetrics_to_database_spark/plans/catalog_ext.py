@@ -835,6 +835,65 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_sharpness_gate",
+    """
+    SELECT doc_id,
+           CAST(10 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1
+                     THEN 1600.0 * (doc_id % 5 + 1) * (doc_id % 5 + 1)
+                     ELSE 0.0 END AS DOUBLE) AS var_laplacian,
+           (CASE WHEN doc_id % 3 = 1
+                 THEN 1600.0 * (doc_id % 5 + 1) * (doc_id % 5 + 1)
+                 ELSE 0.0 END) < 100.0 AS blurry
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def q_image_sharpness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur-detection quality gate end-to-end (r6): per doc a 10×10
+    grayscale image — constant (doc_id%3=0), checkerboard of
+    amplitude a=(doc_id%5+1)·10 (doc_id%3=1), or a linear vertical
+    ramp (doc_id%3=2) — is PNG-encoded, decoded by the real codec and
+    scored by multimodal.image_sharpness. The math makes the oracle
+    exact arithmetic: a constant or LINEAR ramp has identically zero
+    Laplacian (the defining property of the focus measure), and the
+    checkerboard's interior Laplacian is ±4a on an even parity split,
+    so var = 16a² exactly. Only checkerboards pass the gate."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        yy, xx = np.mgrid[0:10, 0:10]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    img = np.full((10, 10), d % 256, np.uint8)
+                elif d % 3 == 1:
+                    a = (d % 5 + 1) * 10
+                    img = (((yy + xx) % 2 == 0) * a).astype(np.uint8)
+                else:
+                    img = (yy * 5).astype(np.uint8)
+                payloads.append(codecs.encode_png(img[:, :, None]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return multimodal.image_sharpness(payload).orderBy("doc_id")
+
+
+@query(
     "audio_spectral_features",
     """
     SELECT doc_id,

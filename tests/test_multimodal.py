@@ -379,3 +379,55 @@ class TestSilenceSegments:
         )
         frames = multimodal.audio_frame_energy(df)
         assert multimodal.silence_segments(frames).count() == 0
+
+
+class TestImageSharpness:
+    def _png(self, img):
+        from kissmetrics_to_database_spark.functions import codecs
+
+        return codecs.encode_png(img)
+
+    def test_checkerboard_exact_variance_and_ramp_zero(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        yy, xx = np.mgrid[0:10, 0:10]
+        checker = (((yy + xx) % 2 == 0) * 30).astype(np.uint8)[:, :, None]
+        ramp = (yy * 7).astype(np.uint8)[:, :, None]
+        flat = np.full((10, 10, 1), 99, np.uint8)
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(self._png(checker))),
+                (1, bytearray(self._png(ramp))),
+                (2, bytearray(self._png(flat))),
+                (3, bytearray(b"garbage")),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in multimodal.image_sharpness(df).collect()}
+        assert out[0]["var_laplacian"] == 16 * 30 * 30  # exact
+        assert out[0]["blurry"] is False
+        assert out[1]["var_laplacian"] == 0.0 and out[1]["blurry"] is True
+        assert out[2]["var_laplacian"] == 0.0 and out[2]["blurry"] is True
+        assert out[3]["var_laplacian"] is None
+
+    def test_rgb_uses_channel_mean_and_tiny_quarantines(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[::2, ::2] = 60
+        rgb[1::2, 1::2] = 60
+        tiny = np.full((2, 2, 1), 10, np.uint8)
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(self._png(rgb))),
+                (1, bytearray(self._png(tiny))),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in multimodal.image_sharpness(df).collect()}
+        assert out[0]["var_laplacian"] > 0
+        assert out[1]["var_laplacian"] is None  # interior too small
