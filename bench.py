@@ -138,6 +138,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "audio_silence_segments",
     "image_sharpness_gate",
+    "decontamination_spans",
 ]
 
 

@@ -1331,3 +1331,32 @@ def exact_substring_spans_vs_index(
         .distinct()
     )
     return _spans_from_covered(covered, id_col)
+
+
+def decontamination_spans(
+    bench: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Span-level benchmark decontamination: maximal corpus token runs
+    whose ``k``-grams appear anywhere in the ``bench`` eval set —
+    exact (doc, start, end) removal coordinates, the surgical
+    complement of count-based overlap screening. The eval-set gram
+    index always wins (no corpus-internal race — contamination is
+    defined purely against the benchmark). Same linear plan family as
+    :func:`exact_substring_spans`."""
+    grams = _positional_kgram_hashes(corpus, id_col, text_col, k)
+    bench_idx = exact_substring_gram_index(bench, id_col, text_col, k)
+    covered = (
+        grams.join(bench_idx, "gram_hash")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    return _spans_from_covered(covered, id_col)

@@ -4526,6 +4526,67 @@ def q_exact_substring_ingest_spans(
     )
 
 
+@query(
+    "decontamination_spans",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, pos, md5(g) AS h FROM (
+        SELECT doc_id, pos,
+               term || ' ' || lead(term, 1) OVER w || ' ' ||
+               lead(term, 2) OVER w || ' ' || lead(term, 3) OVER w || ' ' ||
+               lead(term, 4) OVER w AS g,
+               lead(term, 4) OVER w IS NOT NULL AS f
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE f
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 25 = 0),
+    rem AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN bench b USING (h)
+      WHERE g.doc_id % 25 <> 0
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + d AS cpos
+      FROM rem, unnest(range(0, 5)) AS u(d)
+    )
+    SELECT doc_id,
+           CAST(min(cpos) AS BIGINT) AS span_start,
+           CAST(max(cpos) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM (SELECT doc_id, cpos,
+                 cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos)
+                   AS isl
+          FROM cov)
+    GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (r6): the exact-substring
+    machinery pointed at an EVAL SET — every training-corpus token
+    run whose 5-grams appear anywhere in the benchmark (docs with
+    doc_id % 25 = 0 stand in for it) is reported as exact removal
+    coordinates. Stricter than the 5-gram overlap COUNT of
+    `decontaminate_against_eval`: that query says which docs are
+    contaminated, this one says exactly WHERE to cut (the Lee et al.
+    machinery composed with the decontamination contract — eval set
+    as the always-wins index, dedup.exact_substring_spans_vs_index
+    with no batch-internal race)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_set = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return dedup.decontamination_spans(bench_set, corpus, k=5).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def _bpe_encode_oracle(n_merges: int) -> str:
     """Oracle for the production corpus encoder: the same unrolled
     training iterations as :func:`_bpe_oracle`, then per-doc token

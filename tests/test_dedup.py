@@ -435,3 +435,27 @@ class TestExactSubstringIngest:
             tuple(r) for r in dedup.exact_substring_spans(batch, k=5).collect()
         )
         assert got == want
+
+
+def test_decontamination_spans_hand_computed(spark):
+    from kissmetrics_to_database_spark.operators import dedup
+
+    secret = "q1 q2 q3 q4 q5 q6"
+    bench = spark.createDataFrame(
+        [(0, f"intro {secret} outro")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, f"leak {secret} here"),    # contains the benchmark run
+            (11, "clean document words"),    # clean
+            (12, f"{secret}"),               # is exactly the run
+        ],
+        ["doc_id", "text"],
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.decontamination_spans(bench, corpus, k=5).collect()
+    )
+    assert spans == [(10, 1, 6), (12, 0, 5)]
+    # no corpus-internal dedup: docs 10 and 12 both flagged only for
+    # the benchmark overlap, doc 11 untouched
