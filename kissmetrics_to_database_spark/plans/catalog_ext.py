@@ -4319,7 +4319,13 @@ def q_bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (m[1], m[2]) for m in text.bpe_train_merges_local(docs, n_merges=4)
     ]
-    segmented = text.bpe_apply_merges(docs, merges)
+    # materialize the (vocab-bounded) segmented table once: the occ /
+    # total / readout branches below would otherwise each re-evaluate
+    # the 4-level nested fold through projection collapse — measured
+    # 5.7 s vs 0.8 s at sf0.1 (r6)
+    segmented = text.bpe_apply_merges(docs, merges).localCheckpoint(
+        eager=True
+    )
     occ = (
         segmented.select(
             F.explode("syms").alias("sym"), F.col("wc")
@@ -4752,7 +4758,13 @@ def q_unigram_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     EM updates, so training replays hash-exactly across engines."""
     docs = load_table(spark, sf_dir, "documents")
     pieces = text.train_unigram_pieces(docs, n_multi=48, iters=2)
-    seg = text.unigram_segment_vocab(docs, pieces)
+    # materialize the (vocab-bounded) segmentation before exploding:
+    # Generate would otherwise re-evaluate the interpreted DP fold per
+    # output row / per aggregate side — measured 6.3 s vs 0.4 s at
+    # sf0.1 (r6; same pathology as the BPE fold readout)
+    seg = text.unigram_segment_vocab(docs, pieces).localCheckpoint(
+        eager=True
+    )
     counts = (
         seg.select(F.explode("pieces").alias("piece"), "wc")
         .groupBy("piece")
