@@ -67,6 +67,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Local-mode driver heap: Spark's 1g default eventually OOMs a
+        # long-lived session (the full test suite accumulates ~1.5k
+        # stages of cached/checkpointed blocks before the 2M-edge CC
+        # test — r6). Applied at JVM launch only, so it must be set by
+        # the FIRST session of the process; harmless no-op afterwards
+        # and on real clusters, where the deploy sets it.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
