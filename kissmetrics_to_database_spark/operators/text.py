@@ -1008,14 +1008,24 @@ def bpe_encode_corpus(
                         "n_words": len(ws),
                         "n_chars": n_chars,
                         "n_tokens": n_tokens,
-                        "compression_ratio": (
-                            round(n_chars / n_tokens, 6) if n_tokens else None
-                        ),
                     }
                 )
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(run, schema=BPE_ENCODE_SCHEMA)
+    encoded = src.mapInPandas(
+        run,
+        schema="doc_id long, n_words long, n_chars long, n_tokens long",
+    )
+    # ratio via F.round, NOT Python round: Python rounds half-to-even
+    # while Spark/DuckDB round half away from zero — 378/256 =
+    # 1.4765625 exactly hits the boundary and diverged at sf0.1 (r6)
+    return encoded.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6),
+        ),
+    )
 
 
 def train_hashed_classifier(
