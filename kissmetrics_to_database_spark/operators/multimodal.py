@@ -45,6 +45,20 @@ DECODED_SCHEMA = (
 _FORMATS = ["png", "jpeg", "webp"]
 
 
+
+
+def _round6(x: float) -> float:
+    """Round half AWAY from zero at 6 decimals — matching F.round and
+    DuckDB's round(). Python's built-in round() is half-to-even and
+    diverges exactly on the boundary (SCALING.md cross-engine
+    rounding convention; the bpe_encode_corpus bug class). Returns
+    +0.0 for zero so hashes never see -0.0."""
+    import math
+
+    r = math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+    return 0.0 if r == 0 else r
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -108,7 +122,7 @@ def real_decode_kernel(payload: bytes) -> dict:
         "width": arr.shape[1],
         "height": arr.shape[0],
         "channels": arr.shape[2],
-        "mean_value": round(float(arr.mean()), 6),
+        "mean_value": _round6(float(arr.mean())),
     }
 
 
@@ -158,7 +172,7 @@ def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
                     {
                         "doc_id": doc_id,
                         "n_bytes": n,
-                        "entropy": round(entropy, 6),
+                        "entropy": _round6(entropy),
                         "byte_hist": hist.astype("int64").tolist(),
                     }
                 )
@@ -222,8 +236,8 @@ def decode_audio(df: DataFrame) -> DataFrame:
                         "sample_rate": d["sample_rate"],
                         "channels": d["channels"],
                         "n_frames": d["n_frames"],
-                        "duration_sec": round(d["n_frames"] / d["sample_rate"], 6),
-                        "rms": round(float(np.sqrt((s * s).mean())), 6) if s.size else 0.0,
+                        "duration_sec": _round6(d["n_frames"] / d["sample_rate"]),
+                        "rms": _round6(float(np.sqrt((s * s).mean()))) if s.size else 0.0,
                     })
                 except (ValueError, EOFError, wave.Error):
                     rows.append({
@@ -292,7 +306,7 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
                             "frame_idx": idx,
                             "width": arr.shape[1],
                             "height": arr.shape[0],
-                            "mean_value": round(float(arr.mean()), 6),
+                            "mean_value": _round6(float(arr.mean())),
                             "frame_png": codecs.encode_png(arr),
                         })
                 except ValueError:
@@ -435,7 +449,7 @@ def audio_spectral(
                 # equal bands over bins 1..n_fft//2 (DC excluded)
                 splits = np.array_split(nondc, n_bands)
                 bands = (
-                    [round(float(s.sum()) / total, 6) for s in splits]
+                    [_round6(float(s.sum()) / total) for s in splits]
                     if total > 0
                     else [0.0] * n_bands
                 )
@@ -444,10 +458,10 @@ def audio_spectral(
                     "sample_rate": d["sample_rate"],
                     "n_fft": n_fft,
                     "dominant_bin": dom,
-                    "dominant_freq_hz": round(
-                        dom * d["sample_rate"] / n_fft, 6
+                    "dominant_freq_hz": _round6(
+                        dom * d["sample_rate"] / n_fft
                     ),
-                    "peak_share": round(share, 6),
+                    "peak_share": _round6(share),
                     "band_energy_frac": bands,
                 })
             yield pd.DataFrame(rows)
@@ -524,11 +538,11 @@ def audio_stft_frames(
                         "frame_idx": i,
                         "n_frames": n_frames,
                         "dominant_bin": dom,
-                        "dominant_freq_hz": round(
-                            dom * d["sample_rate"] / n_fft, 6
+                        "dominant_freq_hz": _round6(
+                            dom * d["sample_rate"] / n_fft
                         ),
-                        "peak_share": round(
-                            float(nondc[i, dom - 1] / total), 6
+                        "peak_share": _round6(
+                            float(nondc[i, dom - 1] / total)
                         )
                         if total > 0
                         else 0.0,
@@ -585,7 +599,7 @@ def audio_frame_energy(
                         "doc_id": doc_id,
                         "frame_idx": i,
                         "n_frames": n_frames,
-                        "rms": round(float(rms[i]), 6),
+                        "rms": _round6(float(rms[i])),
                     })
             yield pd.DataFrame(rows)
 
@@ -693,7 +707,7 @@ def image_sharpness(
                     "doc_id": doc_id,
                     "width": w,
                     "height": h,
-                    "var_laplacian": round(var, 6),
+                    "var_laplacian": _round6(var),
                     "blurry": var < blur_threshold,
                 })
             yield pd.DataFrame(rows)
