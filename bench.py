@@ -139,6 +139,7 @@ HEADLINE = [
     "audio_silence_segments",
     "image_sharpness_gate",
     "decontamination_spans",
+    "audio_mel_bands",
 ]
 
 

@@ -713,3 +713,81 @@ def image_sharpness(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=SHARPNESS_SCHEMA)
+
+
+MEL_SCHEMA = (
+    "doc_id long, n_mels long, dominant_mel long, mel_energy_frac "
+    "array<double>"
+)
+
+
+def audio_mel_bands(
+    df: DataFrame, n_fft: int = 512, n_mels: int = 8
+) -> DataFrame:
+    """Mel-scale band energies — the perceptual front-end speech
+    pipelines gate on (mel = 2595·log10(1 + f/700), the public HTK
+    formula): the linear power spectrum (DC excluded) is partitioned
+    into ``n_mels`` EQUAL-WIDTH mel intervals between mel(0) and
+    mel(rate/2) (rectangular summation — deterministic and
+    oracle-able, where triangular overlapping filters would introduce
+    float weighting; production swaps librosa behind the same column
+    contract). Emits the per-band energy fractions and the argmax
+    band: for a pure tone the dominant mel band is exactly the band
+    containing mel(f_tone) — closed-form arithmetic both engines can
+    compute. Quarantine: all-null row.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    if n_fft < 4 or n_fft & (n_fft - 1):
+        raise ValueError("n_fft must be a power of two >= 4")
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        def mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        null_row = {
+            "n_mels": None, "dominant_mel": None, "mel_energy_frac": None,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(b))
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1)
+                x = mono[:n_fft]
+                if x.size < n_fft:
+                    x = np.pad(x, (0, n_fft - x.size))
+                power = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.arange(1, n_fft // 2 + 1) * (
+                    d["sample_rate"] / n_fft
+                )
+                m = mel(freqs)
+                hi = mel(d["sample_rate"] / 2.0)
+                band = np.minimum(
+                    (m / hi * n_mels).astype(np.int64), n_mels - 1
+                )
+                nondc = power[1:]
+                total = float(nondc.sum())
+                fracs = [
+                    _round6(float(nondc[band == i].sum()) / total)
+                    if total > 0
+                    else 0.0
+                    for i in range(n_mels)
+                ]
+                dom = int(np.argmax(fracs)) if total > 0 else 0
+                rows.append({
+                    "doc_id": doc_id,
+                    "n_mels": n_mels,
+                    "dominant_mel": dom,
+                    "mel_energy_frac": fracs,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MEL_SCHEMA)

@@ -960,6 +960,74 @@ def q_audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_mel_bands",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS DOUBLE)
+               AS rate,
+             CAST(5 + doc_id % 25 AS BIGINT) AS k
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_mels,
+           CAST(least(floor(
+             (2595.0 * log10(1.0 + (k * rate / 512.0) / 700.0))
+             / (2595.0 * log10(1.0 + (rate / 2.0) / 700.0)) * 8
+           ), 7) AS BIGINT) AS dominant_mel,
+           CAST(1.0 AS DOUBLE) AS peak_frac
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_audio_mel_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-band audio features end-to-end (r6): per doc a bin-aligned
+    tone (bin 5 + doc_id % 25 of a 512-point window) whose entire
+    energy lands in ONE spectral bin, so the dominant mel band is the
+    closed-form HTK mel of the tone frequency (both engines evaluate
+    the same 2595·log10(1+f/700) arithmetic) and its energy fraction
+    is exactly 1.0. multimodal.audio_mel_bands — the perceptual
+    front-end speech-corpus quality gates run."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        t = np.arange(512)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 16000 if d % 2 == 0 else 8000
+                k = 5 + d % 25
+                x = np.rint(
+                    9000 * np.sin(2 * np.pi * k * t / 512)
+                ).astype(np.int16)
+                payloads.append(codecs.encode_wav(x, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    mel = multimodal.audio_mel_bands(payload, n_fft=512, n_mels=8)
+    return mel.select(
+        "doc_id",
+        "n_mels",
+        "dominant_mel",
+        F.element_at("mel_energy_frac", F.col("dominant_mel").cast("int") + 1)
+        .alias("peak_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
     "audio_stft_segments",
     """
     SELECT doc_id,

@@ -431,3 +431,57 @@ class TestImageSharpness:
         out = {r["doc_id"]: r for r in multimodal.image_sharpness(df).collect()}
         assert out[0]["var_laplacian"] > 0
         assert out[1]["var_laplacian"] is None  # interior too small
+
+
+class TestMelBands:
+    def test_pure_tone_single_band(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        t = np.arange(512)
+        tone = np.rint(9000 * np.sin(2 * np.pi * 20 * t / 512)).astype(
+            np.int16
+        )
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(tone, sample_rate=16000)))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_mel_bands(df, n_fft=512, n_mels=8).collect()
+        # f = 20*16000/512 = 625 Hz; mel(625)/mel(8000)*8 -> band 2
+        import math
+
+        mel = lambda f: 2595 * math.log10(1 + f / 700)  # noqa: E731
+        expect = min(int(mel(625) / mel(8000) * 8), 7)
+        assert r["dominant_mel"] == expect
+        assert r["mel_energy_frac"][expect] == 1.0
+        assert sum(r["mel_energy_frac"]) == 1.0
+
+    def test_white_noise_spreads_low_bands_widest(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        rng = np.random.default_rng(0)
+        noise = rng.integers(-20000, 20000, 512).astype(np.int16)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(noise, sample_rate=16000)))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_mel_bands(df, n_fft=512, n_mels=8).collect()
+        fr = r["mel_energy_frac"]
+        # flat linear spectrum: HIGH mel bands cover more linear
+        # bandwidth, so energy increases with band index on average
+        assert fr[-1] > fr[0]
+        assert abs(sum(fr) - 1.0) < 1e-4
+
+    def test_quarantine(self, spark):
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"x"))], "doc_id long, payload binary"
+        )
+        [r] = multimodal.audio_mel_bands(df).collect()
+        assert r["dominant_mel"] is None
