@@ -162,6 +162,11 @@ def bench_trainers(spark, sf_dir: str) -> dict:
     cents = emb.where(F.col("vec_id") < 8)
 
     def _occ_stats(segmented):
+        # materialize before exploding — Generate re-evaluates the
+        # interpreted merge fold per output row otherwise (the r6
+        # catalog-query fix, mirrored here so serve_s measures the
+        # readout, not fold re-evaluation)
+        segmented = segmented.localCheckpoint(eager=True)
         occ = (
             segmented.select(F.explode("syms").alias("sym"), "wc")
             .groupBy("sym")
