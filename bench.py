@@ -140,6 +140,7 @@ HEADLINE = [
     "image_sharpness_gate",
     "decontamination_spans",
     "audio_mel_bands",
+    "image_dup_clusters",
 ]
 
 

@@ -5279,6 +5279,160 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dup_clusters",
+    """
+    WITH RECURSIVE dims AS (
+      SELECT doc_id,
+             16 + (doc_id % 5) * 4 AS h,
+             16 + (doc_id % 3) * 4 AS w
+      FROM documents WHERE doc_id <= 150
+    ),
+    bits AS (
+      SELECT d.doc_id, i.i, j.j,
+             CASE WHEN (3 * ((j.j + 1) * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                     > (3 * (j.j * d.w // 9) + 7 * (i.i * d.h // 8)
+                        + d.doc_id) % 256
+                  THEN '1' ELSE '0' END AS b
+      FROM dims d
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    hashes AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY i, j) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, dhash, blk,
+             substr(dhash, blk * 16 + 1, 16) AS bkey
+      FROM hashes, (SELECT unnest(range(0, 4)) AS blk) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE (SELECT count(*) FROM unnest(range(1, 65)) AS u(p)
+             WHERE substr(ha, CAST(p AS INTEGER), 1)
+                <> substr(hb, CAST(p AS INTEGER), 1)) <= 1
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT s AS node, s AS r FROM und
+      UNION
+      SELECT und.s AS node, reach.r FROM und JOIN reach ON und.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY node),
+    assigned AS (
+      SELECT h.doc_id, coalesce(c.cid, h.doc_id) AS cluster_id
+      FROM hashes h LEFT JOIN comp c ON c.node = h.doc_id
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM assigned ORDER BY doc_id
+    """,
+)
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS (r6): the dedup ACTION on the dHash
+    pairs — connected components over the Hamming ≤ 1 pair graph
+    (identity.connected_components — the same adaptive CC the alias
+    graph uses), cluster id = min member, singletons kept as their
+    own cluster. The per-cluster canonical/"keep one" rule every
+    image corpus applies after near-dup detection; the oracle replays
+    generation + hashing + blocking + a recursive-CTE closure."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    from kissmetrics_to_database_spark.operators import identity
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 16 + (d % 5) * 4, 16 + (d % 3) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((3 * xx + 7 * yy + d) % 256).astype(np.uint8)
+                payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 150)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    hashes = multimodal.image_dhash(payload)
+    blocks = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn("bkey", F.expr("substring(dhash, blk * 16 + 1, 16)"))
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "blk", "bkey",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"),
+        "blk", "bkey",
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("ha", ""), F.split("hb", ""), lambda x, y: x != y
+            ),
+            lambda v: v,
+        )
+    )
+    pairs = (
+        a.join(b, ["blk", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .where(hamming <= 1)
+    )
+    # CC compares ids as STRINGS (min member) — zero-pad so the
+    # string min equals the numeric min the oracle computes
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 8, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 8, "0").alias("dst"),
+    )
+    comp = identity.connected_components(edges)
+    assigned = hashes.join(
+        comp,
+        F.lpad(F.col("doc_id").cast("string"), 8, "0") == F.col("member"),
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("component_id").cast("long"), F.col("doc_id")
+        ).alias("cluster_id"),
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
+@query(
     "image_dhash_near_dups",
     """
     WITH dims AS (
