@@ -227,6 +227,12 @@ def bench_trainers(spark, sf_dir: str) -> dict:
             lambda: text.train_unigram_pieces(docs, n_multi=48, iters=2),
             lambda a: text.unigram_segment_vocab(docs, a),
         ),
+        "unigram_encode_corpus": (
+            lambda: text.train_unigram_pieces_local(
+                docs, n_multi=1024, max_piece_len=6, iters=2
+            ),
+            lambda a: text.unigram_encode_corpus(docs, a, max_piece_len=6),
+        ),
         "classifier_train_confusion": (
             lambda: text.train_hashed_classifier(
                 docs.withColumn(

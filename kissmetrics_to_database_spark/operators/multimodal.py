@@ -48,11 +48,18 @@ _FORMATS = ["png", "jpeg", "webp"]
 
 
 def _round6(x: float) -> float:
-    """Round half AWAY from zero at 6 decimals — matching F.round and
-    DuckDB's round(). Python's built-in round() is half-to-even and
-    diverges exactly on the boundary (SCALING.md cross-engine
-    rounding convention; the bpe_encode_corpus bug class). Returns
-    +0.0 for zero so hashes never see -0.0."""
+    """Round half AWAY from zero at 6 decimals on the BINARY value —
+    matching DuckDB's round(double) (same floor(|x|*1e6+0.5)
+    formula), which is what the oracles compare against. NOT
+    equivalent to Spark's F.round(double): F.round is BigDecimal
+    HALF_UP on the shortest decimal rendering, so a value whose
+    decimal form ends in ...5 at the 7th digit but whose binary value
+    sits just below the half (the classic 2.675 case) rounds UP under
+    F.round and DOWN here — don't mix the two on the same column.
+    Python's built-in round() is half-to-even and diverges on exact
+    boundaries too (SCALING.md cross-engine rounding convention; the
+    bpe_encode_corpus bug class). Returns +0.0 for zero so hashes
+    never see -0.0."""
     import math
 
     r = math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
@@ -702,12 +709,17 @@ def image_sharpness(
                     - gray[1:-1, :-2]
                     - gray[1:-1, 2:]
                 )
-                var = float(lap.var())
+                # Round ONCE and derive the gate from the rounded
+                # value so the two emitted columns can never
+                # contradict at the threshold boundary (a var of
+                # 99.99999996 must not report var_laplacian=100.0
+                # with blurry=True).
+                var = _round6(float(lap.var()))
                 rows.append({
                     "doc_id": doc_id,
                     "width": w,
                     "height": h,
-                    "var_laplacian": _round6(var),
+                    "var_laplacian": var,
                     "blurry": var < blur_threshold,
                 })
             yield pd.DataFrame(rows)
@@ -791,3 +803,105 @@ def audio_mel_bands(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=MEL_SCHEMA)
+
+
+MFCC_SCHEMA = "doc_id long, n_mfcc long, mfcc array<double>"
+
+
+def audio_mfcc(
+    df: DataFrame,
+    n_fft: int = 512,
+    n_mels: int = 8,
+    n_mfcc: int = 4,
+    log_floor: float = -20.0,
+) -> DataFrame:
+    """MFCC — the standard speech-corpus feature (VERDICT r6 item 5):
+    DCT-II over the log-mel band energies of :func:`audio_mel_bands`,
+    ``mfcc_j = Σ_i L_i · cos(π·j·(i+0.5)/n_mels)`` (plain
+    un-normalized DCT-II, the textbook form; production scaling
+    conventions — HTK's √(2/N), librosa 'ortho' — are a constant
+    factor away and documented out).
+
+    Determinism contract: ``L_i = ln(frac_i)`` of the ROUNDED band
+    energy fraction (the same ``_round6`` fractions
+    :func:`audio_mel_bands` emits), with empty bands floored at
+    ``log_floor`` exactly (not ln(ε) — an exact constant both engines
+    share); the cosine table is built with scalar ``math.cos`` (libm —
+    the same function DuckDB's ``cos()`` calls), NOT numpy's
+    vectorized cos, so the per-term products replay bit-exactly and
+    the oracle's list_sum accumulates in the same ascending-i order.
+    For a bin-aligned pure tone the log-mel vector is 0 at the
+    dominant band and ``log_floor`` elsewhere, making every
+    coefficient closed-form. Quarantine: all-null row.
+    """
+    import math
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    if n_fft < 4 or n_fft & (n_fft - 1):
+        raise ValueError("n_fft must be a power of two >= 4")
+    cos_tab = [
+        [
+            math.cos(math.pi * j * (i + 0.5) / n_mels)
+            for i in range(n_mels)
+        ]
+        for j in range(n_mfcc)
+    ]
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        def mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        null_row = {"n_mfcc": None, "mfcc": None}
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(b))
+                except (ValueError, EOFError, wave.Error):
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1)
+                x = mono[:n_fft]
+                if x.size < n_fft:
+                    x = np.pad(x, (0, n_fft - x.size))
+                power = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.arange(1, n_fft // 2 + 1) * (
+                    d["sample_rate"] / n_fft
+                )
+                m = mel(freqs)
+                hi = mel(d["sample_rate"] / 2.0)
+                band = np.minimum(
+                    (m / hi * n_mels).astype(np.int64), n_mels - 1
+                )
+                nondc = power[1:]
+                total = float(nondc.sum())
+                fracs = [
+                    _round6(float(nondc[band == i].sum()) / total)
+                    if total > 0
+                    else 0.0
+                    for i in range(n_mels)
+                ]
+                logmel = [
+                    math.log(f) if f > 0 else log_floor for f in fracs
+                ]
+                mfcc = [
+                    _round6(
+                        sum(
+                            logmel[i] * cos_tab[j][i]
+                            for i in range(n_mels)
+                        )
+                    )
+                    for j in range(n_mfcc)
+                ]
+                rows.append({
+                    "doc_id": doc_id,
+                    "n_mfcc": n_mfcc,
+                    "mfcc": mfcc,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MFCC_SCHEMA)

@@ -161,20 +161,26 @@ def corpus_snapshot_diff(
     once) + a 4-row aggregation — linear, no windows, skew-free
     (ids are unique per side).
     """
+    # Side presence is a literal flag, NOT the nullable content hash:
+    # a doc present in both snapshots with NULL text on one side must
+    # classify modified/unchanged, never added/removed. NULL text
+    # hashes coalesce to a sentinel so the <> compare is total.
     o = old.select(
         F.col(id_col).alias("_id"),
-        F.md5(F.col(text_col)).alias("_ho"),
-        F.length(F.col(text_col)).alias("_lo"),
+        F.lit(True).alias("_po"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null")).alias("_ho"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).alias("_lo"),
     )
     n = new.select(
         F.col(id_col).alias("_id"),
-        F.md5(F.col(text_col)).alias("_hn"),
-        F.length(F.col(text_col)).alias("_ln"),
+        F.lit(True).alias("_pn"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null")).alias("_hn"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).alias("_ln"),
     )
     j = o.join(n, "_id", "full_outer")
     status = (
-        F.when(F.col("_ho").isNull(), "added")
-        .when(F.col("_hn").isNull(), "removed")
+        F.when(F.col("_po").isNull(), "added")
+        .when(F.col("_pn").isNull(), "removed")
         .when(F.col("_ho") != F.col("_hn"), "modified")
         .otherwise("unchanged")
     )

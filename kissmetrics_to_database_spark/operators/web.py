@@ -26,7 +26,10 @@ MULTI_PART_TLDS = ("co.uk", "com.au", "co.jp", "com.br", "org.uk")
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Query must be extracted from the pre-fragment region: a bare '?'
+# inside the fragment (http://h/p#frag?x=1) is NOT a query. The lazy
+# [^#]*? prefix pins the match before the first '#'.
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

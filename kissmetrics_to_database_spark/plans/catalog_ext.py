@@ -1028,6 +1028,86 @@ def q_audio_mel_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_mfcc",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS DOUBLE)
+               AS rate,
+             CAST(5 + doc_id % 25 AS BIGINT) AS k
+      FROM documents WHERE doc_id <= 200
+    ),
+    dom AS (
+      SELECT doc_id,
+             CAST(least(floor(
+               (2595.0 * log10(1.0 + (k * rate / 512.0) / 700.0))
+               / (2595.0 * log10(1.0 + (rate / 2.0) / 700.0)) * 8
+             ), 7) AS BIGINT) AS b
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_mfcc,
+           CAST(j AS BIGINT) AS coef_idx,
+           round(list_sum(list_transform(range(0, 8),
+             i -> CASE WHEN i = b THEN 0.0
+                       ELSE -20.0 * cos(pi() * j * (i + 0.5) / 8.0) END
+           )), 6) AS coef
+    FROM dom, unnest(range(0, 4)) AS u(j)
+    ORDER BY doc_id, coef_idx
+    """,
+)
+def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC end-to-end (r7, VERDICT r6 item 5): the same bin-aligned
+    tones as `audio_mel_bands` (all energy in one mel band) make the
+    log-mel vector exactly [0 at the dominant band, -20 floor
+    elsewhere], so every DCT-II coefficient is the closed form
+    -20·Σ_{i≠b} cos(πj(i+0.5)/8) — both engines evaluate the same
+    libm cos over the same ascending-i accumulation
+    (multimodal.audio_mfcc builds its cosine table with scalar
+    math.cos for exactly this replay). j=0 degenerates to -140.0
+    (7 floored bands × -20 × cos 0)."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+
+        t = np.arange(512)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 16000 if d % 2 == 0 else 8000
+                k = 5 + d % 25
+                x = np.rint(
+                    9000 * np.sin(2 * np.pi * k * t / 512)
+                ).astype(np.int16)
+                payloads.append(codecs.encode_wav(x, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 200)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    feats = multimodal.audio_mfcc(payload, n_fft=512, n_mels=8, n_mfcc=4)
+    return feats.select(
+        "doc_id",
+        "n_mfcc",
+        F.posexplode("mfcc").alias("coef_idx", "coef"),
+    ).select(
+        "doc_id", "n_mfcc", F.col("coef_idx").cast("long").alias("coef_idx"),
+        "coef",
+    ).orderBy("doc_id", "coef_idx")
+
+
+@query(
     "audio_stft_segments",
     """
     SELECT doc_id,
@@ -2847,20 +2927,22 @@ def q_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_snapshot_diff",
     """
     WITH old AS (
-      SELECT doc_id, md5(text) AS h, length(text) AS l
+      SELECT doc_id, TRUE AS p,
+             coalesce(md5(text), chr(0) || 'null') AS h,
+             coalesce(length(text), 0) AS l
       FROM documents WHERE doc_id % 10 <> 0
     ),
     new AS (
-      SELECT doc_id,
-             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
-                      ELSE text END) AS h,
-             length(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
-                         ELSE text END) AS l
+      SELECT doc_id, TRUE AS p,
+             coalesce(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
+                      ELSE text END), chr(0) || 'null') AS h,
+             coalesce(length(CASE WHEN doc_id % 7 = 0 THEN text || ' appended'
+                         ELSE text END), 0) AS l
       FROM documents WHERE doc_id % 9 <> 0
     ),
     j AS (
-      SELECT CASE WHEN o.h IS NULL THEN 'added'
-                  WHEN n.h IS NULL THEN 'removed'
+      SELECT CASE WHEN o.p IS NULL THEN 'added'
+                  WHEN n.p IS NULL THEN 'removed'
                   WHEN o.h <> n.h THEN 'modified'
                   ELSE 'unchanged' END AS status,
              coalesce(o.l, 0) AS lo, coalesce(n.l, 0) AS ln
@@ -2938,7 +3020,7 @@ SQL_URL_PARSE = """
                ':([0-9]+)$', 1) AS port,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
                AS path,
-             regexp_extract(url, '\\?([^#]*)', 1) AS query
+             regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
       FROM gen
     ),
     dom AS (
@@ -4863,6 +4945,74 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = text.bpe_train_merges_local(docs, n_merges=32)
     enc = text.bpe_encode_corpus(docs, [(m[1], m[2]) for m in merges])
     return enc.orderBy("doc_id")
+
+
+def _unigram_encode_oracle(
+    n_multi: int, mpl: int, iters: int, max_len: int
+) -> str:
+    """Oracle for the production unigram corpus encoder: the same
+    unrolled Viterbi-EM training blocks as :func:`_unigram_oracle`
+    (so the trained piece table replays hash-exactly), then per-doc
+    token accounting by joining each document's word stream against
+    the final E-step segmentation — valid because the encoder's
+    Viterbi under the trained table IS the final E-step (same DP,
+    same tie-break)."""
+    base = _unigram_oracle(n_multi, mpl, iters, 10, max_len)
+    cut = base.rindex("\n    SELECT c.piece")
+    return base[:cut] + """,
+    seglen AS (
+      SELECT w,
+             CAST(len(list_filter(string_split(path, '|'),
+                                  x -> x <> '')) AS BIGINT) AS n_syms
+      FROM sege
+    ),
+    docw AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             CAST(sum(n_syms) AS BIGINT) AS n_tokens
+      FROM docw JOIN seglen USING (w)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(p.n_chars / CAST(p.n_tokens AS DOUBLE), 6) AS compression_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("unigram_encode_corpus", _unigram_encode_oracle(256, 6, 2, 16))
+def q_unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION unigram-LM pipeline (r7, VERDICT r6 item 2): train
+    a 256-multi-piece table with the driver-side trainer
+    (text.train_unigram_pieces_local — the corpus reduces once to its
+    Zipf-bounded vocab, Viterbi-EM runs in memory; the distributed
+    expression-fold trainer is planner-bounded to ~tens of pieces),
+    then tokenize EVERY document in one linear Arrow-batched
+    mapInPandas pass (text.unigram_encode_corpus — broadcast piece
+    table, per-task word memo). The oracle unrolls all three Viterbi
+    passes plus both EM updates in SQL and reads the final E-step
+    segmentation back through each document's word stream, so both
+    training AND corpus encoding replay hash-exactly. Emits per-doc
+    token accounting + chars-per-token compression — the unigram
+    counterpart of bpe_encode_corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = text.train_unigram_pieces_local(
+        docs, n_multi=256, max_piece_len=6, iters=2
+    )
+    return text.unigram_encode_corpus(
+        docs, pieces, max_piece_len=6
+    ).orderBy("doc_id")
 
 
 @query("bpe_train_merges", _bpe_oracle(4))

@@ -485,3 +485,82 @@ class TestMelBands:
         )
         [r] = multimodal.audio_mel_bands(df).collect()
         assert r["dominant_mel"] is None
+
+
+class TestMfcc:
+    def test_pure_tone_closed_form_dct(self, spark):
+        # a bin-aligned tone makes the log-mel vector [0 at band b,
+        # -20 floor elsewhere], so mfcc_j == -20·Σ_{i≠b} cos(πj(i+½)/8)
+        # — the closed-form DCT-II the oracle replays
+        import math
+
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        t = np.arange(512)
+        tone = np.rint(9000 * np.sin(2 * np.pi * 20 * t / 512)).astype(
+            np.int16
+        )
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(tone, sample_rate=16000)))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_mfcc(
+            df, n_fft=512, n_mels=8, n_mfcc=4
+        ).collect()
+        mel = lambda f: 2595 * math.log10(1 + f / 700)  # noqa: E731
+        b = min(int(mel(20 * 16000 / 512) / mel(8000) * 8), 7)
+        for j in range(4):
+            want = sum(
+                0.0 if i == b
+                else -20.0 * math.cos(math.pi * j * (i + 0.5) / 8)
+                for i in range(8)
+            )
+            assert abs(r["mfcc"][j] - round(want, 6)) < 1e-9, (j, b)
+        assert r["mfcc"][0] == -140.0  # 7 floored bands at cos(0)=1
+        assert r["n_mfcc"] == 4
+
+    def test_flat_bands_kill_higher_coefficients(self, spark):
+        # if every band has identical energy the DCT-II of a constant
+        # vector is zero for all j >= 1 — the defining property
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        # synthesize equal energy per MEL band: one bin-aligned tone
+        # in each band, equal amplitude in the FFT domain is not
+        # needed — use the operator's own band map to place one tone
+        # per band with equal power
+        import math
+
+        mel = lambda f: 2595 * math.log10(1 + f / 700)  # noqa: E731
+        rate, n_fft = 16000, 512
+        bins_by_band: dict[int, int] = {}
+        for k in range(1, n_fft // 2 + 1):
+            bnd = min(int(mel(k * rate / n_fft) / mel(rate / 2) * 8), 7)
+            bins_by_band.setdefault(bnd, k)
+        t = np.arange(n_fft)
+        x = np.zeros(n_fft)
+        for k in bins_by_band.values():
+            x += 4000 * np.cos(2 * np.pi * k * t / n_fft)
+        tone = np.rint(x).astype(np.int16)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_wav(tone, sample_rate=rate)))],
+            "doc_id long, payload binary",
+        )
+        [r] = multimodal.audio_mfcc(df, n_fft=n_fft).collect()
+        # all 8 bands hold frac 0.125 -> logmel constant -> c_j≈0, j>=1
+        for j in range(1, 4):
+            assert abs(r["mfcc"][j]) < 1e-3, r["mfcc"]
+
+    def test_quarantine(self, spark):
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"nope"))], "doc_id long, payload binary"
+        )
+        [r] = multimodal.audio_mfcc(df).collect()
+        assert r["n_mfcc"] is None and r["mfcc"] is None

@@ -894,3 +894,113 @@ def test_unigram_tokenizer_overlong_word_raises(spark):
     df = spark.createDataFrame([("supercalifragilisticexpialidocious",)], ["text"])
     with _pytest.raises(ValueError, match="max_word_len"):
         t.train_unigram_pieces(df, max_word_len=16)
+
+
+def test_unigram_local_trainer_parity_with_distributed(spark):
+    # the driver-resident EM and the distributed expression-fold EM
+    # produce the IDENTICAL piece artifact at equal caps (same
+    # candidate selection, DP tie-break, coverage floor, rounding)
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("pack my box with five dozen liquor jugs",),
+         ("the theme of the thesis is thin theory",)],
+        ["text"],
+    )
+    dist = t.train_unigram_pieces(df, n_multi=16, max_piece_len=4, iters=2)
+    loc = t.train_unigram_pieces_local(
+        df, n_multi=16, max_piece_len=4, iters=2
+    )
+    assert loc == dist
+
+
+def test_unigram_encode_corpus_matches_vocab_segmentation(spark):
+    # the linear mapInPandas encoder's per-doc n_tokens equals the
+    # E-step segmentation of each document's word stream (Viterbi
+    # under the trained table == final training segmentation)
+    from pyspark.sql import functions as F
+
+    from kissmetrics_to_database_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(0, "banana band bandana"),
+         (1, "the theme anthem"),
+         (2, ""),
+         (3, "ba na nab and")],
+        ["doc_id", "text"],
+    )
+    pieces = t.train_unigram_pieces_local(
+        df, n_multi=12, max_piece_len=4, iters=2
+    )
+    enc = {
+        r["doc_id"]: r
+        for r in t.unigram_encode_corpus(
+            df, pieces, max_piece_len=4
+        ).collect()
+    }
+    seg = t.unigram_segment_vocab(df, pieces, max_piece_len=4).select(
+        "w", F.size("pieces").alias("n_syms")
+    )
+    docw = df.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), "[^a-z]+")).alias("w"),
+    ).where(F.col("w") != "")
+    expected = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("n_tokens"))
+        .collect()
+    }
+    for d, n in expected.items():
+        assert enc[d]["n_tokens"] == n
+    assert enc[2]["n_words"] == 0 and enc[2]["n_tokens"] == 0
+    assert enc[2]["compression_ratio"] is None
+
+
+def test_unigram_encode_corpus_unknown_char_fallback(spark):
+    # a word with a character outside the trained table falls back to
+    # one token per char (byte-fallback convention), never crashes
+    from kissmetrics_to_database_spark.operators import text as t
+
+    train = spark.createDataFrame([(0, "abba abab")], ["doc_id", "text"])
+    pieces = t.train_unigram_pieces_local(
+        train, n_multi=4, max_piece_len=3, iters=1
+    )
+    new = spark.createDataFrame([(9, "zzzz ab")], ["doc_id", "text"])
+    row = t.unigram_encode_corpus(new, pieces, max_piece_len=3).collect()[0]
+    # 'zzzz' -> 4 char-fallback tokens; 'ab' -> its trained segmentation
+    assert row["n_words"] == 2
+    assert row["n_tokens"] >= 4 + 1
+
+
+def test_unigram_local_trainer_production_budget(spark):
+    # the driver trainer works at budgets far beyond the expression
+    # fold's planner bound: thousands of candidate pieces, len-8 max
+    from kissmetrics_to_database_spark.operators import text as t
+
+    import string
+
+    def word(i: int) -> str:
+        # deterministic letter-only words with diverse substrings
+        s = ""
+        x = i * 2654435761 % (1 << 32)
+        for _ in range(6 + i % 5):
+            s += string.ascii_lowercase[x % 26]
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        return s
+
+    rows = [
+        (" ".join(word(i) for i in range(j, j + 40)),)
+        for j in range(0, 400, 40)
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    pieces = t.train_unigram_pieces_local(
+        df, n_multi=4096, max_piece_len=8, iters=2
+    )
+    have = {p for p, _ in pieces}
+    assert len([p for p in have if len(p) > 1]) > 100
+    # lossless coverage: every seen char survives
+    seen = {c for (txt,) in rows for c in txt if c.isalpha()}
+    assert {c for c in seen if c.islower()} <= have
