@@ -141,6 +141,11 @@ HEADLINE = [
     "decontamination_spans",
     "audio_mel_bands",
     "image_dup_clusters",
+    # round-7 additions
+    "unigram_encode_corpus",
+    "audio_mfcc",
+    "html_main_content",
+    "image_phash_near_dups",
 ]
 
 

@@ -394,6 +394,84 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def image_phash(
+    df: DataFrame, hash_size: int = 8, dct_size: int = 32
+) -> DataFrame:
+    """Perceptual DCT-hash (pHash, VERDICT r6 item 7) — the standard
+    companion to :func:`image_dhash`: dHash keys on local gradients
+    (sensitive to resampling phase), pHash keys on the image's low
+    spatial FREQUENCIES, so recompressed/resized/brightness-shifted
+    variants collide. Pipeline (the public imagehash convention):
+    decode → grayscale → nearest-resample to
+    ``dct_size``×``dct_size`` → 2-D DCT-II (un-normalized) → keep the
+    top-left ``hash_size``×``hash_size`` low-frequency block → bit =
+    coefficient > median of that block (median = mean of the two
+    middle of the 64 sorted values). A pure brightness shift moves
+    only C[0,0] — the DC sits far above the median either way, so
+    the hash is brightness-invariant by construction.
+
+    Determinism contract (the MFCC pattern): the DCT cosine tables
+    are built with scalar ``math.cos`` — the same libm DuckDB's
+    ``cos()`` calls — so the oracle's term-by-term replay agrees;
+    coefficient comparisons ride on O(1) separations, far above
+    cross-engine summation-order noise. Emitted as a '0'/'1' bit
+    string row-major over (u, v); undecodable payloads quarantine to
+    a null hash. Near-dup grouping downstream reuses the pigeonhole
+    Hamming join + CC clustering exactly as dHash does.
+    """
+    import math
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import codecs
+
+    # cos(pi * u * (2r + 1) / (2 * dct_size)), u < hash_size rows
+    tab = [
+        [
+            math.cos(math.pi * u * (2 * r + 1) / (2 * dct_size))
+            for r in range(dct_size)
+        ]
+        for u in range(hash_size)
+    ]
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        d_mat = np.array(tab)  # (hash_size, dct_size)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    arr = codecs.decode_image(bytes(payload))
+                    gray = (
+                        arr[:, :, 0].astype(np.float64)
+                        if arr.shape[2] == 1
+                        else arr.astype(np.float64).mean(axis=2)
+                    )
+                    small = codecs.resize_nearest(
+                        gray[:, :, None], dct_size, dct_size
+                    )[:, :, 0]
+                    low = d_mat @ small @ d_mat.T  # (hash, hash)
+                    flat = low.ravel()
+                    s = np.sort(flat)
+                    med = (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2.0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "phash": "".join(
+                                "1" if c > med else "0" for c in flat
+                            ),
+                        }
+                    )
+                except ValueError:
+                    rows.append({"doc_id": doc_id, "phash": None})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 AUDIO_SPECTRAL_SCHEMA = (
     "doc_id long, sample_rate long, n_fft long, dominant_bin long, "
     "dominant_freq_hz double, peak_share double, band_energy_frac array<double>"

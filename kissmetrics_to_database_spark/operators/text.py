@@ -758,6 +758,122 @@ def html_to_text(
     return df.withColumn(out_col, c)
 
 
+# Block-level HTML elements: a tag boundary of any of these splits
+# the page into candidate text blocks (the readability/boilerpipe
+# segmentation unit). RE2-safe: no lookaround, no backreferences.
+HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td"
+    r"|th|section|article|header|footer|nav|aside|blockquote|pre|form"
+    r"|fieldset|figure|figcaption|main|br|hr)\b[^>]*>"
+)
+HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _html_visible(col):
+    """Visible text of an HTML fragment: inline tags flattened,
+    the five ubiquitous entities decoded, whitespace collapsed —
+    the same chain as :func:`html_to_text`, as a reusable column
+    expression (script/style must already be removed)."""
+    t = F.regexp_replace(col, HTML_TAG_RE, " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_words: int = 5,
+    max_link_density_thirds: int = 1,
+) -> DataFrame:
+    """Main-content/boilerplate separation (VERDICT r6 item 3) — the
+    readability/boilerpipe shape web pipelines gate on BEFORE quality
+    scoring, so nav chrome and footers never reach the corpus:
+
+    1. strip script/style subtrees, then SEGMENT the page into text
+       blocks at block-level tag boundaries (``HTML_BLOCK_TAG_RE`` —
+       p/div/h*/li/table/nav/... open or close);
+    2. per block compute visible-text length, word count, and LINK
+       density = visible chars inside ``<a>`` anchors / block chars
+       (the boilerpipe densitometric signal: nav/footer blocks are
+       short and link-saturated, article prose is long and link-
+       sparse);
+    3. a block is CONTENT iff it has ≥ ``min_words`` words AND link
+       chars ≤ ``max_link_density_thirds``/3 of its chars (integer
+       compare ``3·link ≤ k·chars`` — no float in the predicate).
+
+    Emits per doc: ``main_text`` (content blocks joined), ``n_blocks``
+    (non-empty text blocks), ``n_content_blocks``, and
+    ``boilerplate_ratio`` (boilerplate chars / total chars, 6 dp).
+
+    Pure codegen'd split + higher-order array expressions (transform/
+    filter/aggregate) — linear, no UDF, no shuffle; both regexes are
+    RE2-safe so the DuckDB oracle replays byte-exactly. Documented
+    approximation: an anchor spanning a block boundary (block tags
+    INSIDE ``<a>``, the card-link pattern) splits with the blocks and
+    its halves count as plain text.
+    """
+    c = F.regexp_replace(F.col(html_col), HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    segs = F.split(c, HTML_BLOCK_TAG_RE)
+
+    def block_struct(b):
+        txt = _html_visible(b)
+        link_txt = _html_visible(
+            F.array_join(
+                F.regexp_extract_all(b, F.lit(HTML_ANCHOR_RE), 1), " "
+            )
+        )
+        return F.struct(
+            txt.alias("txt"),
+            F.length(txt).alias("n_chars"),
+            F.size(
+                F.filter(F.split(txt, " "), lambda x: x != "")
+            ).alias("n_words"),
+            F.length(link_txt).alias("link_chars"),
+        )
+
+    blocks = F.filter(
+        F.transform(segs, block_struct), lambda s: s["txt"] != ""
+    )
+    is_content = (
+        lambda s: (s["n_words"] >= F.lit(min_words))
+        & (
+            s["link_chars"] * 3
+            <= s["n_chars"] * F.lit(max_link_density_thirds)
+        )
+    )
+    stage = df.withColumn("_blocks", blocks).withColumn(
+        "_content", F.filter(F.col("_blocks"), is_content)
+    )
+    total_chars = F.aggregate(
+        F.col("_blocks"), F.lit(0), lambda acc, s: acc + s["n_chars"]
+    )
+    content_chars = F.aggregate(
+        F.col("_content"), F.lit(0), lambda acc, s: acc + s["n_chars"]
+    )
+    return stage.select(
+        "*",
+        F.array_join(
+            F.transform(F.col("_content"), lambda s: s["txt"]), " "
+        ).alias("main_text"),
+        F.size("_blocks").cast("long").alias("n_blocks"),
+        F.size("_content").cast("long").alias("n_content_blocks"),
+        F.when(
+            total_chars > 0,
+            F.round(
+                (total_chars - content_chars) / total_chars.cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boilerplate_ratio"),
+    ).drop("_blocks", "_content")
+
+
 def bpe_apply_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -55,6 +55,39 @@ def stream_ndjson_pipeline(
     )
 
 
+def jdbc_exactly_once_sink(spark: SparkSession, cfg) -> Callable:
+    """EXACTLY-ONCE warehouse sink for ``foreachBatch`` (VERDICT r6
+    item 4): composes the staged atomic JDBC load
+    (:func:`sources.sink.write_jdbc_staged`) with its batch-epoch
+    idempotence ledger. Structured Streaming's foreachBatch is
+    at-least-once — a crash between the sink returning and the
+    checkpoint commit REPLAYS the micro-batch — so the sink keys each
+    load on ``epoch_id``:
+
+    - the stage table is private per epoch (``load_id=f"e{epoch}"``),
+      so a replay re-staging rows can't clobber a concurrent load;
+    - the ledger row and the stage→target INSERT commit in ONE
+      driver transaction — the replay finds the epoch recorded and
+      skips, or finds nothing and reloads; a half-load is impossible.
+
+    The lake/state streaming paths were already replay-safe
+    (idempotent overwrite by epoch); this closes the JDBC-specific
+    double-insert (COVERAGE §2.9).
+    """
+    from kissmetrics_to_database_spark.sources import sink as _sink
+
+    def sink_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        _sink.write_jdbc_staged(
+            spark,
+            batch_df,
+            cfg,
+            load_id=f"e{int(epoch_id)}",
+            epoch_id=int(epoch_id),
+        )
+
+    return sink_fn
+
+
 def stream_with_identity(
     spark: SparkSession,
     source_dir: str,

@@ -265,3 +265,54 @@ def test_streaming_scd2_staged_warehouse_load(spark, tmp_path):
         ("a", "gold", 2, True),
         ("b", "silver", 1, True),
     }
+
+
+def test_exactly_once_epoch_replay_no_duplicates(spark, tmp_path):
+    """VERDICT r6 item 4: a replayed micro-batch (same epoch_id) must
+    land ZERO duplicate rows — the ledger marker commits atomically
+    with the stage→target move."""
+    from kissmetrics_to_database_spark.streaming import pipeline as sp
+
+    cfg = _cfg(tmp_path, "tb_eo")
+    batch = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(40)], "event_id long, who string"
+    )
+    sink_fn = sp.jdbc_exactly_once_sink(spark, cfg)
+    sink_fn(batch, 7)          # first delivery
+    sink_fn(batch, 7)          # crash-replay of the SAME epoch
+    back = sink.read_jdbc(spark, cfg)
+    assert back.count() == 40  # not 80
+    # a NEW epoch appends normally
+    sink_fn(batch.withColumn("event_id", batch.event_id + 100), 8)
+    assert sink.read_jdbc(spark, cfg).count() == 80
+
+
+def test_exactly_once_failed_epoch_retries_cleanly(spark, tmp_path):
+    """A failed load must NOT record its epoch: the validation error
+    rolls back rows AND marker, so the retry of the same epoch
+    succeeds and lands exactly once."""
+    import pytest as _pytest
+
+    cfg = _cfg(tmp_path, "tb_eo_retry")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "event_id long, who string"
+    )
+    with _pytest.raises(ValueError, match="validation failed"):
+        sink.write_jdbc_staged(
+            spark, batch, cfg, expected_rows=999, load_id="e5", epoch_id=5
+        )
+    # retry with the right expectation: ledger has no epoch-5 marker,
+    # so the load proceeds
+    moved = sink.write_jdbc_staged(
+        spark, batch, cfg, expected_rows=2, load_id="e5", epoch_id=5
+    )
+    assert moved == 2
+    assert sink.read_jdbc(spark, cfg).count() == 2
+    # and the successful marker now guards replays
+    assert (
+        sink.write_jdbc_staged(
+            spark, batch, cfg, load_id="e5", epoch_id=5
+        )
+        == 0
+    )
+    assert sink.read_jdbc(spark, cfg).count() == 2

@@ -564,3 +564,68 @@ class TestMfcc:
         )
         [r] = multimodal.audio_mfcc(df).collect()
         assert r["n_mfcc"] is None and r["mfcc"] is None
+
+
+class TestPhash:
+    def _hash(self, spark, imgs):
+        from kissmetrics_to_database_spark.functions import codecs
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(i, bytearray(codecs.encode_ppm(img)))
+             for i, img in enumerate(imgs)],
+            "doc_id long, payload binary",
+        )
+        return {
+            r["doc_id"]: r["phash"]
+            for r in multimodal.image_phash(df).collect()
+        }
+
+    def test_brightness_and_resize_invariant(self, spark):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        base = (
+            (3 * xx + 7 * yy + (yy * 13 + xx * 29) * 2654435761 % 97)
+            % 180
+        ).astype(np.uint8)
+        brighter = (base.astype(np.int64) + 40).astype(np.uint8)
+        y2, x2 = np.mgrid[0:64, 0:64]
+        upscaled = (
+            (3 * (x2 // 2) + 7 * (y2 // 2)
+             + ((y2 // 2) * 13 + (x2 // 2) * 29) * 2654435761 % 97)
+            % 180
+        ).astype(np.uint8)
+        h = self._hash(spark, [base, brighter, upscaled])
+        assert len(h[0]) == 64 and set(h[0]) <= {"0", "1"}
+        assert h[0] == h[1]  # +40 brightness moves only the DC
+        assert h[0] == h[2]  # 2x nearest upscale resamples exactly
+
+    def test_small_edit_small_distance_big_edit_large(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 200, (32, 32)).astype(np.uint8)
+        tweaked = base.copy()
+        tweaked[:3, :3] = 255  # small low-freq dent
+        other = rng.integers(0, 200, (32, 32)).astype(np.uint8)
+        h = self._hash(spark, [base, tweaked, other])
+        d_small = sum(a != b for a, b in zip(h[0], h[1]))
+        d_other = sum(a != b for a, b in zip(h[0], h[2]))
+        assert d_small < d_other
+        assert d_other > 10  # unrelated textures differ broadly
+
+    def test_dc_bit_set_and_quarantine(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        img = np.full((32, 32), 200, np.uint8)
+        img[0, 0] = 10  # break exact constancy
+        h = self._hash(spark, [img])
+        assert h[0][0] == "1"  # DC far above the AC median
+        df = spark.createDataFrame(
+            [(0, bytearray(b"junk"))], "doc_id long, payload binary"
+        )
+        [r] = multimodal.image_phash(df).collect()
+        assert r["phash"] is None

@@ -1004,3 +1004,78 @@ def test_unigram_local_trainer_production_budget(spark):
     # lossless coverage: every seen char survives
     seen = {c for (txt,) in rows for c in txt if c.isalpha()}
     assert {c for c in seen if c.islower()} <= have
+
+
+def test_html_main_content_fixture_page(spark):
+    # readability-shape fixture: nav + header + article(2 paragraphs,
+    # one containing a link below the density cut) + link-saturated
+    # aside + footer — only the article prose survives
+    from kissmetrics_to_database_spark.operators.text import (
+        html_main_content,
+    )
+
+    page = (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/b">Blog</a>'
+        ' <a href="/c">Contact</a></nav>'
+        "<header><h1>My Site</h1></header>"
+        "<article>"
+        "<p>This article body has plenty of ordinary prose words"
+        " to clear the minimum word threshold easily.</p>"
+        '<p>It cites <a href="/ref">a reference</a> while staying'
+        " mostly prose with low link density overall.</p>"
+        "</article>"
+        '<aside><a href="/x">Ad one</a> <a href="/y">Ad two</a></aside>'
+        '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(0, page)], "doc_id long, html string")
+    [r] = html_main_content(df).collect()
+    assert "ordinary prose words" in r["main_text"]
+    assert "a reference" in r["main_text"]  # link-bearing prose kept
+    assert "Home" not in r["main_text"]
+    assert "My Site" not in r["main_text"]
+    assert "Ad one" not in r["main_text"]
+    assert "Privacy" not in r["main_text"]
+    assert r["n_content_blocks"] == 2
+    assert r["n_blocks"] > r["n_content_blocks"]
+    assert 0.0 < r["boilerplate_ratio"] < 0.5
+
+
+def test_html_main_content_link_density_cut(spark):
+    # a long-enough block that is >1/3 link text must drop even
+    # though it clears the word minimum; the same text without the
+    # anchors survives
+    from kissmetrics_to_database_spark.operators.text import (
+        html_main_content,
+    )
+
+    linky = (
+        '<p>See <a href="/1">the first long link text</a> and'
+        ' <a href="/2">the second long link text</a> now.</p>'
+    )
+    plain = "<p>See the first long link text and the second long link text now.</p>"
+    df = spark.createDataFrame(
+        [(0, linky), (1, plain)], "doc_id long, html string"
+    )
+    out = {r["doc_id"]: r for r in html_main_content(df).collect()}
+    assert out[0]["n_content_blocks"] == 0
+    assert out[0]["boilerplate_ratio"] == 1.0
+    assert out[1]["n_content_blocks"] == 1
+    assert out[1]["boilerplate_ratio"] == 0.0
+
+
+def test_html_main_content_empty_and_scriptonly(spark):
+    from kissmetrics_to_database_spark.operators.text import (
+        html_main_content,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "<script>var x = '<p>hi</p>';</script>")],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in html_main_content(df).collect()}
+    for d in (0, 1):
+        assert out[d]["n_blocks"] == 0
+        assert out[d]["main_text"] == ""
+        assert out[d]["boilerplate_ratio"] == 0.0
