@@ -146,6 +146,9 @@ HEADLINE = [
     "audio_mfcc",
     "html_main_content",
     "image_phash_near_dups",
+    "fim_transform",
+    "video_scene_cuts",
+    "random_projection_recall",
 ]
 
 

@@ -326,6 +326,90 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, mean_diff double, "
+    "is_cut boolean"
+)
+
+
+def video_scene_cuts(
+    df: DataFrame, threshold: float = 15.0
+) -> DataFrame:
+    """Shot/scene-boundary detection (r7) — the video-curation
+    primitive above :func:`frame_sample`: sampling keyframes at
+    SCENE CUTS (not a blind every-Nth stride) is how video training
+    pipelines pick representative frames. Per consecutive decoded
+    frame pair the kernel scores the mean absolute pixel difference
+    (all channels; the classic histogram/pixel-delta detector) and
+    marks a cut where it exceeds ``threshold`` — a cheap,
+    deterministic, codec-independent boundary signal.
+
+    Emits one row per frame transition (frame_idx ≥ 1 is the LATER
+    frame): (doc_id, frame_idx, n_frames, mean_diff, is_cut), with
+    ``mean_diff`` rounded post-computation (``_round6``, the DuckDB
+    binary-rounding convention). Dimension changes mid-stream count
+    as a cut with a null diff. Quarantine: all-null row. Same decode
+    path and scale shape as frame_sample: embarrassingly parallel
+    Arrow batches, no shuffle.
+    """
+    from collections.abc import Iterator as _It
+
+    from kissmetrics_to_database_spark.functions import avi, jpeg
+
+    def _frames(payload: bytes):
+        kind = avi.sniff_video(payload)
+        if kind == "avi":
+            meta = avi.parse_avi(payload)
+            if meta["handler"] not in (None, "MJPG", "mjpg"):
+                raise ValueError(f"non-MJPEG AVI ({meta['handler']})")
+            for raw in meta["frames"]:
+                yield jpeg.decode_jpeg(raw)
+        elif kind == "y4m":
+            yield from avi.parse_y4m(payload)["frames"]
+        else:
+            raise ValueError("undecodable video container")
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        null_row = {
+            "frame_idx": None, "n_frames": None, "mean_diff": None,
+            "is_cut": None,
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = list(_frames(bytes(payload)))
+                except ValueError:
+                    rows.append({"doc_id": doc_id, **null_row})
+                    continue
+                n = len(frames)
+                for i in range(1, n):
+                    a, b = frames[i - 1], frames[i]
+                    if a.shape != b.shape:
+                        rows.append({
+                            "doc_id": doc_id, "frame_idx": i,
+                            "n_frames": n, "mean_diff": None,
+                            "is_cut": True,
+                        })
+                        continue
+                    diff = _round6(
+                        float(
+                            np.abs(
+                                a.astype(np.float64) - b.astype(np.float64)
+                            ).mean()
+                        )
+                    )
+                    rows.append({
+                        "doc_id": doc_id, "frame_idx": i, "n_frames": n,
+                        "mean_diff": diff, "is_cut": diff > threshold,
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=SCENE_CUT_SCHEMA)
+
+
 def decode_images(df: DataFrame, kernel=fake_decode_kernel) -> DataFrame:
     """Decode a binary payload column to typed metadata via
     ``mapInPandas`` (Arrow-batched; one Python roundtrip per batch,

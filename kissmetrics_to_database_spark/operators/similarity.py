@@ -828,6 +828,58 @@ def int8_topk(
     )
 
 
+def random_project(
+    df: DataFrame,
+    m: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 1,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (r7): reduce a d-dim
+    embedding to ``m`` dims with a DETERMINISTIC dense ±1 sign matrix
+    (Achlioptas 2001 — ±1 entries preserve pairwise distances with
+    the same JL guarantee as Gaussians, and an integer hash makes the
+    matrix closed-form on both engines: sign(j,k) = +1 iff
+    ((j·2654435761 + k·40503 + seed) % 97) % 2 = 0). Each output
+    coordinate is an ascending-j fold ``Σ_j x_j·sign(j,k) / √m``,
+    rounded at 6 dp — with the default m=16 the 1/√m factor is
+    exactly 0.25, so the arithmetic replays bit-for-bit.
+
+    This is the cheap front-half of every large-scale ANN stack: a
+    64→16 projection cuts candidate-scoring FLOPs 4× while keeping
+    neighbor ordering mostly intact (measured by
+    ``random_projection_recall``). Pure codegen'd higher-order
+    expressions — map-only, no UDF, no shuffle; the sign matrix is
+    never materialized anywhere.
+    """
+    import math as _math
+
+    d = _probe_dim(df, vec_col)
+    inv = 1.0 / _math.sqrt(m)
+    sign = lambda j, k: F.when(  # noqa: E731
+        (
+            (j.cast("long") * F.lit(2654435761) + k.cast("long") * 40503
+             + F.lit(seed)) % 97
+        ) % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda k: F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col(vec_col), j + 1).cast("double")
+                * sign(j, k),
+            )
+            * F.lit(inv),
+            6,
+        ),
+    )
+    return df.withColumn(out_col, proj)
+
+
 def hard_negative_mining(
     emb: DataFrame,
     probe_ids: DataFrame,

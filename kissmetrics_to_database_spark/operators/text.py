@@ -758,6 +758,56 @@ def html_to_text(
     return df.withColumn(out_col, c)
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    pre_tok: str = "<|fim_pre|>",
+    suf_tok: str = "<|fim_suf|>",
+    mid_tok: str = "<|fim_mid|>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (r7) — the code-corpus
+    augmentation of Bavarian et al. 2022 (arXiv:2207.14255): for a
+    deterministic ``rate_pct``% of documents, pick two split points
+    0 ≤ a ≤ b ≤ n and emit the document in PSM order
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so an autoregressive
+    model learns infilling from plain next-token prediction; the
+    rest pass through unchanged (the paper's key result: mixing FIM
+    in costs no left-to-right perplexity).
+
+    Determinism contract: the transform decision and both split
+    points come from integer hashes of the document id
+    (``(id·1103515245 + 12345) % 100`` for the rate;
+    ``id·2654435761 % (n+1)`` and a second multiplier for the
+    splits), so the augmentation is reproducible run-over-run,
+    engine-over-engine — no RNG state to checkpoint. Pure codegen'd
+    substring arithmetic: map-only, no UDF, no shuffle.
+
+    Emits (id, transformed, split_a, split_b, fim_text).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t).cast("long")
+    did = F.col(id_col).cast("long")
+    transformed = (did * 1103515245 + 12345) % 100 < rate_pct
+    a = (did * 2654435761) % (n + 1)
+    b = a + (did * 40503 + 7) % (n - a + 1)
+    prefix = t.substr(F.lit(1), a.cast("int"))
+    middle = t.substr((a + 1).cast("int"), (b - a).cast("int"))
+    suffix = t.substr((b + 1).cast("int"), n.cast("int"))
+    fim = F.concat(
+        F.lit(pre_tok), prefix, F.lit(suf_tok), suffix,
+        F.lit(mid_tok), middle,
+    )
+    return df.select(
+        F.col(id_col),
+        transformed.alias("transformed"),
+        F.when(transformed, a).alias("split_a"),
+        F.when(transformed, b).alias("split_b"),
+        F.when(transformed, fim).otherwise(t).alias("fim_text"),
+    )
+
+
 # Block-level HTML elements: a tag boundary of any of these splits
 # the page into candidate text blocks (the readability/boilerpipe
 # segmentation unit). RE2-safe: no lookaround, no backreferences.

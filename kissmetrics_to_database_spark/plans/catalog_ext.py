@@ -1319,6 +1319,78 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_scene_cuts",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             6 + doc_id % 3 AS n,
+             2 + doc_id % 3 AS s,
+             CASE WHEN doc_id % 7 = 0 THEN 10
+                  ELSE 30 + (doc_id % 5) * 5 END AS delta
+      FROM documents WHERE doc_id <= 120
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(CASE WHEN i = s THEN delta ELSE 0 END AS DOUBLE)
+             AS mean_diff,
+           (CASE WHEN i = s THEN delta ELSE 0 END) > 15.0 AS is_cut
+    FROM g, unnest(range(1, 9)) AS u(i)
+    WHERE i < n
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection end-to-end (r7): per doc a two-scene Y4M
+    video is BUILT — constant gray v1 before frame s = 2+d%3, then
+    v1+delta after, where delta is sub-threshold (10) for d%7=0 docs
+    and 30..50 otherwise — and run through
+    multimodal.video_scene_cuts. The lossless C444 round trip keeps
+    constant frames exact, so every transition's mean abs diff is
+    pure arithmetic: 0 within scenes, exactly delta at the boundary,
+    and only supra-threshold deltas flag is_cut. The video-curation
+    keyframe primitive (sample at cuts, not blind strides)."""
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import avi
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, s = 6 + d % 3, 2 + d % 3
+                v1 = (11 * d) % 200
+                delta = 10 if d % 7 == 0 else 30 + (d % 5) * 5
+                frames = [
+                    np.full(
+                        (16, 16, 3),
+                        v1 if i < s else v1 + delta,
+                        dtype=np.uint8,
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(avi.build_y4m(frames, colorspace="444"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 120)
+        .select("doc_id")
+    )
+    payload = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return multimodal.video_scene_cuts(payload, threshold=15.0).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "corrupt_json_repair",
     """
     WITH lines AS (
@@ -4351,6 +4423,49 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fim_transform",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(text, '') AS t,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS n,
+             (doc_id * 1103515245 + 12345) % 100 < 50 AS transformed
+      FROM documents
+    ),
+    splits AS (
+      SELECT doc_id, t, n, transformed,
+             (doc_id * 2654435761) % (n + 1) AS a
+      FROM base
+    ),
+    spans AS (
+      SELECT doc_id, t, n, transformed, a,
+             a + (doc_id * 40503 + 7) % (n - a + 1) AS b
+      FROM splits
+    )
+    SELECT doc_id,
+           transformed,
+           CASE WHEN transformed THEN a END AS split_a,
+           CASE WHEN transformed THEN b END AS split_b,
+           CASE WHEN transformed
+                THEN '<|fim_pre|>' || substr(t, 1, CAST(a AS INTEGER))
+                  || '<|fim_suf|>' || substr(t, CAST(b + 1 AS INTEGER))
+                  || '<|fim_mid|>'
+                  || substr(t, CAST(a + 1 AS INTEGER), CAST(b - a AS INTEGER))
+                ELSE t END AS fim_text
+    FROM spans ORDER BY doc_id
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (r7, arXiv:2207.14255): 50% of
+    documents rewritten to PSM order with id-hash-deterministic split
+    points, the rest passed through — text.fim_transform, the
+    code-model data-prep step next to packing/chunking. Byte-exact
+    oracle over the substring arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fim_transform(docs).orderBy("doc_id")
+
+
+@query(
     "html_main_content",
     r"""
     WITH wrapped AS (
@@ -5359,6 +5474,86 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ingest_verdicts(
         docs.where(is_batch), fp_index, band_index, "doc_id", "text"
     ).orderBy("doc_id")
+
+
+@query(
+    "random_projection_recall",
+    f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(range(0, 16), k ->
+               round(list_sum(list_transform(range(0, len(embedding)), j ->
+                 embedding[j + 1]::DOUBLE *
+                 (CASE WHEN ((j * 2654435761 + k * 40503 + 1) % 97) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)
+               )) * 0.25, 6)) AS pv
+      FROM embeddings
+    ),
+    pp AS (SELECT vec_id AS probe_id, pv AS ppv FROM proj WHERE vec_id < 12),
+    approx AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.pv', 'p.ppv')} DESC, e.vec_id) AS rnk
+        FROM proj e CROSS JOIN pp p
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    ),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+           WHERE vec_id < 12),
+    bf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.embedding', 'p.pv')} DESC, e.vec_id)
+                 AS rnk
+        FROM embeddings e CROSS JOIN pe p
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.probe_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM bf b LEFT JOIN approx a
+      ON b.probe_id = a.probe_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY b.probe_id ORDER BY b.probe_id
+    """,
+)
+def q_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection quality eval (r7): project the 64-dim
+    corpus to 16 dims with the deterministic ±1 sign-hash matrix
+    (similarity.random_project), run the same brute-force top-5 in
+    the PROJECTED space, and score recall@5 against the exact top-5 —
+    the measurement that decides whether the 4× FLOP cut is safe as
+    the candidate-generation front of an ANN stack. The oracle
+    replays the projection fold (exact 0.25 scale), both rankings,
+    and the recall join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 12)
+    projected = similarity.random_project(emb, m=16)
+    p_corpus = projected.select("vec_id", F.col("proj").alias("embedding"))
+    p_probes = p_corpus.where(F.col("vec_id") < 12)
+    approx = similarity.brute_force_topk(p_corpus, p_probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            approx.withColumnRenamed("neighbor_id", "hit"),
+            (exact.probe_id == approx.probe_id)
+            & (F.col("neighbor_id") == F.col("hit")),
+            "left",
+        )
+        .drop(approx.probe_id)
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("probe_id")
+    )
 
 
 @query(

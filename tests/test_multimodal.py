@@ -629,3 +629,45 @@ class TestPhash:
         )
         [r] = multimodal.image_phash(df).collect()
         assert r["phash"] is None
+
+
+class TestSceneCuts:
+    def test_two_scene_y4m_exact_boundary(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import avi
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        frames = [np.full((8, 8, 3), 50, np.uint8)] * 3 + [
+            np.full((8, 8, 3), 90, np.uint8)
+        ] * 2
+        df = spark.createDataFrame(
+            [(0, bytearray(avi.build_y4m(frames, colorspace="444")))],
+            "doc_id long, payload binary",
+        )
+        rows = sorted(
+            multimodal.video_scene_cuts(df, threshold=15.0).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in rows] == [1, 2, 3, 4]
+        assert [r["mean_diff"] for r in rows] == [0.0, 0.0, 40.0, 0.0]
+        assert [r["is_cut"] for r in rows] == [False, False, True, False]
+        assert all(r["n_frames"] == 5 for r in rows)
+
+    def test_dimension_change_counts_as_cut_and_quarantine(self, spark):
+        import numpy as np
+
+        from kissmetrics_to_database_spark.functions import avi, jpeg
+        from kissmetrics_to_database_spark.operators import multimodal
+
+        # MJPEG stream with a mid-stream dimension change
+        f1 = jpeg.encode_jpeg(np.full((16, 16, 1), 80, np.uint8), q=1)
+        f2 = jpeg.encode_jpeg(np.full((24, 16, 1), 80, np.uint8), q=1)
+        payload = avi.build_mjpeg_avi([f1, f2], 16, 16)
+        df = spark.createDataFrame(
+            [(0, bytearray(payload)), (1, bytearray(b"garbage"))],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in multimodal.video_scene_cuts(df).collect()}
+        assert out[0]["is_cut"] is True and out[0]["mean_diff"] is None
+        assert out[1]["frame_idx"] is None  # quarantine

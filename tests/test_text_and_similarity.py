@@ -1079,3 +1079,71 @@ def test_html_main_content_empty_and_scriptonly(spark):
         assert out[d]["n_blocks"] == 0
         assert out[d]["main_text"] == ""
         assert out[d]["boilerplate_ratio"] == 0.0
+
+
+def test_fim_transform_reassembles_to_original(spark):
+    # PSM pieces must reassemble exactly: prefix+middle+suffix == text
+    from kissmetrics_to_database_spark.operators.text import fim_transform
+
+    rows = [(i, f"def f_{i}(x):\n    return x * {i}\n") for i in range(20)]
+    rows.append((20, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    texts = dict(rows)
+    n_tr = 0
+    for d, r in out.items():
+        if not r["transformed"]:
+            assert r["fim_text"] == texts[d]
+            assert r["split_a"] is None
+            continue
+        n_tr += 1
+        body = r["fim_text"]
+        assert body.startswith("<|fim_pre|>")
+        pre_rest = body[len("<|fim_pre|>"):]
+        prefix, rest = pre_rest.split("<|fim_suf|>", 1)
+        suffix, middle = rest.split("<|fim_mid|>", 1)
+        assert prefix + middle + suffix == texts[d]
+        assert len(prefix) == r["split_a"]
+        assert len(prefix) + len(middle) == r["split_b"]
+    assert 0 < n_tr < len(rows)  # the 50% gate actually splits
+
+
+def test_random_project_preserves_neighbors_better_than_chance(spark):
+    import numpy as np
+
+    from kissmetrics_to_database_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    # 3 well-separated clusters in 64-d
+    cents = rng.normal(0, 1, (3, 64))
+    vecs = []
+    for i in range(60):
+        c = cents[i % 3]
+        vecs.append((i, (c + rng.normal(0, 0.05, 64)).tolist(), i % 3))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    proj = similarity.random_project(df, m=16)
+    out = {r["vec_id"]: r["proj"] for r in proj.collect()}
+    assert all(len(v) == 16 for v in out.values())
+
+    def cos(a, b):
+        import math
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    # same-cluster pairs must stay more similar than cross-cluster
+    same = cos(out[0], out[3])   # both label 0
+    cross = cos(out[0], out[1])  # labels 0 vs 1
+    assert same > cross
+
+
+def test_random_project_deterministic_and_scaled(spark):
+    from kissmetrics_to_database_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    a = similarity.random_project(df, m=16).collect()[0]["proj"]
+    b = similarity.random_project(df, m=16).collect()[0]["proj"]
+    assert a == b
+    # each coord = (sum of 64 signs) * 0.25 -> multiple of 0.25
+    assert all(abs(v * 4 - round(v * 4)) < 1e-9 for v in a)
