@@ -149,6 +149,7 @@ HEADLINE = [
     "fim_transform",
     "video_scene_cuts",
     "random_projection_recall",
+    "length_bucket_padding",
 ]
 
 

@@ -133,3 +133,70 @@ def chunk_documents(
             "chunk_len"
         ),
     )
+
+
+def length_bucket_padding(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    min_len: int = 16,
+    max_len: int = 4096,
+) -> DataFrame:
+    """Length-bucketed batching audit (r7): assign each document to
+    the smallest power-of-two sequence length that holds it (clamped
+    to [min_len, max_len]; longer docs truncate to max_len) and
+    report, per bucket, the padding a bucketed data loader pays —
+    plus what padding-to-global-max WOULD cost, the number that
+    justifies bucketing at all (dynamic batching / bucketed sampler,
+    the standard fine-tuning efficiency lever).
+
+    Power-of-two arithmetic is INTEGER-exact on both engines: the
+    bucket comes from the bit length (``length(bin(n))``) and a
+    shift — never from float log2, whose log(n)/log(2) rounding can
+    misclassify exact powers of two.
+
+    Returns per bucket: (bucket_len, n_docs, sum_tokens [truncated],
+    padded_tokens = bucket_len·n_docs, waste_ratio, n_truncated,
+    trunc_tokens). One groupBy on a ≤log₂(max/min)-cardinality key —
+    map-side combinable, skew-free by construction.
+    """
+    n = F.greatest(F.col(token_col).cast("long"), F.lit(1))
+    staged = docs.select(
+        n.alias("_n"), F.length(F.bin(n)).alias("_bits")
+    )
+    # PySpark's shiftleft() wrapper takes only literal bit counts, so
+    # the column-shift goes through F.expr (Catalyst's ShiftLeft
+    # accepts expressions on both sides)
+    pot = F.when(
+        F.col("_n") == F.expr("shiftleft(1L, _bits - 1)"), F.col("_n")
+    ).otherwise(F.expr("shiftleft(1L, _bits)"))
+    bucket = F.greatest(
+        F.lit(min_len).cast("long"),
+        F.least(pot, F.lit(max_len).cast("long")),
+    )
+    eff = F.least(F.col("_n"), F.lit(max_len).cast("long"))
+    return (
+        staged.select(
+            bucket.alias("bucket_len"),
+            eff.alias("_eff"),
+            (F.col("_n") > max_len).cast("long").alias("_tr"),
+            F.greatest(
+                F.col("_n") - max_len, F.lit(0).cast("long")
+            ).alias("_trtok"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_eff").cast("long").alias("sum_tokens"),
+            (F.first("bucket_len") * F.count("*"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                1
+                - F.sum("_eff")
+                / (F.first("bucket_len") * F.count("*")).cast("double"),
+                6,
+            ).alias("waste_ratio"),
+            F.sum("_tr").cast("long").alias("n_truncated"),
+            F.sum("_trtok").cast("long").alias("trunc_tokens"),
+        )
+    )

@@ -2224,6 +2224,51 @@ SQL_WS_TOKENS = """
 
 
 @query(
+    "length_bucket_padding",
+    f"""
+    WITH t AS ({SQL_WS_TOKENS}),
+    b AS (
+      SELECT greatest(n_tokens, 1) AS n,
+             length(bin(greatest(n_tokens, 1))) AS bits
+      FROM t
+    ),
+    assigned AS (
+      SELECT n,
+             greatest(16, least(
+               CASE WHEN n = (1 << (bits - 1)) THEN n
+                    ELSE 1 << bits END,
+               4096)) AS bucket_len,
+             least(n, 4096) AS eff,
+             CASE WHEN n > 4096 THEN 1 ELSE 0 END AS tr,
+             greatest(n - 4096, 0) AS trtok
+      FROM b
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(eff) AS BIGINT) AS sum_tokens,
+           CAST(bucket_len * count(*) AS BIGINT) AS padded_tokens,
+           round(1 - sum(eff) / CAST(bucket_len * count(*) AS DOUBLE), 6)
+             AS waste_ratio,
+           CAST(sum(tr) AS BIGINT) AS n_truncated,
+           CAST(sum(trtok) AS BIGINT) AS trunc_tokens
+    FROM assigned GROUP BY bucket_len ORDER BY bucket_len
+    """,
+)
+def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (r7): per power-of-two sequence
+    bucket, the padding a bucketed loader pays vs the token mass —
+    packing.length_bucket_padding over whitespace token counts. The
+    bucket is INTEGER bit-length arithmetic (no float log2), so the
+    oracle replays exactly; one tiny-key groupBy, map-side
+    combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.with_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_ws").cast("long").alias("n_tokens")
+    )
+    return packing.length_bucket_padding(t).orderBy("bucket_len")
+
+
+@query(
     "pack_training_sequences",
     f"""
     WITH t AS ({SQL_WS_TOKENS}),

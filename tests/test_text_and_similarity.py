@@ -1147,3 +1147,31 @@ def test_random_project_deterministic_and_scaled(spark):
     assert a == b
     # each coord = (sum of 64 signs) * 0.25 -> multiple of 0.25
     assert all(abs(v * 4 - round(v * 4)) < 1e-9 for v in a)
+
+
+def test_length_bucket_padding_ground_truth(spark):
+    from kissmetrics_to_database_spark.operators.packing import (
+        length_bucket_padding,
+    )
+
+    rows = [(0, 10), (1, 16), (2, 17), (3, 100), (4, 5000), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["bucket_len"]: r
+        for r in length_bucket_padding(
+            df, min_len=16, max_len=4096
+        ).collect()
+    }
+    # 10 -> pot 16; 16 -> exact 16; 0 -> clamp(1) -> 16
+    assert out[16]["n_docs"] == 3 and out[16]["sum_tokens"] == 10 + 16 + 1
+    assert out[16]["padded_tokens"] == 48
+    # 17 -> 32
+    assert out[32]["n_docs"] == 1 and out[32]["padded_tokens"] == 32
+    # 100 -> 128
+    assert out[128]["n_docs"] == 1
+    assert out[128]["waste_ratio"] == round(1 - 100 / 128, 6)
+    # 5000 -> clamp 4096, truncated
+    assert out[4096]["n_truncated"] == 1
+    assert out[4096]["trunc_tokens"] == 5000 - 4096
+    assert out[4096]["sum_tokens"] == 4096
+    assert out[4096]["waste_ratio"] == 0.0

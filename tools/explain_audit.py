@@ -428,6 +428,47 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject"],
         ["SinglePartition", "CartesianProduct"],
     ),
+    # --- round-7 additions ---
+    # unigram corpus encode mirrors the BPE encoder plan: training is
+    # a driver-side artifact built BEFORE the plan; the emitted plan
+    # is one Arrow pass — no joins, no hash shuffle
+    "unigram_encode_corpus": (
+        ["MapInPandas", "rangepartitioning"],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # FIM rewrite: pure codegen'd substring projection, map-only
+    "fim_transform": (
+        ["rangepartitioning"],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # main-content extraction: higher-order array expressions fuse
+    # into the scan — zero joins, zero hash shuffles
+    "html_main_content": (
+        ["rangepartitioning"],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # MFCC: one Arrow kernel + posexplode readout — no joins
+    "audio_mfcc": (
+        ["MapInPandas"],
+        ["Join", "CartesianProduct"],
+    ),
+    # scene cuts: one Arrow kernel, flat-map shape — no joins
+    "video_scene_cuts": (
+        ["MapInPandas"],
+        ["Join", "CartesianProduct"],
+    ),
+    # pHash near-dups: pigeonhole block EQUI-join (never all-pairs),
+    # hash-partitioned candidates, no single-partition funnels
+    "image_phash_near_dups": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"],
+    ),
+    # JL projection recall: probes broadcast into the two brute-force
+    # rankings (the declared cross shape) — no unbroadcast cartesian
+    "random_projection_recall": (
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
