@@ -641,61 +641,63 @@ def semantic_dedup(
     near-dup neighborhood survives). Returns (id, cluster, n_near,
     keep) where n_near counts the smaller-id near neighbors.
 
-    Scale shape: the pair join is equi-keyed on (cluster, cell) —
-    within each k-means cluster the same lossless 1-D cell blocking
-    as :func:`cosine_near_dups` prunes pairs whose first normalized
-    coordinates are too far apart to reach the threshold (r5: cut the
-    within-cluster pair count ~6× at threshold 0.95 with zero recall
-    loss — ``cos >= t ⇒ |u0a − u0b| <= sqrt(2(1−t))``). Cost is
-    Σ|cluster ∩ cell|², bounded by construction because k is chosen ∝
-    corpus size (pairwise-over-corpus never happens). Similarities
-    round to 6 before thresholding for engine reproducibility.
+    Scale shape (r7 — replaced the (cluster, cell) pair JOIN, which
+    the sf1.0 scaling curve measured at 20.9× for 10× rows): one hash
+    partition by cluster moves ONE ROW PER VECTOR — pairs never enter
+    a shuffle — then each cluster's pairwise cosine matrix is a
+    BLAS matmul inside an Arrow ``applyInPandas`` kernel, blocked in
+    2048-row tiles so memory stays O(tile × |cluster|) however big a
+    cluster gets. This is the Abbas 2023 recipe verbatim (bounded
+    clusters + dense within-cluster pairwise on a vector engine);
+    per-pair cost drops from an interpreted 64-element fold to a
+    fused multiply-add. Cost remains Σ|cluster|²·d FLOPs, bounded
+    because k is chosen ∝ corpus size — and the curve re-measured
+    this shape at ~linear (SCALING_CURVE.md). Similarities round
+    half-away-from-zero at 6 (the DuckDB binary-rounding convention,
+    matching the oracle's round()) before thresholding.
     """
     vecs = kmeans_lloyd(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, keep_vector=True
     ).select(id_col, "cluster", "_v")
-    # Hoist ||v|| out of the pair join: computed once per vector here,
-    # the pair predicate is a single dot-product fold instead of three.
-    # dot/(na*nb) is bit-identical to cosine(a, b) = dot/(norm(a)*
-    # norm(b)) — same sqrt over the same array — so oracle parity
-    # under round(…, 6) is preserved exactly.
-    withn = vecs.select(id_col, "cluster", "_v", _norm(F.col("_v")).alias("_n"))
-    w_cell = math.sqrt(2.0 * (1.0 - (float(threshold) - 1e-6)))
-    cell = F.floor(
-        (F.element_at(F.col("_v"), 1).cast("double") / F.col("_n"))
-        / F.lit(w_cell)
-    ).cast("long")
-    left = withn.select(
-        F.col(id_col).alias("a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-        "cluster",
-        F.explode(F.array(cell - 1, cell, cell + 1)).alias("_cell"),
-    )
-    right = withn.select(
-        F.col(id_col).alias("b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-        "cluster",
-        cell.alias("_cell"),
-    )
-    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    near = (
-        left.join(right, ["cluster", "_cell"])
-        .where(F.col("b") < F.col("a"))
-        .where(F.round(sim, 6) >= F.lit(threshold))
-        .groupBy(F.col("a").alias(id_col))
-        .agg(F.count("*").cast("long").alias("n_near"))
-    )
-    return (
-        vecs.select(id_col, "cluster")
-        .join(near, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
-            (F.coalesce("n_near", F.lit(0)) == 0).alias("keep"),
+    thr = float(threshold)
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = 1.0
+        m = len(pdf)
+        counts = np.zeros(m, dtype=np.int64)
+        tile = 2048
+        for i0 in range(0, m, tile):
+            vi = v[i0 : i0 + tile]
+            ni = norms[i0 : i0 + tile]
+            rows_g = np.arange(i0, i0 + len(vi))[:, None]
+            for j0 in range(0, i0 + len(vi), tile):
+                vj = v[j0 : j0 + tile]
+                nj = norms[j0 : j0 + tile]
+                g = (vi @ vj.T) / np.outer(ni, nj)
+                # round half AWAY from zero at 6 dp on the binary
+                # value — the DuckDB round() the oracle applies
+                gr = np.copysign(np.floor(np.abs(g) * 1e6 + 0.5) / 1e6, g)
+                cols_g = np.arange(j0, j0 + len(vj))[None, :]
+                hits = (gr >= thr) & (cols_g < rows_g)
+                counts[i0 : i0 + len(vi)] += hits.sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "n_near": counts,
+                "keep": counts == 0,
+            }
         )
+
+    return vecs.groupBy("cluster").applyInPandas(
+        score,
+        schema=f"{id_col} long, cluster int, n_near long, keep boolean",
     )
 
 

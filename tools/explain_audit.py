@@ -145,9 +145,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # SemDeDup: the pair join is EQUI-keyed on (cluster, cell) —
     # broadcast at this SF by size, a hash-partitioned equi-join at
     # scale — never an unkeyed cartesian blowup
+    # r7: pairs never shuffle — one cluster-keyed exchange feeds the
+    # tiled-BLAS pairwise kernel; the only join left is the k-row
+    # broadcast centroid assignment
     "semantic_dedup": (
-        ["Left keys [2]: [cluster#"],
-        ["CartesianProduct"],
+        ["FlatMapGroupsInPandas", "hashpartitioning(cluster"],
+        ["CartesianProduct", "SortMergeJoin"],
     ),
     # CCNet terciles: cutoff table broadcasts back; deliberately no
     # ntile window (a per-lang window total-orders the corpus)
