@@ -5586,7 +5586,10 @@ def q_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.join(
-            approx.withColumnRenamed("neighbor_id", "hit"),
+            # k·|probes| rows — broadcast the approx side so the
+            # recall join never sort-merges (Catalyst can't see the
+            # tiny cardinality through the ranking windows)
+            F.broadcast(approx.withColumnRenamed("neighbor_id", "hit")),
             (exact.probe_id == approx.probe_id)
             & (F.col("neighbor_id") == F.col("hit")),
             "left",
