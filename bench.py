@@ -150,6 +150,7 @@ HEADLINE = [
     "video_scene_cuts",
     "random_projection_recall",
     "length_bucket_padding",
+    "embedding_cosine_near_dups",
 ]
 
 

@@ -222,37 +222,73 @@ def cosine_near_pairs(
     u0 = F.element_at(F.col(vec_col), 1).cast("double") / _norm(F.col(vec_col))
     cell = F.floor(u0 / F.lit(w)).cast("long")
 
-    # Hoist ||v|| out of the pair join (same trick as semantic_dedup):
-    # each side carries its norm, so the per-pair predicate is ONE
-    # zip_with/aggregate fold (the dot) instead of three. dot/(na*nb)
-    # is the same doubles through the same sqrt as cosine(a, b), so
-    # round(…, 6) parity with the oracle is unchanged.
+    # r7 (sf1.0 curve lesson from semantic_dedup): the per-pair
+    # predicate is NOT a join expression — candidate pairs inside a
+    # cell are scored by a tiled BLAS matmul in an Arrow cogroup
+    # kernel, so the shuffle carries rows (each vector once on the
+    # home side, ≤3× on the probe side), never pairs, and each pair
+    # costs a fused multiply-add instead of an interpreted 64-element
+    # fold. A qualifying pair (a<b) still matches exactly once: b's
+    # single home cell intersects a's 3-cell expansion.
     home = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
         cell.alias("_cell"),
     )
     probe = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
         F.explode(F.array(cell - 1, cell, cell + 1)).alias("_cell"),
     )
-    # A qualifying pair (a<b) matches exactly once: b's single home
-    # cell intersects a's 3-cell expansion; the reversed orientation
-    # is excluded by the id_a < id_b filter.
-    return (
-        probe.join(home, "_cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("score"),
+    thr = float(threshold)
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "score": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "score": "float64"})
+        a_ids = left["id_a"].to_numpy()
+        b_ids = right["id_b"].to_numpy()
+        va = np.array(left["_va"].tolist(), dtype=np.float64)
+        vb = np.array(right["_vb"].tolist(), dtype=np.float64)
+        na = np.sqrt((va * va).sum(axis=1))
+        nb = np.sqrt((vb * vb).sum(axis=1))
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        out_a, out_b, out_s = [], [], []
+        tile = 2048
+        for i0 in range(0, len(va), tile):
+            for j0 in range(0, len(vb), tile):
+                g = (
+                    va[i0 : i0 + tile] @ vb[j0 : j0 + tile].T
+                ) / np.outer(na[i0 : i0 + tile], nb[j0 : j0 + tile])
+                # DuckDB binary rounding (half away from zero, 6 dp)
+                gr = np.copysign(np.floor(np.abs(g) * 1e6 + 0.5) / 1e6, g)
+                ii, jj = np.nonzero(
+                    (gr >= thr)
+                    & (
+                        a_ids[i0 : i0 + tile, None]
+                        < b_ids[None, j0 : j0 + tile]
+                    )
+                )
+                out_a.append(a_ids[i0 + ii])
+                out_b.append(b_ids[j0 + jj])
+                out_s.append(gr[ii, jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "score": np.concatenate(out_s) if out_s else [],
+            }
         )
-        .where(F.col("score") >= float(threshold))
+
+    return (
+        probe.groupBy("_cell")
+        .cogroup(home.groupBy("_cell"))
+        .applyInPandas(score, schema="id_a long, id_b long, score double")
     )
 
 

@@ -82,8 +82,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftAnti", "GreaterThanOrEqual(o_orderdate,"],
         ["CartesianProduct"],
     ),
-    # cosine near-dup: equi-join on the blocking cell, never a cross join
-    "embedding_cosine_near_dups": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # cosine near-dup (r7): cell-keyed COGROUP feeds the tiled-BLAS
+    # pair kernel — rows shuffle, pairs never do; no join at all
+    "embedding_cosine_near_dups": (
+        ["FlatMapCoGroupsInPandas", "hashpartitioning(_cell"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # nearest-centroid: tiny centroid table broadcast to the corpus scan
     "nearest_centroid_confusion": (
         ["BroadcastNestedLoopJoin"],
@@ -142,12 +146,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "CartesianProduct", "hashpartitioning(vec_id"],
     ),
-    # SemDeDup: the pair join is EQUI-keyed on (cluster, cell) —
-    # broadcast at this SF by size, a hash-partitioned equi-join at
-    # scale — never an unkeyed cartesian blowup
-    # r7: pairs never shuffle — one cluster-keyed exchange feeds the
-    # tiled-BLAS pairwise kernel; the only join left is the k-row
-    # broadcast centroid assignment
+    # SemDeDup (r7): pairs never shuffle — one cluster-keyed exchange
+    # feeds the tiled-BLAS pairwise kernel; the only join left is the
+    # k-row broadcast centroid assignment
     "semantic_dedup": (
         ["FlatMapGroupsInPandas", "hashpartitioning(cluster"],
         ["CartesianProduct", "SortMergeJoin"],
