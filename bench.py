@@ -151,6 +151,7 @@ HEADLINE = [
     "random_projection_recall",
     "length_bucket_padding",
     "embedding_cosine_near_dups",
+    "classifier_calibration_bins",
 ]
 
 

@@ -3383,6 +3383,66 @@ def q_classifier_train_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_calibration_oracle(iters: int = 3, lr: float = 10.0) -> str:
+    """Calibration-bin readout over the SAME unrolled GD replay as
+    :func:`_classifier_train_oracle` — only the final SELECT changes:
+    probabilities bin into deciles and each bin reports its mean
+    predicted probability against its observed positive rate."""
+    base = _classifier_train_oracle(iters, lr)
+    cut = base.rindex("\n    SELECT CAST(y AS BIGINT)")
+    return base[:cut] + """
+    SELECT CAST(least(floor(round(1 / (1 + exp(-score)), 6) * 10), 9)
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(round(1 / (1 + exp(-score)), 6)), 6) AS mean_prob,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(avg(round(1 / (1 + exp(-score)), 6)) - avg(y)), 6)
+             AS gap
+    FROM final GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("classifier_calibration_bins", _classifier_calibration_oracle(3, 10.0))
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit (r7): decile reliability bins over
+    the trained quality classifier — per predicted-probability bin,
+    the mean prediction vs the observed positive rate and their gap
+    (the reliability-diagram rows whose weighted sum is ECE). A
+    quality gate that thresholds on p ≥ 0.5 is only as good as its
+    calibration; this is the eval every production filter runs before
+    picking the cut. Same hash-exact unrolled-GD oracle as
+    classifier_train_confusion — only the readout changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y",
+        F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark"
+        ).cast("double"),
+    )
+    weights = text.train_hashed_classifier(
+        labeled, "y", buckets=4096, iters=3, lr=10.0
+    )
+    scored = text.hashed_classifier_score(docs, weights)
+    joined = scored.join(labeled.select("doc_id", "y"), "doc_id")
+    binned = joined.select(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "prob",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("prob"), 6).alias("mean_prob"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("prob") - F.avg("y")), 6).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — probabilistic sketches (round 2): CMS, HLL, Bloom
 # ---------------------------------------------------------------------------
