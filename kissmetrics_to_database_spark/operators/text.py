@@ -1223,68 +1223,96 @@ def train_hashed_classifier(
     shuffles on the SAME doc key every iteration, so the exchange is
     reused; iteration count is a constant.
 
-    Determinism / oracle-exactness: scores, probabilities, gradients
-    and weights all round to ``ndigits`` at each step (the k-means
-    convention), so the unrolled-SQL oracle replays training
-    hash-exactly. Returns the final per-bucket weight list.
+    Determinism / oracle-exactness (r8): every aggregated quantity is
+    an exact INTEGER in micro-units (1e-6), so the sums are
+    summation-ORDER-independent — a double sum's partial-aggregation
+    order varies with partitioning and can flip a 6-dp half-boundary
+    round (the r7 `classifier_calibration_bins` driver flake); integer
+    sums cannot. Per step: score_micro = round(Σ cnt·w_micro / n_d),
+    p_micro = round(1e6·sigmoid(score_micro/1e6)), residual
+    r_micro = p_micro − y_micro, per-doc gradient term
+    round(cnt·r_micro / n_d), g_micro = Σ terms (exact long),
+    w'_micro = w_micro − round(lr·g_micro). The only float ops are
+    per-row division/sigmoid on integer inputs — deterministic and
+    bit-identical across engines. Returns the final per-bucket weight
+    list as floats (w_micro/1e6; exactly recoverable via
+    round(w·1e6)).
     """
     spark = df.sparkSession
+    scale = 10 ** ndigits
     feats = (
         hashed_ngram_features(df, id_col, text_col)
         .groupBy(id_col, "bucket")
-        .agg(F.count("*").cast("double").alias("cnt"))
+        .agg(F.count("*").alias("cnt"))
     )
     nfeat = feats.groupBy(id_col).agg(F.sum("cnt").alias("n_d"))
     base = (
         feats.join(nfeat, id_col)
-        .join(df.select(id_col, F.col(label_col).cast("double").alias("y")), id_col)
+        .join(
+            df.select(
+                id_col,
+                (F.col(label_col).cast("double") * scale)
+                .cast("long")
+                .alias("y_micro"),
+            ),
+            id_col,
+        )
         .repartition(F.col(id_col))
         .persist()
     )
     base.count()
     try:
-        w = [0.0] * buckets
+        wm = [0] * buckets  # weights in exact integer micro-units
         for _ in range(iters):
             wt = spark.createDataFrame(
-                [(b, w[b]) for b in range(buckets)], "bucket long, wgt double"
+                [(b, wm[b]) for b in range(buckets)], "bucket long, wm long"
             )
             scored = (
                 base.join(F.broadcast(wt), "bucket")
-                .groupBy(id_col, "n_d", "y")
-                .agg(F.sum(F.col("cnt") * F.col("wgt")).alias("_s"))
+                .groupBy(id_col, "n_d", "y_micro")
+                .agg(F.sum(F.col("cnt") * F.col("wm")).alias("_s"))
                 .select(
                     id_col,
-                    "y",
+                    "y_micro",
                     "n_d",
-                    F.round(F.col("_s") / F.col("n_d"), ndigits).alias("score"),
+                    F.round(F.col("_s").cast("double") / F.col("n_d"), 0)
+                    .cast("long")
+                    .alias("s_micro"),
                 )
             )
             resid = scored.select(
                 id_col,
                 (
                     F.round(
-                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))),
-                        ndigits,
-                    )
-                    - F.col("y")
-                ).alias("_r"),
+                        F.lit(float(scale))
+                        / (
+                            F.lit(1.0)
+                            + F.exp(-(F.col("s_micro") / F.lit(float(scale))))
+                        ),
+                        0,
+                    ).cast("long")
+                    - F.col("y_micro")
+                ).alias("r_micro"),
             )
             grad = (
                 base.join(resid, id_col)
                 .groupBy("bucket")
                 .agg(
-                    F.round(
-                        F.sum(F.col("cnt") * F.col("_r") / F.col("n_d")),
-                        ndigits,
-                    ).alias("g")
+                    F.sum(
+                        F.round(
+                            (F.col("cnt") * F.col("r_micro")).cast("double")
+                            / F.col("n_d"),
+                            0,
+                        ).cast("long")
+                    ).alias("g_micro")
                 )
             )
             for row in grad.collect():
                 b = int(row["bucket"])
-                w[b] = round(w[b] - lr * row["g"], ndigits)
+                wm[b] = wm[b] - int(round(lr * row["g_micro"]))
     finally:
         base.unpersist()
-    return w
+    return [v / scale for v in wm]
 
 
 def hashed_classifier_score(
@@ -1297,11 +1325,18 @@ def hashed_classifier_score(
     """Score documents with a TRAINED weight vector (the serve path
     of :func:`train_hashed_classifier`): broadcast (bucket, wgt)
     join, one per-doc aggregation, sigmoid. Returns
-    (id, n_features, score, prob, pred)."""
+    (id, n_features, score, prob, pred).
+
+    r8 determinism: the per-doc aggregation sums exact integer
+    micro-unit weights (weights are 6-dp by construction, so
+    round(w·1e6) is lossless) — order-independent, so the result can
+    never vary with partitioning. score/prob are emitted as the
+    exact doubles s_micro/1e6 and p_micro/1e6."""
     spark = df.sparkSession
+    scale = 10 ** ndigits
     wt = spark.createDataFrame(
-        [(b, float(v)) for b, v in enumerate(weights)],
-        "bucket long, wgt double",
+        [(b, int(round(float(v) * scale))) for b, v in enumerate(weights)],
+        "bucket long, wm long",
     )
     feats = hashed_ngram_features(df, id_col, text_col)
     agg = (
@@ -1309,18 +1344,22 @@ def hashed_classifier_score(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_features"),
-            F.round(F.sum("wgt") / F.count("*"), ndigits).alias("score"),
+            F.round(F.sum("wm").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("s_micro"),
         )
     )
-    prob = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), ndigits
-    )
+    p_micro = F.round(
+        F.lit(float(scale))
+        / (F.lit(1.0) + F.exp(-(F.col("s_micro") / F.lit(float(scale))))),
+        0,
+    ).cast("long")
     return agg.select(
         id_col,
         "n_features",
-        "score",
-        prob.alias("prob"),
-        (prob >= 0.5).alias("pred"),
+        (F.col("s_micro") / F.lit(float(scale))).alias("score"),
+        (p_micro / F.lit(float(scale))).alias("prob"),
+        (p_micro >= F.lit(scale // 2)).alias("pred"),
     )
 
 

@@ -3268,8 +3268,13 @@ def _classifier_train_oracle(iters: int = 3, lr: float = 1.0) -> str:
     """Unrolled full-batch GD for the hashed logistic classifier: the
     same featurization CTEs as the inference oracle, then one
     (score → residual → gradient → weight-update) block per
-    iteration with every step rounded to 6 decimals — replaying
-    text.train_hashed_classifier hash-exactly."""
+    iteration — replaying text.train_hashed_classifier hash-exactly.
+
+    r8: every aggregated quantity is an exact BIGINT in micro-units
+    (1e-6), mirroring the Spark trainer — integer sums are
+    summation-order-independent, so the replay can never flake at a
+    6-dp half boundary regardless of either engine's partial-agg
+    order (the r7 classifier_calibration_bins driver failure)."""
     head = """
     WITH w AS MATERIALIZED (
       SELECT doc_id,
@@ -3279,7 +3284,9 @@ def _classifier_train_oracle(iters: int = 3, lr: float = 1.0) -> str:
     ),
     lab AS (
       SELECT doc_id,
-             CASE WHEN list_contains(ws, 'spark') THEN 1.0 ELSE 0.0 END AS y
+             CASE WHEN list_contains(ws, 'spark')
+                  THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS y_micro
       FROM w
     ),
     uni AS (SELECT doc_id, unnest(ws) AS token FROM w),
@@ -3302,44 +3309,61 @@ def _classifier_train_oracle(iters: int = 3, lr: float = 1.0) -> str:
       WHERE token <> ''
     ),
     feats AS (
-      SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
       FROM fr GROUP BY doc_id, bucket
     ),
     nf AS (SELECT doc_id, sum(cnt) AS n_d FROM feats GROUP BY doc_id),
     base AS MATERIALIZED (
-      SELECT f.doc_id, f.bucket, f.cnt, nf.n_d, lab.y
+      SELECT f.doc_id, f.bucket, f.cnt, nf.n_d, lab.y_micro
       FROM feats f JOIN nf USING (doc_id) JOIN lab USING (doc_id)
     ),
-    w0 AS (SELECT b AS bucket, 0.0 AS wgt FROM range(0, 4096) t(b))"""
+    w0 AS (SELECT b AS bucket, CAST(0 AS BIGINT) AS wm
+           FROM range(0, 4096) t(b))"""
     blocks = []
     for k in range(iters):
         blocks.append(f""",
     score{k} AS (
-      SELECT doc_id, y, n_d, round(sum(cnt * wgt) / n_d, 6) AS score
-      FROM base JOIN w{k} USING (bucket) GROUP BY doc_id, y, n_d
+      SELECT doc_id, y_micro, n_d,
+             CAST(round(CAST(sum(cnt * wm) AS DOUBLE) / n_d, 0) AS BIGINT)
+               AS s_micro
+      FROM base JOIN w{k} USING (bucket) GROUP BY doc_id, y_micro, n_d
     ),
     resid{k} AS (
-      SELECT doc_id, round(1 / (1 + exp(-score)), 6) - y AS r
+      SELECT doc_id,
+             CAST(round(1000000.0 / (1 + exp(-(s_micro / 1000000.0))), 0)
+                  AS BIGINT) - y_micro AS r_micro
       FROM score{k}
     ),
     grad{k} AS (
-      SELECT bucket, round(sum(cnt * r / n_d), 6) AS g
+      SELECT bucket,
+             sum(CAST(round(CAST(cnt * r_micro AS DOUBLE) / n_d, 0)
+                      AS BIGINT)) AS g_micro
       FROM base JOIN resid{k} USING (doc_id) GROUP BY bucket
     ),
     w{k + 1} AS MATERIALIZED (
-      SELECT w.bucket, round(w.wgt - {lr} * coalesce(g.g, 0), 6) AS wgt
+      SELECT w.bucket,
+             w.wm - CAST(round({lr} * coalesce(g.g_micro, 0), 0) AS BIGINT)
+               AS wm
       FROM w{k} w LEFT JOIN grad{k} g USING (bucket)
     )""")
     tail = f""",
     final AS (
-      SELECT doc_id, y, round(sum(cnt * wgt) / n_d, 6) AS score
-      FROM base JOIN w{iters} USING (bucket) GROUP BY doc_id, y, n_d
+      SELECT doc_id, y_micro,
+             CAST(round(CAST(sum(cnt * wm) AS DOUBLE) / n_d, 0) AS BIGINT)
+               AS s_micro
+      FROM base JOIN w{iters} USING (bucket) GROUP BY doc_id, y_micro, n_d
+    ),
+    probs AS (
+      SELECT doc_id, y_micro,
+             CAST(round(1000000.0 / (1 + exp(-(s_micro / 1000000.0))), 0)
+                  AS BIGINT) AS p_micro
+      FROM final
     )
-    SELECT CAST(y AS BIGINT) AS label,
-           (round(1 / (1 + exp(-score)), 6) >= 0.5) AS pred,
+    SELECT CAST(y_micro / 1000000 AS BIGINT) AS label,
+           (p_micro >= 500000) AS pred,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(round(1 / (1 + exp(-score)), 6)), 6) AS avg_prob
-    FROM final GROUP BY 1, 2 ORDER BY 1, 2
+           CAST(sum(p_micro) AS DOUBLE) / (count(*) * 1000000) AS avg_prob
+    FROM probs GROUP BY 1, 2 ORDER BY 1, 2
     """
     return head + "".join(blocks) + tail
 
@@ -3371,13 +3395,21 @@ def q_classifier_train_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = text.hashed_classifier_score(docs, weights)
     joined = scored.join(labeled.select("doc_id", "y"), "doc_id")
+    # r8: avg over exact integer micro-units (prob is p_micro/1e6 by
+    # construction, so round(prob*1e6) is lossless) — the sum is
+    # order-independent and the single final division is bit-identical
+    # across engines; no 6-dp round that could flip with partitioning.
+    p_micro = F.round(F.col("prob") * 1e6, 0).cast("long")
     return (
         joined.groupBy(
             F.col("y").cast("long").alias("label"), F.col("pred")
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("prob"), 6).alias("avg_prob"),
+            (
+                F.sum(p_micro).cast("double")
+                / (F.count("*") * F.lit(1000000))
+            ).alias("avg_prob"),
         )
         .orderBy("label", "pred")
     )
@@ -3389,16 +3421,15 @@ def _classifier_calibration_oracle(iters: int = 3, lr: float = 10.0) -> str:
     probabilities bin into deciles and each bin reports its mean
     predicted probability against its observed positive rate."""
     base = _classifier_train_oracle(iters, lr)
-    cut = base.rindex("\n    SELECT CAST(y AS BIGINT)")
+    cut = base.rindex("\n    SELECT CAST(y_micro / 1000000 AS BIGINT)")
     return base[:cut] + """
-    SELECT CAST(least(floor(round(1 / (1 + exp(-score)), 6) * 10), 9)
-                AS BIGINT) AS bin,
+    SELECT CAST(least(p_micro // 100000, 9) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(round(1 / (1 + exp(-score)), 6)), 6) AS mean_prob,
-           round(avg(y), 6) AS frac_pos,
-           round(abs(avg(round(1 / (1 + exp(-score)), 6)) - avg(y)), 6)
-             AS gap
-    FROM final GROUP BY 1 ORDER BY 1
+           CAST(sum(p_micro) AS DOUBLE) / (count(*) * 1000000) AS mean_prob,
+           CAST(sum(y_micro) AS DOUBLE) / (count(*) * 1000000) AS frac_pos,
+           CAST(abs(sum(p_micro) - sum(y_micro)) AS DOUBLE)
+             / (count(*) * 1000000) AS gap
+    FROM probs GROUP BY 1 ORDER BY 1
     """
 
 
@@ -3424,20 +3455,31 @@ def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     scored = text.hashed_classifier_score(docs, weights)
     joined = scored.join(labeled.select("doc_id", "y"), "doc_id")
+    # r8: all bin stats from exact integer micro-unit sums — the r7
+    # driver red was round(avg(double)) flipping at a 6-dp half
+    # boundary with partition order; integer sums + one final division
+    # are order-independent and bit-identical across engines.
     binned = joined.select(
-        F.least(F.floor(F.col("prob") * 10), F.lit(9))
+        F.round(F.col("prob") * 1e6, 0).cast("long").alias("p_micro"),
+        (F.col("y") * 1e6).cast("long").alias("y_micro"),
+    ).select(
+        F.least(F.floor(F.col("p_micro") / 100000), F.lit(9))
         .cast("long")
         .alias("bin"),
-        "prob",
-        "y",
+        "p_micro",
+        "y_micro",
     )
+    denom = F.count("*") * F.lit(1000000)
     return (
         binned.groupBy("bin")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("prob"), 6).alias("mean_prob"),
-            F.round(F.avg("y"), 6).alias("frac_pos"),
-            F.round(F.abs(F.avg("prob") - F.avg("y")), 6).alias("gap"),
+            (F.sum("p_micro").cast("double") / denom).alias("mean_prob"),
+            (F.sum("y_micro").cast("double") / denom).alias("frac_pos"),
+            (
+                F.abs(F.sum("p_micro") - F.sum("y_micro")).cast("double")
+                / denom
+            ).alias("gap"),
         )
         .orderBy("bin")
     )

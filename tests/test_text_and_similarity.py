@@ -1175,3 +1175,25 @@ def test_length_bucket_padding_ground_truth(spark):
     assert out[4096]["trunc_tokens"] == 5000 - 4096
     assert out[4096]["sum_tokens"] == 4096
     assert out[4096]["waste_ratio"] == 0.0
+
+
+def test_classifier_readouts_partition_order_proof(spark):
+    # r8 regression guard for the r7 driver flake: the calibration /
+    # confusion readouts must be EXACTLY identical across partition
+    # layouts. All aggregated quantities are integer micro-unit sums
+    # (order-independent); a float-sum formulation flips a 6-dp half
+    # boundary when spark.sql.shuffle.partitions changes.
+    from kissmetrics_to_database_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    q = catalog.QUERIES["classifier_calibration_bins"]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    runs = []
+    try:
+        for n in ("1", "3", "8", "17", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            runs.append([tuple(r) for r in q(spark, sf).collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for other in runs[1:]:
+        assert other == runs[0]
