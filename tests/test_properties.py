@@ -70,6 +70,36 @@ def test_banded_interval_join_matches_quadratic(spark, rows, gap_us):
     assert got == expected
 
 
+def test_cosine_near_pairs_grid_subblocking_exact(spark):
+    """r8 degenerate-regime fix: with rows_per_block small enough to
+    force B>1 sub-blocks per cell, the (cell, blk(a), blk(b)) grid
+    must still produce every qualifying pair exactly once — same
+    result as B=1 and as brute force."""
+    import random
+
+    from kissmetrics_to_database_spark.operators import similarity
+
+    rng = random.Random(8)
+    data = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    fine = sorted(
+        tuple(r)
+        for r in similarity.cosine_near_pairs(
+            df, 0.2, rows_per_block=7
+        ).collect()
+    )
+    coarse = sorted(
+        tuple(r)
+        for r in similarity.cosine_near_pairs(
+            df, 0.2, rows_per_block=10**6
+        ).collect()
+    )
+    assert fine == coarse and len(fine) > 0
+    assert len(set((a, b) for a, b, _ in fine)) == len(fine)  # no dup pairs
+
+
 @given(
     st.lists(
         st.lists(
@@ -78,7 +108,7 @@ def test_banded_interval_join_matches_quadratic(spark, rows, gap_us):
         min_size=2,
         max_size=12,
     ),
-    st.sampled_from([0.5, 0.9, 0.99]),
+    st.sampled_from([0.3, 0.5, 0.9, 0.99]),
 )
 @settings(max_examples=5, deadline=None)
 def test_cosine_near_pairs_matches_brute_force(spark, vecs, threshold):

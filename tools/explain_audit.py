@@ -82,10 +82,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftAnti", "GreaterThanOrEqual(o_orderdate,"],
         ["CartesianProduct"],
     ),
-    # cosine near-dup (r7): cell-keyed COGROUP feeds the tiled-BLAS
-    # pair kernel — rows shuffle, pairs never do; no join at all
+    # cosine near-dup (r7, r8 grid): (cell, i, j)-keyed COGROUP feeds
+    # the tiled-BLAS pair kernel — rows shuffle, pairs never do; the
+    # only join is the broadcast of the skinny per-cell count table
     "embedding_cosine_near_dups": (
-        ["FlatMapCoGroupsInPandas", "hashpartitioning(_cell"],
+        [
+            "FlatMapCoGroupsInPandas",
+            "hashpartitioning(_cell",
+            "BroadcastHashJoin",
+        ],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     # nearest-centroid: tiny centroid table broadcast to the corpus scan
@@ -682,6 +687,51 @@ def main() -> int:
             n_fail += 0 if ok else 1
             lines.append(f"| {name} | absent `{m}` | {'ok' if ok else 'FAIL'} |")
             print(("ok   " if ok else "FAIL "), name, ":: NOT", m)
+
+    # r8: cosine pair-grid RUNTIME invariants (a plan-string check
+    # can't see group sizes). At the catalog's degenerate threshold
+    # 0.4 the 1-D cells carry no selectivity (w≈1.10 on a [-1,1]
+    # coordinate → 2-4 cells), so the B×B sub-grid must be doing the
+    # work: the grid must fan the corpus out well past the raw cell
+    # count, and no task's home group may exceed ~2× rows_per_block
+    # (hash-imbalance slack) — i.e. no single worker ever holds the
+    # corpus, whatever the threshold.
+    def _cosine_grid_stats():
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.operators.similarity import (
+            _cosine_pair_grid,
+        )
+        from kissmetrics_to_database_spark.session import load_table
+
+        emb = load_table(spark, args.sf, "embeddings")
+        n = emb.count()
+        L = 64
+        _, home = _cosine_pair_grid(emb, 0.4, "vec_id", "embedding", L)
+        sizes = home.groupBy("_cell", "_i", "_j").count()
+        row = sizes.agg(
+            F.max("count").alias("mx"), F.count("*").alias("tasks")
+        ).collect()[0]
+        n_cells = sizes.select("_cell").distinct().count()
+        return n, L, int(row["mx"]), int(row["tasks"]), n_cells
+
+    n_vec, L, grid_mx, grid_tasks, grid_cells = _cosine_grid_stats()
+    for label, ok in [
+        (
+            f"grid splits cells: tasks {grid_tasks} > cells {grid_cells} "
+            f"and >= ceil(n/L) = {-(-n_vec // L)}",
+            grid_tasks > grid_cells and grid_tasks >= -(-n_vec // L),
+        ),
+        (
+            f"max home rows/task {grid_mx} <= 2*rows_per_block {2 * L}",
+            grid_mx <= 2 * L,
+        ),
+    ]:
+        n_fail += 0 if ok else 1
+        lines.append(
+            f"| op:cosine_pair_grid | {label} | {'ok' if ok else 'FAIL'} |"
+        )
+        print(("ok   " if ok else "FAIL "), "op:cosine_pair_grid ::", label)
 
     for name, (must, must_not) in CHECKS.items():
         plan = formatted_plan(catalog.QUERIES[name](spark, args.sf))
