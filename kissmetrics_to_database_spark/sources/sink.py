@@ -163,11 +163,35 @@ def write_jdbc_staged(
                         "(epoch_id BIGINT NOT NULL PRIMARY KEY)"
                     )
                 rs = st.executeQuery(
-                    f"SELECT 1 FROM {ledger} "
-                    f"WHERE epoch_id = {int(epoch_id)}"
+                    f"SELECT MAX(epoch_id) FROM {ledger}"
                 )
-                already = rs.next()
+                rs.next()
+                max_epoch = rs.getObject(1)
                 rs.close()
+                if max_epoch is not None and int(epoch_id) < int(max_epoch):
+                    # epoch REGRESSION guard (r8): streaming epochs are
+                    # monotone and foreachBatch only ever replays the
+                    # LAST uncommitted batch, so a requested epoch
+                    # strictly below the ledger high-water mark means a
+                    # fresh checkpoint dir is running against a stale
+                    # ledger — silently "skipping" would drop every
+                    # early micro-batch (data loss) until the counter
+                    # passes the old mark. Mirror the parquet state
+                    # sinks' contract and refuse loudly instead.
+                    conn.rollback()
+                    st.execute(f"DROP TABLE {stage}")
+                    conn.commit()
+                    raise ValueError(
+                        f"epoch regression: batch epoch {int(epoch_id)} < "
+                        f"ledger high-water mark {int(max_epoch)} in "
+                        f"{ledger} — the checkpoint dir was reset without "
+                        f"clearing the epoch ledger; clear both together "
+                        f"(DROP TABLE {ledger}) or resume from the old "
+                        "checkpoint"
+                    )
+                already = max_epoch is not None and int(epoch_id) == int(
+                    max_epoch
+                )
                 if already:
                     # replayed micro-batch: the epoch committed before
                     # the checkpoint did — drop the re-staged rows and

@@ -106,6 +106,21 @@ def stream_with_identity(
     folded forward each batch — the growing identity state the
     reference kept in driver memory, now bounded by storage not RAM.
     """
+    return stream_ndjson_pipeline(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        schema,
+        identity_lake_sink(lake_dir),
+        fixed_date,
+    )
+
+
+def identity_lake_sink(lake_dir: str) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch sink behind :func:`stream_with_identity`,
+    exposed so the exactly-once replay contract is directly
+    testable: epoch-partitioned idempotent event append + identity
+    component fold."""
     import shutil
     from pathlib import Path
 
@@ -117,7 +132,17 @@ def stream_with_identity(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(events_path)
+            # EXACTLY-ONCE lake append (VERDICT r7 #4): foreachBatch
+            # replays a crashed epoch, and a plain mode("append")
+            # would double-append its events. Writing each epoch to
+            # its own partition dir with overwrite makes the replay
+            # idempotent — the same pattern the epoch-versioned state
+            # sinks use. Readers see one `epoch` partition column;
+            # at 100 TB the per-epoch dirs are also the natural
+            # compaction / retention unit.
+            batch_df.write.mode("overwrite").parquet(
+                f"{events_path}/epoch={int(epoch_id)}"
+            )
             edges = identity.alias_edges_kissmetrics(batch_df)
             if Path(comp_path).exists():
                 existing = batch_df.sparkSession.read.parquet(comp_path)
@@ -135,9 +160,7 @@ def stream_with_identity(
         finally:
             batch_df.unpersist()
 
-    return stream_ndjson_pipeline(
-        spark, source_dir, checkpoint_dir, schema, sink, fixed_date
-    )
+    return sink
 
 
 def stream_dedup_within_watermark(
@@ -311,26 +334,8 @@ def stream_hll_distinct(
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         merged = batch_df.select(group_col, "register", "mrho")
+        _check_epoch_regression(sess, table_dir, epoch_id)
         prior = _latest_state_version(sess, table_dir, below=epoch_id)
-        if prior is None:
-            # Epoch regression guard (ADVICE r4): a fresh checkpoint
-            # dir restarts epoch ids at 0, but a reused table_dir
-            # still holds higher-epoch versions — silently starting
-            # over would discard the accumulated state while serving
-            # reads keep returning the stale high-epoch version. The
-            # two directories' lifetimes are coupled: clear both or
-            # keep both.
-            stale = [
-                e for e, _ in _state_versions(sess, table_dir)
-                if e >= epoch_id
-            ]
-            if stale:
-                raise RuntimeError(
-                    f"epoch regression: batch epoch {epoch_id} but state "
-                    f"dir {table_dir} already holds epochs {stale} — the "
-                    "checkpoint dir was reset without clearing table_dir "
-                    "(they must be cleared together)"
-                )
         if prior is not None:
             merged = merged.unionByName(sess.read.parquet(prior))
         merged = merged.groupBy(group_col, "register").agg(
@@ -348,6 +353,34 @@ def stream_hll_distinct(
         .foreachBatch(merge)
         .start()
     )
+
+
+def _check_epoch_regression(
+    spark: SparkSession, table_dir: str, epoch_id: int
+) -> None:
+    """Epoch-regression guard shared by every epoch-versioned state
+    sink (HLL / SCD2 / domain-quota / gram-index).
+
+    Raise iff a version with epoch STRICTLY GREATER than this batch's
+    exists: a fresh checkpoint dir restarts epoch ids at 0 while a
+    reused state dir still holds higher-epoch versions — silently
+    starting over would discard accumulated state (and, per ADVICE
+    r7, silently skipping drops data). A version EQUAL to
+    ``epoch_id`` is NOT a regression: it is this very batch's own
+    output from a crash-replay (the epoch's ``v=<epoch>`` dir got its
+    ``_SUCCESS`` but the checkpoint commit didn't land) — the replay
+    must proceed and idempotently overwrite it, or the stream wedges
+    forever on its first batch."""
+    stale = [
+        e for e, _ in _state_versions(spark, table_dir) if e > epoch_id
+    ]
+    if stale:
+        raise RuntimeError(
+            f"epoch regression: batch epoch {epoch_id} but state dir "
+            f"{table_dir} already holds later epochs {stale} — the "
+            "checkpoint dir was reset without clearing the state dir "
+            "(they must be cleared together)"
+        )
 
 
 def _state_versions(
@@ -448,17 +481,9 @@ def scd2_apply_epoch(
             F.col(f"_m.{ts_col}").alias(ts_col),
         )
     )
+    _check_epoch_regression(sess, table_dir, epoch_id)
     prior = _latest_state_version(sess, table_dir, below=epoch_id)
     if prior is None:
-        stale = [
-            e for e, _ in _state_versions(sess, table_dir) if e >= epoch_id
-        ]
-        if stale:
-            raise RuntimeError(
-                f"epoch regression: batch epoch {epoch_id} but SCD2 state "
-                f"dir {table_dir} already holds epochs {stale} — clear the "
-                "state dir together with the checkpoint dir"
-            )
         ts_type = batch_df.schema[ts_col].dataType
         dim = sess.createDataFrame(
             [],
@@ -666,21 +691,16 @@ def stream_exact_substring_ingest(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        _check_epoch_regression(sess, index_dir, epoch_id)
         prior = _latest_state_version(sess, index_dir, below=epoch_id)
         if prior is None:
-            stale = [
-                e for e, _ in _state_versions(sess, index_dir)
-                if e >= epoch_id
-            ]
+            # a bare v=<epoch_id> (this batch's own crash-replay
+            # output) is NOT a prior — bootstrap's v=-1 is required
             raise RuntimeError(
                 f"no index version below epoch {epoch_id} under "
-                f"{index_dir}"
-                + (
-                    f" but stale epochs {stale} exist — checkpoint dir was "
-                    "reset without clearing the index dir"
-                    if stale
-                    else " — run bootstrap_exact_substring_index first"
-                )
+                f"{index_dir} — run bootstrap_exact_substring_index "
+                "first (and clear this dir together with the "
+                "checkpoint dir on reset)"
             )
         idx = sess.read.parquet(prior)
         batch_df = batch_df.persist()
@@ -748,17 +768,9 @@ def domain_quota_apply_epoch(
     from kissmetrics_to_database_spark.operators import web
 
     sess = batch_df.sparkSession
+    _check_epoch_regression(sess, state_dir, epoch_id)
     prior = _latest_state_version(sess, state_dir, below=epoch_id)
     if prior is None:
-        stale = [
-            e for e, _ in _state_versions(sess, state_dir) if e >= epoch_id
-        ]
-        if stale:
-            raise RuntimeError(
-                f"epoch regression: batch epoch {epoch_id} but quota state "
-                f"dir {state_dir} already holds epochs {stale} — clear the "
-                "state dir together with the checkpoint dir"
-            )
         ledger = sess.createDataFrame(
             [], "registered_domain string, n_accepted long"
         )

@@ -316,3 +316,24 @@ def test_exactly_once_failed_epoch_retries_cleanly(spark, tmp_path):
         == 0
     )
     assert sink.read_jdbc(spark, cfg).count() == 2
+
+
+def test_jdbc_epoch_regression_guard(spark, tmp_path):
+    """ADVICE r7: a fresh checkpoint dir (epochs reset to 0) over an
+    existing epoch ledger must RAISE, not silently skip every early
+    micro-batch (data loss until the counter passes the old mark)."""
+    import pytest as _pytest
+
+    from kissmetrics_to_database_spark.streaming import pipeline as sp
+
+    cfg = _cfg(tmp_path, "tb_eoreg")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "event_id long, who string"
+    )
+    sink_fn = sp.jdbc_exactly_once_sink(spark, cfg)
+    sink_fn(batch, 7)
+    with _pytest.raises(ValueError, match="epoch regression"):
+        sink_fn(batch, 3)
+    # the high-water epoch itself is a legit replay: skip, no dup
+    sink_fn(batch, 7)
+    assert sink.read_jdbc(spark, cfg).count() == 2

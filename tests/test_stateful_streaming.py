@@ -95,3 +95,4 @@ def test_ewma_monitor_scores_against_prior_and_advances(spark, tmp_path):
     # batch 3: ewma advanced to .3*40 + .7*10 = 19 -> ratio 1.0
     assert by_n[19]["ewma"] == 19.0 and by_n[19]["ratio"] == 1.0
     assert by_n[19]["is_anomaly"] is False
+

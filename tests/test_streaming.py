@@ -1052,3 +1052,60 @@ def test_stream_domain_quota_epoch_regression_guard(spark, tmp_path):
     sp.domain_quota_apply_epoch(batch, 5, state_dir, cap=10)
     with pytest.raises(RuntimeError, match="epoch regression"):
         sp.domain_quota_apply_epoch(batch, 2, state_dir, cap=10)
+
+
+def test_identity_lake_sink_replay_no_duplicate_events(spark, tmp_path):
+    """VERDICT r7 #4: the lake-side events append must be exactly-once
+    under foreachBatch replay — a re-fired epoch overwrites its own
+    epoch partition instead of double-appending."""
+    lake = tmp_path / "eolake"
+    sink = sp.identity_lake_sink(str(lake))
+    batch = spark.createDataFrame(
+        [("u1", "a1", "alias", "1704067207")], ["_p", "_p2", "_n", "_t"]
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # crash-replay of the SAME epoch
+    ev = spark.read.parquet(str(lake / "events"))
+    assert ev.count() == 1  # not 2
+    # a NEW epoch appends normally, and the fold still merges
+    batch2 = spark.createDataFrame(
+        [("u3", "a1", "alias", "1704067300")], ["_p", "_p2", "_n", "_t"]
+    )
+    sink(batch2, 1)
+    assert spark.read.parquet(str(lake / "events")).count() == 2
+    comp = {
+        r["member"]: r["component_id"]
+        for r in spark.read.parquet(
+            str(lake / "identity_components")
+        ).collect()
+    }
+    assert comp == {"u1": "a1", "a1": "a1", "u3": "a1"}
+
+
+def test_domain_quota_self_replay_and_regression(spark, tmp_path):
+    """ADVICE r7: a crash-replay of the FIRST micro-batch (its own
+    v=0 fully written, checkpoint not committed) must proceed and
+    rebuild identical verdicts — only a STRICTLY LATER version is a
+    true epoch regression."""
+    import pytest
+
+    state = str(tmp_path / "quota_state")
+    batch = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.example.com/p{i}") for i in range(9)],
+        "doc_id long, url string",
+    )
+    v1 = sorted(
+        tuple(r)
+        for r in sp.domain_quota_apply_epoch(batch, 0, state, cap=2).collect()
+    )
+    # self-replay: v=0 exists with _SUCCESS, no prior below 0 — must
+    # NOT raise, must return the same verdicts
+    v2 = sorted(
+        tuple(r)
+        for r in sp.domain_quota_apply_epoch(batch, 0, state, cap=2).collect()
+    )
+    assert v1 == v2
+    # advance, then a true regression (later epoch exists) raises
+    sp.domain_quota_apply_epoch(batch, 1, state, cap=2).collect()
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        sp.domain_quota_apply_epoch(batch, 0, state, cap=2).collect()
