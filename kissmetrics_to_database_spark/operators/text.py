@@ -778,17 +778,21 @@ def fim_transform(
 
     Determinism contract: the transform decision and both split
     points come from integer hashes of the document id
-    (``(id·1103515245 + 12345) % 100`` for the rate;
-    ``id·2654435761 % (n+1)`` and a second multiplier for the
-    splits), so the augmentation is reproducible run-over-run,
-    engine-over-engine — no RNG state to checkpoint. Pure codegen'd
-    substring arithmetic: map-only, no UDF, no shuffle.
+    (``(id' ·1103515245 + 12345) % 100`` for the rate;
+    ``id' ·2654435761 % (n+1)`` and a second multiplier for the
+    splits, where ``id' = id % 2^31`` — the reduction keeps every
+    product inside a signed 64-bit range for ANY long doc_id, so
+    Spark's silent wraparound and DuckDB's BIGINT-overflow error can
+    never diverge at corpus-scale ids; ADVICE r7), so the
+    augmentation is reproducible run-over-run, engine-over-engine —
+    no RNG state to checkpoint. Pure codegen'd substring arithmetic:
+    map-only, no UDF, no shuffle.
 
     Emits (id, transformed, split_a, split_b, fim_text).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t).cast("long")
-    did = F.col(id_col).cast("long")
+    did = F.col(id_col).cast("long") % F.lit(2147483648)
     transformed = (did * 1103515245 + 12345) % 100 < rate_pct
     a = (did * 2654435761) % (n + 1)
     b = a + (did * 40503 + 7) % (n - a + 1)

@@ -4574,19 +4574,21 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT doc_id,
+             doc_id % 2147483648 AS did,
              coalesce(text, '') AS t,
              CAST(length(coalesce(text, '')) AS BIGINT) AS n,
-             (doc_id * 1103515245 + 12345) % 100 < 50 AS transformed
+             (doc_id % 2147483648 * 1103515245 + 12345) % 100 < 50
+               AS transformed
       FROM documents
     ),
     splits AS (
-      SELECT doc_id, t, n, transformed,
-             (doc_id * 2654435761) % (n + 1) AS a
+      SELECT doc_id, did, t, n, transformed,
+             (did * 2654435761) % (n + 1) AS a
       FROM base
     ),
     spans AS (
       SELECT doc_id, t, n, transformed, a,
-             a + (doc_id * 40503 + 7) % (n - a + 1) AS b
+             a + (did * 40503 + 7) % (n - a + 1) AS b
       FROM splits
     )
     SELECT doc_id,

@@ -1197,3 +1197,33 @@ def test_classifier_readouts_partition_order_proof(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for other in runs[1:]:
         assert other == runs[0]
+
+
+def test_fim_transform_corpus_scale_ids_no_overflow(spark):
+    # ADVICE r7: doc_id ≳ 3.4e9 used to wrap 64-bit in Spark while
+    # DuckDB raises on BIGINT overflow; the id is reduced mod 2^31
+    # first so both engines stay in range for ANY long id.
+    import duckdb
+
+    from kissmetrics_to_database_spark.operators import text as t
+    from kissmetrics_to_database_spark.plans import catalog
+
+    big = [(9_200_000_000_000_000_000, "alpha beta gamma delta"),
+           (5_000_000_000, "one two three"),
+           (7, "tiny")]
+    df = spark.createDataFrame(big, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r) for r in t.fim_transform(df).collect()}
+    assert set(got) == {x[0] for x in big}
+    for did, txt in big:
+        r = got[did]
+        if r[1]:  # transformed: splits in range
+            assert 0 <= r[2] <= r[3] <= len(txt)
+    # the oracle SQL runs the same ids without raising
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{s}')" for d, s in big)
+        + ") t(doc_id, text)"
+    )
+    rows = con.execute(catalog.ORACLES["fim_transform"]).fetchall()
+    assert len(rows) == 3
