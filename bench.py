@@ -152,6 +152,12 @@ HEADLINE = [
     "length_bucket_padding",
     "embedding_cosine_near_dups",
     "classifier_calibration_bins",
+    # round-8 additions
+    "gopher_repetition",
+    "ccnet_line_dedup",
+    "dup_cluster_representatives",
+    "kcenter_coreset",
+    "pretraining_mix_audit",
 ]
 
 

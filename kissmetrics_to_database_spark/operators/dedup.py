@@ -1360,3 +1360,62 @@ def decontamination_spans(
         .distinct()
     )
     return _spans_from_covered(covered, id_col)
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """CCNet-style LINE-level corpus deduplication (r8; Wenzek et
+    al. 2019 §3.1): a line whose trimmed form occurs more than
+    ``max_occurrences`` times ACROSS THE CORPUS is boilerplate
+    (navigation, cookie banners, footers) and is struck from every
+    document; blank lines keep document structure and are never
+    counted. Returns (id, n_lines, n_removed, clean_text) with the
+    surviving lines rejoined in original order.
+
+    100-TB shape: one explode → skinny (line-key, count) aggregation
+    with map-side combine, then the counts are FILTERED to the
+    duplicated keys only before joining back — the join's build side
+    carries just the boilerplate lines (a tiny fraction of distinct
+    lines), not the whole line vocabulary. One further doc-keyed
+    aggregation rebuilds the text. No window, no driver loop.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(t, "\n")).alias("idx", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    dup_keys = (
+        lines.where(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") > max_occurrences)
+        .select("k")
+        .withColumn("_dup", F.lit(True))
+    )
+    verdicts = lines.join(dup_keys, "k", "left").select(
+        id_col,
+        "idx",
+        "line",
+        (
+            (F.col("k") == "") | F.col("_dup").isNull()
+        ).alias("_keep"),
+    )
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_keep"), F.struct("idx", "line"))
+            )
+        ),
+        lambda s: s["line"],
+    )
+    return verdicts.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -1510,3 +1510,71 @@ def ivfpq_train_codebooks(
         )
     finally:
         resid.unpersist()
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center CORESET selection (r8) — farthest-point
+    traversal under cosine distance, the classic 2-approximation for
+    the k-center objective (Gonzalez 1985) and the standard
+    diversity-sampling baseline for training-data selection: each
+    step picks the point FARTHEST from everything chosen so far, so
+    the selected set covers the embedding space instead of
+    oversampling dense modes.
+
+    Distance = 1 − round(cos, 6) (the repo's 6-dp determinism
+    convention); seed = min id; ties break to min id — fully
+    deterministic, oracle-replayable. Distributed shape: the model
+    (≤ k vectors) lives on the driver and broadcasts as literals
+    into each step's scan — one map-only pass + a TakeOrdered(1) per
+    step, k a small constant; the corpus is never shuffled. For k in
+    the thousands, persist a running min-distance column instead of
+    re-folding all chosen centers (same plan shape, k scans either
+    way).
+
+    Returns (step, vec_id, dist) — dist is the selection-time
+    distance to the chosen set (the k-center radius decreases
+    monotonically down the rows; row k's dist bounds the covering
+    radius).
+    """
+    spark = df.sparkSession
+    seed = df.agg(F.min(F.col(id_col))).collect()[0][0]
+    chosen: list[tuple[int, float]] = [(int(seed), 0.0)]
+    vecs = {
+        int(r[0]): list(r[1])
+        for r in df.where(F.col(id_col) == seed)
+        .select(id_col, vec_col)
+        .collect()
+    }
+    for _ in range(1, int(k)):
+        dists = [
+            F.lit(1.0)
+            - F.round(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vecs[cid]]),
+                ),
+                6,
+            )
+            for cid, _ in chosen
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            df.where(~F.col(id_col).isin([cid for cid, _ in chosen]))
+            .select(F.col(id_col).alias("_id"), mind.alias("_d"), vec_col)
+            .orderBy(F.desc("_d"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        chosen.append((int(row[0]["_id"]), float(row[0]["_d"])))
+        vecs[int(row[0]["_id"])] = list(row[0][vec_col])
+    return spark.createDataFrame(
+        [(i, cid, d) for i, (cid, d) in enumerate(chosen)],
+        "step long, vec_id long, dist double",
+    )

@@ -362,6 +362,127 @@ def with_repetition_stats(
     )
 
 
+def gopher_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher repetition-filter suite (Rae et al. 2021
+    §A1.1, Table A1) beyond :func:`with_repetition_stats`'s token
+    signals: duplicate-LINE and duplicate-PARAGRAPH fractions (by
+    count and by character mass) and top n-gram character fractions
+    — the filters that catch boilerplate navigation, lyrics/chorus
+    repetition and SEO keyword stuffing that token-level stats miss.
+
+    Definitions (documented because implementations vary):
+    - ``dup_line_frac`` = 1 − distinct_lines/total_lines (lines =
+      trimmed, non-empty, split on newline); paragraphs split on
+      blank lines (``\\n{2,}``).
+    - ``dup_line_char_frac`` = chars in 2nd-and-later occurrences of
+      a repeated line / total line chars.
+    - ``top_{2,3}gram_char_frac`` = (occurrences × gram length) of
+      the most frequent word {2,3}-gram / total non-whitespace
+      chars. The max is over the VALUE count×len, so ties don't
+      need a tie-break — the fraction is unique.
+
+    Zero shuffle at any scale: every signal folds over per-row
+    arrays (sorted-run counting — sort the array, then one
+    ``aggregate`` pass counts repeated-run mass), so the operator is
+    embarrassingly parallel, exactly like the other corpus gates.
+    """
+
+    def _dup_stats(arr):
+        """(n, n_distinct, dup_char_mass, total_chars) via one fold
+        over the sorted array — repeated-run counting."""
+        srt = F.array_sort(arr)
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("dupchars"),
+            F.lit(0).cast("long").alias("total"),
+        )
+        step = lambda acc, x: F.struct(  # noqa: E731
+            x.alias("prev"),
+            F.when(
+                x == acc["prev"], acc["dupchars"] + F.length(x)
+            )
+            .otherwise(acc["dupchars"])
+            .alias("dupchars"),
+            (acc["total"] + F.length(x)).alias("total"),
+        )
+        folded = F.aggregate(srt, zero, step)
+        return (
+            F.size(arr).cast("long"),
+            F.size(F.array_distinct(arr)).cast("long"),
+            folded["dupchars"],
+            folded["total"],
+        )
+
+    def _top_gram_mass(toks, n):
+        """max over n-grams of count × gram-length, via a fold over
+        the sorted gram array (runs of equal grams are adjacent)."""
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        srt = F.array_sort(grams)
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run * F.length(x)).alias("best"),
+            )
+
+        return F.aggregate(srt, zero, step)["best"]
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != ""
+    )
+    n_chars = F.length(F.regexp_replace(F.lower(F.trim(t)), r"\s", ""))
+
+    ln, ld, ldc, ltc = _dup_stats(lines)
+    pn, pd, pdc, ptc = _dup_stats(paras)
+    frac = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0.0)
+    ).otherwise(F.round(num / den.cast("double"), 6))
+    return df.select(
+        F.col(id_col),
+        ln.alias("n_lines"),
+        frac(ln - ld, ln).alias("dup_line_frac"),
+        frac(ldc, ltc).alias("dup_line_char_frac"),
+        pn.alias("n_paras"),
+        frac(pn - pd, pn).alias("dup_para_frac"),
+        frac(pdc, ptc).alias("dup_para_char_frac"),
+        frac(_top_gram_mass(toks, 2), n_chars.cast("long")).alias(
+            "top_2gram_char_frac"
+        ),
+        frac(_top_gram_mass(toks, 3), n_chars.cast("long")).alias(
+            "top_3gram_char_frac"
+        ),
+    )
+
+
 # Gopher-rule stopword set (public Rae et al. 2021 §A1.1 uses a
 # similar fixed English list; declared data, oracle-portable).
 GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "be", "that"]

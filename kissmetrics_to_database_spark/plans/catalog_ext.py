@@ -6344,3 +6344,436 @@ def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 1)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — round 8: full Gopher repetition suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    arrs AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls,
+             list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+                                        x -> trim(x)), x -> x <> '') AS ps,
+             list_filter(string_split_regex(lower(trim(t)), '\s+'),
+                         x -> x <> '') AS ws,
+             CAST(length(regexp_replace(lower(trim(t)), '\s', '', 'g'))
+                  AS BIGINT) AS n_chars
+      FROM base
+    ),
+    line_mass AS (
+      SELECT doc_id,
+             CAST(coalesce(sum((cnt - 1) * length(l)), 0) AS BIGINT) AS dupc,
+             CAST(coalesce(sum(cnt * length(l)), 0) AS BIGINT) AS totc
+      FROM (
+        SELECT doc_id, l, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(ls) AS l FROM arrs)
+        GROUP BY doc_id, l
+      ) GROUP BY doc_id
+    ),
+    para_mass AS (
+      SELECT doc_id,
+             CAST(coalesce(sum((cnt - 1) * length(p)), 0) AS BIGINT) AS dupc,
+             CAST(coalesce(sum(cnt * length(p)), 0) AS BIGINT) AS totc
+      FROM (
+        SELECT doc_id, p, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(ps) AS p FROM arrs)
+        GROUP BY doc_id, p
+      ) GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id, CAST(max(cnt * length(g)) AS BIGINT) AS mass
+      FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(ws) - 1, 0) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + 1), ' ')
+                 )) AS g
+          FROM arrs
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, CAST(max(cnt * length(g)) AS BIGINT) AS mass
+      FROM (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(ws) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+                 )) AS g
+          FROM arrs
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(a.ls) AS BIGINT) AS n_lines,
+           CASE WHEN len(a.ls) = 0 THEN 0.0
+                ELSE round((len(a.ls) - len(list_distinct(a.ls)))
+                           / CAST(len(a.ls) AS DOUBLE), 6) END
+             AS dup_line_frac,
+           CASE WHEN coalesce(lm.totc, 0) = 0 THEN 0.0
+                ELSE round(lm.dupc / CAST(lm.totc AS DOUBLE), 6) END
+             AS dup_line_char_frac,
+           CAST(len(a.ps) AS BIGINT) AS n_paras,
+           CASE WHEN len(a.ps) = 0 THEN 0.0
+                ELSE round((len(a.ps) - len(list_distinct(a.ps)))
+                           / CAST(len(a.ps) AS DOUBLE), 6) END
+             AS dup_para_frac,
+           CASE WHEN coalesce(pm.totc, 0) = 0 THEN 0.0
+                ELSE round(pm.dupc / CAST(pm.totc AS DOUBLE), 6) END
+             AS dup_para_char_frac,
+           CASE WHEN a.n_chars = 0 THEN 0.0
+                ELSE round(coalesce(g2.mass, 0)
+                           / CAST(a.n_chars AS DOUBLE), 6) END
+             AS top_2gram_char_frac,
+           CASE WHEN a.n_chars = 0 THEN 0.0
+                ELSE round(coalesce(g3.mass, 0)
+                           / CAST(a.n_chars AS DOUBLE), 6) END
+             AS top_3gram_char_frac
+    FROM arrs a
+    LEFT JOIN line_mass lm USING (doc_id)
+    LEFT JOIN para_mass pm USING (doc_id)
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN g3 USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition-filter suite (r8): duplicate-line /
+    duplicate-paragraph fractions by count and by character mass,
+    plus top word-{2,3}-gram character fractions — the boilerplate /
+    keyword-stuffing signals the token-level repetition stats miss
+    (Rae et al. 2021 Table A1). Zero-shuffle sorted-run folds per
+    row; the oracle recomputes via unnest+GROUP BY."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_repetition_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "ccnet_line_dedup",
+    r"""
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    arrs AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM base),
+    ex AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(ls) + 1)) AS BIGINT) AS idx, ls
+      FROM arrs
+    ),
+    lines AS (
+      SELECT doc_id, idx, ls[CAST(idx AS INTEGER)] AS line,
+             trim(ls[CAST(idx AS INTEGER)]) AS k
+      FROM ex
+    ),
+    dups AS (
+      SELECT k FROM lines WHERE k <> ''
+      GROUP BY k HAVING count(*) > 1
+    ),
+    v AS (
+      SELECT l.doc_id, l.idx, l.line,
+             (l.k = '' OR d.k IS NULL) AS keep
+      FROM lines l LEFT JOIN dups d USING (k)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY idx), '') AS clean_text
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_ccnet_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level corpus dedup (r8): strike lines whose trimmed
+    form repeats anywhere in the corpus (boilerplate navigation /
+    banners / footers), rebuild each document in original line order,
+    and report per-doc removal counts. The duplicated-key table is
+    filtered BEFORE the join back, so the build side carries only
+    boilerplate keys — the Wenzek et al. 2019 cleaning step in its
+    scale-correct Spark shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup_corpus(docs).orderBy("doc_id")
+
+
+@query(
+    "dup_cluster_representatives",
+    f"""
+    WITH RECURSIVE cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    pairs AS (
+      SELECT j.id_a, j.id_b FROM jac j
+      JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src AS node, src AS r FROM und
+      UNION
+      SELECT und.src AS node, reach.r FROM und JOIN reach ON und.dst = reach.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.canonical_id, c.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.canonical_id
+               ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rnk
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT canonical_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_pruned,
+           CAST(max(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT)
+             AS rep_doc_id,
+           CAST(max(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT)
+             AS rep_n_chars
+    FROM ranked GROUP BY canonical_id ORDER BY canonical_id
+    """,
+)
+def q_dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster REPRESENTATIVE selection (r8): after pair
+    verification and CC clustering, keep the best document per
+    cluster instead of blindly keeping the min id — the policy step
+    real pipelines run (CCNet keeps the longest/highest-quality
+    member). Representative = max n_chars, ties to min doc_id; emits
+    per-cluster size and how many documents pruning strikes. The
+    quality join is on the skinny cluster table, never the corpus
+    pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    ranked = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    rep = F.max(
+        F.struct(
+            F.col("n_chars").alias("nc"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    )
+    return (
+        ranked.groupBy("canonical_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            (F.count("*") - 1).cast("long").alias("n_pruned"),
+            (-rep["negid"]).cast("long").alias("rep_doc_id"),
+            rep["nc"].cast("long").alias("rep_n_chars"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-point replay (the classifier-oracle
+    pattern): one (distance-scan → argmax-pick → center-fetch) CTE
+    block per step, distances as 1 − round(cos, 6) exactly as the
+    Spark operator computes them."""
+    parts = [
+        "WITH p0 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT embedding AS v FROM embeddings"
+        " WHERE vec_id = (SELECT vid FROM p0))",
+    ]
+    for j in range(1, k):
+        froms = ", ".join(f"c{i}" for i in range(j))
+        dists = ", ".join(
+            f"1 - {_sql_cosine('e.embedding', f'c{i}.v')}" for i in range(j)
+        )
+        mind = dists if j == 1 else f"least({dists})"
+        chosen = ", ".join(f"(SELECT vid FROM p{i})" for i in range(j))
+        parts.append(
+            f"d{j} AS (SELECT e.vec_id, {mind} AS mind "
+            f"FROM embeddings e, {froms} "
+            f"WHERE e.vec_id NOT IN ({chosen}))"
+        )
+        parts.append(
+            f"p{j} AS MATERIALIZED (SELECT vec_id AS vid, mind FROM d{j} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"c{j} AS MATERIALIZED (SELECT embedding AS v FROM embeddings "
+            f"WHERE vec_id = (SELECT vid FROM p{j}))"
+        )
+    rows = ["SELECT CAST(0 AS BIGINT) AS step, "
+            "(SELECT vid FROM p0) AS vec_id, 0.0 AS dist"]
+    for j in range(1, k):
+        rows.append(
+            f"SELECT CAST({j} AS BIGINT), (SELECT vid FROM p{j}), "
+            f"(SELECT mind FROM p{j})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT * FROM (\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ) ORDER BY step"
+    )
+
+
+@query("kcenter_coreset", _kcenter_oracle(8))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (r8): 8 farthest-point
+    traversal steps under cosine distance over the embeddings table —
+    the diversity-sampling baseline for training-data selection
+    (picks mode-covering exemplars instead of oversampling dense
+    regions; Gonzalez 1985 2-approximation). Driver-resident model
+    (≤ k vectors broadcast as literals), one map-only scan +
+    TakeOrdered(1) per step; oracle replays the identical unrolled
+    greedy schedule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(emb, k=8).orderBy("step")
+
+
+@query(
+    "pretraining_mix_audit",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             md5(lower(trim(coalesce(text, '')))) AS fp,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS words,
+             length(regexp_replace(lower(trim(text)), '\\s', '', 'g'))
+               AS n_chars
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, source, fp,
+             CAST(len(words) AS BIGINT) AS n_words,
+             (len(words) BETWEEN 20 AND 100000)
+             AND (round(CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE n_chars / CAST(len(words) AS DOUBLE) END, 6)
+                  BETWEEN 2.0 AND 10.0)
+             AND (round(CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words,
+                                 x -> regexp_matches(x, '[a-z]')))
+                             / CAST(len(words) AS DOUBLE) END, 6) >= 0.8)
+             AND (len(list_intersect(list_distinct(words),
+                  ['the','a','of','to','and','in','be','that'])) >= 2)
+               AS keep
+      FROM w
+    ),
+    winner AS (
+      SELECT fp, min(doc_id) AS win_id FROM sig WHERE keep GROUP BY fp
+    ),
+    ranked AS (
+      SELECT s.doc_id,
+             row_number() OVER (
+               PARTITION BY s.source
+               ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id
+             ) AS rk
+      FROM sig s JOIN winner ww ON s.fp = ww.fp AND s.doc_id = ww.win_id
+      WHERE s.keep
+    ),
+    status AS (
+      SELECT s.source, s.n_words,
+             CASE WHEN NOT s.keep THEN 'quality_fail'
+                  WHEN s.doc_id <> ww.win_id THEN 'dup_pruned'
+                  WHEN r.rk > 100 THEN 'quota_pruned'
+                  ELSE 'accepted' END AS st
+      FROM sig s
+      LEFT JOIN winner ww ON s.fp = ww.fp
+      LEFT JOIN ranked r ON s.doc_id = r.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN st = 'quality_fail' THEN 1 END), 0)
+                AS BIGINT) AS n_quality_fail,
+           CAST(coalesce(sum(CASE WHEN st = 'dup_pruned' THEN 1 END), 0)
+                AS BIGINT) AS n_dup_pruned,
+           CAST(coalesce(sum(CASE WHEN st = 'quota_pruned' THEN 1 END), 0)
+                AS BIGINT) AS n_quota_pruned,
+           CAST(coalesce(sum(CASE WHEN st = 'accepted' THEN 1 END), 0)
+                AS BIGINT) AS n_accepted,
+           CAST(coalesce(sum(CASE WHEN st = 'accepted' THEN n_words END), 0)
+                AS BIGINT) AS accepted_tokens
+    FROM status GROUP BY source ORDER BY source
+    """,
+)
+def q_pretraining_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-mix audit (r8 flagship composition):
+    the full governance funnel one query — Gopher quality gate →
+    exact text dedup among survivors (min-id winner per fingerprint)
+    → per-source quota (deterministic md5-rank, cap 100) — read out
+    per source as the funnel breakdown (docs in, rejected at each
+    gate, accepted, accepted token mass). This is the report a data
+    curator signs off before a training run; every stage is the
+    scale-correct shape (zero-shuffle gate, map-side-combinable
+    fingerprint agg, per-source window — never corpus-global)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs).select(
+        "doc_id", "keep", "n_words"
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))).alias(
+                "fp"
+            ),
+        )
+        .join(flags, "doc_id")
+    )
+    winner = (
+        base.where(F.col("keep"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("win_id"))
+    )
+    wq = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        base.where(F.col("keep"))
+        .join(winner, "fp")
+        .where(F.col("doc_id") == F.col("win_id"))
+        .withColumn("rk", F.row_number().over(wq))
+        .select("doc_id", "rk")
+    )
+    status = (
+        base.join(winner.select("fp", "win_id"), "fp", "left")
+        .join(ranked, "doc_id", "left")
+        .select(
+            "source",
+            "n_words",
+            F.when(~F.col("keep"), "quality_fail")
+            .when(F.col("doc_id") != F.col("win_id"), "dup_pruned")
+            .when(F.col("rk") > 100, "quota_pruned")
+            .otherwise("accepted")
+            .alias("st"),
+        )
+    )
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("st") == s, 1).otherwise(0)
+    ).cast("long")
+    return (
+        status.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cnt("quality_fail").alias("n_quality_fail"),
+            cnt("dup_pruned").alias("n_dup_pruned"),
+            cnt("quota_pruned").alias("n_quota_pruned"),
+            cnt("accepted").alias("n_accepted"),
+            F.sum(
+                F.when(F.col("st") == "accepted", F.col("n_words")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("accepted_tokens"),
+        )
+        .orderBy("source")
+    )

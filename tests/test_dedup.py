@@ -459,3 +459,28 @@ def test_decontamination_spans_hand_computed(spark):
     assert spans == [(10, 1, 6), (12, 0, 5)]
     # no corpus-internal dedup: docs 10 and 12 both flagged only for
     # the benchmark overlap, doc 11 untouched
+
+
+def test_line_dedup_corpus_strikes_cross_doc_boilerplate(spark):
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    docs = [
+        (1, "COOKIE BANNER\nreal content one\n\nfooter"),
+        (2, "COOKIE BANNER\nreal content two\nfooter"),
+        (3, "unique only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.line_dedup_corpus(df).collect()}
+    # 'COOKIE BANNER' and 'footer' repeat across docs -> removed;
+    # blank line preserved; unique lines kept in order
+    assert out[1]["clean_text"] == "real content one\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "real content two"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "unique only"
+    # max_occurrences=2 tolerates pairs
+    out2 = {
+        r["doc_id"]: r
+        for r in dd.line_dedup_corpus(df, max_occurrences=2).collect()
+    }
+    assert out2[1]["n_removed"] == 0

@@ -1227,3 +1227,26 @@ def test_fim_transform_corpus_scale_ids_no_overflow(spark):
     )
     rows = con.execute(catalog.ORACLES["fim_transform"]).fetchall()
     assert len(rows) == 3
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from kissmetrics_to_database_spark.operators import text as t
+
+    doc = "nav home\nnav home\nbody text here\n\nnav home\n\npara two"
+    # lines: [nav home, nav home, body text here, nav home, para two]
+    # paras: [nav home\nnav home\nbody text here, nav home, para two]
+    df = spark.createDataFrame([(1, doc), (2, ""), (3, "a b a b a b")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in t.gopher_repetition_stats(df).collect()}
+    r = out[1]
+    assert r["n_lines"] == 5
+    assert r["dup_line_frac"] == round(1 - 3 / 5, 6)
+    # dup line char mass: 'nav home' (8 chars) has 3 occurrences -> 16
+    # dup chars; total line chars = 8*3 + 14 + 8 = 46
+    assert r["dup_line_char_frac"] == round(16 / 46, 6)
+    assert r["n_paras"] == 3 and r["dup_para_frac"] == 0.0
+    # top bigram of doc3: 'a b' x3 (len 3) over n_chars=6 -> 9/6 can
+    # exceed 1 by the overlapping-gram definition; check exact value
+    r3 = out[3]
+    assert r3["top_2gram_char_frac"] == round(3 * 3 / 6, 6)
+    assert out[2]["n_lines"] == 0 and out[2]["dup_line_frac"] == 0.0
