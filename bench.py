@@ -158,6 +158,8 @@ HEADLINE = [
     "dup_cluster_representatives",
     "kcenter_coreset",
     "pretraining_mix_audit",
+    "classifier_threshold_sweep",
+    "mixture_epochs_plan",
 ]
 
 

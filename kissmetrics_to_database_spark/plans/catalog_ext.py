@@ -6777,3 +6777,147 @@ def q_pretraining_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _classifier_sweep_oracle(iters: int = 3, lr: float = 10.0) -> str:
+    """Threshold-sweep readout over the same unrolled integer-GD
+    replay: per candidate cut, confusion counts and P/R/F1."""
+    base = _classifier_train_oracle(iters, lr)
+    cut = base.rindex("\n    SELECT CAST(y_micro / 1000000 AS BIGINT)")
+    return base[:cut] + """
+    , thr AS (SELECT unnest([100000, 300000, 500000, 700000, 900000]) AS t)
+    SELECT CAST(t AS BIGINT) AS thr_micro,
+           CAST(sum(CASE WHEN p_micro >= t AND y_micro = 1000000
+                    THEN 1 END) AS BIGINT) AS tp,
+           CAST(coalesce(sum(CASE WHEN p_micro >= t AND y_micro = 0
+                    THEN 1 END), 0) AS BIGINT) AS fp,
+           CAST(coalesce(sum(CASE WHEN p_micro < t AND y_micro = 1000000
+                    THEN 1 END), 0) AS BIGINT) AS fn,
+           round(sum(CASE WHEN p_micro >= t AND y_micro = 1000000 THEN 1
+                     ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN p_micro >= t THEN 1 ELSE 0 END),
+                               0) AS DOUBLE), 6) AS precision,
+           round(sum(CASE WHEN p_micro >= t AND y_micro = 1000000 THEN 1
+                     ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN y_micro = 1000000 THEN 1
+                                   ELSE 0 END), 0) AS DOUBLE), 6) AS recall
+    FROM probs CROSS JOIN thr GROUP BY t ORDER BY t
+    """
+
+
+@query("classifier_threshold_sweep", _classifier_sweep_oracle(3, 10.0))
+def q_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate THRESHOLD SWEEP (r8): precision/recall of the
+    trained classifier at five candidate cuts — the operating-point
+    table a curator reads next to the calibration bins before fixing
+    the filter threshold. Counts are exact integers; P/R are single
+    rounded divisions of integer sums (summation-order-proof like
+    the other r8 classifier readouts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y",
+        F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "spark"
+        ).cast("double"),
+    )
+    weights = text.train_hashed_classifier(
+        labeled, "y", buckets=4096, iters=3, lr=10.0
+    )
+    scored = text.hashed_classifier_score(docs, weights)
+    joined = scored.join(labeled.select("doc_id", "y"), "doc_id").select(
+        F.round(F.col("prob") * 1e6, 0).cast("long").alias("p_micro"),
+        (F.col("y") * 1e6).cast("long").alias("y_micro"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (100000, 300000, 500000, 700000, 900000)],
+        "thr_micro long",
+    )
+    cj = joined.crossJoin(F.broadcast(thr))
+    pos_pred = F.col("p_micro") >= F.col("thr_micro")
+    is_pos = F.col("y_micro") == 1000000
+    tp = F.sum(F.when(pos_pred & is_pos, 1).otherwise(0))
+    fp = F.sum(F.when(pos_pred & ~is_pos, 1).otherwise(0))
+    fn = F.sum(F.when(~pos_pred & is_pos, 1).otherwise(0))
+    return (
+        cj.groupBy("thr_micro")
+        .agg(
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            F.round(
+                tp / F.nullif((tp + fp).cast("double"), F.lit(0.0)), 6
+            ).alias("precision"),
+            F.round(
+                tp / F.nullif((tp + fn).cast("double"), F.lit(0.0)), 6
+            ).alias("recall"),
+        )
+        .orderBy("thr_micro")
+    )
+
+
+@query(
+    "mixture_epochs_plan",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
+             ))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    r AS (SELECT source, tokens,
+                 CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS rt
+          FROM w),
+    tot AS (SELECT sum(rt) AS z FROM r)
+    SELECT source, tokens,
+           round(CAST(rt AS DOUBLE) / z, 6) AS weight,
+           CAST(round(2000000 * round(CAST(rt AS DOUBLE) / z, 6),
+                      0) AS BIGINT) AS target_tokens,
+           round(CAST(round(2000000
+                            * round(CAST(rt AS DOUBLE) / z, 6), 0)
+                      AS DOUBLE) / tokens, 6) AS epochs
+    FROM r CROSS JOIN tot ORDER BY source
+    """,
+)
+def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled MIXTURE/EPOCH planner (r8): given per-source
+    token mass, compute τ=0.5 sampling weights (w_s ∝ √tokens — the
+    multilingual-sampling temperature rule; √ chosen because IEEE
+    sqrt is correctly rounded, so the weights are bit-identical
+    across engines), a 2M-token budget allocation, and the implied
+    per-source epoch/repetition factor — the "how many passes over
+    each source" table of a LLaMA-style data recipe. One skinny
+    per-source aggregation + a broadcast 1-row normalizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    w = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("tokens")
+    )
+    # integer sqrt: floor(sqrt) of a BIGINT is engine-exact (IEEE sqrt
+    # is correctly rounded and never lands ON an integer for a
+    # non-square), so the normalizer is a summation-order-proof
+    # integer sum — no float-sum flake surface (r8 convention)
+    w = w.withColumn(
+        "rt", F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long")
+    )
+    z = w.agg(F.sum("rt").alias("z"))
+    weight = F.round(F.col("rt").cast("double") / F.col("z"), 6)
+    target = F.round(F.lit(2000000) * weight, 0).cast("long")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "tokens",
+            weight.alias("weight"),
+            target.alias("target_tokens"),
+            F.round(
+                target.cast("double") / F.col("tokens"), 6
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
