@@ -93,6 +93,35 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # r8: Gopher repetition suite — pure per-row folds; only the
+    # final sort may partition (range), never a hash shuffle or join
+    "gopher_repetition": (
+        [],
+        ["Join", "hashpartitioning", "CartesianProduct"],
+    ),
+    # r8: line dedup — explode (Generate) + line-key count agg +
+    # doc rebuild agg; the dup-key join is an equi-join, no cartesian
+    "ccnet_line_dedup": (
+        ["Generate", "hashpartitioning(k"],
+        ["CartesianProduct"],
+    ),
+    # r8: mix audit — the quota window partitions by source (never
+    # corpus-global); no cartesian anywhere
+    "pretraining_mix_audit": (
+        ["hashpartitioning(source"],
+        ["CartesianProduct"],
+    ),
+    # r8: mixture planner — 1-row normalizer broadcasts (NLJ cross),
+    # the per-source table never sort-merges
+    "mixture_epochs_plan": (
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    # r8: threshold sweep — 5-row threshold table broadcasts
+    "classifier_threshold_sweep": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
     # nearest-centroid: tiny centroid table broadcast to the corpus scan
     "nearest_centroid_confusion": (
         ["BroadcastNestedLoopJoin"],
