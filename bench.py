@@ -160,6 +160,7 @@ HEADLINE = [
     "pretraining_mix_audit",
     "classifier_threshold_sweep",
     "mixture_epochs_plan",
+    "warc_ingest_extract",
 ]
 
 

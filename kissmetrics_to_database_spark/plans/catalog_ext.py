@@ -6942,3 +6942,66 @@ def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "warc_ingest_extract",
+    """
+    SELECT doc_id,
+           'https://example.com/doc/' || doc_id AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html' AS content_type,
+           CAST(octet_length(encode('<html><body>' || coalesce(text, '')
+                                    || '</body></html>')) AS BIGINT)
+             AS body_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round-trip (r8): serialize the documents table into
+    spec-exact WARC response records (HTML body, HTTP envelope,
+    CRLF/Content-Length framing) and re-ingest them through the REAL
+    parser (`sources/warc.py` — the same kernel `read_warc` runs on
+    Common Crawl shards), reading out per-record URI / status /
+    content-type / body byte length. The oracle computes the expected
+    readout directly from the table, so a framing or envelope-split
+    bug anywhere in the parser breaks the hash — the from-spec
+    generator→decoder pattern the media queries established."""
+    from kissmetrics_to_database_spark.sources import warc as _warc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("grp")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blob = _warc.warc_bytes_for_docs(
+                list(zip(pdf["doc_id"], pdf["text"]))
+            )
+            out = {
+                "doc_id": [],
+                "target_uri": [],
+                "http_status": [],
+                "content_type": [],
+                "body_bytes": [],
+            }
+            for rec in _warc.parse_warc_bytes(blob):
+                out["doc_id"].append(
+                    int(rec["target_uri"].rsplit("/", 1)[1])
+                )
+                out["target_uri"].append(rec["target_uri"])
+                out["http_status"].append(rec["http_status"])
+                out["content_type"].append(rec["content_type"])
+                out["body_bytes"].append(len(rec["body"]))
+            yield pd.DataFrame(out)
+
+    parsed = docs.repartition(8, "grp").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, target_uri string, http_status int, "
+            "content_type string, body_bytes long"
+        ),
+    )
+    return parsed.orderBy("doc_id")
