@@ -52,7 +52,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
-    local_threshold: int = 100_000,
+    local_threshold: int = 1_000_000,
+    local_byte_budget: int = 256 << 20,
     stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(member, component_id)`` with component_id = min member.
@@ -63,11 +64,14 @@ def connected_components(
       edges) solve driver-side with union-find: one collect instead
       of O(log d) scheduled rounds, which at cluster scale is the
       difference between milliseconds and a dozen barrier stages.
-      Driver heap bound (r8, VERDICT r7 #5): the collect ships
-      2·threshold id strings plus row overhead — at the default
-      100k edges that is single-digit MB even with long ids; raise
-      the threshold only with driver memory to match (budget
-      ~2 × threshold × avg_id_bytes × ~4 python overhead).
+      Driver heap bound (r8, VERDICT r7 #5): before collecting,
+      a one-aggregation BYTE probe sums the id string lengths of
+      the candidate edge set; if the payload would exceed
+      ``local_byte_budget`` (default 256 MB raw chars — a few
+      hundred MB of Python objects after the ~4× boxing overhead),
+      the distributed path runs instead. The worst case is
+      therefore bounded by the budget, not by whatever 2·1M ids
+      happen to weigh.
     - larger graphs run iterative min-label propagation with pointer
       jumping (O(log diameter) rounds), ``localCheckpoint`` lineage
       cuts per round, and AQE skew-join splitting for hub nodes
@@ -90,11 +94,22 @@ def connected_components(
         # deserialize up to threshold rows driver-side just to learn
         # "too big", and pin them for the whole iterative loop)
         if und.limit(local_threshold + 1).count() <= local_threshold:
-            try:
-                stats["path"] = "local"
-                return _connected_components_local(und)
-            finally:
-                und.unpersist()
+            # byte-budget guard (r8): row count alone doesn't bound
+            # driver heap — 1M edges of 200-char ids is ~400 MB of
+            # raw chars before Python boxing. One skinny aggregation
+            # prices the collect first.
+            raw_bytes = und.agg(
+                F.sum(
+                    F.length(F.col("src")) + F.length(F.col("dst"))
+                ).alias("b")
+            ).collect()[0]["b"]
+            if raw_bytes is None or raw_bytes <= local_byte_budget:
+                try:
+                    stats["path"] = "local"
+                    return _connected_components_local(und)
+                finally:
+                    und.unpersist()
+            stats["over_byte_budget"] = int(raw_bytes)
     stats["path"] = "distributed"
     stats["rounds"] = 0
     comp = (

@@ -306,3 +306,26 @@ def test_label_propagation_two_triangles_with_bridge(spark):
     assert got["y"] == got["z"]
     # communities stay distinct across the bridge
     assert len({got["a"], got["y"]}) == 2
+
+
+def test_cc_byte_budget_forces_distributed(spark):
+    """r8: the local fast path must refuse a collect whose id payload
+    exceeds the byte budget even when the EDGE COUNT is under the
+    threshold — driver heap is bounded by bytes, not rows."""
+    from pyspark.sql import functions as F
+
+    wide = spark.range(200).select(
+        F.concat(F.lit("n" * 500), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("n" * 500), (F.col("id") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    stats: dict = {}
+    comp = identity.connected_components(
+        wide, local_threshold=1_000_000, local_byte_budget=10_000,
+        stats=stats,
+    )
+    assert stats["path"] == "distributed"
+    assert stats["over_byte_budget"] > 10_000
+    # one chain -> one component
+    assert comp.select("component_id").distinct().count() == 1
