@@ -1908,3 +1908,66 @@ def unigram_encode_corpus(
             F.round(F.col("n_chars") / F.col("n_tokens"), 6),
         ),
     )
+
+
+# The classic UTF-8-read-as-Latin-1/Windows-1252 mojibake sequences
+# (ftfy's most common fixes; public knowledge — each left side is the
+# cp1252 rendering of a UTF-8 byte sequence, spelled in \\u escapes
+# because several contain C1 control characters). Longest-first so
+# prefixes don't half-repair.
+MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e acute
+    ("\u00c3\u00a8", "\u00e8"),  # e grave
+    ("\u00c3\u00a1", "\u00e1"),  # a acute
+    ("\u00c3\u00b3", "\u00f3"),  # o acute
+    ("\u00c3\u00ba", "\u00fa"),  # u acute
+    ("\u00c3\u00b1", "\u00f1"),  # n tilde
+    ("\u00c3\u00bc", "\u00fc"),  # u umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # a umlaut
+]
+
+
+def encoding_repair(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mojibake detection + repair (r8) — the ftfy-lite cleaning pass
+    every web corpus needs: UTF-8 text that was decoded as
+    Latin-1/cp1252 somewhere upstream renders \u00e2\u20ac\u2122-style
+    sequences; this fixes the overwhelmingly-most-common ones with a
+    chained literal replace (longest first) and counts markers for
+    auditing.
+
+    Engine-exact by construction: marker counts come from
+    length-difference arithmetic ((len(t) - len(replace(t, m, ''))) /
+    len(m)) and the repair is a literal replace chain — no regex
+    dialect surface at all, identical semantics in Spark and any SQL
+    oracle. Zero shuffle; fuses into the scan.
+
+    Returns (id, n_mojibake, repaired, n_chars_fixed, text_fixed).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        )
+        for bad, _good in MOJIBAKE_FIXES
+    ]
+    n_moji = sum(counts[1:], counts[0]).cast("long")
+    fixed = t
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col),
+        n_moji.alias("n_mojibake"),
+        (n_moji > 0).alias("repaired"),
+        F.length(fixed).alias("n_chars_fixed"),
+        fixed.alias("text_fixed"),
+    )

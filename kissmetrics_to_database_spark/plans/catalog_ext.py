@@ -7041,3 +7041,50 @@ def q_warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return parsed.orderBy("doc_id")
+
+
+
+def _moji_sql() -> str:
+    """Oracle for encoding_repair built from the same fix table, with
+    every literal spelled as chr() calls (several sequences contain C1
+    controls that don't survive source encodings)."""
+    from kissmetrics_to_database_spark.operators.text import MOJIBAKE_FIXES
+
+    def lit(s: str) -> str:
+        return "(" + " || ".join(f"chr({ord(c)})" for c in s) + ")"
+
+    t = "coalesce(text, '')"
+    counts = " + ".join(
+        f"(length({t}) - length(replace({t}, {lit(bad)}, ''))) / {len(bad)}"
+        for bad, _ in MOJIBAKE_FIXES
+    )
+    fixed = t
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = f"replace({fixed}, {lit(bad)}, {lit(good)})"
+    return f"""
+    SELECT doc_id,
+           CAST({counts} AS BIGINT) AS n_mojibake,
+           ({counts}) > 0 AS repaired,
+           CAST(length({fixed}) AS BIGINT) AS n_chars_fixed,
+           {fixed} AS text_fixed
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query("encoding_repair_scan", _moji_sql())
+def q_encoding_repair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake audit + repair over the corpus (r8): ftfy-lite
+    cp1252-mojibake detection (marker counts via literal
+    length-difference arithmetic — zero regex dialect surface) and
+    chained-replace repair. Zero shuffle, fuses into the scan; the
+    oracle rebuilds the identical replace chain from the same fix
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.encoding_repair(docs)
+    return out.select(
+        "doc_id",
+        "n_mojibake",
+        "repaired",
+        F.col("n_chars_fixed").cast("long").alias("n_chars_fixed"),
+        "text_fixed",
+    ).orderBy("doc_id")

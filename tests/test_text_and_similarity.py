@@ -1250,3 +1250,19 @@ def test_gopher_repetition_hand_computed(spark):
     r3 = out[3]
     assert r3["top_2gram_char_frac"] == round(3 * 3 / 6, 6)
     assert out[2]["n_lines"] == 0 and out[2]["dup_line_frac"] == 0.0
+
+
+
+def test_encoding_repair_fixes_classic_mojibake(spark):
+    from kissmetrics_to_database_spark.operators import text as t
+
+    broken = "It\u00e2\u20ac\u2122s caf\u00c3\u00a9 \u00e2\u20ac\u201c nice"
+    df = spark.createDataFrame(
+        [(1, broken), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in t.encoding_repair(df).collect()}
+    assert out[1]["text_fixed"] == "It\u2019s caf\u00e9 \u2013 nice"
+    assert out[1]["n_mojibake"] == 3 and out[1]["repaired"] is True
+    assert out[2]["n_mojibake"] == 0 and out[2]["repaired"] is False
+    assert out[3]["text_fixed"] == "" and out[3]["n_mojibake"] == 0
