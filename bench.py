@@ -161,6 +161,7 @@ HEADLINE = [
     "classifier_threshold_sweep",
     "mixture_epochs_plan",
     "warc_ingest_extract",
+    "encoding_repair_scan",
 ]
 
 
