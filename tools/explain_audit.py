@@ -93,11 +93,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    # r8: Gopher repetition suite — pure per-row folds; only the
-    # final sort may partition (range), never a hash shuffle or join
+    # r8: Gopher repetition suite — line/para masses are codegen'd
+    # array ops; the top-gram counts explode to the TF-IDF shape:
+    # (id, n, gram) hash agg with map-side combine, then an id join
     "gopher_repetition": (
-        [],
-        ["Join", "hashpartitioning", "CartesianProduct"],
+        ["Generate", "hashpartitioning(doc_id"],
+        ["CartesianProduct"],
     ),
     # r8: line dedup — explode (Generate) + line-key count agg +
     # doc rebuild agg; the dup-key join is an equi-join, no cartesian
