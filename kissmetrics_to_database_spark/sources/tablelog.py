@@ -94,19 +94,48 @@ def _write_segment(df: DataFrame, path: str) -> list[str]:
 
 
 def write_table(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame, path: str, mode: str = "append",
+    epoch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version. ``append`` keeps the
     prior snapshot's files; ``overwrite`` starts the file list fresh
     (prior files stay on disk for time travel until vacuum). Returns
-    the committed version number."""
+    the committed version number.
+
+    ``epoch_id`` makes the commit EXACTLY-ONCE under Structured
+    Streaming's foreachBatch replay (the r8 streaming contract): the
+    manifest chain carries the cumulative epoch ledger, so a replayed
+    epoch is recognized and skipped (its data is already in the
+    snapshot — the manifest rename committed it atomically), an epoch
+    below the ledger's high-water mark raises (fresh checkpoint over
+    a stale table), and only the next epoch commits. Ledger and data
+    become visible in the SAME atomic rename — a half-commit is
+    impossible by construction."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     with PipelineLock(Path(path) / "_writer.lock"):
         versions = list_versions(path)
-        prev_files: list[str] = []
-        if mode == "append" and versions:
-            prev_files = read_manifest(path, versions[-1])["files"]
+        prev: dict = (
+            read_manifest(path, versions[-1]) if versions else {}
+        )
+        epochs: list[int] = list(prev.get("epochs", []))
+        if epoch_id is not None:
+            e = int(epoch_id)
+            if epochs and e < max(epochs):
+                raise ValueError(
+                    f"epoch regression: batch epoch {e} < table "
+                    f"high-water mark {max(epochs)} under {path} — "
+                    "the checkpoint dir was reset without clearing "
+                    "the table (clear both together)"
+                )
+            if e in epochs:
+                # crash-replay: the epoch's manifest rename already
+                # landed — idempotent no-op, zero duplicate rows
+                return prev["version"]
+            epochs.append(e)
+        prev_files: list[str] = (
+            prev.get("files", []) if mode == "append" else []
+        )
         files = prev_files + _write_segment(df, path)
         version = (versions[-1] + 1) if versions else 0
         _commit(
@@ -117,6 +146,7 @@ def write_table(
                 "mode": mode,
                 "files": files,
                 "n_files": len(files),
+                "epochs": epochs,
                 "committed_at": time.time(),
             },
         )
@@ -154,8 +184,10 @@ def compact_table(
         versions = list_versions(path)
         if not versions:
             raise FileNotFoundError(f"no committed versions under {path}")
-        cur = read_manifest(path, versions[-1])["files"]
-        df = spark.read.option("mergeSchema", "true").parquet(*cur)
+        prev = read_manifest(path, versions[-1])
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *prev["files"]
+        )
         files = _write_segment(df.repartition(target_files), path)
         version = versions[-1] + 1
         _commit(
@@ -166,6 +198,9 @@ def compact_table(
                 "mode": "compact",
                 "files": files,
                 "n_files": len(files),
+                # the epoch ledger survives compaction — exactly-once
+                # replay detection must outlive file rewrites
+                "epochs": list(prev.get("epochs", [])),
                 "committed_at": time.time(),
             },
         )

@@ -860,3 +860,23 @@ def stream_domain_quota(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def tablelog_exactly_once_sink(
+    table_path: str, mode: str = "append"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink committing each micro-batch into the
+    manifest-log table format (r8, `sources/tablelog`): the batch's
+    rows and its epoch-ledger entry become visible in ONE atomic
+    manifest rename, so a crash-replayed epoch is a no-op, a reset
+    checkpoint over a stale table raises, and concurrent readers keep
+    snapshot-consistent views throughout — the table-format upgrade
+    of the epoch-partitioned parquet lake append."""
+    from kissmetrics_to_database_spark.sources import tablelog
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        tablelog.write_table(
+            batch_df, table_path, mode=mode, epoch_id=int(epoch_id)
+        )
+
+    return sink

@@ -76,3 +76,30 @@ def test_duplicate_version_commit_refused(spark, tmp_path):
     tl.write_table(_mk(spark, 0, 5), p)
     with pytest.raises(RuntimeError, match="already committed"):
         tl._commit(p, 0, {"version": 0, "files": []})
+
+
+def test_epoch_exactly_once_replay_and_regression(spark, tmp_path):
+    p = str(tmp_path / "t")
+    sink = __import__(
+        "kissmetrics_to_database_spark.streaming.pipeline",
+        fromlist=["tablelog_exactly_once_sink"],
+    ).tablelog_exactly_once_sink(p)
+    sink(_mk(spark, 0, 10), 0)
+    sink(_mk(spark, 0, 10), 0)   # crash-replay of the SAME epoch
+    assert tl.read_table(spark, p).count() == 10  # not 20
+    sink(_mk(spark, 10, 20), 1)
+    assert tl.read_table(spark, p).count() == 20
+    assert tl.read_manifest(p, tl.list_versions(p)[-1])["epochs"] == [0, 1]
+    with pytest.raises(ValueError, match="epoch regression"):
+        sink(_mk(spark, 0, 5), 0)
+
+
+def test_epoch_ledger_survives_compaction(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tl.write_table(_mk(spark, 0, 10), p, epoch_id=0)
+    tl.write_table(_mk(spark, 10, 20), p, epoch_id=1)
+    tl.compact_table(spark, p, target_files=1)
+    # replay of epoch 1 after compaction still recognized
+    v = tl.write_table(_mk(spark, 10, 20), p, epoch_id=1)
+    assert tl.read_table(spark, p).count() == 20
+    assert v == tl.list_versions(p)[-1]
