@@ -1148,6 +1148,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    covered: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT duplicated-substring spans (the Lee et al. 2021
     'Deduplicating Training Data Makes Language Models Better' shape,
@@ -1171,7 +1172,8 @@ def exact_substring_spans(
     end, no all-pairs stage anywhere; see SCALING.md (exact-substring
     section) for the hot-gram and memory story.
     """
-    covered = _removed_positions(df, id_col, text_col, k)
+    if covered is None:
+        covered = _removed_positions(df, id_col, text_col, k)
     return _spans_from_covered(covered, id_col)
 
 
@@ -1180,6 +1182,7 @@ def exact_substring_rewrite(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    covered: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup ACTION for :func:`exact_substring_spans`:
     first-occurrence-wins rewrite (the ``cdc_dedup_rewrite`` contract
@@ -1198,8 +1201,9 @@ def exact_substring_rewrite(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     ).where(F.col("term") != "")
-    covered = _removed_positions(df, id_col, text_col, k)
-    spans = exact_substring_spans(df, id_col, text_col, k)
+    if covered is None:
+        covered = _removed_positions(df, id_col, text_col, k)
+    spans = exact_substring_spans(df, id_col, text_col, k, covered=covered)
 
     kept = tok.join(
         covered.withColumnRenamed("cpos", "pos"), [id_col, "pos"], "left_anti"

