@@ -1541,8 +1541,6 @@ def kcenter_coreset(
     monotonically down the rows; row k's dist bounds the covering
     radius).
     """
-    import math as _math
-
     spark = df.sparkSession
     seed = df.agg(F.min(F.col(id_col))).collect()[0][0]
     chosen: list[tuple[int, float]] = [(int(seed), 0.0)]
@@ -1552,24 +1550,18 @@ def kcenter_coreset(
         .select(id_col, vec_col)
         .collect()
     }
-    dim = len(next(iter(vecs.values())))
-    # codegen'd UNROLLED dot/norm instead of aggregate() folds (the
-    # engine-wide HOF lesson): identical left-associated IEEE add
-    # order as the fold/oracle, so values are bit-identical — only
-    # the evaluation moves from interpreted lambdas to codegen.
-    elems = [
-        F.element_at(F.col(vec_col), i + 1).cast("double")
-        for i in range(dim)
-    ]
-    vnorm = F.sqrt(sum(e * e for e in elems))
-
-    def _dist(w):
-        dot = sum(e * F.lit(float(w[i])) for i, e in enumerate(elems))
-        wn = _math.sqrt(sum(x * x for x in (float(v) for v in w)))
-        return F.lit(1.0) - F.round(dot / (vnorm * F.lit(wn)), 6)
-
     for _ in range(1, int(k)):
-        dists = [_dist(vecs[cid]) for cid, _ in chosen]
+        dists = [
+            F.lit(1.0)
+            - F.round(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vecs[cid]]),
+                ),
+                6,
+            )
+            for cid, _ in chosen
+        ]
         mind = dists[0] if len(dists) == 1 else F.least(*dists)
         row = (
             df.where(~F.col(id_col).isin([cid for cid, _ in chosen]))
