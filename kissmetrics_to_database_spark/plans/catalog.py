@@ -1047,8 +1047,23 @@ _VERIFIED_R03 = [
 # when the fingerprint flood exceeds the 50-query window. Curated per
 # round alongside the round's functional commits.
 _REVERIFY_BEHAVIOR_CHANGED = [
-    "semantic_dedup",        # r5: cell-blocked within-cluster pair join
-    "multimodal_real_decode",  # r5: vectorized JPEG decode path
+    # r8: queries whose own execution path changed this round (brand-new
+    # queries are prioritized automatically and need no entry here).
+    "embedding_cosine_near_dups",  # r8: B×B grid sub-blocking rewrite
+    "minhash_lsh_near_dups",   # r8: shared verified-pair-set memo
+    "lsh_recall_eval",         # r8: consumes the shared pair set
+    "near_dup_clusters",       # r8: consumes the shared pair set
+    "ngram_jaccard_pairs",     # r8: consumes the shared pair set
+    "span_dedup",              # r8: shared removed-positions artifacts
+    "decontaminate_against_eval",  # r8: shared substring artifacts
+    "pq_encode",               # r8: train-once/serve-many codebooks
+    "pq_topk_adc",             # r8: shared codebooks
+    "ivfpq_topk",              # r8: cached residual codebooks
+    "hashed_ngram_classifier",  # r8: integer micro-unit readout
+    "identity_components",     # r8: CC local-path byte-budget guard
+    # r5 carryovers (harmless if unchanged — filtered by `modified`):
+    "semantic_dedup",
+    "multimodal_real_decode",
     "multimodal_decode",
     "multimodal_audio_stats",
     "multimodal_byte_features",
