@@ -56,6 +56,7 @@ HEADLINE = [
     "simhash_near_dups",
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
+    "filtered_ann_topk",
     "lang_id",
     "quality_score",
     "tfidf_top_terms",

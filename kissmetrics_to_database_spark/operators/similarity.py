@@ -107,9 +107,13 @@ def ivf_assign(
     vec_col: str = "embedding",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """IVF cell assignment: each vector → its highest-cosine centroid
     (rounded score, min-centroid tie-break — deterministic).
+    ``keep_cols`` carries metadata columns (e.g. a filter label)
+    through to the inverted list, so filtered search can equi-join on
+    them without a second pass over the corpus.
 
     Centroids are a tiny DataFrame (broadcast); assignment is one
     scan × K scores + an argmax, no shuffle of the corpus. In a real
@@ -130,7 +134,12 @@ def ivf_assign(
     )
     return (
         corpus.join(best, id_col)
-        .select(id_col, vec_col, (-F.col("_b._ncid")).cast("long").alias("cell"))
+        .select(
+            id_col,
+            vec_col,
+            *keep_cols,
+            (-F.col("_b._ncid")).cast("long").alias("cell"),
+        )
     )
 
 
@@ -182,6 +191,85 @@ def ivf_topk(
             "probe_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine(F.col("probe_vec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_topk_filtered(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    match_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED IVF top-k: each probe retrieves only
+    candidates whose ``match_col`` equals the probe's own — the
+    production "filtered vector search" shape (tenant / language /
+    shard predicates), done as SINGLE-STAGE pre-filtering.
+
+    Why not post-filter: filtering ``ivf_topk``'s output can return
+    fewer than k rows (or none) when the probe's nearest cells are
+    dominated by other labels. Here the predicate is pushed INTO the
+    inverted-list probe join — the join key is (cell, label), so
+    Spark prunes non-matching candidates before any distance math,
+    exactly like a partition-column filter on the at-rest IVF layout
+    (`operators/layout.py` clusters by cell; adding the label as a
+    secondary partition column makes this join a pure partition
+    prune at 100 TB).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    assigned = ivf_assign(corpus, c, id_col, vec_col, keep_cols=(match_col,))
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col(match_col).alias("_probe_match"),
+    )
+    probe_cells = p.join(F.broadcast(c)).select(
+        "probe_id",
+        "probe_vec",
+        "_probe_match",
+        F.col("cent_id"),
+        F.round(cosine(F.col("probe_vec"), F.col("cent_vec")), 6).alias("_s"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_s"), F.asc("cent_id"))
+    probe_cells = (
+        probe_cells.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select(
+            "probe_id",
+            "probe_vec",
+            "_probe_match",
+            F.col("cent_id").alias("cell"),
+        )
+    )
+
+    scored = (
+        assigned.join(
+            F.broadcast(probe_cells),
+            on=[
+                assigned["cell"] == probe_cells["cell"],
+                assigned[match_col] == probe_cells["_probe_match"],
+            ],
+        )
+        .where(F.col("probe_id") != assigned[id_col])
+        .select(
+            "probe_id",
+            assigned[id_col].alias("neighbor_id"),
+            F.round(cosine(F.col("probe_vec"), assigned[vec_col]), 6).alias(
+                "score"
+            ),
         )
     )
     wk = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

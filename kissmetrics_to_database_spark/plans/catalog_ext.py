@@ -404,6 +404,63 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "filtered_ann_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, label, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, plabel, cell FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS pv, p.label AS plabel,
+               c.cent_id AS cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_sql_cosine('p.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings p CROSS JOIN cent c
+        WHERE p.vec_id < 12
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id,
+             {_sql_cosine('a.embedding', 'pc.pv')} AS score
+      FROM assigned a
+      JOIN probe_cells pc ON a.cell = pc.cell AND a.label = pc.plabel
+      WHERE a.vec_id <> pc.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: top-5 neighbors sharing the probe's
+    ``label``, with the predicate pushed into the inverted-list join
+    (join key = (cell, label)) — single-stage pre-filtering, never a
+    post-filter that could under-fill k. Same 8-centroid / nprobe=2
+    IVF as `embedding_topk_ivf`; the oracle mirrors the index
+    algorithm exactly, so results are bit-identical by construction.
+    Reference parity: the reference engine has no vector search; this
+    extends its equality-lookup surface
+    (KissmetricsToDatabase.php:623-635) to embedding space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    probes = emb.where(F.col("vec_id") < 12)
+    out = similarity.ivf_topk_filtered(
+        emb, probes, centroids, k=5, nprobe=2, match_col="label"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "probe_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — text analysis
 # ---------------------------------------------------------------------------

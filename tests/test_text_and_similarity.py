@@ -1288,3 +1288,54 @@ def test_kcenter_coreset_hand_computed(spark):
     assert out[1][2] == 2.0   # 1 - (-1)
     assert out[2][2] == 1.0   # orthogonal
     assert 0.0 < out[3][2] < 0.01
+
+
+def test_ivf_topk_filtered_respects_label_and_fills_k(spark):
+    # two orthogonal cells; labels interleave within each cell. A
+    # post-filter of plain ivf_topk top-3 would keep only ~half the
+    # rows; the filtered variant must (a) return ONLY same-label
+    # neighbors and (b) still fill k from deeper in the cell.
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    c0 = [1.0, 0.0] * 4
+    c1 = [0.0, 1.0] * 4
+    rows = [(0, c0, 0), (1, c1, 1)] + [
+        (10 + i, c0 if i % 2 == 0 else c1, i % 3) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents = df.where("vec_id < 2")
+    probes = df.where("vec_id = 0")  # label 0, cell 0
+    out = sorted(
+        sim.ivf_topk_filtered(
+            df, probes, cents, k=3, nprobe=1, match_col="label"
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    labels = {r[0]: r[2] for r in rows}
+    # cell-0 members are the even-i ids 10..21; label==0 among them
+    # means i even AND i%3==0 -> i in {0, 6} -> ids {10, 16}. The
+    # probe itself is excluded, so the filtered result holds exactly
+    # those 2 rows; if this ever returns 3, the label filter leaked.
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(10, 1), (16, 2)]
+    assert all(labels[r["neighbor_id"]] == 0 for r in out)
+
+
+def test_ivf_topk_filtered_never_returns_cross_label(spark):
+    from kissmetrics_to_database_spark.operators import similarity as sim
+
+    c0 = [1.0, 0.0] * 4
+    c1 = [0.0, 1.0] * 4
+    rows = [(0, c0, 0), (1, c1, 1)] + [
+        (10 + i, c0 if i % 2 == 0 else c1, i % 2) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents = df.where("vec_id < 2")
+    probes = df.where("vec_id IN (0, 1)")
+    out = sim.ivf_topk_filtered(
+        df, probes, cents, k=5, nprobe=2, match_col="label"
+    ).collect()
+    labels = {r[0]: r[2] for r in rows}
+    assert out, "filtered search returned nothing"
+    for r in out:
+        assert labels[r["neighbor_id"]] == labels[r["probe_id"]]
+        assert r["neighbor_id"] != r["probe_id"]

@@ -200,6 +200,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # filtered ANN: the (cell, label) predicate joins the inverted
+    # list to BROADCAST probe-cells as a hash join — the label filter
+    # is part of the join key, never a post-filter; the corpus never
+    # sort-merges against the probe side
+    "filtered_ann_topk": (
+        ["BroadcastHashJoin", "Left keys [2]: [cell", "label"],
+        ["CartesianProduct"],
+    ),
     # hashed classifier: the (bucket, weight) model table must join
     # broadcast — the corpus's only shuffle is the per-doc rollup
     "hashed_ngram_classifier": (
