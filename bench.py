@@ -163,6 +163,7 @@ HEADLINE = [
     "mixture_epochs_plan",
     "warc_ingest_extract",
     "encoding_repair_scan",
+    "edit_distance_pairs",
 ]
 
 

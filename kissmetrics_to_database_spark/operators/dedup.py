@@ -1423,3 +1423,189 @@ def line_dedup_corpus(
         .alias("n_removed"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def _tail_window(text_col: str, window: int):
+    """Last-``window``-chars slice — the shift-robust suffix key the
+    edit-distance join runs on (prefix fingerprints miss near-dups
+    whose early edits shift everything after them)."""
+    return F.expr(
+        f"substring({text_col}, greatest(1, length({text_col}) - {window - 1}),"
+        f" {window})"
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance similarity join (PassJoin shape; Li, Deng, Feng
+    2011): all pairs whose tail-``window`` text slices are within
+    Levenshtein distance ``max_dist``, WITHOUT the O(n²) comparison.
+
+    Pigeonhole blocking: split the SHORTER string of each prospective
+    pair into ``max_dist + 1`` contiguous segments; if lev(a, b) ≤ d
+    then at least one segment of a maps edit-free into b, at a start
+    position shifted by at most d (net indels before it ≤ total
+    edits). So an equi-join of
+      A-side: the d+1 segments of every string, keyed (i, seg, len)
+      B-side: every substring of every string that could be segment i
+              of a length-``la`` partner (la ∈ [len−d, len], start
+              within ±d of that segment's boundary), keyed (i, w, la)
+    is a provably lossless candidate generator; candidates are then
+    verified with the exact ``levenshtein(…, threshold)`` (early-exit
+    banded DP in the JVM). Measured at sf0.01: 322 candidates out of
+    124,750 possible pairs for 24 true pairs — and this corpus is the
+    adversarial case (30-word vocabulary); natural text segments are
+    far rarer. The index is linear in n: ≤ (d+1)(d+1)(2d+1) window
+    rows per string, independent of corpus size (the multi-match-aware
+    substring selection of the PassJoin paper would shrink the
+    constant further; not needed here).
+
+    Strings shorter than 2·d+1 chars are routed to a single bounded
+    "short bucket" (any partner must itself be short, since lengths
+    differ by ≤ d) — pairs there are verified directly; segment
+    blocking only ever sees strings long enough that every segment is
+    non-empty. Both paths' candidates union + distinct before the
+    verify, so overlap cannot double-count.
+
+    Returns (id_a, id_b, edit_distance), id_a < id_b.
+    """
+    d = max_dist
+    nseg = d + 1
+    strings = df.select(
+        F.col(id_col).alias("did"),
+        _tail_window(text_col, window).alias("s"),
+    ).withColumn("ln", F.length("s"))
+
+    def seg_start(i, la):
+        # 1-based start of segment i for a length-`la` string
+        return (F.floor(i * la / F.lit(nseg)) + 1).cast("int")
+
+    def seg_len(i, la):
+        return (
+            F.floor((i + 1) * la / F.lit(nseg)) - F.floor(i * la / F.lit(nseg))
+        ).cast("int")
+
+    long_strings = strings.where(F.col("ln") > 2 * d)
+
+    segs = (
+        long_strings.select(
+            "did",
+            "ln",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d)),
+                    lambda i: F.col("s").substr(
+                        seg_start(i, F.col("ln")), seg_len(i, F.col("ln"))
+                    ),
+                )
+            ).alias("i", "seg"),
+        )
+    ).where(F.col("seg") != "")
+
+    # B-side windows, string-encoded "la|i|w" so array_distinct
+    # dedups on an atomic type (hash set, not struct-equality scans).
+    ln = F.col("ln")
+
+    def window_key(dl, i, o):
+        la = ln + dl  # partner length (shorter side ⇒ dl ∈ [-d, 0])
+        st = seg_start(i, la) + o
+        wl = seg_len(i, la)
+        valid = (
+            (la >= F.lit(1))
+            & (st >= F.lit(1))
+            & (wl >= F.lit(1))
+            & (st + wl - 1 <= ln)
+        )
+        return F.when(
+            valid,
+            F.concat_ws(
+                "|",
+                la.cast("string"),
+                i.cast("string"),
+                F.col("s").substr(st.cast("int"), wl),
+            ),
+        )
+
+    win_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-d), F.lit(0)),
+            lambda dl: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d)),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(-d), F.lit(d)),
+                        lambda o: window_key(dl, i, o),
+                    ),
+                )
+            ),
+        )
+    )
+    wins = long_strings.select(
+        F.col("did").alias("bdid"),
+        F.col("ln").alias("bln"),
+        F.explode(
+            F.array_distinct(F.filter(win_arr, lambda x: x.isNotNull()))
+        ).alias("k"),
+    ).select(
+        "bdid",
+        "bln",
+        F.split("k", r"\|", 3)[0].cast("int").alias("la"),
+        F.split("k", r"\|", 3)[1].cast("int").alias("bi"),
+        F.split("k", r"\|", 3)[2].alias("w"),
+    )
+
+    ordered = (F.col("ln") < F.col("bln")) | (
+        (F.col("ln") == F.col("bln")) & (F.col("did") < F.col("bdid"))
+    )
+    cand_long = (
+        segs.join(
+            wins,
+            (F.col("i") == F.col("bi"))
+            & (F.col("seg") == F.col("w"))
+            & (F.col("ln") == F.col("la"))
+            & ordered,
+        )
+        .select(
+            F.least("did", "bdid").alias("id_a"),
+            F.greatest("did", "bdid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # bucket key must be data-derived (ln*0, not lit(0)) or Catalyst
+    # constant-folds the equi-key away and plans a nested-loop join
+    shorts = strings.where(F.col("ln") <= 2 * d).withColumn(
+        "bk", F.col("ln") * 0
+    )
+    cand_short = (
+        shorts.alias("a")
+        .join(
+            shorts.alias("b"),
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.did") < F.col("b.did"))
+            & (
+                F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(d)
+            ),
+        )
+        .select(
+            F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b")
+        )
+    )
+
+    cand = cand_long.unionByName(cand_short).distinct()
+    sa = strings.select(F.col("did").alias("id_a"), F.col("s").alias("s_a"))
+    sb = strings.select(F.col("did").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("edit_distance", F.levenshtein("s_a", "s_b", d))
+        .where(F.col("edit_distance") >= 0)
+        .select(
+            "id_a", "id_b", F.col("edit_distance").cast("long").alias("edit_distance")
+        )
+    )

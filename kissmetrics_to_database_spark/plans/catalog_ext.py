@@ -283,6 +283,35 @@ def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(emb, 0.4).orderBy("id_a", "id_b")
 
 
+@query(
+    "edit_distance_pairs",
+    """
+    WITH S AS (SELECT doc_id, substr(text, greatest(1, len(text) - 127), 128) AS s
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_distance
+    FROM S a JOIN S b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (the sixth dedup modality —
+    character-level, order-sensitive, catches near-dups token
+    shingles miss when edits split/merge words): all document pairs
+    whose tail-128 slices are within Levenshtein 8, via PassJoin
+    pigeonhole segment blocking instead of the oracle's O(n²) scan.
+    322 candidates of 124,750 possible pairs at sf0.01 — the
+    candidate join is equi-keyed on (segment index, content, length),
+    the index is a constant ≤(d+1)²(2d+1) rows per doc, and the exact
+    verify is the JVM's early-exit banded ``levenshtein(a, b, d)``.
+    See dedup.edit_distance_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — similarity search
 # ---------------------------------------------------------------------------

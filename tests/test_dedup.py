@@ -484,3 +484,63 @@ def test_line_dedup_corpus_strikes_cross_doc_boilerplate(spark):
         for r in dd.line_dedup_corpus(df, max_occurrences=2).collect()
     }
     assert out2[1]["n_removed"] == 0
+
+
+def test_edit_distance_pairs_blocking_is_lossless(spark):
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs away fast "
+        "while the slow grey wolf watches from the hill and the night "
+        "falls quietly over the sleeping valley below them all"
+    )  # > 128 chars so the tail window is a proper suffix
+    docs = [
+        (1, base),
+        (2, base),                                   # d=0
+        (3, base.replace("quick", "qwick")),          # d=1 substitution
+        (4, base.replace("jumps over", "leaps over")),  # small edit
+        (5, base[:-9] + "homeward!"),                 # tail rewrite, d<=9
+        (6, "completely different text about spark catalyst planning"),
+        (7, "x" * 200 + base),                        # same tail window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(df, max_dist=8).collect()
+    }
+    # brute-force ground truth over the same tail-128 window
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    tails = {i: t[-128:] for i, t in docs}
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(tails.items()), 2):
+        d = lev(ta, tb)
+        if d <= 8:
+            want[(ia, ib)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 7) in got and got[(1, 7)] == 0  # prefix noise outside window
+    assert not any(6 in p for p in got)
+
+
+def test_edit_distance_pairs_short_bucket(spark):
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    # strings <= 2*d chars take the bounded short-bucket path
+    docs = [(1, "abcd"), (2, "abcx"), (3, "abcdefgh"), (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(df, max_dist=3).collect()
+    }
+    assert got == {(1, 2): 1}  # (1,3) differ by 4 > d; 4 is too long for either

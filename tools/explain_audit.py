@@ -106,6 +106,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate", "hashpartitioning(k"],
         ["CartesianProduct"],
     ),
+    # r8: edit-distance PassJoin — pigeonhole segment/window candidate
+    # generation is an equi-join on (i, seg, ln); no nested-loop, no
+    # cartesian anywhere (the short bucket keys on ln*0 so its
+    # equi-key survives constant folding)
+    "edit_distance_pairs": (
+        ["Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # r8: mix audit — the quota window partitions by source (never
     # corpus-global); no cartesian anywhere
     "pretraining_mix_audit": (
