@@ -164,6 +164,8 @@ HEADLINE = [
     "warc_ingest_extract",
     "encoding_repair_scan",
     "edit_distance_pairs",
+    "semantic_decontamination",
+    "blocklist_filter",
 ]
 
 

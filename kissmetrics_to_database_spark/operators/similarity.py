@@ -1666,3 +1666,56 @@ def kcenter_coreset(
         [(i, cid, d) for i, (cid, d) in enumerate(chosen)],
         "step long, vec_id long, dist double",
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic
+    complement of the 5-gram `decontaminate_against_eval` gate):
+    every corpus vector is scored against the whole held-out eval
+    set; rows whose max cosine reaches ``threshold`` are paraphrase-
+    level contamination that token n-grams cannot see.
+
+    Returns one row per corpus vector — (id, nearest_eval_id,
+    max_eval_cosine, contaminated) — so the readout doubles as the
+    audit trail (which eval item a flagged doc leaks). Ties on the
+    raw score break to the smallest eval id.
+
+    100-TB shape: eval sets are small by construction (10^3-10^5
+    rows), so the eval side broadcasts and the corpus is scanned
+    exactly once; the per-row max is a partial aggregation (map-side
+    combine leaves one candidate per corpus id per task), so the
+    shuffle carries one skinny row per corpus vector — never the
+    |corpus| × |eval| score matrix. The contamination flag compares
+    the RAW max score against the threshold; rounding happens only in
+    the displayed column, so the verdict cannot flip at a rounding
+    boundary.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("_ev")
+    )
+    tr = corpus.select(F.col(id_col), F.col(vec_col).alias("_tv"))
+    scored = tr.join(F.broadcast(ev)).select(
+        id_col,
+        "eval_id",
+        cosine(F.col("_tv"), F.col("_ev")).alias("raw"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("raw").alias("raw"),
+                (-F.col("eval_id")).alias("neg_eval"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        id_col,
+        (-F.col("m.neg_eval")).cast("long").alias("nearest_eval_id"),
+        F.round("m.raw", 6).alias("max_eval_cosine"),
+        (F.col("m.raw") >= F.lit(float(threshold))).alias("contaminated"),
+    )

@@ -2221,6 +2221,51 @@ def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_RAW_COS_TE = (
+    f"{SQL_DOT.format(a='t.embedding', b='e.embedding')} / "
+    f"(sqrt({SQL_DOT.format(a='t.embedding', b='t.embedding')}) * "
+    f"sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')}))"
+)
+
+
+@query(
+    "semantic_decontamination",
+    f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+    scored AS (
+      SELECT t.vec_id, e.eval_id, {_SQL_RAW_COS_TE} AS raw
+      FROM tr t CROSS JOIN ev e
+    ),
+    best AS (
+      SELECT vec_id, eval_id, raw,
+             row_number() OVER (PARTITION BY vec_id ORDER BY raw DESC, eval_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id,
+           round(raw, 6) AS max_eval_cosine,
+           raw >= 0.35 AS contaminated
+    FROM best WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (r8): the embedding-space
+    complement of the 5-gram gate — flags paraphrase-level eval
+    leakage token shingles cannot see. Same held-out convention as
+    `decontaminate_against_eval` (id % 97 = 0 is the benchmark); the
+    eval side broadcasts, the corpus is scanned once, and the
+    per-vector max is a partial aggregation, so the shuffle carries
+    one skinny row per corpus vector at any scale. See
+    similarity.semantic_decontamination."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_decontamination(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        threshold=0.35,
+    )
+    return out.orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # EXT — label-aware similarity (classification over the embedding corpus)
 # ---------------------------------------------------------------------------
@@ -2536,6 +2581,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffled."""
     docs = load_table(spark, sf_dir, "documents")
     return text.unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+@query(
+    "blocklist_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, ws,
+             list_filter(ws, x -> list_contains(['dup', 'spam', 'casino'], x)) AS h
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(h) AS BIGINT) AS n_flagged,
+           CAST(len(list_distinct(h)) AS BIGINT) AS n_flagged_terms,
+           round(len(h) / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS flagged_ratio,
+           len(h) > 0 AS dropped
+    FROM hits ORDER BY doc_id
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badword blocklist gate (r8; Raffel et al. 2020 §2.2:
+    any blocklisted token drops the page) with per-doc audit counts.
+    The list is probed per token inside one codegen'd higher-order
+    filter — no explode, no join, no shuffle; see
+    text.blocklist_gate for the 10^5-term broadcast-join variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.blocklist_gate(docs).orderBy("doc_id")
 
 
 @query(

@@ -1339,3 +1339,48 @@ def test_ivf_topk_filtered_never_returns_cross_label(spark):
     for r in out:
         assert labels[r["neighbor_id"]] == labels[r["probe_id"]]
         assert r["neighbor_id"] != r["probe_id"]
+
+
+def test_semantic_decontamination_flags_and_ties(spark):
+    # eval 100 = x-axis, eval 101 = y-axis; corpus vectors at known angles
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),   # cos=1.0 with eval 100
+            (2, [1.0, 1.0]),   # cos=0.7071 with BOTH -> tie -> min eval id 100
+            (3, [-1.0, 0.0]),  # cos=0.0 with 101, -1 with 100 -> nearest 101
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontamination(
+            tr, ev, threshold=0.9
+        ).collect()
+    }
+    assert out[1]["nearest_eval_id"] == 100 and out[1]["contaminated"]
+    assert out[1]["max_eval_cosine"] == 1.0
+    assert out[2]["nearest_eval_id"] == 100  # exact tie -> min eval id
+    assert abs(out[2]["max_eval_cosine"] - 0.707107) < 1e-9
+    assert not out[2]["contaminated"]
+    assert out[3]["nearest_eval_id"] == 101 and out[3]["max_eval_cosine"] == 0.0
+
+
+def test_blocklist_gate_counts_and_verdict(spark):
+    rows = [
+        (1, "clean text about spark"),
+        (2, "this has spam and more SPAM inside"),
+        (3, "dup dup spam"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.blocklist_gate(df).collect()}
+    assert not out[1]["dropped"] and out[1]["n_flagged"] == 0
+    assert out[2]["dropped"] and out[2]["n_flagged"] == 2  # lowercased match
+    assert out[2]["n_flagged_terms"] == 1
+    assert out[3]["n_flagged"] == 3 and out[3]["n_flagged_terms"] == 2
+    assert out[3]["flagged_ratio"] == 1.0
+    assert out[4]["n_tokens"] == 0 and not out[4]["dropped"]

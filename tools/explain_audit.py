@@ -114,6 +114,19 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r8: semantic decontamination — eval side broadcasts (NLJ cross
+    # over the tiny eval set), per-vector max is a hash agg; the
+    # corpus never sort-merges
+    "semantic_decontamination": (
+        ["BroadcastNestedLoopJoin", "hashpartitioning(vec_id"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r8: blocklist gate — one map-only scan, no join/shuffle at all
+    # before the presentation sort
+    "blocklist_filter": (
+        ["rangepartitioning(doc_id"],
+        ["CartesianProduct", "Join", "hashpartitioning"],
+    ),
     # r8: mix audit — the quota window partitions by source (never
     # corpus-global); no cartesian anywhere
     "pretraining_mix_audit": (
