@@ -166,6 +166,7 @@ HEADLINE = [
     "edit_distance_pairs",
     "semantic_decontamination",
     "blocklist_filter",
+    "filtered_ann_recall",
 ]
 
 

@@ -490,6 +490,111 @@ def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "filtered_ann_recall",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, label, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, plabel, cell FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS pv, p.label AS plabel,
+               c.cent_id AS cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_sql_cosine('p.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings p CROSS JOIN cent c
+        WHERE p.vec_id < 12
+      ) WHERE r <= 2
+    ),
+    ivf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT pc.probe_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY pc.probe_id
+                 ORDER BY {_sql_cosine('a.embedding', 'pc.pv')} DESC, a.vec_id) AS rnk
+        FROM assigned a
+        JOIN probe_cells pc ON a.cell = pc.cell AND a.label = pc.plabel
+        WHERE a.vec_id <> pc.probe_id
+      ) WHERE rnk <= 5
+    ),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+           FROM embeddings WHERE vec_id < 12),
+    bf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.embedding', 'p.pv')} DESC, e.vec_id) AS rnk
+        FROM embeddings e JOIN pe p ON e.label = p.plabel
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.probe_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM bf b LEFT JOIN ivf i
+      ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.probe_id ORDER BY b.probe_id
+    """,
+)
+def q_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the FILTERED IVF path (r8) against exact
+    label-constrained brute force — the eval that certifies
+    single-stage pre-filtering actually fills k with the right
+    candidates (a post-filter design would show up here as
+    under-filled, low-recall probes). Same probes/centroids as
+    `filtered_ann_topk`; ground truth restricts the exact scan to
+    the probe's own label, exactly what the filtered index promises
+    to search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8)
+    probes = emb.where(F.col("vec_id") < 12)
+    ivf = similarity.ivf_topk_filtered(
+        emb, probes, centroids, k=5, nprobe=2, match_col="label"
+    ).select("probe_id", F.col("neighbor_id").alias("n_ivf"))
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("_plabel"),
+    )
+    bf = (
+        emb.join(F.broadcast(p), on=[emb["label"] == p["_plabel"]])
+        .where(F.col("probe_id") != emb["vec_id"])
+        .select(
+            "probe_id",
+            emb["vec_id"].alias("neighbor_id"),
+            F.round(
+                similarity.cosine(F.col("probe_vec"), emb["embedding"]), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    bf = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    joined = bf.join(
+        F.broadcast(ivf),
+        (bf["probe_id"] == ivf["probe_id"]) & (bf["neighbor_id"] == ivf["n_ivf"]),
+        "left",
+    ).select(bf["probe_id"], "neighbor_id", "n_ivf")
+    return (
+        joined.groupBy("probe_id")
+        .agg(
+            F.count("n_ivf").cast("long").alias("n_hits"),
+            F.round(F.count("n_ivf") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT — text analysis
 # ---------------------------------------------------------------------------
