@@ -167,6 +167,7 @@ HEADLINE = [
     "semantic_decontamination",
     "blocklist_filter",
     "filtered_ann_recall",
+    "tokenizer_fertility_by_source",
 ]
 
 

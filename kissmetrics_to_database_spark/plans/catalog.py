@@ -1059,6 +1059,7 @@ _REVERIFY_BEHAVIOR_CHANGED = [
     "pq_encode",               # r8: train-once/serve-many codebooks
     "pq_topk_adc",             # r8: shared codebooks
     "ivfpq_topk",              # r8: cached residual codebooks
+    "bpe_encode_corpus",       # r8: serves from shared encode artifact
     "hashed_ngram_classifier",  # r8: integer micro-unit readout
     "identity_components",     # r8: CC local-path byte-budget guard
     # r5 carryovers (harmless if unchanged — filtered by `modified`):

@@ -5683,6 +5683,78 @@ def q_unigram_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENC: dict = {}
+
+
+def _bpe_enc_cached(spark, sf_dir: str):
+    """Train-once/serve-many for the production BPE encode (r8): the
+    per-doc token-accounting frame is the artifact both the per-doc
+    ledger (`bpe_encode_corpus`) and the per-source fertility readout
+    (`tokenizer_fertility_by_source`) serve from — trained merges +
+    one linear encode pass, materialized once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_ENC:
+        docs = load_table(spark, sf_dir, "documents")
+        merges = text.bpe_train_merges_local(docs, n_merges=32)
+        _BPE_ENC[key] = text.bpe_encode_corpus(
+            docs, [(m[1], m[2]) for m in merges]
+        ).persist()
+    return _BPE_ENC[key]
+
+
+def _fertility_oracle(n_merges: int) -> str:
+    """Per-(source, lang) aggregate grafted onto the unrolled BPE
+    encode replay: same training + per-doc accounting CTEs, final
+    readout swapped for the corpus-level fertility table."""
+    base = _bpe_encode_oracle(n_merges)
+    cut = base.rindex("\n    SELECT d.doc_id")
+    return base[:cut] + """
+    SELECT d.source, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(p.n_tokens) / CAST(sum(p.n_words) AS DOUBLE), 6) AS fertility,
+           round(sum(p.n_chars) / CAST(sum(p.n_tokens) AS DOUBLE), 6) AS chars_per_token
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source, d.lang
+    ORDER BY d.source, d.lang
+    """
+
+
+@query("tokenizer_fertility_by_source", _fertility_oracle(32))
+def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit (r8): per (source, lang), tokens per
+    word and chars per token under the trained 32-merge BPE — the
+    eval a tokenizer team runs before committing a vocab (high
+    fertility on a language = that language pays more sequence
+    length per content unit). Serves from the shared encode artifact
+    (`_bpe_enc_cached`); the readout is one skinny groupBy over the
+    per-doc ledger, so at 100 TB its cost is the ledger scan, not a
+    re-encode."""
+    enc = _bpe_enc_cached(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return (
+        enc.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 @query("bpe_encode_corpus", _bpe_encode_oracle(32))
 def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION BPE pipeline (r6): train 32 merges with the
@@ -5695,10 +5767,7 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 here is only what the unrolled SQL oracle can replay. Emits
     per-doc token accounting + chars-per-token compression — the
     tokenization ledger of a training-data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = text.bpe_train_merges_local(docs, n_merges=32)
-    enc = text.bpe_encode_corpus(docs, [(m[1], m[2]) for m in merges])
-    return enc.orderBy("doc_id")
+    return _bpe_enc_cached(spark, sf_dir).orderBy("doc_id")
 
 
 def _unigram_encode_oracle(
