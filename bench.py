@@ -168,6 +168,7 @@ HEADLINE = [
     "blocklist_filter",
     "filtered_ann_recall",
     "tokenizer_fertility_by_source",
+    "bitext_margin_mining",
 ]
 
 

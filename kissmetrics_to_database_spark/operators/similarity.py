@@ -1719,3 +1719,94 @@ def semantic_decontamination(
         F.round("m.raw", 6).alias("max_eval_cosine"),
         (F.col("m.raw") >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def margin_bitext_mining(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+    src_lang: str = "en",
+    k: int = 4,
+    threshold: float = 1.2,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix pipeline): mine translation-pair candidates
+    between ``src_lang`` documents and every other language from a
+    shared embedding space. A pair qualifies when the two sides are
+    MUTUAL nearest neighbors and the margin score
+
+        margin(x, y) = cos(x, y) / ((Σ_{z∈NNk(x)} cos(x, z)
+                                   + Σ_{z∈NNk(y)} cos(y, z)) / 2k)
+
+    clears ``threshold`` — the ratio form suppresses hub vectors
+    that are "near everything" and would flood absolute-cosine
+    mining with false pairs.
+
+    Determinism: every cosine is snapped to an exact integer
+    (round(cos·1e6) as long) BEFORE ranking or summation, so the
+    k-NN normalizer sums are order-independent integer sums and the
+    margin is one double division of exact integers — hash-stable
+    under any partitioning, exactly the classifier-readout
+    convention (SCALING.md, r8).
+
+    Scale shape: the source side broadcasts (a probe sample in
+    production) and each (src, tgt-lang) ranking is a per-key window
+    over the scored join, never a global sort. At 100 TB both k-NN
+    directions come from the IVF/PQ index family instead of the
+    exact scored join (`ivf_topk` serves either side); the margin
+    arithmetic is unchanged.
+    """
+    dv = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang"),
+        F.col(vec_col).alias("v"),
+    )
+    src = dv.where(F.col("lang") == src_lang).select(
+        F.col("id").alias("src_id"), F.col("v").alias("sv")
+    )
+    tgt = dv.where(F.col("lang") != src_lang).select(
+        F.col("id").alias("tgt_id"), F.col("lang").alias("tgt_lang"),
+        F.col("v").alias("tv"),
+    )
+    scored = tgt.join(F.broadcast(src)).select(
+        "src_id",
+        "tgt_id",
+        "tgt_lang",
+        F.round(cosine(F.col("sv"), F.col("tv")) * 1e6, 0)
+        .cast("long")
+        .alias("ci"),
+    )
+    wf = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.desc("ci"), F.asc("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
+    ranked = scored.withColumn("fr", F.row_number().over(wf)).withColumn(
+        "br", F.row_number().over(wb)
+    )
+    sx = (
+        ranked.where(F.col("fr") <= k)
+        .groupBy("src_id", "tgt_lang")
+        .agg(F.sum("ci").alias("s_sum"))
+    )
+    sy = (
+        ranked.where(F.col("br") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("ci").alias("t_sum"))
+    )
+    mutual = ranked.where((F.col("fr") == 1) & (F.col("br") == 1))
+    out = (
+        mutual.join(sx, ["src_id", "tgt_lang"])
+        .join(sy, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            (F.col("ci") / F.lit(1e6)).alias("cosine"),
+            F.round(
+                F.lit(2.0 * k) * F.col("ci") / (F.col("s_sum") + F.col("t_sum")),
+                6,
+            ).alias("margin"),
+        )
+        .where(F.col("margin") >= F.lit(float(threshold)))
+    )
+    return out

@@ -595,6 +595,63 @@ def q_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bitext_margin_mining",
+    f"""
+    WITH dv AS (
+      SELECT d.doc_id AS id, d.lang, e.embedding AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    S AS (SELECT * FROM dv WHERE lang = 'en'),
+    T AS (SELECT * FROM dv WHERE lang <> 'en'),
+    sc AS (
+      SELECT s.id AS src_id, t.id AS tgt_id, t.lang AS tgt_lang,
+             CAST(round(1e6 * {SQL_DOT.format(a='s.v', b='t.v')}
+               / (sqrt({SQL_DOT.format(a='s.v', b='s.v')})
+                * sqrt({SQL_DOT.format(a='t.v', b='t.v')}))) AS BIGINT) AS ci
+      FROM S s CROSS JOIN T t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id, tgt_lang
+                                ORDER BY ci DESC, tgt_id) AS fr,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY ci DESC, src_id) AS br
+      FROM sc
+    ),
+    sx AS (SELECT src_id, tgt_lang, sum(ci) AS s_sum
+           FROM ranked WHERE fr <= 4 GROUP BY src_id, tgt_lang),
+    sy AS (SELECT tgt_id, sum(ci) AS t_sum
+           FROM ranked WHERE br <= 4 GROUP BY tgt_id)
+    SELECT m.src_id, m.tgt_id, m.tgt_lang,
+           m.ci / 1e6 AS cosine,
+           round(8.0 * m.ci / (x.s_sum + y.t_sum), 6) AS margin
+    FROM (SELECT * FROM ranked WHERE fr = 1 AND br = 1) m
+    JOIN sx x ON m.src_id = x.src_id AND m.tgt_lang = x.tgt_lang
+    JOIN sy y ON m.tgt_id = y.tgt_id
+    WHERE round(8.0 * m.ci / (x.s_sum + y.t_sum), 6) >= 1.2
+    ORDER BY m.src_id, m.tgt_id
+    """,
+)
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based BITEXT MINING (r8; Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix multilingual pipeline): mutual-nearest-neighbor
+    en↔xx pairs from the shared embedding space, scored by the
+    ratio-margin that suppresses hub vectors, threshold 1.2 (115
+    mined pairs of 215 mutual-NN candidates at sf0.01). Every cosine
+    snaps to an integer before ranking/summation so the k-NN
+    normalizer sums are order-independent. See
+    similarity.margin_bitext_mining."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return similarity.margin_bitext_mining(
+        dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
+    ).orderBy("src_id", "tgt_id")
+
+
 # ---------------------------------------------------------------------------
 # EXT — text analysis
 # ---------------------------------------------------------------------------

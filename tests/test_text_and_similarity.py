@@ -1384,3 +1384,28 @@ def test_blocklist_gate_counts_and_verdict(spark):
     assert out[3]["n_flagged"] == 3 and out[3]["n_flagged_terms"] == 2
     assert out[3]["flagged_ratio"] == 1.0
     assert out[4]["n_tokens"] == 0 and not out[4]["dropped"]
+
+
+def test_margin_bitext_mining_mutual_and_margin(spark):
+    rows = [
+        (1, "en", [1.0, 0.0]),
+        (2, "en", [0.0, 1.0]),
+        (3, "fr", [0.9, 0.1]),
+        (4, "fr", [0.1, 0.9]),
+        (5, "fr", [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, embedding array<float>")
+    out = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in similarity.margin_bitext_mining(
+            df, k=2, threshold=0.0
+        ).collect()
+    }
+    # mutual nearest: (1,3) and (2,4); 5 points at 2 but 2's best is 4
+    assert set(out) == {(1, 3), (2, 4)}
+    assert all(r["margin"] > 1.0 for r in out.values())
+    assert abs(out[(1, 3)]["cosine"] - 0.9 / (0.81 + 0.01) ** 0.5) < 1e-6
+    # k=1 margin is identically 1.0 for mutual pairs: the normalizer
+    # IS the pair's own cosine on both sides
+    out1 = similarity.margin_bitext_mining(df, k=1, threshold=0.0).collect()
+    assert {r["margin"] for r in out1} == {1.0}

@@ -121,6 +121,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "hashpartitioning(vec_id"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # r8: bitext mining — src side broadcasts into the scored join
+    # (NLJ over the probe sample); rankings are per-key windows, so
+    # no corpus-global single-partition window anywhere
+    "bitext_margin_mining": (
+        ["BroadcastNestedLoopJoin", "hashpartitioning(src_id"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
     # r8: blocklist gate — one map-only scan, no join/shuffle at all
     # before the presentation sort
     "blocklist_filter": (
