@@ -169,6 +169,7 @@ HEADLINE = [
     "filtered_ann_recall",
     "tokenizer_fertility_by_source",
     "bitext_margin_mining",
+    "tombstone_cluster_scrub",
 ]
 
 

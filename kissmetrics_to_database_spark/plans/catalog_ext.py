@@ -4570,6 +4570,79 @@ def q_tombstone_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tombstone_cluster_scrub",
+    f"""
+    WITH RECURSIVE cand AS ({SQL_LSH_CANDIDATES}),
+    jac AS ({SQL_JACCARD}),
+    pairs AS (
+      SELECT j.id_a, j.id_b FROM jac j
+      JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src AS node, src AS r FROM und
+      UNION
+      SELECT und.src AS node, reach.r FROM und JOIN reach ON und.dst = reach.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    ),
+    tomb AS (SELECT doc_id FROM documents WHERE doc_id % 89 = 0),
+    trig AS (
+      SELECT c.canonical_id, min(c.doc_id) AS trigger_id
+      FROM clusters c JOIN tomb t ON c.doc_id = t.doc_id
+      GROUP BY c.canonical_id
+    ),
+    via AS (
+      SELECT c.doc_id, g.trigger_id
+      FROM clusters c JOIN trig g USING (canonical_id)
+    )
+    SELECT doc_id, 'direct' AS reason, doc_id AS trigger_id FROM tomb
+    UNION ALL
+    SELECT v.doc_id, 'cluster' AS reason, v.trigger_id FROM via v
+    WHERE v.doc_id NOT IN (SELECT doc_id FROM tomb)
+    ORDER BY doc_id
+    """,
+)
+def q_tombstone_cluster_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure PROPAGATED through duplicate clusters (r8):
+    a deletion request (doc_id % 89 — the request-table stand-in)
+    must remove not just the named document but every near-duplicate
+    copy of it, or the content survives deletion in paraphrased/
+    mirrored form. Removal set = direct tombstones ∪ all members of
+    any near-dup cluster containing one, each row carrying the
+    REASON ('direct' | 'cluster') and the trigger document — the
+    audit trail a compliance review asks for. Serves from the shared
+    LSH pair artifact; the trigger table is cluster-count sized and
+    broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = docs.where(F.col("doc_id") % 89 == 0).select("doc_id")
+    clusters = dedup.near_dup_clusters(_lsh_pairs_cached(spark, sf_dir))
+    trig = (
+        clusters.join(tomb, "doc_id")
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("trigger_id"))
+    )
+    via = clusters.join(F.broadcast(trig), "canonical_id").select(
+        "doc_id", "trigger_id"
+    )
+    direct = tomb.select(
+        "doc_id",
+        F.lit("direct").alias("reason"),
+        F.col("doc_id").alias("trigger_id"),
+    )
+    cluster_only = via.join(tomb, "doc_id", "left_anti").select(
+        "doc_id", F.lit("cluster").alias("reason"), "trigger_id"
+    )
+    return direct.unionByName(cluster_only).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # EXT — leakage-safe splitting (round 2)
 # ---------------------------------------------------------------------------
