@@ -170,6 +170,7 @@ HEADLINE = [
     "tokenizer_fertility_by_source",
     "bitext_margin_mining",
     "tombstone_cluster_scrub",
+    "dbscan_clusters",
 ]
 
 

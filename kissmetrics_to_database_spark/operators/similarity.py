@@ -1810,3 +1810,85 @@ def margin_bitext_mining(
         .where(F.col("margin") >= F.lit(float(threshold)))
     )
     return out
+
+
+def dbscan_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps_cos: float = 0.4,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) over an
+    embedding corpus, with cosine ≥ ``eps_cos`` as the ε-neighborhood
+    — the density complement of k-means (`kmeans_lloyd`): it finds
+    arbitrarily-shaped dense regions, leaves sparse points as NOISE
+    instead of forcing them into a centroid, and needs no k.
+
+    Composition of scale-correct primitives, no new join shapes:
+    the ε-graph comes from `cosine_near_pairs` (lossless cell
+    blocking + grid sub-blocking — never O(n²)); cores are one
+    degree aggregation (|N_ε(p)| ≥ min_pts counting self); clusters
+    are connected components over CORE-CORE edges only (the textbook
+    density-reachability closure), reusing the identity CC engine on
+    an edge set far smaller than the corpus; border points attach to
+    the MIN cluster id among their core neighbors — a deterministic
+    tie rule where the classic scan-order algorithm is
+    order-dependent (documented divergence: any valid DBSCAN border
+    assignment, made reproducible). Isolated cores (no core
+    neighbor) are singleton clusters.
+
+    Returns one row per vector: (id, role 'core'|'border'|'noise',
+    cluster_id — null for noise, else the min core member).
+    """
+    from kissmetrics_to_database_spark.operators.identity import (
+        connected_components,
+    )
+
+    ids = df.select(F.col(id_col).alias("vec_id"))
+    pairs = cosine_near_pairs(df, eps_cos, id_col, vec_col).select(
+        "id_a", "id_b"
+    )
+    adj = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
+    core = deg.where(F.col("deg") >= min_pts - 1).select("id")
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(cc_edges).select(
+        F.col("member").alias("id"), F.col("component_id").alias("_cc")
+    )
+    core_clusters = core.join(comp, "id", "left").select(
+        "id", F.coalesce("_cc", F.col("id")).alias("cluster_id")
+    )
+    border = (
+        adj.join(
+            core_clusters.select(
+                F.col("id").alias("nb"), F.col("cluster_id").alias("_nbc")
+            ),
+            "nb",
+        )
+        .join(core_clusters.select("id"), "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("_nbc").alias("cluster_id"))
+    )
+    labeled = core_clusters.select(
+        F.col("id").alias("vec_id"), F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(
+        border.select(
+            F.col("id").alias("vec_id"),
+            F.lit("border").alias("role"),
+            "cluster_id",
+        )
+    )
+    return ids.join(labeled, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("role", F.lit("noise")).alias("role"),
+        "cluster_id",
+    )

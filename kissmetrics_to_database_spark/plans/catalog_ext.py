@@ -2428,6 +2428,76 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
+@query(
+    "dbscan_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    ),
+    adj AS (
+      SELECT id_a AS id, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nb FROM pairs
+    ),
+    core AS (
+      SELECT id FROM (SELECT id, count(*) AS deg FROM adj GROUP BY id)
+      WHERE deg >= 2
+    ),
+    cce AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN core x ON p.id_a = x.id JOIN core y ON p.id_b = y.id
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM cce
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cce
+    ),
+    reach(node, r) AS (
+      SELECT src AS node, src AS r FROM und
+      UNION
+      SELECT und.src AS node, reach.r FROM und JOIN reach ON und.dst = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS cl FROM reach GROUP BY node),
+    core_cl AS (
+      SELECT c.id, coalesce(m.cl, c.id) AS cluster_id
+      FROM core c LEFT JOIN comp m ON c.id = m.node
+    ),
+    border AS (
+      SELECT a.id, min(k.cluster_id) AS cluster_id
+      FROM adj a JOIN core_cl k ON a.nb = k.id
+      WHERE a.id NOT IN (SELECT id FROM core)
+      GROUP BY a.id
+    ),
+    labeled AS (
+      SELECT id, 'core' AS role, cluster_id FROM core_cl
+      UNION ALL
+      SELECT id, 'border' AS role, cluster_id FROM border
+    )
+    SELECT e.vec_id, coalesce(l.role, 'noise') AS role, l.cluster_id
+    FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.id
+    ORDER BY e.vec_id
+    """,
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (r8; Ester et al. 1996) over the
+    embedding corpus: ε-neighborhood = cosine ≥ 0.4, min_pts = 3 —
+    core / border / noise roles with clusters as connected
+    components of core-core edges. The density complement of
+    `kmeans_clusters` (arbitrary-shaped dense regions, sparse points
+    stay NOISE, no k). Built entirely from the scale-correct
+    primitives: `cosine_near_pairs` ε-graph (never O(n²)), one
+    degree aggregation, CC on the tiny core-core edge set. Border
+    points attach to the min cluster id among core neighbors — the
+    deterministic version of the classic order-dependent assignment.
+    See similarity.dbscan_cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.dbscan_cosine(
+        emb, eps_cos=0.4, min_pts=3
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # EXT — label-aware similarity (classification over the embedding corpus)
 # ---------------------------------------------------------------------------

@@ -1409,3 +1409,24 @@ def test_margin_bitext_mining_mutual_and_margin(spark):
     # IS the pair's own cosine on both sides
     out1 = similarity.margin_bitext_mining(df, k=1, threshold=0.0).collect()
     assert {r["margin"] for r in out1} == {1.0}
+
+
+def test_dbscan_cosine_roles_and_clusters(spark):
+    import math
+
+    a15, a30 = math.radians(15), math.radians(30)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(a15), math.sin(a15)]),
+        (3, [math.cos(a30), math.sin(a30)]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # eps cos>=0.9: edges (1,2) and (2,3) only -> 2 is the sole core
+    out = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in similarity.dbscan_cosine(df, eps_cos=0.9, min_pts=3).collect()
+    }
+    assert out[2] == ("core", 2)      # isolated core -> own cluster
+    assert out[1] == ("border", 2) and out[3] == ("border", 2)
+    assert out[4] == ("noise", None)
