@@ -128,6 +128,31 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "hashpartitioning(src_id"],
         ["CartesianProduct", "SinglePartition"],
     ),
+    # r8: filtered-ANN recall — both the index answers and the exact
+    # ground truth broadcast into the recall join; no cartesian
+    "filtered_ann_recall": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # r8: fertility readout — serves from the shared encode artifact
+    # (InMemoryTableScan), one source/lang hash agg; no re-encode
+    # (no MapInPandas below the aggregate once the memo is warm)
+    "tokenizer_fertility_by_source": (
+        ["hashpartitioning(source"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r8: tombstone propagation — trigger table broadcasts; the only
+    # shuffles are the CC loop's and the per-cluster min agg
+    "tombstone_cluster_scrub": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # r8: DBSCAN — ε-graph via the cell-blocked pair join; degree,
+    # core, and border steps are equi-joins/aggregations only
+    "dbscan_clusters": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # r8: blocklist gate — one map-only scan, no join/shuffle at all
     # before the presentation sort
     "blocklist_filter": (
