@@ -171,6 +171,9 @@ HEADLINE = [
     "bitext_margin_mining",
     "tombstone_cluster_scrub",
     "dbscan_clusters",
+    "lang_id_confusion",
+    "matryoshka_recall",
+    "phrase_blocklist_spans",
 ]
 
 

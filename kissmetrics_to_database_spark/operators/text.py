@@ -2031,3 +2031,71 @@ def blocklist_gate(
         ),
         (n_hits > 0).alias("dropped"),
     )
+
+
+# Multi-token phrase blocklist (the Aho-Corasick use case proper:
+# token-level blocklists cannot catch phrases like boilerplate
+# calls-to-action). Defaults tuned to the test corpus incl. one
+# 3-token phrase.
+PHRASE_BLOCKLIST_DEFAULT = (
+    "slow query", "table scan", "dup dup", "slow hash batch",
+)
+
+
+def phrase_blocklist_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrases: tuple[str, ...] = PHRASE_BLOCKLIST_DEFAULT,
+) -> DataFrame:
+    """Every occurrence of a blocklisted PHRASE, with its token-level
+    span start — the span-accounting companion of `blocklist_gate`
+    (which gates on single tokens): returns (id, start_token,
+    phrase) for each match, 1-based positions, so downstream rewrite
+    can excise spans rather than whole documents.
+
+    One n-gram stream per distinct phrase length (here 2 and 3),
+    each a codegen'd higher-order transform + filter against the
+    broadcast-literal phrase array — no join, no shuffle; the
+    explode emits only matches (corpus-scan cost, match-sized
+    output). The production form of Aho-Corasick multi-pattern
+    scanning at token granularity: a trie probe per position becomes
+    an O(1) hash-set probe per (position, pattern-length).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    lit_phrases = F.array(*[F.lit(p) for p in phrases])
+    lengths = sorted({len(p.split()) for p in phrases})
+    src = df.select(F.col(id_col), toks.alias("_ws"))
+    parts = []
+    for n in lengths:
+        grams = F.when(
+            F.size("_ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - n + 1),
+                lambda i: F.struct(
+                    i.alias("start_token"),
+                    F.concat_ws(" ", F.slice("_ws", i, F.lit(n))).alias(
+                        "phrase"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array())
+        matches = F.filter(
+            grams, lambda g: F.array_contains(lit_phrases, g["phrase"])
+        )
+        parts.append(
+            src.select(
+                F.col(id_col), F.explode(matches).alias("m")
+            ).select(
+                id_col,
+                F.col("m.start_token").cast("long").alias("start_token"),
+                F.col("m.phrase").alias("phrase"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

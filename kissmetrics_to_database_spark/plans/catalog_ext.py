@@ -697,6 +697,60 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+               {_sql_lang_score('de')} AS s_de,
+               {_sql_lang_score('en')} AS s_en,
+               {_sql_lang_score('es')} AS s_es,
+               {_sql_lang_score('fr')} AS s_fr,
+               {_sql_lang_score('zh')} AS s_zh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)
+      )
+    )
+    SELECT d.lang AS gold, p.lang_pred AS pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6)
+             AS frac_of_gold
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY gold, pred
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality eval (r8): confusion matrix of the
+    marker-voting classifier against the corpus's GOLD lang labels —
+    per (gold, pred) cell, doc count and fraction of that gold
+    class. The eval that tells a curation team where the cheap
+    classifier is safe to gate on and where it confuses siblings
+    (es↔fr share romance markers) or falls back to 'und'. One
+    corpus scan + a lang-keyed aggregate; the window normalizer
+    partitions by gold lang (5 rows), never corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+    counts = pred.groupBy(
+        F.col("lang").alias("gold"), F.col("lang_pred").alias("pred")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("gold")
+    return (
+        counts.withColumn(
+            "frac_of_gold",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+        )
+        .orderBy("gold", "pred")
+    )
+
+
+@query(
     "quality_score",
     f"""
     SELECT doc_id,
@@ -2846,6 +2900,49 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.blocklist_gate for the 10^5-term broadcast-join variant."""
     docs = load_table(spark, sf_dir, "documents")
     return text.blocklist_gate(docs).orderBy("doc_id")
+
+
+@query(
+    "phrase_blocklist_spans",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    m2 AS (
+      SELECT doc_id, i AS start_token,
+             array_to_string(list_slice(ws, i, i + 1), ' ') AS phrase
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)
+    ),
+    m3 AS (
+      SELECT doc_id, i AS start_token,
+             array_to_string(list_slice(ws, i, i + 2), ' ') AS phrase
+      FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS u(i)
+    ),
+    hits AS (
+      SELECT * FROM m2
+      WHERE phrase IN ('slow query', 'table scan', 'dup dup')
+      UNION ALL
+      SELECT * FROM m3 WHERE phrase = 'slow hash batch'
+    )
+    SELECT doc_id, CAST(start_token AS BIGINT) AS start_token, phrase
+    FROM hits ORDER BY doc_id, start_token, phrase
+    """,
+)
+def q_phrase_blocklist_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token PHRASE blocklist scan with span positions (r8) —
+    what single-token gates cannot catch (boilerplate calls-to-
+    action, banned multiword expressions). One codegen'd n-gram
+    stream per phrase length, filtered against the broadcast-literal
+    phrase array: no join, no shuffle, match-sized output with
+    1-based token offsets for span-level excision. See
+    text.phrase_blocklist_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_blocklist_spans(docs).orderBy(
+        "doc_id", "start_token", "phrase"
+    )
 
 
 @query(
@@ -6254,6 +6351,107 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ingest_verdicts(
         docs.where(is_batch), fp_index, band_index, "doc_id", "text"
     ).orderBy("doc_id")
+
+
+def _sql_cos_slice(a: str, b: str, d: int) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {d} + 1),"
+        f" i -> {{x}}[i]::DOUBLE * {{y}}[i]::DOUBLE))"
+    )
+    return (
+        f"round({dot.format(x=a, y=b)} / "
+        f"(sqrt({dot.format(x=a, y=a)}) * sqrt({dot.format(x=b, y=b)})), 6)"
+    )
+
+
+def _matryoshka_oracle(dims=(8, 16, 32, 64)) -> str:
+    approx = " UNION ALL ".join(
+        f"""
+      SELECT {d} AS dims, probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_sql_cos_slice('e.embedding', 'p.embedding', d)} DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12) p
+        WHERE e.vec_id <> p.vec_id
+      ) WHERE rnk <= 5"""
+        for d in dims
+    )
+    return f"""
+    WITH approx AS ({approx}),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+           WHERE vec_id < 12),
+    bf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.embedding', 'p.pv')} DESC, e.vec_id)
+                 AS rnk
+        FROM embeddings e CROSS JOIN pe p
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    )
+    SELECT a.dims, b.probe_id,
+           CAST(count(a2.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a2.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT dims FROM approx) a
+    CROSS JOIN bf b
+    LEFT JOIN approx a2
+      ON a2.dims = a.dims AND a2.probe_id = b.probe_id
+     AND a2.neighbor_id = b.neighbor_id
+    GROUP BY a.dims, b.probe_id ORDER BY a.dims, b.probe_id
+    """
+
+
+@query("matryoshka_recall", _matryoshka_oracle())
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension recall eval (r8; Kusupati et
+    al. 2022): recall@5 of brute-force search over the FIRST d
+    coordinates (d = 8, 16, 32, 64) against full-dim ground truth —
+    the eval that decides how far an MRL-style embedding can be
+    truncated for cheap first-stage retrieval (d=64 is the identity
+    sanity row, recall 1.0 by construction). Same broadcast recall
+    join as `random_projection_recall`; one scored scan per d over
+    the 12-probe sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 12)
+    bf = similarity.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    parts = []
+    for d in (8, 16, 32, 64):
+        sl = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = similarity.brute_force_topk(sl(emb), sl(probes), k=5).select(
+            F.lit(d).cast("long").alias("dims"),
+            "probe_id",
+            F.col("neighbor_id").alias("hit"),
+        )
+        parts.append(approx)
+    all_approx = parts[0]
+    for p in parts[1:]:
+        all_approx = all_approx.unionByName(p)
+    joined = bf.crossJoin(
+        F.broadcast(
+            all_approx.select("dims").distinct().withColumnRenamed("dims", "d")
+        )
+    ).join(
+        F.broadcast(all_approx),
+        (F.col("d") == all_approx["dims"])
+        & (bf["probe_id"] == all_approx["probe_id"])
+        & (bf["neighbor_id"] == all_approx["hit"]),
+        "left",
+    ).select(F.col("d"), bf["probe_id"], "hit")
+    return (
+        joined.groupBy(F.col("d").alias("dims"), "probe_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("dims", "probe_id")
+    )
 
 
 @query(

@@ -1430,3 +1430,24 @@ def test_dbscan_cosine_roles_and_clusters(spark):
     assert out[2] == ("core", 2)      # isolated core -> own cluster
     assert out[1] == ("border", 2) and out[3] == ("border", 2)
     assert out[4] == ("noise", None)
+
+
+def test_phrase_blocklist_spans_positions_and_overlap(spark):
+    rows = [
+        (1, "the slow query ran a table scan twice table scan done"),
+        (2, "slow hash batch slow hash batch"),  # back-to-back trigram
+        (3, "slow"),                              # shorter than any phrase
+        (4, "query slow"),                        # reversed -> no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["start_token"], r["phrase"])
+        for r in text.phrase_blocklist_spans(df).collect()
+    )
+    assert got == [
+        (1, 2, "slow query"),
+        (1, 6, "table scan"),
+        (1, 9, "table scan"),
+        (2, 1, "slow hash batch"),
+        (2, 4, "slow hash batch"),
+    ]
