@@ -174,6 +174,8 @@ HEADLINE = [
     "lang_id_confusion",
     "matryoshka_recall",
     "phrase_blocklist_spans",
+    "multiprobe_lsh_recall",
+    "simhash_precision_eval",
 ]
 
 

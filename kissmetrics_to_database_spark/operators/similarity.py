@@ -1892,3 +1892,70 @@ def dbscan_cosine(
         F.coalesce("role", F.lit("noise")).alias("role"),
         "cluster_id",
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. 2007 shape): each probe
+    searches its own bucket PLUS every bucket at Hamming distance 1
+    (flip each sign bit) — b+1 probes per query recover most of the
+    recall a second hash table would buy, at zero extra index cost.
+    (The paper orders flips by boundary margin and stops early; the
+    exhaustive 1-flip set is the deterministic instantiation — same
+    candidate union for b small.)
+
+    Same output shape as :func:`lsh_topk`. The corpus index is
+    untouched — only the probe side fans out ×(b+1), so at 100 TB
+    the cost is b+1 bucket lookups per query against the same
+    bucket-partitioned corpus, not a bigger index.
+    """
+    b = len(hyperplanes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("bucket"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("_bk"),
+    )
+    bk = F.col("_bk")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(b)),
+        lambda i: F.when(i == 0, bk).otherwise(
+            F.concat(
+                bk.substr(F.lit(1), i - 1),
+                F.when(bk.substr(i, F.lit(1)) == "1", "0").otherwise("1"),
+                bk.substr(i + 1, F.lit(b) - i),
+            )
+        ),
+    )
+    p = p.select(
+        "probe_id", "probe_vec", F.explode(keys).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("corpus_vec")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "score", "rank")
+    )

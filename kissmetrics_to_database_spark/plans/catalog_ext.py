@@ -265,6 +265,74 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_precision_eval",
+    f"""
+    WITH sh AS ({SQL_SIMHASH}),
+    hp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    jac AS ({SQL_JACCARD}),
+    scored AS (
+      SELECT h.hamming,
+             CAST(round(coalesce(j.jaccard, 0.0) * 1e6) AS BIGINT) AS ji
+      FROM hp h LEFT JOIN jac j ON h.id_a = j.id_a AND h.id_b = j.id_b
+    )
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(ji) / (count(*) * 1e6), 6) AS mean_jaccard,
+           CAST(sum(CASE WHEN ji >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+           round(sum(CASE WHEN ji >= 500000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS precision_at_05
+    FROM scored GROUP BY hamming ORDER BY hamming
+    """,
+)
+def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-as-Jaccard-proxy PRECISION eval (r8): per Hamming
+    radius (0..3), how many candidate pairs the 32-bit SimHash index
+    surfaces, their mean TRUE 3-shingle Jaccard, and the fraction
+    that are real near-dups at J ≥ 0.5 — the complement of
+    `lsh_recall_eval` (which measures what MinHash-LSH misses; this
+    measures what SimHash's cheap Hamming radius falsely includes as
+    the radius loosens). Jaccard scores snap to integers (ji =
+    round(j·1e6)) before the mean, so the readout is
+    summation-order-proof. The true-Jaccard join is restricted to
+    the SimHash candidate set — the eval never goes all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    hp = dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3).select(
+        "id_a", "id_b", "hamming"
+    )
+    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    jac = dedup.jaccard_pairs(tok, "doc_id", hp, 0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    ji = F.round(F.coalesce(F.col("jaccard"), F.lit(0.0)) * 1e6, 0).cast(
+        "long"
+    )
+    scored = hp.join(jac, ["id_a", "id_b"], "left").select("hamming", ji.alias("ji"))
+    return (
+        scored.groupBy("hamming")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("ji") / (F.count("*") * F.lit(1e6)), 6).alias(
+                "mean_jaccard"
+            ),
+            F.sum(F.when(F.col("ji") >= 500000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_dups"),
+            F.round(
+                F.sum(F.when(F.col("ji") >= 500000, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("precision_at_05"),
+        )
+        .orderBy("hamming")
+    )
+
+
+@query(
     "embedding_cosine_near_dups",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -383,6 +451,122 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.lsh_topk(emb, probes, hyperplanes, k=5)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "probe_id", "rank"
+    )
+
+
+@query(
+    "multiprobe_lsh_recall",
+    f"""
+    WITH hp AS (SELECT vec_id AS hid, embedding AS hv FROM embeddings WHERE vec_id < 4),
+    sig AS (
+      SELECT e.vec_id, e.embedding,
+             string_agg(CASE WHEN {SQL_DOT.format(a='e.embedding', b='h.hv')} >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY h.hid) AS bucket
+      FROM embeddings e CROSS JOIN hp h
+      GROUP BY e.vec_id, e.embedding
+    ),
+    pe AS (SELECT vec_id AS probe_id, embedding AS pv, bucket FROM sig WHERE vec_id < 16),
+    pkeys AS (
+      SELECT probe_id, pv,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE substr(bucket, 1, i - 1)
+                       || (CASE substr(bucket, i, 1) WHEN '1' THEN '0' ELSE '1' END)
+                       || substr(bucket, i + 1) END AS bucket,
+             CASE WHEN i = 0 THEN 1 ELSE 0 END AS is_home
+      FROM pe, unnest(range(0, 5)) AS u(i)
+    ),
+    scored AS (
+      SELECT p.probe_id, s.vec_id AS neighbor_id, p.is_home,
+             {_sql_cosine('s.embedding', 'p.pv')} AS score
+      FROM sig s JOIN pkeys p ON s.bucket = p.bucket
+      WHERE s.vec_id <> p.probe_id
+    ),
+    single AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored WHERE is_home = 1
+      ) WHERE rnk <= 5
+    ),
+    multi AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    bf AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_sql_cosine('e.embedding', 'p.pv')} DESC, e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN (SELECT probe_id, pv FROM pe) p
+        WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.probe_id,
+           CAST(count(s.neighbor_id) AS BIGINT) AS n_hits_single,
+           round(count(s.neighbor_id) / 5.0, 6) AS recall_single,
+           CAST(count(m.neighbor_id) AS BIGINT) AS n_hits_multi,
+           round(count(m.neighbor_id) / 5.0, 6) AS recall_multi
+    FROM bf b
+    LEFT JOIN single s ON b.probe_id = s.probe_id AND b.neighbor_id = s.neighbor_id
+    LEFT JOIN multi m ON b.probe_id = m.probe_id AND b.neighbor_id = m.neighbor_id
+    GROUP BY b.probe_id ORDER BY b.probe_id
+    """,
+)
+def q_multiprobe_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH recall eval (r8; Lv et al. 2007): per probe,
+    recall@5 of single-bucket hyperplane LSH vs the Hamming-1
+    multi-probe expansion (flip each of the 4 sign bits — b+1 bucket
+    lookups, zero extra index) against exact ground truth — the
+    measurement that justifies multi-probe's standard-practice
+    status: most of a second hash table's recall for none of its
+    storage. Same 4-hyperplane index as `embedding_topk_lsh`. See
+    similarity.lsh_multiprobe_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp_rows = (
+        emb.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    hyperplanes = [[float(x) for x in r[0]] for r in hp_rows]
+    probes = emb.where(F.col("vec_id") < 16)
+    single = similarity.lsh_topk(emb, probes, hyperplanes, k=5).select(
+        "probe_id", F.col("neighbor_id").alias("n_s")
+    )
+    multi = similarity.lsh_multiprobe_topk(
+        emb, probes, hyperplanes, k=5
+    ).select("probe_id", F.col("neighbor_id").alias("n_m"))
+    bf = similarity.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    joined = (
+        bf.join(
+            F.broadcast(single),
+            (bf["probe_id"] == single["probe_id"])
+            & (bf["neighbor_id"] == single["n_s"]),
+            "left",
+        )
+        .drop(single["probe_id"])
+        .join(
+            F.broadcast(multi),
+            (bf["probe_id"] == multi["probe_id"])
+            & (bf["neighbor_id"] == multi["n_m"]),
+            "left",
+        )
+        .drop(multi["probe_id"])
+    )
+    return (
+        joined.groupBy(bf["probe_id"])
+        .agg(
+            F.count("n_s").cast("long").alias("n_hits_single"),
+            F.round(F.count("n_s") / 5.0, 6).alias("recall_single"),
+            F.count("n_m").cast("long").alias("n_hits_multi"),
+            F.round(F.count("n_m") / 5.0, 6).alias("recall_multi"),
+        )
+        .orderBy("probe_id")
     )
 
 

@@ -1451,3 +1451,20 @@ def test_phrase_blocklist_spans_positions_and_overlap(spark):
         (2, 1, "slow hash batch"),
         (2, 4, "slow hash batch"),
     ]
+
+
+def test_lsh_multiprobe_expands_to_hamming1_buckets(spark):
+    # hyperplanes = axes; corpus point in bucket '01', probe in '11':
+    # single-probe misses it, multi-probe (flip bit 1) finds it
+    hps = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [-1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [0.9, 1.0])], "vec_id long, embedding array<float>"
+    )
+    single = similarity.lsh_topk(corpus, probes, hps, k=5).collect()
+    multi = similarity.lsh_multiprobe_topk(corpus, probes, hps, k=5).collect()
+    assert {r["neighbor_id"] for r in single} == {2}
+    assert {r["neighbor_id"] for r in multi} == {1, 2}
