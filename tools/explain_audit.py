@@ -153,6 +153,36 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r8: phrase blocklist — codegen'd n-gram streams (Generate), no
+    # join anywhere; match-sized output
+    "phrase_blocklist_spans": (
+        ["Generate"],
+        ["CartesianProduct", "Join", "Exchange hashpartitioning"],
+    ),
+    # r8: lang-ID confusion — one lang-keyed agg + a gold-partitioned
+    # window; never a corpus-global single partition
+    "lang_id_confusion": (
+        ["hashpartitioning(gold"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
+    # r8: matryoshka recall — per-d scored scans with broadcast
+    # probes; the recall join broadcasts both top-k sets
+    "matryoshka_recall": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r8: multi-probe recall — bucket equi-joins with broadcast
+    # probe fan-out; recall joins broadcast
+    "multiprobe_lsh_recall": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # r8: simhash precision — pigeonhole block join + candidate-
+    # restricted jaccard; no cartesian
+    "simhash_precision_eval": (
+        ["hashpartitioning"],
+        ["CartesianProduct"],
+    ),
     # r8: blocklist gate — one map-only scan, no join/shuffle at all
     # before the presentation sort
     "blocklist_filter": (
