@@ -1435,6 +1435,8 @@ def _tail_window(text_col: str, window: int):
     )
 
 
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1448,22 +1450,31 @@ def edit_distance_pairs(
 
     Pigeonhole blocking: split the SHORTER string of each prospective
     pair into ``max_dist + 1`` contiguous segments; if lev(a, b) ≤ d
-    then at least one segment of a maps edit-free into b, at a start
-    position shifted by at most d (net indels before it ≤ total
-    edits). So an equi-join of
+    then at least one segment of a maps edit-free into b. So an
+    equi-join of
       A-side: the d+1 segments of every string, keyed (i, seg, len)
       B-side: every substring of every string that could be segment i
-              of a length-``la`` partner (la ∈ [len−d, len], start
-              within ±d of that segment's boundary), keyed (i, w, la)
+              of a length-``la`` partner (la ∈ [len−d, len])
     is a provably lossless candidate generator; candidates are then
     verified with the exact ``levenshtein(…, threshold)`` (early-exit
     banded DP in the JVM). Measured at sf0.01: 322 candidates out of
     124,750 possible pairs for 24 true pairs — and this corpus is the
     adversarial case (30-word vocabulary); natural text segments are
-    far rarer. The index is linear in n: ≤ (d+1)(d+1)(2d+1) window
-    rows per string, independent of corpus size (the multi-match-aware
-    substring selection of the PassJoin paper would shrink the
-    constant further; not needed here).
+    far rarer.
+
+    The candidate window start is bounded by the MULTI-MATCH-AWARE
+    rule (the PassJoin paper's substring selection): a segment match
+    shifted by s needs ≥ |s| edits before it and ≥ |Δ − s| after it
+    (Δ = length difference), so |s| + |Δ − s| ≤ d, i.e.
+    s ∈ [−⌊(d−Δ)/2⌋, ⌊(d+Δ)/2⌋] — d+1 window starts per (length,
+    segment) instead of the naive 2d+1. The index stays linear in n:
+    ≤ (d+1)²·(d+1) window rows per string, generated by three integer
+    explodes + one plain substring projection (codegen'd end to end —
+    the nested higher-order-function formulation evaluated the
+    1.4k-element array builder per row outside codegen and was
+    measured 2× slower; duplicate windows are NOT deduplicated
+    because measurement showed <0.05% duplicates, and the candidate
+    `distinct()` already collapses them after the join).
 
     Strings shorter than 2·d+1 chars are routed to a single bounded
     "short bucket" (any partner must itself be short, since lengths
@@ -1507,56 +1518,39 @@ def edit_distance_pairs(
         )
     ).where(F.col("seg") != "")
 
-    # B-side windows, string-encoded "la|i|w" so array_distinct
-    # dedups on an atomic type (hash set, not struct-equality scans).
-    ln = F.col("ln")
-
-    def window_key(dl, i, o):
-        la = ln + dl  # partner length (shorter side ⇒ dl ∈ [-d, 0])
-        st = seg_start(i, la) + o
-        wl = seg_len(i, la)
-        valid = (
-            (la >= F.lit(1))
-            & (st >= F.lit(1))
-            & (wl >= F.lit(1))
-            & (st + wl - 1 <= ln)
+    # B-side candidate windows: three integer explodes (partner
+    # length gap, segment index, multi-match shift) + one substring
+    # projection. la = ln + dl ≤ ln because the A-side is the shorter
+    # string of each pair; Δ = ln − la = −dl.
+    delta = -F.col("dl")
+    la = F.col("ln") + F.col("dl")
+    st = (seg_start(F.col("i"), la) + F.col("o")).cast("int")
+    wl = seg_len(F.col("i"), la)
+    wins = (
+        long_strings.select(
+            "did", "ln", "s", F.explode(F.sequence(F.lit(-d), F.lit(0))).alias("dl")
         )
-        return F.when(
-            valid,
-            F.concat_ws(
-                "|",
-                la.cast("string"),
-                i.cast("string"),
-                F.col("s").substr(st.cast("int"), wl),
-            ),
+        .select(
+            "did", "ln", "s", "dl",
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
         )
-
-    win_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(-d), F.lit(0)),
-            lambda dl: F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(d)),
-                    lambda i: F.transform(
-                        F.sequence(F.lit(-d), F.lit(d)),
-                        lambda o: window_key(dl, i, o),
-                    ),
+        .select(
+            "did", "ln", "s", "dl", "i",
+            F.explode(
+                F.sequence(
+                    -F.floor((F.lit(d) - delta) / 2).cast("int"),
+                    F.floor((F.lit(d) + delta) / 2).cast("int"),
                 )
-            ),
+            ).alias("o"),
         )
-    )
-    wins = long_strings.select(
-        F.col("did").alias("bdid"),
-        F.col("ln").alias("bln"),
-        F.explode(
-            F.array_distinct(F.filter(win_arr, lambda x: x.isNotNull()))
-        ).alias("k"),
-    ).select(
-        "bdid",
-        "bln",
-        F.split("k", r"\|", 3)[0].cast("int").alias("la"),
-        F.split("k", r"\|", 3)[1].cast("int").alias("bi"),
-        F.split("k", r"\|", 3)[2].alias("w"),
+        .where((la >= 1) & (st >= 1) & (wl >= 1) & (st + wl - 1 <= F.col("ln")))
+        .select(
+            F.col("did").alias("bdid"),
+            F.col("ln").alias("bln"),
+            la.cast("int").alias("la"),
+            F.col("i").alias("bi"),
+            F.col("s").substr(st, wl).alias("w"),
+        )
     )
 
     ordered = (F.col("ln") < F.col("bln")) | (

@@ -1744,72 +1744,118 @@ def margin_bitext_mining(
     mining with false pairs.
 
     Determinism: every cosine is snapped to an exact integer
-    (round(cos·1e6) as long) BEFORE ranking or summation, so the
-    k-NN normalizer sums are order-independent integer sums and the
-    margin is one double division of exact integers — hash-stable
-    under any partitioning, exactly the classifier-readout
-    convention (SCALING.md, r8).
+    (round-half-away(cos·1e6) as int64) BEFORE ranking or summation,
+    so the k-NN normalizer sums are order-independent integer sums
+    and the margin is one double division of exact integers —
+    hash-stable under any partitioning, exactly the
+    classifier-readout convention (SCALING.md, r8). Ranking
+    tie-breaks are (score desc, id asc) on both directions, matching
+    the oracle's row_number ordering.
 
-    Scale shape: the source side broadcasts (a probe sample in
-    production) and each (src, tgt-lang) ranking is a per-key window
-    over the scored join, never a global sort. At 100 TB both k-NN
-    directions come from the IVF/PQ index family instead of the
-    exact scored join (`ivf_topk` serves either side); the margin
-    arithmetic is unchanged.
+    Scale shape (r8 second pass — the first formulation scored the
+    |src|×|tgt| pairs with an interpreted 64-element fold and ranked
+    them through two corpus-wide windows; measured 16 s at sf0.1):
+    ONE hash partition by target language moves one row per vector
+    (the src side replicates per language — languages are few), and
+    each language's full score matrix, both k-NN normalizer sums,
+    and the mutual-NN match all happen inside an Arrow
+    ``applyInPandas`` BLAS kernel that emits only the skinny mutual
+    candidates — pairs never enter a shuffle, the semantic_dedup
+    recipe. At 100 TB the per-language matmul tiles like the
+    SemDeDup kernel, or both k-NN directions come from the IVF/PQ
+    index family with the margin arithmetic unchanged.
     """
     dv = df.select(
         F.col(id_col).alias("id"), F.col(lang_col).alias("lang"),
         F.col(vec_col).alias("v"),
     )
     src = dv.where(F.col("lang") == src_lang).select(
-        F.col("id").alias("src_id"), F.col("v").alias("sv")
+        F.col("id").alias("vid"), F.col("v").alias("vec")
     )
-    tgt = dv.where(F.col("lang") != src_lang).select(
-        F.col("id").alias("tgt_id"), F.col("lang").alias("tgt_lang"),
-        F.col("v").alias("tv"),
+    tgt = dv.where(F.col("lang") != src_lang)
+    langs = tgt.select(F.col("lang").alias("tgt_lang")).distinct()
+    src_rep = langs.crossJoin(F.broadcast(src)).select(
+        "tgt_lang", "vid", "vec", F.lit(0).alias("is_tgt")
     )
-    scored = tgt.join(F.broadcast(src)).select(
-        "src_id",
-        "tgt_id",
-        "tgt_lang",
-        F.round(cosine(F.col("sv"), F.col("tv")) * 1e6, 0)
-        .cast("long")
-        .alias("ci"),
+    tgt_rows = tgt.select(
+        F.col("lang").alias("tgt_lang"),
+        F.col("id").alias("vid"),
+        F.col("v").alias("vec"),
+        F.lit(1).alias("is_tgt"),
     )
-    wf = Window.partitionBy("src_id", "tgt_lang").orderBy(
-        F.desc("ci"), F.asc("tgt_id")
+    both = src_rep.unionByName(tgt_rows)
+    kk = int(k)
+
+    def mine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        s = pdf[pdf["is_tgt"] == 0].sort_values("vid")
+        t = pdf[pdf["is_tgt"] == 1].sort_values("vid")
+        if len(s) == 0 or len(t) == 0:
+            return pd.DataFrame(
+                columns=["tgt_lang", "src_id", "tgt_id", "ci", "s_sum", "t_sum"]
+            )
+        sv = np.array(s["vec"].tolist(), dtype=np.float64)
+        tv = np.array(t["vec"].tolist(), dtype=np.float64)
+        sn = np.sqrt((sv * sv).sum(axis=1))
+        tn = np.sqrt((tv * tv).sum(axis=1))
+        sn[sn == 0] = 1.0
+        tn[tn == 0] = 1.0
+        c = (sv @ tv.T) / np.outer(sn, tn)
+        # round half AWAY from zero at the integer-snap scale — the
+        # Spark/DuckDB round() convention (np.round is half-to-even)
+        ci = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c).astype(np.int64)
+        sids = s["vid"].to_numpy()
+        tids = t["vid"].to_numpy()
+        # forward: per src row, order by (ci desc, tid asc)
+        fwd_ord = np.lexsort((np.broadcast_to(tids, ci.shape), -ci), axis=1)
+        top = fwd_ord[:, :kk]
+        s_sum = np.take_along_axis(ci, top, axis=1).sum(axis=1)
+        f_best = fwd_ord[:, 0]
+        # backward: per tgt column, order by (ci desc, sid asc)
+        bwd_ord = np.lexsort(
+            (np.broadcast_to(sids[:, None], ci.shape), -ci), axis=0
+        )
+        topb = bwd_ord[:kk, :]
+        t_sum = np.take_along_axis(ci, topb, axis=0).sum(axis=0)
+        b_best = bwd_ord[0, :]
+        rows = np.arange(len(sids))
+        mutual = b_best[f_best] == rows
+        si = rows[mutual]
+        ti = f_best[mutual]
+        return pd.DataFrame(
+            {
+                "tgt_lang": pdf["tgt_lang"].iloc[0],
+                "src_id": sids[si],
+                "tgt_id": tids[ti],
+                "ci": ci[si, ti],
+                "s_sum": s_sum[si],
+                "t_sum": t_sum[ti],
+            }
+        )
+
+    mined = both.groupBy("tgt_lang").applyInPandas(
+        mine,
+        schema=(
+            "tgt_lang string, src_id long, tgt_id long, ci long,"
+            " s_sum long, t_sum long"
+        ),
     )
-    wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
-    ranked = scored.withColumn("fr", F.row_number().over(wf)).withColumn(
-        "br", F.row_number().over(wb)
-    )
-    sx = (
-        ranked.where(F.col("fr") <= k)
-        .groupBy("src_id", "tgt_lang")
-        .agg(F.sum("ci").alias("s_sum"))
-    )
-    sy = (
-        ranked.where(F.col("br") <= k)
-        .groupBy("tgt_id")
-        .agg(F.sum("ci").alias("t_sum"))
-    )
-    mutual = ranked.where((F.col("fr") == 1) & (F.col("br") == 1))
-    out = (
-        mutual.join(sx, ["src_id", "tgt_lang"])
-        .join(sy, "tgt_id")
-        .select(
+    return (
+        mined.select(
             "src_id",
             "tgt_id",
             "tgt_lang",
             (F.col("ci") / F.lit(1e6)).alias("cosine"),
             F.round(
-                F.lit(2.0 * k) * F.col("ci") / (F.col("s_sum") + F.col("t_sum")),
+                F.lit(2.0 * kk) * F.col("ci")
+                / (F.col("s_sum") + F.col("t_sum")),
                 6,
             ).alias("margin"),
         )
         .where(F.col("margin") >= F.lit(float(threshold)))
     )
-    return out
 
 
 def dbscan_cosine(

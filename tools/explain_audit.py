@@ -121,12 +121,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "hashpartitioning(vec_id"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    # r8: bitext mining — src side broadcasts into the scored join
-    # (NLJ over the probe sample); rankings are per-key windows, so
-    # no corpus-global single-partition window anywhere
+    # r8: bitext mining — one hash partition by target language into
+    # the Arrow BLAS kernel (src side replicates via broadcast NLJ);
+    # pairs never enter a shuffle, no corpus-global window
     "bitext_margin_mining": (
-        ["BroadcastNestedLoopJoin", "hashpartitioning(src_id"],
-        ["CartesianProduct", "SinglePartition"],
+        ["FlatMapGroupsInPandas", "hashpartitioning(tgt_lang"],
+        ["CartesianProduct", "SinglePartition", "SortMergeJoin"],
     ),
     # r8: filtered-ANN recall — both the index answers and the exact
     # ground truth broadcast into the recall join; no cartesian
