@@ -1556,9 +1556,14 @@ def edit_distance_pairs(
     ordered = (F.col("ln") < F.col("bln")) | (
         (F.col("ln") == F.col("bln")) & (F.col("did") < F.col("bdid"))
     )
+    # shuffle_hash hint: Catalyst cannot see through the 3-explode
+    # fan-out, estimates the window side as tiny, and would BROADCAST
+    # it — measured 4+ GiB at sf1.0 (50k docs × ~700 windows). The
+    # scale-correct plan is a shuffled hash join on the compound
+    # equi-key; the hint pins it at every size.
     cand_long = (
         segs.join(
-            wins,
+            wins.hint("shuffle_hash"),
             (F.col("i") == F.col("bi"))
             & (F.col("seg") == F.col("w"))
             & (F.col("ln") == F.col("la"))
