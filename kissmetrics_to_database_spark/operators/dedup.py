@@ -1476,9 +1476,14 @@ def edit_distance_pairs(
     because measurement showed <0.05% duplicates, and the candidate
     `distinct()` already collapses them after the join).
 
-    Strings shorter than 2·d+1 chars are routed to a single bounded
-    "short bucket" (any partner must itself be short, since lengths
-    differ by ≤ d) — pairs there are verified directly; segment
+    Strings shorter than 2·d+1 chars are routed to a bounded "short
+    path": every short string (ln ≤ 2d) probes ALL strings with
+    ln ≤ 3d — its partner's length can exceed 2d by up to d, so a
+    short-only bucket would silently drop short-long pairs with the
+    long tail in (2d, 3d] (ADVICE r8, high). The probe is an
+    equi-join on an exploded candidate-length key (the ≤3d side emits
+    keys [ln−d, ln+d] ∩ [0, 2d]), so each bucket is bounded by the
+    per-length population, never the whole short set. Segment
     blocking only ever sees strings long enough that every segment is
     non-empty. Both paths' candidates union + distinct before the
     verify, so overlap cannot double-count.
@@ -1576,24 +1581,28 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    # bucket key must be data-derived (ln*0, not lit(0)) or Catalyst
-    # constant-folds the equi-key away and plans a nested-loop join
-    shorts = strings.where(F.col("ln") <= 2 * d).withColumn(
-        "bk", F.col("ln") * 0
+    # Short path: shorts (ln <= 2d) probe every string with ln <= 3d
+    # — a short's partner can be up to d longer than 2d. Equi-key is
+    # the exploded candidate length [ln-d, ln+d] clamped to [0, 2d]
+    # (only shorts probe), so bucket size is the per-length
+    # population. Short-short pairs arrive twice (each side probes
+    # the other) and collapse in the distinct below.
+    shorts = strings.where(F.col("ln") <= 2 * d)
+    border = strings.where(F.col("ln") <= 3 * d).select(
+        F.col("did").alias("bdid"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("ln") - d, F.lit(0)),
+                F.least(F.col("ln") + d, F.lit(2 * d)),
+            )
+        ).alias("k"),
     )
-    cand_short = (
-        shorts.alias("a")
-        .join(
-            shorts.alias("b"),
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.did") < F.col("b.did"))
-            & (
-                F.abs(F.col("a.ln") - F.col("b.ln")) <= F.lit(d)
-            ),
-        )
-        .select(
-            F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b")
-        )
+    cand_short = shorts.join(
+        border,
+        (F.col("ln") == F.col("k")) & (F.col("did") != F.col("bdid")),
+    ).select(
+        F.least("did", "bdid").alias("id_a"),
+        F.greatest("did", "bdid").alias("id_b"),
     )
 
     cand = cand_long.unionByName(cand_short).distinct()

@@ -1864,6 +1864,7 @@ def dbscan_cosine(
     vec_col: str = "embedding",
     eps_cos: float = 0.4,
     min_pts: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN density clustering (Ester et al. 1996) over an
     embedding corpus, with cosine ≥ ``eps_cos`` as the ε-neighborhood
@@ -1886,15 +1887,22 @@ def dbscan_cosine(
 
     Returns one row per vector: (id, role 'core'|'border'|'noise',
     cluster_id — null for noise, else the min core member).
+
+    ``pairs`` (r9): an optional PRECOMPUTED ε-graph — (id_a, id_b)
+    rows for exactly the pairs with cosine ≥ ``eps_cos`` — so a
+    caller that already materialized the pair set (the shared-artifact
+    pattern: `embedding_cosine_near_dups` builds the identical graph
+    at the same threshold) doesn't pay pair generation twice. When
+    omitted, the graph is built here via `cosine_near_pairs`.
     """
     from kissmetrics_to_database_spark.operators.identity import (
         connected_components,
     )
 
     ids = df.select(F.col(id_col).alias("vec_id"))
-    pairs = cosine_near_pairs(df, eps_cos, id_col, vec_col).select(
-        "id_a", "id_b"
-    )
+    if pairs is None:
+        pairs = cosine_near_pairs(df, eps_cos, id_col, vec_col)
+    pairs = pairs.select("id_a", "id_b")
     adj = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nb")
     ).unionByName(

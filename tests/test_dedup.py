@@ -544,3 +544,62 @@ def test_edit_distance_pairs_short_bucket(spark):
         for r in dd.edit_distance_pairs(df, max_dist=3).collect()
     }
     assert got == {(1, 2): 1}  # (1,3) differ by 4 > d; 4 is too long for either
+
+
+def test_edit_distance_pairs_short_long_boundary(spark):
+    """ADVICE r8 (high): pairs straddling the 2d short/long cutoff —
+    one tail <= 2d, the other in (2d, 3d] — must not be dropped."""
+    from kissmetrics_to_database_spark.operators import dedup as dd
+
+    # d=3: 'abcdef' (ln=6 <= 2d) vs 'abcdefgh' (ln=8 > 2d), lev=2
+    docs = [(1, "abcdef"), (2, "abcdefgh")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(df, max_dist=3).collect()
+    }
+    assert got == {(1, 2): 2}
+
+    # d=8: 16-char (== 2d, short) vs 24-char (== 3d, long), lev=8
+    docs = [(1, "a" * 16), (2, "a" * 16 + "b" * 8), (3, "c" * 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(df, max_dist=8).collect()
+    }
+    assert got == {(1, 2): 8}
+
+
+def test_edit_distance_pairs_boundary_brute_force(spark):
+    """Exhaustive lossless check with tail lengths covering
+    [0, 3d+2] around the short/long cutoff at d=3."""
+    from kissmetrics_to_database_spark.operators import dedup as dd
+    import itertools, random
+
+    rng = random.Random(9)
+    docs = []
+    i = 0
+    for ln in range(0, 12):  # 0..3d+2 for d=3
+        for _ in range(3):
+            i += 1
+            docs.append((i, "".join(rng.choice("abc") for _ in range(ln))))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for ii, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], ii
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        d = lev(ta, tb)
+        if d <= 3:
+            want[(min(ia, ib), max(ia, ib))] = d
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(df, max_dist=3).collect()
+    }
+    assert got == want

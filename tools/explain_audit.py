@@ -82,16 +82,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftAnti", "GreaterThanOrEqual(o_orderdate,"],
         ["CartesianProduct"],
     ),
-    # cosine near-dup (r7, r8 grid): (cell, i, j)-keyed COGROUP feeds
-    # the tiled-BLAS pair kernel — rows shuffle, pairs never do; the
-    # only join is the broadcast of the skinny per-cell count table
+    # cosine near-dup (r9): SERVES from the shared t=0.4 ε-graph
+    # parquet artifact — the plan must be a plain artifact scan with
+    # NO pair recompute (the cogroup kernel shape is audited at build
+    # time as op:cosine_near_pairs_build)
     "embedding_cosine_near_dups": (
-        [
-            "FlatMapCoGroupsInPandas",
-            "hashpartitioning(_cell",
-            "BroadcastHashJoin",
-        ],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["Scan parquet", "rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "FlatMapCoGroupsInPandas"],
     ),
     # r8: Gopher repetition suite — line/para masses are codegen'd
     # array ops; the top-gram counts explode to the TF-IDF shape:
@@ -108,10 +105,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # r8: edit-distance PassJoin — pigeonhole segment/window candidate
     # generation is an equi-join on (i, seg, ln); no nested-loop, no
-    # cartesian anywhere (the short bucket keys on ln*0 so its
-    # equi-key survives constant folding)
+    # cartesian anywhere. r9 (VERDICT r8 #4): the window side MUST be
+    # a ShuffledHashJoin — Catalyst can't see through the 3-explode
+    # fan-out and would broadcast a measured 4 GiB at sf1.0; the
+    # shuffle_hash hint pins it, this assertion keeps it pinned
     "edit_distance_pairs": (
-        ["Generate"],
+        ["Generate", "ShuffledHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # r8: semantic decontamination — eval side broadcasts (NLJ cross
@@ -519,25 +518,26 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["Join", "SinglePartition", "CartesianProduct"],
     ),
-    # exact-substring dedup (r6): gram winner via map-side-combinable
-    # min(struct) agg on the gram hash; shuffles only on gram_hash /
-    # doc_id; the hist/winner joins are equi-joins (broadcast at this
-    # SF), never cartesian; no single-partition exchange
+    # exact-substring dedup (r6; r9 artifact serve): the removed-
+    # positions race now materializes once as a parquet artifact
+    # (gram-winner shape audited as op:removed_positions_build); the
+    # serve plans keep only the per-doc rollups — still no cartesian,
+    # no single-partition exchange
     "exact_substring_spans": (
-        ["partial_min", "hashpartitioning(gram_hash",
-         "hashpartitioning(doc_id"],
+        ["hashpartitioning(doc_id"],
         ["CartesianProduct", "SinglePartition"],
     ),
     "exact_substring_rewrite": (
-        ["partial_min", "hashpartitioning(doc_id"],
+        ["hashpartitioning(doc_id"],
         ["CartesianProduct", "SinglePartition"],
     ),
-    # production BPE encode: ONE Arrow mapInPandas pass — no joins, no
-    # hash shuffle at all (the only exchange is the final sort's range
-    # partitioning)
+    # production BPE encode (r9): SERVES from the shared encode
+    # parquet artifact — plain scan + presentation sort, no joins, no
+    # hash shuffle, and crucially NO re-encode (the one-Arrow-pass
+    # build shape is audited as op:bpe_encode_build)
     "bpe_encode_corpus": (
-        ["MapInPandas", "rangepartitioning"],
-        ["Join", "hashpartitioning", "CartesianProduct"],
+        ["Scan parquet", "rangepartitioning"],
+        ["Join", "hashpartitioning", "CartesianProduct", "MapInPandas"],
     ),
     # URL canonicalization: pure codegen'd projection — zero joins,
     # zero hash shuffles
@@ -771,7 +771,54 @@ def main() -> int:
         cb = similarity.pq_train_codebooks(emb, m=4, k_codes=8, iters=2)
         return similarity.pq_encode(emb, m=4, k=8, iters=2, codebooks=cb)
 
+    # r9: the artifact BUILD plans (catalog queries now serve these
+    # from parquet — the scale-critical shapes live in the builders)
+    def _cosine_pairs_build_plan():
+        from kissmetrics_to_database_spark.operators import similarity
+        from kissmetrics_to_database_spark.session import load_table
+
+        emb = load_table(spark, args.sf, "embeddings")
+        return similarity.cosine_near_pairs(emb, 0.4)
+
+    def _bpe_encode_build_plan():
+        from kissmetrics_to_database_spark.operators import text
+        from kissmetrics_to_database_spark.session import load_table
+
+        docs = load_table(spark, args.sf, "documents")
+        merges = text.bpe_train_merges_local(docs, n_merges=32)
+        return text.bpe_encode_corpus(docs, [(m[1], m[2]) for m in merges])
+
+    def _removed_positions_build_plan():
+        from kissmetrics_to_database_spark.operators import dedup
+        from kissmetrics_to_database_spark.session import load_table
+
+        docs = load_table(spark, args.sf, "documents")
+        return dedup._removed_positions(docs, "doc_id", "text", 5)
+
     operator_checks = {
+        # cosine ε-graph build: (cell, i, j)-keyed COGROUP feeds the
+        # tiled-BLAS pair kernel — rows shuffle, pairs never do; the
+        # only join is the broadcast of the skinny per-cell counts
+        "op:cosine_near_pairs_build": (
+            _cosine_pairs_build_plan,
+            ["FlatMapCoGroupsInPandas", "hashpartitioning(_cell",
+             "BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin"],
+        ),
+        # BPE corpus encode build: ONE Arrow mapInPandas pass — no
+        # joins, no hash shuffle at all
+        "op:bpe_encode_build": (
+            _bpe_encode_build_plan,
+            ["MapInPandas"],
+            ["Join", "hashpartitioning", "CartesianProduct"],
+        ),
+        # exact-substring removed-positions build: gram winner via
+        # map-side-combinable min(struct) agg on the gram hash
+        "op:removed_positions_build": (
+            _removed_positions_build_plan,
+            ["partial_min", "hashpartitioning(gram_hash"],
+            ["CartesianProduct", "SinglePartition"],
+        ),
         "op:dedup_by_fingerprint": (
             _dedup_fp_plan,
             ["partial_min", "hashpartitioning(md5hash"],
