@@ -967,11 +967,15 @@ from kissmetrics_to_database_spark.plans import catalog_tpch  # noqa: E402,F401
 #
 # Ordering within the priority list: oracle-checkable queries first (full
 # rows+schema+hash comparison), with the weakest-signal entries last —
-# `approx_aggregates` alone keeps a rows-only check by declared contract
-# (sketch outputs are engine-specific; `corrupt_json_repair` gained a
-# hash-exact oracle in round 4 via anchored-RE2 lookaround replay).  A
-# committed full run of tools/oracle_check.py (all queries) provides
-# secondary evidence for whatever falls outside the driver's window.
+# `approx_aggregates` keeps a rows-only check in the DRIVER's gate
+# (sketch outputs are engine-specific, no exact SQL replay exists), but
+# the local harness bounds-checks it against exact values since r9
+# (tools/oracle_check.py BOUNDS_CHECKS: HLL ±3σ, percentile rank-error
+# band, exact anchor columns — 0 unverifiable queries locally).
+# `corrupt_json_repair` gained a hash-exact oracle in round 4 via
+# anchored-RE2 lookaround replay.  A committed full run of
+# tools/oracle_check.py (all queries) provides secondary evidence for
+# whatever falls outside the driver's window.
 # ---------------------------------------------------------------------------
 _VERIFIED_R01 = [
     "ndjson_scan_project", "key_sanitize", "event_name_nullation",

@@ -126,6 +126,57 @@ def compare(
     return problems
 
 
+def _bounds_approx_aggregates(sdf: pd.DataFrame, con) -> list[str]:
+    """Statistical bounds check for the suite's only sketch query
+    (VERDICT r8 #5): sketch outputs are engine-specific, but they are
+    NOT unfalsifiable — HLL++ publishes an error bound and
+    percentile_approx a rank-error contract, both checkable against
+    DuckDB's exact values.
+
+    - approx_users: Spark's approx_count_distinct is HLL++ with
+      default rsd = 0.05; require |approx − exact| ≤ 3·rsd·exact
+      (the ≈99.7% band — and the sketch is deterministic per dataset,
+      so a pass is stable, not a coin flip).
+    - approx_p50: percentile_approx (rank-error sketch, default
+      accuracy 10000 → ε = 1e-4) must land inside the exact value
+      band of ranks [0.5−B, 0.5+B], B = max(2ε, 1.5/N) (at small N
+      the ±2ε band is narrower than one rank, so widen to ±1 rank).
+    - exact_users / exact_p50 anchor columns: compared exactly.
+    """
+    problems = []
+    row = sdf.iloc[0]
+    ex_u, ex_p, n = con.sql(
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT),"
+        " round(quantile_cont(value, 0.5), 2), count(*) FROM events"
+    ).fetchone()
+    if int(row["exact_users"]) != int(ex_u):
+        problems.append(f"exact_users {row['exact_users']} != duck {ex_u}")
+    if abs(float(row["exact_p50"]) - float(ex_p)) > 0.005 + 1e-9:
+        problems.append(f"exact_p50 {row['exact_p50']} != duck {ex_p}")
+    tol = 3 * 0.05 * int(ex_u)
+    if abs(int(row["approx_users"]) - int(ex_u)) > tol:
+        problems.append(
+            f"approx_users {row['approx_users']} outside ±3σ of exact "
+            f"{ex_u} (tol {tol:.1f})"
+        )
+    band = max(2e-4, 1.5 / int(n))
+    lo, hi = con.sql(
+        f"SELECT quantile_disc(value, {max(0.0, 0.5 - band)}),"
+        f" quantile_disc(value, {min(1.0, 0.5 + band)}) FROM events"
+    ).fetchone()
+    if not (float(lo) - 0.005 <= float(row["approx_p50"]) <= float(hi) + 0.005):
+        problems.append(
+            f"approx_p50 {row['approx_p50']} outside exact rank band "
+            f"[{lo}, {hi}]"
+        )
+    return problems
+
+
+# Queries with no exact SQL oracle but a statistical bounds validator:
+# name -> fn(spark_result_pandas, duckdb_con) -> list of problems.
+BOUNDS_CHECKS = {"approx_aggregates": _bounds_approx_aggregates}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -154,8 +205,23 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in catalog.ORACLES:
-            print(f"-     {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
-            n_noracle += 1
+            bc = BOUNDS_CHECKS.get(name)
+            if bc is None:
+                print(f"-     {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+                n_noracle += 1
+                continue
+            problems = bc(sdf, con)
+            if problems:
+                n_fail += 1
+                print(f"FAIL  {name} (bounds) [{time.time()-t0:.1f}s]")
+                for p in problems:
+                    print(f"      {p}")
+            else:
+                n_pass += 1
+                print(
+                    f"pass  {name} (bounds-checked, rows={len(sdf)}) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
             continue
         try:
             rel = con.sql(catalog.ORACLES[name])
