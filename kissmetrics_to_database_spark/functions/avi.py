@@ -261,3 +261,86 @@ def sniff_video(payload: bytes) -> str:
     if payload.startswith(b"YUV4MPEG2"):
         return "y4m"
     return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-gated inter-coded decode (r9, VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+#
+# H.264/VP9/AV1 in MP4/MKV/AVI genuinely need a codec library; when the
+# host ships ffmpeg (this container does not), the same video kernels
+# decode them through a subprocess pipe — the PIL/WebP optional-
+# dependency pattern from functions/codecs.py applied to video. With no
+# ffmpeg the behavior is unchanged: ValueError → row-level quarantine.
+
+
+def ffmpeg_available() -> bool:
+    """True when both ffmpeg and ffprobe are on PATH."""
+    import shutil
+
+    return bool(shutil.which("ffmpeg")) and bool(shutil.which("ffprobe"))
+
+
+def decode_frames_ffmpeg(payload: bytes):
+    """Decode any container/codec ffmpeg understands into HxWx3 uint8
+    RGB frame arrays (yielded in stream order). Raises ValueError when
+    ffmpeg/ffprobe are absent or reject the payload — the caller's
+    quarantine contract, same as the from-spec decoders."""
+    import subprocess
+
+    if not ffmpeg_available():
+        raise ValueError("inter-coded video and no ffmpeg on PATH")
+    probe = subprocess.run(
+        [
+            "ffprobe", "-v", "error", "-select_streams", "v:0",
+            "-show_entries", "stream=width,height", "-of", "csv=p=0",
+            "pipe:0",
+        ],
+        input=payload, capture_output=True,
+    )
+    try:
+        w, h = (int(x) for x in probe.stdout.decode().strip().split(","))
+    except Exception:
+        raise ValueError(
+            f"ffprobe rejected payload: {probe.stderr.decode()[:120]}"
+        ) from None
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", "pipe:0",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+        ],
+        input=payload, capture_output=True,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(
+            f"ffmpeg rejected payload: {proc.stderr.decode()[:120]}"
+        )
+    frame_bytes = w * h * 3
+    data = proc.stdout
+    for off in range(0, len(data) - frame_bytes + 1, frame_bytes):
+        yield np.frombuffer(
+            data, dtype=np.uint8, count=frame_bytes, offset=off
+        ).reshape(h, w, 3)
+
+
+def decode_video_frames(payload: bytes):
+    """Unified frame iterator for the video kernels: MJPEG-AVI and Y4M
+    decode from spec (always available); anything else — MP4/MKV, or
+    an AVI whose stream is inter-coded — falls back to ffmpeg when the
+    host ships it, else raises ValueError for row-level quarantine."""
+    from kissmetrics_to_database_spark.functions import jpeg
+
+    kind = sniff_video(payload)
+    if kind == "avi":
+        meta = parse_avi(payload)
+        if meta["handler"] in (None, "MJPG", "mjpg"):
+            for raw in meta["frames"]:
+                yield jpeg.decode_jpeg(raw)
+        elif ffmpeg_available():
+            yield from decode_frames_ffmpeg(payload)
+        else:
+            raise ValueError(f"non-MJPEG AVI ({meta['handler']}), no ffmpeg")
+    elif kind == "y4m":
+        yield from parse_y4m(payload)["frames"]
+    else:
+        yield from decode_frames_ffmpeg(payload)

@@ -271,9 +271,10 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
     One input row → many output rows: the flat-map shape under
     Arrow-batched ``mapInPandas`` (a kernel may yield any number of
     rows per input). Inter-coded formats (H.264/VP9/AV1 in MP4/MKV)
-    require a real codec library and QUARANTINE — a single row with
-    null frame fields — rather than failing the batch; wire
-    ffmpeg/pyav through the same kernel on clusters that ship it.
+    decode through ffmpeg when the host ships it
+    (``avi.decode_video_frames``, r9); with no ffmpeg they QUARANTINE
+    — a single row with null frame fields — rather than failing the
+    batch.
 
     At 100 TB: embarrassingly parallel per payload; the output
     explodes row counts, so repartition downstream by
@@ -281,26 +282,15 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
     """
     from collections.abc import Iterator as _It
 
-    from kissmetrics_to_database_spark.functions import avi, codecs, jpeg
+    from kissmetrics_to_database_spark.functions import avi, codecs
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
 
     def _frames(payload: bytes):
-        kind = avi.sniff_video(payload)
-        if kind == "avi":
-            meta = avi.parse_avi(payload)
-            if meta["handler"] not in (None, "MJPG", "mjpg"):
-                raise ValueError(f"non-MJPEG AVI ({meta['handler']})")
-            for i, raw in enumerate(meta["frames"]):
-                if i % every_n == 0:
-                    yield i, jpeg.decode_jpeg(raw)
-        elif kind == "y4m":
-            for i, frame in enumerate(avi.parse_y4m(payload)["frames"]):
-                if i % every_n == 0:
-                    yield i, frame
-        else:
-            raise ValueError("undecodable video container")
+        for i, frame in enumerate(avi.decode_video_frames(payload)):
+            if i % every_n == 0:
+                yield i, frame
 
     def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -350,24 +340,14 @@ def video_scene_cuts(
     binary-rounding convention). Dimension changes mid-stream count
     as a cut with a null diff. Quarantine: all-null row. Same decode
     path and scale shape as frame_sample: embarrassingly parallel
-    Arrow batches, no shuffle.
+    Arrow batches, no shuffle. Inter-coded formats decode through
+    ffmpeg when present (``avi.decode_video_frames``, r9).
     """
     from collections.abc import Iterator as _It
 
-    from kissmetrics_to_database_spark.functions import avi, jpeg
+    from kissmetrics_to_database_spark.functions import avi
 
-    def _frames(payload: bytes):
-        kind = avi.sniff_video(payload)
-        if kind == "avi":
-            meta = avi.parse_avi(payload)
-            if meta["handler"] not in (None, "MJPG", "mjpg"):
-                raise ValueError(f"non-MJPEG AVI ({meta['handler']})")
-            for raw in meta["frames"]:
-                yield jpeg.decode_jpeg(raw)
-        elif kind == "y4m":
-            yield from avi.parse_y4m(payload)["frames"]
-        else:
-            raise ValueError("undecodable video container")
+    _frames = avi.decode_video_frames
 
     def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np

@@ -167,3 +167,48 @@ def test_y4m_422_roundtrip():
     const = np.full((12, 16, 3), 77, dtype=np.uint8)
     out = avi.parse_y4m(avi.build_y4m([const], colorspace="422"))["frames"][0]
     assert (out == 77).all()
+
+
+def test_decode_video_frames_unified():
+    # spec paths work with no ffmpeg; unknown containers raise
+    frames = [_frame(16, 16), _frame(16, 16, 3)]
+    enc = [jpeg.encode_jpeg(f) for f in frames]
+    got = list(avi.decode_video_frames(avi.build_mjpeg_avi(enc, 16, 16)))
+    assert len(got) == 2 and got[0].shape == (16, 16, 3)
+    got = list(avi.decode_video_frames(avi.build_y4m(frames)))
+    assert len(got) == 2
+    if not avi.ffmpeg_available():
+        import pytest
+
+        with pytest.raises(ValueError):
+            list(avi.decode_video_frames(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64))
+
+
+def test_ffmpeg_h264_roundtrip():
+    """Inter-coded decode through the ffmpeg gate (VERDICT r8 #6):
+    encode a tiny H.264 MP4 with ffmpeg, decode it back through
+    decode_video_frames. Skipped where ffmpeg is absent — there the
+    quarantine contract is asserted instead (previous test)."""
+    import subprocess
+
+    import pytest
+
+    if not avi.ffmpeg_available():
+        pytest.skip("ffmpeg not installed")
+    frames = [np.full((32, 32, 3), v, dtype=np.uint8) for v in (0, 128, 255)]
+    raw = b"".join(f.tobytes() for f in frames)
+    enc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", "32x32", "-r", "5", "-i", "pipe:0",
+            "-c:v", "libx264", "-pix_fmt", "yuv420p",
+            "-movflags", "frag_keyframe+empty_moov",
+            "-f", "mp4", "pipe:1",
+        ],
+        input=raw, capture_output=True, check=True,
+    ).stdout
+    got = list(avi.decode_video_frames(enc))
+    assert len(got) == 3
+    assert got[0].shape == (32, 32, 3)
+    # lossy codec: constant frames come back near-constant
+    assert abs(float(got[1].mean()) - 128.0) < 12.0
