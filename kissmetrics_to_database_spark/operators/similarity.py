@@ -397,6 +397,19 @@ def cosine_near_pairs(
     probe-expanded equi-join). At 100 TB the knob is
     ``rows_per_block``: larger blocks trade shuffle volume for
     per-task memory (L·d·8 bytes a side).
+
+    **Threshold floor / regime split (r9, VERDICT r8 #1):** when
+    w = √(2(1−t)) exceeds the first-coordinate spread (t ≲ 0.5 on
+    typical unit embeddings), exact pair enumeration is irreducibly
+    O(n²·d) FLOPs and O(n²/rows_per_block) shuffle BY CONSTRUCTION —
+    no coordinate partitioning can be selective at that radius. This
+    function is then the correctness oracle for bounded corpora and
+    eval samples, NOT the corpus-scale production path: at 100 TB,
+    route low-threshold search through ANN candidates + exact verify
+    (`lsh_topk`/`lsh_multiprobe_topk`/`ivf_topk` candidates, recall
+    measured by `ann_recall_at_k`/`multiprobe_lsh_recall`). See
+    SCALING.md "Exact cosine pair search: the threshold regime
+    split".
     """
     probe, home = _cosine_pair_grid(
         df, threshold, id_col, vec_col, rows_per_block
