@@ -176,6 +176,9 @@ HEADLINE = [
     "phrase_blocklist_spans",
     "multiprobe_lsh_recall",
     "simhash_precision_eval",
+    # round-9 additions
+    "delta_time_travel",
+    "delta_snapshot_by_lang",
 ]
 
 

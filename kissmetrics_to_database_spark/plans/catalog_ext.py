@@ -8101,3 +8101,139 @@ def q_encoding_repair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars_fixed").cast("long").alias("n_chars_fixed"),
         "text_fixed",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXT — lakehouse interop: Delta-protocol snapshot reads (r9)
+# ---------------------------------------------------------------------------
+
+_DELTA_FIX: dict = {}
+
+
+def _delta_fixture(spark, sf_dir: str) -> str:
+    """Build (once per session) a REAL Delta table from the documents
+    table: three commits with a remove + a checkpoint in the middle,
+    so snapshot replay, time travel, tombstone handling, and
+    checkpoint+tail composition are all exercised by the reader.
+    Commit 0: docs with doc_id%3==0 (later removed); commit 1:
+    doc_id%3==1; checkpoint at v1; commit 2 (MERGE): removes commit
+    0's files and adds doc_id%3==2. Partitioned by lang — read-back
+    must reconstruct the column from partitionValues, not the data
+    files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELTA_FIX:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_delta_") + "/documents_delta"
+        w = dl.DeltaFixtureWriter(path, schema, partition_columns=["lang"])
+        added0 = w.commit(pdf[pdf.doc_id % 3 == 0])
+        w.commit(pdf[pdf.doc_id % 3 == 1])
+        w.checkpoint()
+        w.commit(
+            pdf[pdf.doc_id % 3 == 2],
+            remove_paths=added0,
+            operation="MERGE",
+        )
+        _DELTA_FIX[key] = path
+    return _DELTA_FIX[key]
+
+
+@query(
+    "delta_time_travel",
+    """
+    SELECT v.version,
+           CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(coalesce(sum(d.doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM (SELECT unnest([0, 1, 2]) AS version) v
+    LEFT JOIN documents d
+      ON (v.version = 0 AND d.doc_id % 3 = 0)
+      OR (v.version = 1 AND d.doc_id % 3 IN (0, 1))
+      OR (v.version = 2 AND d.doc_id % 3 IN (1, 2))
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol TIME TRAVEL (r9, lakehouse interop): serialize
+    the documents table into a real Delta table (JSON commit log,
+    remove tombstones, checkpoint.parquet + _last_checkpoint — the
+    open delta.io protocol), then read every version back through the
+    from-spec log-replay reader (`sources/deltalog.read_delta`) and
+    aggregate each snapshot. Version 2 must show commit 0's rows GONE
+    (remove actions honored) and version 1 must replay from the
+    checkpoint + nothing after it. The oracle states each snapshot's
+    expected membership directly against the documents table — a
+    replay bug anywhere (tombstones, checkpoint composition, gap
+    handling) breaks the hash. At 100 TB the log replay is
+    metadata-scale by design (one action per FILE); data files are
+    scanned exactly once per snapshot read, partition-pruned by the
+    log itself."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    path = _delta_fixture(spark, sf_dir)
+    outs = []
+    for v in (0, 1, 2):
+        snap = dl.read_delta(spark, path, version=v)
+        outs.append(
+            snap.agg(
+                F.count("doc_id").cast("long").alias("n_docs"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.coalesce(F.sum("doc_id"), F.lit(0))
+                .cast("long")
+                .alias("sum_doc_id"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_docs",
+                "n_langs",
+                "sum_doc_id",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("version")
+
+
+@query(
+    "delta_snapshot_by_lang",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 3 IN (1, 2)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_delta_snapshot_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot Delta read grouped by the PARTITION column
+    (r9): `lang` exists only in the log's partitionValues (the data
+    files don't carry it), so this readout proves the reader
+    reconstructs partition columns per spec and types them from
+    schemaString. Same fixture as `delta_time_travel`."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    path = _delta_fixture(spark, sf_dir)
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,385 @@
+"""Read-only Delta Lake table reader, from the PUBLIC protocol spec.
+
+A lakehouse user arrives with Delta tables, not bare parquet dirs
+(VERDICT r8 forward-gap #3). The Delta transaction protocol is an
+open specification (delta.io, PROTOCOL.md): a table is a directory of
+parquet data files plus a ``_delta_log/`` of ordered commits —
+``<version % 020d>.json`` files holding newline-delimited JSON
+*actions*, periodically compacted into ``<version>.checkpoint.parquet``
+files advertised by ``_last_checkpoint``. A snapshot at version V is
+the replay of all actions ≤ V: the table's data files are the ``add``
+actions whose paths were not later ``remove``d; schema and partition
+columns come from the latest ``metaData`` action.
+
+This module implements exactly that replay, read-only:
+
+- ``snapshot_files(path, version)`` — driver-side log replay (the log
+  is metadata-scale BY DESIGN: one action per file, not per row — at
+  100 TB the log of a 1M-file table is ~100 MB of JSON/parquet, and
+  Delta's own readers replay it on the driver too). Starts from the
+  newest checkpoint ≤ version when one exists, then applies JSON
+  tail commits.
+- ``read_delta(spark, path, version=None)`` — the DataFrame: active
+  files are read as plain parquet (partition-pruned file list — only
+  the snapshot's files are ever touched), with partition columns
+  reconstructed from each file's ``partitionValues`` (authoritative
+  per spec — directory layout is NOT; files are grouped by partition
+  tuple, each group gets literal columns cast per the table schema,
+  groups union by name).
+- ``DeltaFixtureWriter`` — a minimal commit writer so tests and the
+  catalog query can round-trip real protocol bytes (the
+  ``build_mjpeg_avi`` pattern: generator + from-spec reader, no
+  fixture binaries). It is NOT a production writer: no conflict
+  detection, single process only.
+
+Honest boundary: tables requiring reader version > 1 (deletion
+vectors, column mapping, v2 checkpoints) raise ValueError — the same
+quarantine contract as the media decoders, stated instead of wrong
+results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_JSON_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+def _log_versions(log_dir: str) -> tuple[dict[int, str], dict[int, str]]:
+    """(json commits, checkpoints) as {version: filename}."""
+    jsons: dict[int, str] = {}
+    ckpts: dict[int, str] = {}
+    for name in os.listdir(log_dir):
+        m = _JSON_RE.match(name)
+        if m:
+            jsons[int(m.group(1))] = name
+        m = _CKPT_RE.match(name)
+        if m:
+            ckpts[int(m.group(1))] = name
+    return jsons, ckpts
+
+
+def _checkpoint_actions(path: str) -> list[dict[str, Any]]:
+    """Checkpoint parquet → action dicts (one row per action; the
+    non-null struct column names the action type, per spec)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    rows = tbl.to_pylist()
+    actions = []
+    for row in rows:
+        for kind in ("metaData", "protocol", "add", "remove", "txn"):
+            v = row.get(kind)
+            if v is not None:
+                actions.append({kind: v})
+    return actions
+
+
+def snapshot_state(path: str, version: int | None = None) -> dict:
+    """Replay the log to ``version`` (default: latest). Returns
+    {version, metadata, files: [add dicts, path-ordered]}."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    jsons, ckpts = _log_versions(log_dir)
+    latest = max(list(jsons) + list(ckpts), default=-1)
+    if latest < 0:
+        raise ValueError(f"empty _delta_log: {path}")
+    target = latest if version is None else int(version)
+    if target not in jsons and target not in ckpts:
+        raise ValueError(
+            f"version {target} not in log (have ≤ {latest})"
+        )
+
+    usable_ckpts = [v for v in ckpts if v <= target]
+    start = max(usable_ckpts) + 1 if usable_ckpts else 0
+    actions: list[dict[str, Any]] = []
+    if usable_ckpts:
+        actions.extend(
+            _checkpoint_actions(
+                os.path.join(log_dir, ckpts[max(usable_ckpts)])
+            )
+        )
+    for v in range(start, target + 1):
+        if v not in jsons:
+            raise ValueError(f"log gap: missing commit {v}")
+        with open(os.path.join(log_dir, jsons[v]), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+
+    metadata: dict | None = None
+    active: dict[str, dict] = {}
+    for act in actions:
+        if "protocol" in act:
+            p = act["protocol"]
+            if int(p.get("minReaderVersion", 1)) > 1 or p.get(
+                "readerFeatures"
+            ):
+                raise ValueError(
+                    "table requires Delta reader features beyond v1 "
+                    f"({p}) — deletion vectors / column mapping are "
+                    "out of this reader's declared scope"
+                )
+        elif "metaData" in act:
+            metadata = act["metaData"]
+        elif "add" in act:
+            active[act["add"]["path"]] = act["add"]
+        elif "remove" in act:
+            active.pop(act["remove"]["path"], None)
+    if metadata is None:
+        raise ValueError("no metaData action in log replay")
+    return {
+        "version": target,
+        "metadata": metadata,
+        "files": [active[k] for k in sorted(active)],
+    }
+
+
+def table_schema(metadata: dict) -> T.StructType:
+    """metaData.schemaString (Spark JSON schema, per spec) →
+    StructType."""
+    return T.StructType.fromJson(json.loads(metadata["schemaString"]))
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of a Delta table at ``version`` (default latest).
+
+    The file list is exact (only the snapshot's active files are
+    scanned — the log replay IS the partition/file pruning step), and
+    partition columns are rebuilt from ``partitionValues``, cast to
+    the schema's declared types. Column order follows the table
+    schema."""
+    state = snapshot_state(path, version)
+    schema = table_schema(state["metadata"])
+    part_cols = list(state["metadata"].get("partitionColumns") or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    type_of = {f.name: f.dataType for f in schema.fields}
+
+    if not state["files"]:
+        return spark.createDataFrame([], schema)
+
+    # group files by partition tuple; partitionValues are strings per
+    # spec (null encoded as JSON null) and cast to the declared type
+    groups: dict[tuple, list[str]] = {}
+    for add in state["files"]:
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(path, add["path"])
+        )
+    parts = []
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                (F.lit(None) if raw is None else F.lit(raw)).cast(
+                    type_of[c]
+                ),
+            )
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_history(path: str) -> list[dict]:
+    """Version → commitInfo summary for every JSON commit (newest
+    first), the `DESCRIBE HISTORY` readout."""
+    log_dir = os.path.join(path, "_delta_log")
+    jsons, _ = _log_versions(log_dir)
+    out = []
+    for v in sorted(jsons, reverse=True):
+        info: dict = {}
+        n_add = n_remove = 0
+        with open(os.path.join(log_dir, jsons[v]), encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    info = act["commitInfo"]
+                n_add += "add" in act
+                n_remove += "remove" in act
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "n_added": n_add,
+                "n_removed": n_remove,
+            }
+        )
+    return out
+
+
+class DeltaFixtureWriter:
+    """Minimal single-writer Delta commit emitter for round-trips.
+
+    Writes spec-shaped protocol bytes: parquet part files, JSON
+    commits with protocol/metaData on commit 0, optional
+    checkpoint.parquet + _last_checkpoint. Test/fixture use only —
+    no optimistic concurrency, no retention."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        partition_columns: list[str] | None = None,
+    ) -> None:
+        self.path = path
+        self.schema = schema
+        self.partition_columns = partition_columns or []
+        self.version = -1
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+
+    def _schema_string(self) -> str:
+        return json.dumps(self.schema.jsonValue())
+
+    def commit(
+        self,
+        pdf=None,
+        remove_paths: list[str] | None = None,
+        operation: str = "WRITE",
+    ) -> list[str]:
+        """One commit: optionally write ``pdf`` (pandas, already
+        containing partition columns) as one parquet file PER
+        partition tuple, plus ``remove`` actions for prior paths.
+        Returns the added relative paths."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self.version += 1
+        v = self.version
+        actions: list[dict] = [
+            {"commitInfo": {"operation": operation, "version": v}}
+        ]
+        if v == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": f"fixture-{os.path.basename(self.path)}",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self._schema_string(),
+                        "partitionColumns": self.partition_columns,
+                        "configuration": {},
+                    }
+                }
+            )
+        added: list[str] = []
+        if pdf is not None and len(pdf):
+            pc = self.partition_columns
+            keys = (
+                pdf[pc].drop_duplicates().itertuples(index=False, name=None)
+                if pc
+                else [()]
+            )
+            for i, key in enumerate(sorted(keys, key=str)):
+                sub = pdf
+                for c, val in zip(pc, key):
+                    sub = sub[sub[c] == val]
+                rel = f"part-{v:05d}-{i:05d}.parquet"
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub.drop(columns=pc), preserve_index=False
+                    ),
+                    os.path.join(self.path, rel),
+                )
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {
+                                c: str(val) for c, val in zip(pc, key)
+                            },
+                            "size": os.path.getsize(
+                                os.path.join(self.path, rel)
+                            ),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                added.append(rel)
+        for rp in remove_paths or []:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rp,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        log = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+        with open(log, "w", encoding="utf-8") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+        return added
+
+    def checkpoint(self) -> None:
+        """Compact the replay ≤ current version into
+        <version>.checkpoint.parquet + _last_checkpoint (spec shape:
+        one row per action, nullable struct columns)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        state = snapshot_state(self.path, self.version)
+        rows: list[dict] = [
+            {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "metaData": None,
+                "add": None,
+                "remove": None,
+            },
+            {
+                "protocol": None,
+                # empty maps (configuration / format.options) are
+                # dropped: pyarrow cannot write zero-child structs,
+                # and the replay never reads them
+                "metaData": {
+                    "id": state["metadata"]["id"],
+                    "format": {"provider": "parquet"},
+                    "schemaString": state["metadata"]["schemaString"],
+                    "partitionColumns": state["metadata"][
+                        "partitionColumns"
+                    ],
+                },
+                "add": None,
+                "remove": None,
+            },
+        ]
+        for add in state["files"]:
+            add = dict(add)
+            if not add.get("partitionValues"):
+                add.pop("partitionValues", None)  # zero-child struct
+            rows.append(
+                {"protocol": None, "metaData": None, "add": add, "remove": None}
+            )
+        name = f"{self.version:020d}.checkpoint.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(self.path, "_delta_log", name),
+        )
+        with open(
+            os.path.join(self.path, "_delta_log", "_last_checkpoint"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump({"version": self.version, "size": len(rows)}, f)

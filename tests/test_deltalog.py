@@ -1,0 +1,132 @@
+"""Delta-protocol reader round-trips: snapshot replay, remove
+handling, version time travel, checkpoint + JSON-tail replay,
+partition reconstruction from partitionValues, and the declared
+reader-feature boundary."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from kissmetrics_to_database_spark.sources import deltalog as dl
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("part", T.StringType()),
+    ]
+)
+
+
+def _pdf(ids, part):
+    return pd.DataFrame(
+        {"id": ids, "val": [f"v{i}" for i in ids], "part": part}
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "t"), SCHEMA, partition_columns=["part"]
+    )
+    added0 = w.commit(_pdf([1, 2], "a"))  # v0
+    w.commit(_pdf([3, 4], "b"))  # v1
+    w.commit(_pdf([5], "a"), remove_paths=added0, operation="MERGE")  # v2
+    return w
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"], r["part"]) for r in df.collect())
+
+
+def test_snapshot_latest_applies_removes(spark, table):
+    got = _rows(dl.read_delta(spark, table.path))
+    assert got == [(3, "v3", "b"), (4, "v4", "b"), (5, "v5", "a")]
+
+
+def test_time_travel_versions(spark, table):
+    assert _rows(dl.read_delta(spark, table.path, version=0)) == [
+        (1, "v1", "a"),
+        (2, "v2", "a"),
+    ]
+    assert _rows(dl.read_delta(spark, table.path, version=1)) == [
+        (1, "v1", "a"),
+        (2, "v2", "a"),
+        (3, "v3", "b"),
+        (4, "v4", "b"),
+    ]
+    with pytest.raises(ValueError):
+        dl.read_delta(spark, table.path, version=9)
+
+
+def test_checkpoint_plus_tail_replay(spark, table):
+    table.checkpoint()  # checkpoint at v2
+    table.commit(_pdf([6, 7], "c"))  # v3 json tail after the checkpoint
+    state = dl.snapshot_state(table.path, 3)
+    # replay must START from the checkpoint (v0..v2 json not re-read):
+    # prove it by corrupting the pre-checkpoint json commits
+    for v in (0, 1, 2):
+        os.rename(
+            os.path.join(table.path, "_delta_log", f"{v:020d}.json"),
+            os.path.join(table.path, "_delta_log", f"{v:020d}.json.bak"),
+        )
+    got = _rows(dl.read_delta(spark, table.path))
+    assert [g[0] for g in got] == [3, 4, 5, 6, 7]
+    assert state["version"] == 3
+
+
+def test_schema_and_partition_types(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "p"), schema, partition_columns=["bucket"]
+    )
+    w.commit(pd.DataFrame({"id": [1, 2, 3], "bucket": [7, 7, 9]}))
+    df = dl.read_delta(spark, w.path)
+    # partition column cast back to its declared INT type
+    assert dict(df.dtypes)["bucket"] == "int"
+    assert sorted((r["id"], r["bucket"]) for r in df.collect()) == [
+        (1, 7),
+        (2, 7),
+        (3, 9),
+    ]
+
+
+def test_reader_feature_boundary(spark, tmp_path):
+    w = dl.DeltaFixtureWriter(str(tmp_path / "x"), SCHEMA, ["part"])
+    w.commit(_pdf([1], "a"))
+    # simulate a v3 table (deletion vectors etc.)
+    log = os.path.join(w.path, "_delta_log", f"{1:020d}.json")
+    with open(log, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="reader features"):
+        dl.read_delta(spark, w.path)
+
+
+def test_history(table):
+    hist = dl.delta_history(table.path)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operation"] == "MERGE"
+    assert hist[0]["n_removed"] == 1
+
+
+def test_unpartitioned_checkpoint(spark, tmp_path):
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    w = dl.DeltaFixtureWriter(str(tmp_path / "u"), schema)
+    w.commit(pd.DataFrame({"id": [1, 2]}))
+    w.checkpoint()
+    w.commit(pd.DataFrame({"id": [3]}))
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [1, 2, 3]
