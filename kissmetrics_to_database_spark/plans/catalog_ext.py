@@ -8237,3 +8237,43 @@ def q_delta_snapshot_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(floor(value / 25) AS BIGINT) AS value_band,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, value_band, n_rows, n_sensitive,
+           n_rows >= 5 AS k_anonymous, n_sensitive >= 3 AS l_diverse
+    FROM g WHERE n_rows < 5 OR n_sensitive < 3
+    ORDER BY event_type, day, value_band
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-release privacy audit (r9): k-anonymity (k=5) + l-diversity
+    (l=3, sensitive = user_id) over the quasi-identifier tuple
+    (event_type, day, 25-unit value band) — the governance gate an
+    events extract passes before it ships. Emits the VIOLATING groups
+    (the actionable list to suppress/generalize), not a boolean. One
+    hash-partitioned groupBy with map-side partials; output is
+    violation-sized. See operators/governance.k_anonymity_audit."""
+    from kissmetrics_to_database_spark.operators import governance
+
+    ev = load_table(spark, sf_dir, "events")
+    return governance.k_anonymity_audit(
+        ev,
+        [
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") / 25).cast("long").alias("value_band"),
+        ],
+        "user_id",
+        k=5,
+        l_div=3,
+    ).orderBy("event_type", "day", "value_band")
