@@ -179,6 +179,9 @@ HEADLINE = [
     # round-9 additions
     "delta_time_travel",
     "delta_snapshot_by_lang",
+    "iceberg_time_travel",
+    "iceberg_snapshot_by_source",
+    "k_anonymity_audit",
 ]
 
 

@@ -8277,3 +8277,126 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         l_div=3,
     ).orderBy("event_type", "day", "value_band")
+
+
+_ICEBERG_FIX: dict = {}
+
+
+def _iceberg_fixture(spark, sf_dir: str) -> str:
+    """Iceberg twin of `_delta_fixture`: three snapshots over the
+    documents table — append doc_id%3==0 (snapshot 1000), append
+    %3==1 (1001), overwrite that removes snapshot 1000's file and
+    adds %3==2 (1002) — so manifest-list resolution, per-entry status
+    replay, and snapshot-id time travel all get exercised through
+    REAL Avro manifest bytes (functions/avroc.py, from the Avro
+    spec)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICEBERG_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        fields = [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "source", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"},
+        ]
+        path = tempfile.mkdtemp(prefix="kmdb_iceberg_") + "/documents_ib"
+        w = ib.IcebergFixtureWriter(path, fields)
+        added0 = w.commit(pdf[pdf.doc_id % 3 == 0])
+        w.commit(pdf[pdf.doc_id % 3 == 1])
+        w.commit(
+            pdf[pdf.doc_id % 3 == 2],
+            remove_paths=added0,
+            operation="overwrite",
+        )
+        _ICEBERG_FIX[key] = path
+    return _ICEBERG_FIX[key]
+
+
+@query(
+    "iceberg_time_travel",
+    """
+    SELECT v.snapshot_seq,
+           CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(coalesce(sum(d.doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM (SELECT unnest([0, 1, 2]) AS snapshot_seq) v
+    LEFT JOIN documents d
+      ON (v.snapshot_seq = 0 AND d.doc_id % 3 = 0)
+      OR (v.snapshot_seq = 1 AND d.doc_id % 3 IN (0, 1))
+      OR (v.snapshot_seq = 2 AND d.doc_id % 3 IN (1, 2))
+    GROUP BY v.snapshot_seq ORDER BY v.snapshot_seq
+    """,
+)
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot TIME TRAVEL (r9, lakehouse interop): read
+    every snapshot of a real Iceberg metadata tree (vN.metadata.json
+    → Avro manifest list → Avro manifests → parquet, decoded by the
+    from-spec Avro codec) and aggregate each. Snapshot 1002 must drop
+    snapshot 1000's rows (overwrite semantics: the shared manifest
+    replay marks the removed file DELETED). The oracle states each
+    snapshot's membership straight from the documents table — any
+    manifest-resolution or Avro-decode bug breaks the hash. Metadata
+    replay is driver-side and metadata-scale (one Avro row per FILE);
+    each snapshot read scans exactly its live file list."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    path = _iceberg_fixture(spark, sf_dir)
+    outs = []
+    for seq, sid in enumerate((1000, 1001, 1002)):
+        snap = ib.read_iceberg(spark, path, snapshot_id=sid)
+        outs.append(
+            snap.agg(
+                F.count("doc_id").cast("long").alias("n_docs"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+                F.coalesce(F.sum("doc_id"), F.lit(0))
+                .cast("long")
+                .alias("sum_doc_id"),
+            ).select(
+                F.lit(seq).cast("long").alias("snapshot_seq"),
+                "n_docs",
+                "n_sources",
+                "sum_doc_id",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("snapshot_seq")
+
+
+@query(
+    "iceberg_snapshot_by_source",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 3 IN (1, 2)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_iceberg_snapshot_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Current-snapshot Iceberg read (r9): resolve via
+    version-hint.text → current-snapshot-id → manifest list, group by
+    source. Proves default-snapshot resolution takes the OVERWRITE
+    into account (same live set as snapshot 1002). Shares the
+    `iceberg_time_travel` fixture."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    path = _iceberg_fixture(spark, sf_dir)
+    return (
+        ib.read_iceberg(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
