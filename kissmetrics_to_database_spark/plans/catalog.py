@@ -1051,27 +1051,29 @@ _VERIFIED_R03 = [
 # when the fingerprint flood exceeds the 50-query window. Curated per
 # round alongside the round's functional commits.
 _REVERIFY_BEHAVIOR_CHANGED = [
-    # r8: queries whose own execution path changed this round (brand-new
+    # r9: queries whose own execution path changed this round (brand-new
     # queries are prioritized automatically and need no entry here).
-    "embedding_cosine_near_dups",  # r8: B×B grid sub-blocking rewrite
-    "minhash_lsh_near_dups",   # r8: shared verified-pair-set memo
-    "lsh_recall_eval",         # r8: consumes the shared pair set
-    "near_dup_clusters",       # r8: consumes the shared pair set
-    "ngram_jaccard_pairs",     # r8: consumes the shared pair set
-    "span_dedup",              # r8: shared removed-positions artifacts
-    "decontaminate_against_eval",  # r8: shared substring artifacts
-    "pq_encode",               # r8: train-once/serve-many codebooks
-    "pq_topk_adc",             # r8: shared codebooks
-    "ivfpq_topk",              # r8: cached residual codebooks
-    "bpe_encode_corpus",       # r8: serves from shared encode artifact
-    "hashed_ngram_classifier",  # r8: integer micro-unit readout
-    "identity_components",     # r8: CC local-path byte-budget guard
-    # r5 carryovers (harmless if unchanged — filtered by `modified`):
+    "edit_distance_pairs",     # r9: short-long boundary fix (ADVICE high)
+    "embedding_cosine_near_dups",  # r9: serves from shared ε-graph artifact
+    "dbscan_clusters",         # r9: consumes the shared ε-graph
+    "minhash_lsh_near_dups",   # r9: pair memo → persisted parquet artifact
+    "dup_cluster_representatives",  # r9: persisted pair artifact
+    "curated_corpus",          # r9: persisted pair artifact
+    "near_dup_clusters",       # r9: persisted pair artifact
+    "leakage_safe_split",      # r9: persisted pair artifact
+    "tombstone_cluster_scrub",  # r9: persisted pair artifact
+    "exact_substring_spans",   # r9: persisted removed-positions artifact
+    "exact_substring_rewrite",  # r9: persisted removed-positions artifact
+    "bpe_encode_corpus",       # r9: persisted encode artifact
+    "tokenizer_fertility_by_source",  # r9: persisted encode artifact + oracle compose
+    "video_frame_sample",      # r9: unified ffmpeg-gated decode path
+    "video_scene_cuts",        # r9: unified ffmpeg-gated decode path
+    # r8 carryovers (harmless if unchanged — filtered by `modified`):
+    "lsh_recall_eval",
+    "ngram_jaccard_pairs",
+    "span_dedup",
+    "decontaminate_against_eval",
     "semantic_dedup",
-    "multimodal_real_decode",
-    "multimodal_decode",
-    "multimodal_audio_stats",
-    "multimodal_byte_features",
 ]
 
 
