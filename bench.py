@@ -182,6 +182,8 @@ HEADLINE = [
     "iceberg_time_travel",
     "iceberg_snapshot_by_source",
     "k_anonymity_audit",
+    "hll_user_overlap",
+    "avro_scan_aggregate",
 ]
 
 

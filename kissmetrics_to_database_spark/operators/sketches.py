@@ -352,3 +352,80 @@ def histogram_quantiles(
     return first.select(
         group_col, "p", F.round(est, ndigits).alias("est")
     )
+
+
+def hll_pairwise_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-group audience overlap from MERGEABLE HLL state (r9):
+    for every unordered group pair, estimate the union cardinality by
+    max-merging the two register sets (the defining property of the
+    sketch — no raw values re-read) and the intersection by
+    inclusion-exclusion |A| + |B| - |A u B|.
+
+    This is the sketch operation a 100 TB pipeline actually runs:
+    per-group register state (m = 2^b rows each) is built ONCE from
+    one corpus scan; every pairwise union after that is G^2 * m-row
+    work on the skinny state table, never a second corpus pass. The
+    pair fan-out joins the G-row group list broadcast-side; registers
+    max-combine map-side.
+
+    Returns (group_a, group_b, hll_a, hll_b, hll_union, est_overlap),
+    group_a < group_b. Estimates round to ``ndigits`` with exact
+    register harmonic sums (engine-reproducible, see hll_distinct);
+    inclusion-exclusion on small overlaps can go <= 0 — reported as
+    computed, the honest sketch readout.
+    """
+    regs = hll_registers(df, group_col, value_col, b)
+    singles = hll_estimate(regs, group_col, b, ndigits)
+    groups = regs.select(group_col).distinct()
+    pairs = groups.select(F.col(group_col).alias("group_a")).join(
+        groups.select(F.col(group_col).alias("group_b")),
+        F.col("group_a") < F.col("group_b"),
+    )
+    merged = (
+        regs.join(
+            F.broadcast(pairs),
+            (F.col(group_col) == F.col("group_a"))
+            | (F.col(group_col) == F.col("group_b")),
+        )
+        .groupBy("group_a", "group_b", "register")
+        .agg(F.max("mrho").alias("mrho"))
+        .withColumn("_pair", F.concat_ws("|", "group_a", "group_b"))
+    )
+    union_est = hll_estimate(merged, "_pair", b, ndigits).select(
+        F.split("_pair", "\\|")[0].alias("group_a"),
+        F.split("_pair", "\\|")[1].alias("group_b"),
+        F.col("hll_n").alias("hll_union"),
+    )
+    return (
+        union_est.join(
+            singles.select(
+                F.col(group_col).alias("group_a"),
+                F.col("hll_n").alias("hll_a"),
+            ),
+            "group_a",
+        )
+        .join(
+            singles.select(
+                F.col(group_col).alias("group_b"),
+                F.col("hll_n").alias("hll_b"),
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            F.round(
+                F.col("hll_a") + F.col("hll_b") - F.col("hll_union"),
+                ndigits,
+            ).alias("est_overlap"),
+        )
+    )

@@ -8400,3 +8400,189 @@ def q_iceberg_snapshot_by_source(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "hll_user_overlap",
+    f"""
+    WITH vals AS (
+      SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sliced AS (
+      SELECT g, ({_sql_hexint('h', 1, 2)}) AS register,
+             ({_sql_hexint('h', 3, 6)}) AS rest
+      FROM vals
+    ),
+    regs AS (
+      SELECT g, register,
+             max(CASE WHEN rest = 0 THEN 25
+                      ELSE 25 - length(bin(rest)) END) AS mrho
+      FROM sliced GROUP BY 1, 2
+    ),
+    aggs AS (
+      SELECT g, sum(pow(2.0, -mrho)) + (256.0 - count(*)) AS z,
+             256 - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est1 AS (
+      SELECT g, round(CASE WHEN {_HLL_ALPHA_M2!r} / z <= 640.0 AND zeros > 0
+                   THEN 256.0 * ln(256.0 / zeros)
+                   ELSE {_HLL_ALPHA_M2!r} / z END, 6) AS hll_n
+      FROM aggs
+    ),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM (SELECT DISTINCT g FROM regs) a
+      JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+    ),
+    mregs AS (
+      SELECT p.group_a, p.group_b, r.register, max(r.mrho) AS mrho
+      FROM pairs p JOIN regs r ON r.g = p.group_a OR r.g = p.group_b
+      GROUP BY 1, 2, 3
+    ),
+    uagg AS (
+      SELECT group_a, group_b,
+             sum(pow(2.0, -mrho)) + (256.0 - count(*)) AS z,
+             256 - count(*) AS zeros
+      FROM mregs GROUP BY 1, 2
+    ),
+    uest AS (
+      SELECT group_a, group_b,
+             round(CASE WHEN {_HLL_ALPHA_M2!r} / z <= 640.0 AND zeros > 0
+                   THEN 256.0 * ln(256.0 / zeros)
+                   ELSE {_HLL_ALPHA_M2!r} / z END, 6) AS hll_union
+      FROM uagg
+    ),
+    du AS (
+      SELECT DISTINCT event_type AS g, user_id AS u
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ex AS (
+      SELECT x.g AS group_a, y.g AS group_b,
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM du x JOIN du y ON x.u = y.u AND x.g < y.g
+      GROUP BY 1, 2
+    )
+    SELECT u.group_a, u.group_b,
+           a.hll_n AS hll_a, b.hll_n AS hll_b, u.hll_union,
+           round(a.hll_n + b.hll_n - u.hll_union, 6) AS est_overlap,
+           CAST(coalesce(e.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM uest u
+    JOIN est1 a ON a.g = u.group_a
+    JOIN est1 b ON b.g = u.group_b
+    LEFT JOIN ex e ON e.group_a = u.group_a AND e.group_b = u.group_b
+    ORDER BY u.group_a, u.group_b
+    """,
+)
+def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimation from MERGEABLE HLL state
+    (r9): per unordered event-type pair, union cardinality by
+    register max-merge and intersection by inclusion-exclusion,
+    beside the exact overlap. The sketch answer comes entirely from
+    the per-group register table (one corpus scan, 256 rows/group);
+    at 100 TB every pairwise union is skinny-state work — the whole
+    point of mergeable sketches. See sketches.hll_pairwise_overlap.
+    (Group keys contain no '|', the pair-key separator.)"""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    ov = sketches.hll_pairwise_overlap(ev, "event_type", "user_id", b=8)
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    exact = (
+        du.select(F.col("event_type").alias("group_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("group_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    return (
+        ov.join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a", "group_b", "hll_a", "hll_b", "hll_union",
+            "est_overlap",
+            F.coalesce("exact_overlap", F.lit(0))
+            .cast("long")
+            .alias("exact_overlap"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+_AVRO_FIX: dict = {}
+
+
+def _avro_fixture(spark, sf_dir: str) -> str:
+    """Write the documents table (doc_id, source, lang) as 8 REAL
+    Avro container shards (functions/avroc.py, codec null) once per
+    session — the interchange-format ingest fixture."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AVRO_FIX:
+        import os
+        import tempfile
+
+        from kissmetrics_to_database_spark.functions import avroc
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        schema = {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "source", "type": ["null", "string"]},
+                {"name": "lang", "type": ["null", "string"]},
+            ],
+        }
+        path = tempfile.mkdtemp(prefix="kmdb_avro_")
+        for shard in range(8):
+            sub = pdf[pdf.doc_id % 8 == shard]
+            recs = sub.to_dict("records")
+            with open(
+                os.path.join(path, f"part-{shard:05d}.avro"), "wb"
+            ) as f:
+                f.write(avroc.write_container(schema, recs))
+        _AVRO_FIX[key] = path
+    return _AVRO_FIX[key]
+
+
+@query(
+    "avro_scan_aggregate",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_avro_scan_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro DATA-file ingest (r9): the documents table round-trips
+    through 8 real Avro object containers (from-spec codec) and a
+    distributed binaryFile + Arrow-kernel scan with driver-side
+    header schema inference (`sources/avro_files.read_avro_files` —
+    the WARC shape: one linear decode per shard, embarrassingly
+    parallel). The oracle aggregates the base table directly, so any
+    encode/decode/inference bug breaks the hash."""
+    from kissmetrics_to_database_spark.sources import avro_files
+
+    path = _avro_fixture(spark, sf_dir)
+    df = avro_files.read_avro_files(spark, path)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
