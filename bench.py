@@ -184,6 +184,10 @@ HEADLINE = [
     "k_anonymity_audit",
     "hll_user_overlap",
     "avro_scan_aggregate",
+    "record_linkage_pairs",
+    "linkage_em_params",
+    "linkage_blocking_recall",
+    "dp_noisy_counts",
 ]
 
 
@@ -430,6 +434,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
+        print(f"bench: {name}", file=sys.stderr, flush=True)
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -128,6 +128,44 @@ def _blocked_pairs(
     )
 
 
+def candidate_pairs(fields: DataFrame, max_block: int) -> DataFrame:
+    """The production candidate set: union of the three blocking
+    rules, pair-deduped, each max_block-guarded.
+
+      B1: equal non-empty 3-token head            — content-keyed;
+      B2: equal (lang, length band, first token)  — structure keyed,
+          salted with a content token, catches same-entity records
+          whose head drifted after the first word;
+      B3: equal (lang, source, length band)       — provenance keyed,
+          catches records whose text drifted from the first word on
+          (B3 pairs carry the source-agreement evidence, the highest
+          per-field weight, so they are precisely the high-weight
+          pairs B1/B2 would miss — found by linkage_blocking_recall).
+    """
+    b1 = _blocked_pairs(
+        fields.where(F.col("head") != ""), ["head"], max_block
+    )
+    b2 = _blocked_pairs(fields, ["lang", "band", "tok1"], max_block)
+    b3 = _blocked_pairs(fields, ["lang", "source", "band"], max_block)
+    return b1.unionByName(b2).unionByName(b3).distinct()
+
+
+def _fs_weight():
+    """(agreement columns, match-weight column) over a frame carrying
+    {field}_a / {field}_b pair fields and the broadcast u_{field}
+    columns — the one scoring expression every consumer shares."""
+    weight = F.lit(0.0)
+    agrees = {}
+    for f, m in M_PROBS.items():
+        agree = F.col(f"{f}_a") == F.col(f"{f}_b")
+        agrees[f] = agree
+        u = F.col(f"u_{f}")
+        weight = weight + F.when(agree, F.log2(F.lit(m) / u)).otherwise(
+            F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u))
+        )
+    return agrees, weight
+
+
 def record_linkage_pairs(
     docs: DataFrame,
     threshold: float = 6.0,
@@ -136,22 +174,15 @@ def record_linkage_pairs(
     """Linked record pairs with their agreement vector and
     Fellegi-Sunter match weight.
 
-    Blocking rules (union, pair-deduped, each max_block-guarded):
-      B1: equal non-empty 3-token head            — content-keyed;
-      B2: equal (lang, length band, first token)  — structure keyed,
-          salted with a content token, catches same-entity records
-          whose head drifted after the first word.
+    Candidates come from :func:`candidate_pairs` (three
+    max_block-guarded blocking rules, unioned and pair-deduped).
 
     Returns (doc_a, doc_b, agree_lang, agree_source, agree_band,
     agree_head, match_weight) for pairs with weight >= threshold,
     doc_a < doc_b.
     """
     fields = field_table(docs)
-    b1 = _blocked_pairs(
-        fields.where(F.col("head") != ""), ["head"], max_block
-    )
-    b2 = _blocked_pairs(fields, ["lang", "band", "tok1"], max_block)
-    pair_ids = b1.unionByName(b2).distinct()
+    pair_ids = candidate_pairs(fields, max_block)
     cand = pair_ids.join(
         fields.select(
             F.col("doc_id").alias("doc_a"),
@@ -166,15 +197,7 @@ def record_linkage_pairs(
         "doc_b",
     )
     scored = cand.crossJoin(F.broadcast(u_probabilities(fields)))
-    weight = F.lit(0.0)
-    agrees = {}
-    for f, m in M_PROBS.items():
-        agree = F.col(f"{f}_a") == F.col(f"{f}_b")
-        agrees[f] = agree
-        u = F.col(f"u_{f}")
-        weight = weight + F.when(agree, F.log2(F.lit(m) / u)).otherwise(
-            F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u))
-        )
+    agrees, weight = _fs_weight()
     return scored.select(
         "doc_a",
         "doc_b",
@@ -184,3 +207,229 @@ def record_linkage_pairs(
         agrees["head"].alias("agree_head"),
         F.round(weight, 6).alias("match_weight"),
     ).where(F.col("match_weight") >= threshold)
+
+
+# --- EM parameter estimation (Winkler 1988) -------------------------
+
+EM_INIT = {"lam": 0.1, "m": 0.9, "u": 0.1}
+EM_ROUND = 9  # round every estimate each step: hash-exact replay
+
+
+def agreement_patterns(docs: DataFrame, max_block: int = MAX_BLOCK):
+    """Contingency table over the blocked candidate pairs: one row
+    per agreement pattern (g_lang, g_source, g_band, g_head) with its
+    pair count. At most 2^4 = 16 rows regardless of corpus size —
+    the whole sufficient statistic of the FS mixture model."""
+    fields = field_table(docs)
+    pair_ids = candidate_pairs(fields, max_block)
+    cand = pair_ids.join(
+        fields.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f).alias(f"{f}_a") for f in _FIELDS],
+        ),
+        "doc_a",
+    ).join(
+        fields.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f).alias(f"{f}_b") for f in _FIELDS],
+        ),
+        "doc_b",
+    )
+    return cand.groupBy(
+        *[
+            (F.col(f"{f}_a") == F.col(f"{f}_b"))
+            .cast("int")
+            .alias(f"g_{f}")
+            for f in _FIELDS
+        ]
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
+def _round_away(x: float, digits: int) -> float:
+    """Round half AWAY from zero on the binary value — DuckDB's
+    round(double) formula (the multimodal._round6 convention; Python's
+    built-in round() is half-to-even and diverges on boundaries)."""
+    import math
+
+    s = 10.0**digits
+    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+
+_NANO = 10**9
+_CLAMP_LO = 1e-9
+_CLAMP_HI = 1.0 - 1e-9
+
+
+def _clamp01(x: float) -> float:
+    """Clamp an estimated probability away from exact 0/1 (the Splink
+    treatment): a field that agrees — or disagrees — in EVERY
+    candidate pattern would otherwise drive an m or u to a hard
+    boundary and the implied log2 weight to +/-inf. Clamped, such a
+    field reads out m ~= u ~= 1 (or ~= 0) and carries ~zero evidence,
+    which is the truthful statement."""
+    return min(max(x, _CLAMP_LO), _CLAMP_HI)
+
+
+def em_estimate(
+    patterns: list,
+    iters: int = 5,
+) -> tuple[float, dict[str, float], dict[str, float]]:
+    """Winkler EM over the (pattern, count) contingency rows: the
+    two-class conditional-independence mixture whose M-step closed
+    forms are the FS m/u definitions.
+
+    Hash-exact replay discipline (the classifier-calibration lesson):
+    each pattern's posterior is snapped to integer NANO-UNITS
+    (floor(w*1e9 + 0.5)), all accumulation is exact integer
+    arithmetic — order-independent by construction — and every
+    lambda/m/u estimate re-enters the next iteration rounded to
+    EM_ROUND digits via the half-away-from-zero formula DuckDB's
+    round() uses, so the unrolled-SQL oracle replays identical
+    doubles. Product order inside the posterior is the _FIELDS tuple
+    order, left-associated, mirrored literally in the oracle SQL
+    (FP multiplication is order-sensitive).
+
+    Driver-side BY DESIGN: the sufficient statistic is <= 16 rows no
+    matter the corpus, so iterating here costs nothing and keeps the
+    distributed plan a single groupBy."""
+    import math
+
+    lam = EM_INIT["lam"]
+    m = {f: EM_INIT["m"] for f in _FIELDS}
+    u = {f: EM_INIT["u"] for f in _FIELDS}
+    rows = [
+        ({f: r[f"g_{f}"] for f in _FIELDS}, int(r["n_pairs"]))
+        for r in patterns
+    ]
+    total_nano = sum(n for _, n in rows) * _NANO
+    for _ in range(iters):
+        num_m = {f: 0 for f in _FIELDS}
+        num_u = {f: 0 for f in _FIELDS}
+        w_sum = 0
+        for g, n in rows:
+            pm = lam
+            pu = 1.0 - lam
+            for f in _FIELDS:
+                pm *= m[f] if g[f] else 1.0 - m[f]
+                pu *= u[f] if g[f] else 1.0 - u[f]
+            wn = int(math.floor(pm / (pm + pu) * _NANO + 0.5))
+            w_sum += n * wn
+            for f in _FIELDS:
+                if g[f]:
+                    num_m[f] += n * wn
+                    num_u[f] += n * (_NANO - wn)
+        lam = _clamp01(_round_away(w_sum / total_nano, EM_ROUND))
+        m = {
+            f: _clamp01(_round_away(num_m[f] / w_sum, EM_ROUND))
+            for f in _FIELDS
+        }
+        u = {
+            f: _clamp01(
+                _round_away(num_u[f] / (total_nano - w_sum), EM_ROUND)
+            )
+            for f in _FIELDS
+        }
+    return lam, m, u
+
+
+def em_params_table(docs: DataFrame, iters: int = 5) -> DataFrame:
+    """UNSUPERVISED m/u estimation — the Splink 'training' step: run
+    Winkler EM on the agreement-pattern contingency and read out, per
+    field, the estimated m, u and the implied log2 evidence weights.
+    Returns (field, m_est, u_est, w_agree, w_disagree, lambda_est)
+    rounded to 6 dp (half-away — the DuckDB convention), ordered by
+    field name."""
+    import math
+
+    spark = docs.sparkSession
+    patterns = agreement_patterns(docs).collect()
+    lam, m, u = em_estimate(patterns, iters=iters)
+    out = [
+        (
+            f,
+            _round_away(m[f], 6),
+            _round_away(u[f], 6),
+            _round_away(math.log2(m[f] / u[f]), 6),
+            _round_away(math.log2((1.0 - m[f]) / (1.0 - u[f])), 6),
+            _round_away(lam, 6),
+        )
+        for f in sorted(_FIELDS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, m_est double, u_est double, w_agree double, "
+        "w_disagree double, lambda_est double",
+    )
+
+
+def blocking_recall_eval(
+    docs: DataFrame,
+    eval_max_id: int = 300,
+    thresholds: tuple[float, ...] = (4.0, 6.0, 8.0),
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """Blocking-quality eval (the linkage counterpart of
+    lsh_recall_eval / ann_recall_at_k): of all record pairs in a
+    CONSTANT-SIZE eval slice (doc_id < eval_max_id) whose exact FS
+    match weight clears each threshold, what fraction does the
+    production blocked candidate path (union of max_block-guarded
+    rules, computed over the FULL corpus) actually see?
+
+    What it measures, honestly: both blocking misses (no rule keyed
+    the pair together) AND guard misses (the pair's block exceeded
+    max_block and was excluded). Ground truth is an all-pairs scored
+    join WITHIN THE SLICE ONLY — an eval to run on a sample at
+    scale, never the corpus (same contract as lsh_recall_eval);
+    slice pairs score with the CORPUS u-probabilities, i.e. the
+    exact weights the production query would assign.
+
+    Returns (threshold, n_true, n_caught, recall) ordered by
+    threshold; recall is NULL where the slice holds no true pair.
+    """
+    spark = docs.sparkSession
+    fields = field_table(docs)
+    sl = fields.where(F.col("doc_id") < eval_max_id)
+    fa = sl.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f).alias(f"{f}_a") for f in _FIELDS],
+    )
+    fb = sl.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f).alias(f"{f}_b") for f in _FIELDS],
+    )
+    _, weight = _fs_weight()
+    truth = (
+        fa.join(F.broadcast(fb), F.col("doc_a") < F.col("doc_b"))
+        .crossJoin(F.broadcast(u_probabilities(fields)))
+        .select("doc_a", "doc_b", F.round(weight, 6).alias("w"))
+    )
+    cand = candidate_pairs(fields, max_block).withColumn(
+        "caught", F.lit(True)
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "w", F.coalesce("caught", F.lit(False)).alias("caught")
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    n_caught = F.coalesce(
+        F.sum(F.when(F.col("caught"), 1)), F.lit(0)
+    ).cast("long")
+    n_true = F.count(F.col("w")).cast("long")
+    return (
+        th.join(F.broadcast(hit), F.col("w") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            n_true.alias("n_true"),
+            n_caught.alias("n_caught"),
+            F.when(
+                F.count(F.col("w")) > 0,
+                F.round(
+                    F.coalesce(F.sum(F.when(F.col("caught"), 1)), F.lit(0))
+                    / F.count(F.col("w")).cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

@@ -8608,9 +8608,11 @@ def _fs_case(field: str, m: float) -> str:
     )
 
 
-@query(
-    "record_linkage_pairs",
-    f"""
+# Shared candidate-generation CTE prefix (fields → guarded blocking
+# keep-lists → unioned pair set): both linkage oracles compose from
+# this one string (ADVICE r8: compose from parts, never pattern-match
+# rendered SQL).
+_FS_CAND_SQL = f"""
     WITH fields AS (
       SELECT doc_id, lang, source,
              CAST(floor(n_chars / {float(_lk.BAND_CHARS)!r}) AS BIGINT) AS band,
@@ -8623,6 +8625,8 @@ def _fs_case(field: str, m: float) -> str:
             GROUP BY head HAVING count(*) <= {_lk.MAX_BLOCK}),
     b2k AS (SELECT lang, band, tok1 FROM fields
             GROUP BY lang, band, tok1 HAVING count(*) <= {_lk.MAX_BLOCK}),
+    b3k AS (SELECT lang, source, band FROM fields
+            GROUP BY lang, source, band HAVING count(*) <= {_lk.MAX_BLOCK}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM fields a JOIN b1k ON a.head = b1k.k
@@ -8634,7 +8638,19 @@ def _fs_case(field: str, m: float) -> str:
                    AND a.tok1 = b2k.tok1
            JOIN fields b ON b.lang = b2k.lang AND b.band = b2k.band
                    AND b.tok1 = b2k.tok1 AND a.doc_id < b.doc_id
-    ),
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM fields a
+           JOIN b3k ON a.lang = b3k.lang AND a.source = b3k.source
+                   AND a.band = b3k.band
+           JOIN fields b ON b.lang = b3k.lang AND b.source = b3k.source
+                   AND b.band = b3k.band AND a.doc_id < b.doc_id
+    )"""
+
+
+# Shared u-probability CTE (chance agreement per field, rounded 9dp
+# before any log2 — one aggregate per field over the full corpus).
+_FS_U_SQL = """
     u AS (
       SELECT
         (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
@@ -8645,7 +8661,15 @@ def _fs_case(field: str, m: float) -> str:
           (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY band)) AS u_band,
         (SELECT round(sum(n*n)/(sum(n)*sum(n)), 9) FROM
           (SELECT CAST(count(*) AS DOUBLE) n FROM fields GROUP BY head)) AS u_head
-    ),
+    ),"""
+
+
+@query(
+    "record_linkage_pairs",
+    _FS_CAND_SQL
+    + ","
+    + _FS_U_SQL
+    + f"""
     scored AS (
       SELECT p.doc_a, p.doc_b,
              fa.lang = fb.lang AS agree_lang,
@@ -8665,9 +8689,10 @@ def _fs_case(field: str, m: float) -> str:
 )
 def q_record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage (r9) over the
-    documents table: blocked candidates (3-token head; lang x length
-    band x first token — every rule max_block-guarded so a fixed-
-    cardinality key can never go quadratic), frequency-estimated
+    documents table: blocked candidates from linkage.candidate_pairs
+    (3-token head; lang x band x first token; lang x source x band —
+    every rule max_block-guarded so a fixed-cardinality key can
+    never go quadratic), frequency-estimated
     chance-agreement u-probabilities, per-field log2(m/u) evidence
     weights, pairs linked at weight >= 6. The softer entity question
     the byte/token dedup family can't ask — the Splink workload
@@ -8722,3 +8747,176 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         epsilon=0.5,
     ).orderBy("event_type", "day")
+
+
+def _fs_em_oracle(iters: int = 5) -> str:
+    """Unrolled-SQL replay of linkage.em_estimate: contingency table
+    from the shared candidate prefix, then ``iters`` EM iterations as
+    1-row parameter CTEs. Every posterior snaps to integer nano-units
+    (exact, order-independent sums) and every parameter re-enters the
+    next iteration through round(x, 9) — the identical arithmetic the
+    driver-side trainer performs, so the readout hash-matches."""
+    flds = _lk._FIELDS
+    init = _lk.EM_INIT
+    sql = [
+        _FS_CAND_SQL,
+        """,
+    cand AS (
+      SELECT """
+        + ",\n             ".join(
+            f"CAST(fa.{f} = fb.{f} AS INTEGER) AS g_{f}" for f in flds
+        )
+        + """
+      FROM pairs p JOIN fields fa ON fa.doc_id = p.doc_a
+                   JOIN fields fb ON fb.doc_id = p.doc_b
+    ),
+    pat AS (
+      SELECT g_lang, g_source, g_band, g_head,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cand GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT sum(n_pairs) * 1000000000 AS total_nano FROM pat),
+    p0 AS (SELECT """
+        + f"{init['lam']!r} AS lam, "
+        + ", ".join(
+            f"{init['m']!r} AS m_{f}, {init['u']!r} AS u_{f}" for f in flds
+        )
+        + ")",
+    ]
+    for k in range(1, iters + 1):
+        pm = f"p{k - 1}.lam"
+        pu = f"(1.0 - p{k - 1}.lam)"
+        for f in flds:
+            pm += (
+                f" * (CASE WHEN g_{f} = 1 THEN p{k - 1}.m_{f}"
+                f" ELSE 1.0 - p{k - 1}.m_{f} END)"
+            )
+            pu += (
+                f" * (CASE WHEN g_{f} = 1 THEN p{k - 1}.u_{f}"
+                f" ELSE 1.0 - p{k - 1}.u_{f} END)"
+            )
+        # every estimate is round(9)-then-CLAMPED away from 0/1
+        # (linkage._clamp01 — degenerate fields read as no-evidence
+        # instead of infinite weights)
+        lo, hi = repr(_lk._CLAMP_LO), repr(_lk._CLAMP_HI)
+        readout = [
+            f"least(greatest(round(CAST(sum(n_pairs * wn) AS DOUBLE)"
+            f" / CAST((SELECT total_nano FROM tot) AS DOUBLE), 9),"
+            f" {lo}), {hi}) AS lam"
+        ]
+        for f in flds:
+            readout.append(
+                f"least(greatest("
+                f"round(CAST(sum(CASE WHEN g_{f} = 1 THEN n_pairs * wn"
+                f" ELSE 0 END) AS DOUBLE)"
+                f" / CAST(sum(n_pairs * wn) AS DOUBLE), 9),"
+                f" {lo}), {hi}) AS m_{f}"
+            )
+            readout.append(
+                f"least(greatest("
+                f"round(CAST(sum(CASE WHEN g_{f} = 1 THEN"
+                f" n_pairs * (1000000000 - wn) ELSE 0 END) AS DOUBLE)"
+                f" / CAST((SELECT total_nano FROM tot)"
+                f" - sum(n_pairs * wn) AS DOUBLE), 9),"
+                f" {lo}), {hi}) AS u_{f}"
+            )
+        sql.append(
+            f""",
+    w{k} AS (
+      SELECT g_lang, g_source, g_band, g_head, n_pairs,
+             CAST(floor(pm / (pm + pu) * 1000000000.0 + 0.5) AS BIGINT)
+               AS wn
+      FROM (SELECT pat.*, {pm} AS pm, {pu} AS pu FROM pat, p{k - 1})
+    ),
+    p{k} AS (
+      SELECT """
+            + ",\n             ".join(readout)
+            + f"""
+      FROM w{k}
+    )"""
+        )
+    finals = []
+    for f in flds:
+        finals.append(
+            f"""
+    SELECT '{f}' AS field, round(m_{f}, 6) AS m_est,
+           round(u_{f}, 6) AS u_est,
+           round(log2(m_{f} / u_{f}), 6) AS w_agree,
+           round(log2((1.0 - m_{f}) / (1.0 - u_{f})), 6) AS w_disagree,
+           round(lam, 6) AS lambda_est
+    FROM p{iters}"""
+        )
+    sql.append("\n    UNION ALL".join(finals) + "\n    ORDER BY field")
+    return "".join(sql)
+
+
+@query("linkage_em_params", _fs_em_oracle(5))
+def q_linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter training (r9, Winkler
+    1988 EM — Splink's 'estimate_parameters' step): the two-class
+    conditional-independence mixture fit on the blocked candidate
+    pairs' agreement-pattern contingency (<= 16 rows regardless of
+    corpus size — ONE distributed groupBy, then driver-side
+    iteration over the bounded sufficient statistic). Readout: per
+    field, estimated m/u and the implied log2 evidence weights, plus
+    the match-class prior lambda. Integer nano-unit accumulation and
+    per-step round(9) make the 5-iteration unrolled-SQL oracle replay
+    hash-exact; estimates clamp away from exact 0/1 (degenerate
+    fields read as no-evidence, never infinite weights). Methodology
+    caveat, stated: candidates come from the BLOCKED pair set, so u
+    for a field every rule conditions on is estimated among
+    structurally-similar pairs (inflated vs random pairs) — the
+    measured sf0.01 run shows exactly that (u_band 0.95 among
+    band-blocked candidates vs u_source 0.03, whose agreement still
+    carries ~4.8 bits). Splink's random-sample u-training is the
+    complement when unblocked u is wanted.
+    See operators/linkage.em_estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lk.em_params_table(docs, iters=5)
+
+
+@query(
+    "linkage_blocking_recall",
+    _FS_CAND_SQL
+    + ","
+    + _FS_U_SQL
+    + f"""
+    truth AS (
+      SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+             round({_fs_case('lang', _lk.M_PROBS['lang'])}
+                 + {_fs_case('source', _lk.M_PROBS['source'])}
+                 + {_fs_case('band', _lk.M_PROBS['band'])}
+                 + {_fs_case('head', _lk.M_PROBS['head'])}, 6) AS w
+      FROM fields fa JOIN fields fb
+        ON fa.doc_id < fb.doc_id AND fa.doc_id < 300 AND fb.doc_id < 300, u
+    ),
+    hit AS (
+      SELECT tr.w, p.doc_a IS NOT NULL AS caught
+      FROM truth tr LEFT JOIN pairs p
+        ON p.doc_a = tr.doc_a AND p.doc_b = tr.doc_b
+    ),
+    th AS (SELECT unnest([CAST(4.0 AS DOUBLE), CAST(6.0 AS DOUBLE),
+                          CAST(8.0 AS DOUBLE)]) AS threshold)
+    SELECT th.threshold,
+           CAST(count(h.w) AS BIGINT) AS n_true,
+           CAST(coalesce(sum(CASE WHEN h.caught THEN 1 END), 0) AS BIGINT)
+             AS n_caught,
+           CASE WHEN count(h.w) = 0 THEN NULL
+                ELSE round(coalesce(sum(CASE WHEN h.caught THEN 1 END), 0)
+                           / CAST(count(h.w) AS DOUBLE), 6) END AS recall
+    FROM th LEFT JOIN hit h ON h.w >= th.threshold
+    GROUP BY th.threshold ORDER BY th.threshold
+    """,
+)
+def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality eval for the linkage path (r9 — the linkage
+    counterpart of lsh_recall_eval): recall of the production
+    max_block-guarded blocked candidate set against EXACT all-pairs
+    FS scoring on a constant-size eval slice (doc_id < 300, corpus
+    u-probabilities). Measures both rule misses and guard misses —
+    the number that says whether the blocking rules/guard are safe
+    to ship at the operating threshold. Ground truth is slice-bounded
+    by design (an eval, never a corpus operator).
+    See operators/linkage.blocking_recall_eval."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lk.blocking_recall_eval(docs, eval_max_id=300)

@@ -112,3 +112,119 @@ def test_linkage_empty_head_never_blocks_on_b1(spark):
     df = _docs(spark, rows)
     out = linkage.record_linkage_pairs(df, threshold=-100.0).collect()
     assert out == []  # different langs -> no B2 block either
+
+
+def test_em_estimate_matches_plain_float_em_and_is_order_free():
+    # independent plain-float EM (no nano-units) as ground truth;
+    # the nano-unit + round(9) pipeline must agree to ~1e-6
+    patterns = [
+        {"g_lang": 1, "g_source": 1, "g_band": 1, "g_head": 1,
+         "n_pairs": 20},
+        {"g_lang": 1, "g_source": 0, "g_band": 1, "g_head": 0,
+         "n_pairs": 300},
+        {"g_lang": 0, "g_source": 0, "g_band": 1, "g_head": 0,
+         "n_pairs": 80},
+        {"g_lang": 1, "g_source": 1, "g_band": 0, "g_head": 1,
+         "n_pairs": 5},
+    ]
+    lam, m, u = linkage.em_estimate(patterns, iters=5)
+
+    flds = linkage._FIELDS
+    lam2, m2, u2 = 0.1, {f: 0.9 for f in flds}, {f: 0.1 for f in flds}
+    rows = [({f: p[f"g_{f}"] for f in flds}, p["n_pairs"])
+            for p in patterns]
+    total = sum(n for _, n in rows)
+    for _ in range(5):
+        nm = {f: 0.0 for f in flds}
+        nu = {f: 0.0 for f in flds}
+        ws = 0.0
+        for g, n in rows:
+            pm, pu = lam2, 1.0 - lam2
+            for f in flds:
+                pm *= m2[f] if g[f] else 1.0 - m2[f]
+                pu *= u2[f] if g[f] else 1.0 - u2[f]
+            w = pm / (pm + pu)
+            ws += n * w
+            for f in flds:
+                if g[f]:
+                    nm[f] += n * w
+                    nu[f] += n * (1.0 - w)
+        lam2 = ws / total
+        m2 = {f: nm[f] / ws for f in flds}
+        u2 = {f: nu[f] / (total - ws) for f in flds}
+    assert abs(lam - lam2) < 1e-6
+    for f in flds:
+        assert abs(m[f] - m2[f]) < 1e-6 and abs(u[f] - u2[f]) < 1e-6
+    # sanity: lambda grew toward the strong-agreement mass share
+    assert 0.0 < lam < 1.0
+
+    # order independence: reversed + rotated pattern lists give
+    # BIT-identical estimates (integer accumulation)
+    for perm in (list(reversed(patterns)), patterns[2:] + patterns[:2]):
+        assert linkage.em_estimate(perm, iters=5) == (lam, m, u)
+
+
+def test_em_params_table_serves_from_contingency(spark):
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web"),
+        (1, "alpha beta gamma delta", "en", "web"),
+        (2, "alpha xi yy zz qq ww e", "en", "api"),
+        (3, "alpha zz ww qq yy xi e", "en", "web"),
+        (4, "omega psi chi phi upsilon tau", "fr", "mail"),
+    ]
+    df = _docs(spark, rows)
+    out = {r["field"]: r for r in linkage.em_params_table(df).collect()}
+    assert set(out) == set(linkage._FIELDS)
+    pats = linkage.agreement_patterns(df).collect()
+    lam, m, u = linkage.em_estimate(pats, iters=5)
+    for f in linkage._FIELDS:
+        assert out[f]["m_est"] == linkage._round_away(m[f], 6)
+        assert out[f]["u_est"] == linkage._round_away(u[f], 6)
+        assert out[f]["lambda_est"] == linkage._round_away(lam, 6)
+
+
+def test_blocking_recall_catches_source_band_pairs(spark):
+    # two docs agreeing on (lang, source, band) but not head/tok1 —
+    # the B3-rule pair class the recall eval originally exposed
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web"),
+        (1, "zeta eta theta iotaaa2", "en", "web"),     # same len -> same band
+        (2, "omega psi chi phi upsilon tau", "fr", "mail"),
+        (3, "kappa mu nu xi pi rho sigma t", "de", "api"),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["threshold"]: r
+        for r in linkage.blocking_recall_eval(
+            df, eval_max_id=10, thresholds=(-100.0,)
+        ).collect()
+    }
+    r = out[-100.0]
+    # ground truth = all 6 pairs; candidates must include (0,1) via B3
+    assert r["n_true"] == 6
+    cand = {
+        (x["doc_a"], x["doc_b"])
+        for x in linkage.candidate_pairs(
+            linkage.field_table(df), linkage.MAX_BLOCK
+        ).collect()
+    }
+    assert (0, 1) in cand
+    assert r["n_caught"] == len(cand)
+    assert r["recall"] == linkage._round_away(len(cand) / 6.0, 6)
+
+
+def test_blocking_recall_null_recall_on_empty_threshold(spark):
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web"),
+        (1, "omega psi chi phi upsilon", "fr", "mail"),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["threshold"]: r
+        for r in linkage.blocking_recall_eval(
+            df, eval_max_id=10, thresholds=(1000.0,)
+        ).collect()
+    }
+    r = out[1000.0]
+    assert r["n_true"] == 0 and r["n_caught"] == 0
+    assert r["recall"] is None

@@ -616,6 +616,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["Join", "CartesianProduct"],
     ),
+    # blocking-recall eval: the slice-bounded exact ground truth is
+    # the declared broadcast non-equi join; candidates stay blocked
+    # equi-joins — no unbroadcast product anywhere
+    "linkage_blocking_recall": (
+        ["BroadcastNestedLoopJoin", "hashpartitioning"],
+        ["CartesianProduct"],
+    ),
 }
 
 
@@ -812,6 +819,13 @@ def main() -> int:
         docs = load_table(spark, args.sf, "documents")
         return dedup._removed_positions(docs, "doc_id", "text", 5)
 
+    def _linkage_contingency_plan():
+        from kissmetrics_to_database_spark.operators import linkage
+        from kissmetrics_to_database_spark.session import load_table
+
+        docs = load_table(spark, args.sf, "documents")
+        return linkage.agreement_patterns(docs)
+
     operator_checks = {
         # cosine ε-graph build: (cell, i, j)-keyed COGROUP feeds the
         # tiled-BLAS pair kernel — rows shuffle, pairs never do; the
@@ -856,6 +870,15 @@ def main() -> int:
         "op:ivf_layout_prune": (
             _ivf_layout_plan,
             ["PartitionFilters: [cell#", " IN (0,1)]"],
+            ["CartesianProduct"],
+        ),
+        # EM sufficient statistic: the DISTRIBUTED half of the
+        # linkage trainer — blocked candidate equi-joins feeding one
+        # 16-row-output contingency groupBy; never all-pairs (the
+        # driver-side EM iterates over the collected 16 rows)
+        "op:linkage_contingency": (
+            _linkage_contingency_plan,
+            ["hashpartitioning"],
             ["CartesianProduct"],
         ),
     }
