@@ -188,6 +188,8 @@ HEADLINE = [
     "linkage_em_params",
     "linkage_blocking_recall",
     "dp_noisy_counts",
+    "retention_cohorts",
+    "attribution_linear",
 ]
 
 

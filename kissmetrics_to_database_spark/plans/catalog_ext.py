@@ -8920,3 +8920,197 @@ def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/linkage.blocking_recall_eval."""
     docs = load_table(spark, sf_dir, "documents")
     return _lk.blocking_recall_eval(docs, eval_max_id=300)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the two product-analytics readouts every Kissmetrics-class
+# deployment runs on its events warehouse — weekly retention cohorts
+# and multi-touch attribution. Reference anchor: the events table the
+# reference ETLs exists to feed exactly these queries downstream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cw
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT f.cw, CAST(date_diff('day', f.cw, a.aw) / 7 AS INTEGER)
+               AS week_k,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_k,
+           c.n_active, s.cohort_size,
+           round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+             AS retention
+    FROM cells c JOIN sizes s USING (cw)
+    ORDER BY cohort_week, week_k
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (r9): users cohorted by the
+    ISO week of their FIRST event; each cell is how many of them were
+    active k weeks later, with the rate against cohort size — the
+    canonical product-analytics readout over the reference's events
+    warehouse. Distributed shape: one user-keyed min aggregate, one
+    distinct (user, week) projection, one user-keyed equi-join, then
+    a (cohort, k) groupBy — all map-side combinable; the cohort-size
+    join input is calendar-scale (one row per week). No window over
+    an unbounded input anywhere."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    sizes = firsts.groupBy("cw").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_k",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@query(
+    "attribution_linear",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+    ),
+    joined AS (
+      SELECT p.event_id, p.value, t.t_id, t.t_type
+      FROM purchases p LEFT JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.ts
+       AND t.t_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    per_p AS (
+      SELECT event_id, CAST(any_value(value) AS DOUBLE) AS value,
+             CAST(count(t_id) AS BIGINT) AS n_t
+      FROM joined GROUP BY event_id
+    ),
+    per_pt AS (
+      SELECT event_id, t_type, CAST(count(*) AS BIGINT) AS n_tt
+      FROM joined WHERE t_id IS NOT NULL GROUP BY 1, 2
+    ),
+    credited AS (
+      SELECT pt.t_type AS touch_type,
+             sum(p.value * pt.n_tt / p.n_t) AS credit,
+             CAST(sum(pt.n_tt) AS BIGINT) AS n_touches
+      FROM per_pt pt JOIN per_p p USING (event_id)
+      GROUP BY pt.t_type
+    ),
+    direct AS (
+      SELECT 'direct' AS touch_type,
+             coalesce(sum(value), 0.0) AS credit,
+             CAST(0 AS BIGINT) AS n_touches
+      FROM per_p WHERE n_t = 0
+    )
+    SELECT touch_type, round(credit, 2) AS credit, n_touches
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+    ORDER BY touch_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (r9): every purchase's value is
+    split equally across the user's click/view touches in the
+    preceding 7 days; purchases with no prior touch credit 'direct'.
+    The other half of the Kissmetrics-class analytics pair (with
+    retention_cohorts). Distributed shape: the touch join is a
+    user-keyed EQUI-join with the time window as a residual predicate
+    (per-user event counts bound the fan-out — the interval-join
+    contract); credit normalization is two skinny purchase-keyed
+    aggregates; the readout is one touch-type groupBy. Credit sums
+    are doubles rounded at 2 (the money-aggregate convention)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (touches["user_id"] == purchases["user_id"])
+        & (F.col("t_ts") < purchases["ts"])
+        & (F.col("t_ts") >= purchases["ts"] - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).select("event_id", "value", "t_id", "t_type")
+    per_p = joined.groupBy("event_id").agg(
+        F.any_value("value").cast("double").alias("value"),
+        F.count("t_id").cast("long").alias("n_t"),
+    )
+    per_pt = (
+        joined.where(F.col("t_id").isNotNull())
+        .groupBy("event_id", "t_type")
+        .agg(F.count("*").cast("long").alias("n_tt"))
+    )
+    credited = (
+        per_pt.join(per_p, "event_id")
+        .groupBy(F.col("t_type").alias("touch_type"))
+        .agg(
+            F.sum(F.col("value") * F.col("n_tt") / F.col("n_t")).alias(
+                "credit"
+            ),
+            F.sum("n_tt").cast("long").alias("n_touches"),
+        )
+    )
+    direct = per_p.where(F.col("n_t") == 0).agg(
+        F.lit("direct").alias("touch_type"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("credit"),
+        F.lit(0).cast("long").alias("n_touches"),
+    )
+    return (
+        credited.unionByName(direct)
+        .select(
+            "touch_type", F.round("credit", 2).alias("credit"), "n_touches"
+        )
+        .orderBy("touch_type")
+    )

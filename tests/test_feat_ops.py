@@ -394,3 +394,71 @@ def test_corpus_snapshot_diff_hand_computed(spark):
         "modified": (1, 1, 7),
         "added": (1, 0, 4),
     }
+
+
+def _events_parquet(rows, prefix):
+    """Write a single-file events.parquet (load_table expects the
+    driver testdata shape: one parquet FILE per table)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["props"] = "{}"
+    d = tempfile.mkdtemp(prefix=prefix)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d
+
+
+def test_retention_cohorts_matrix(spark):
+    from kissmetrics_to_database_spark.plans import catalog
+
+    rows = [
+        # user 1: first event week of Jan 1 (Mon), active weeks 0,2
+        (1, 1, "2024-01-02 10:00:00", "click", 1.0),
+        (2, 1, "2024-01-16 10:00:00", "view", 1.0),
+        # user 2: first event week of Jan 8, active weeks 0,1
+        (3, 2, "2024-01-09 10:00:00", "click", 1.0),
+        (4, 2, "2024-01-15 10:00:00", "click", 1.0),
+        # user 3: same cohort as user 2, only week 0
+        (5, 3, "2024-01-10 10:00:00", "view", 1.0),
+    ]
+    d = _events_parquet(rows, "kmdb_cohort_")
+    out = {
+        (r["cohort_week"], r["week_k"]): (r["n_active"], r["cohort_size"],
+                                          r["retention"])
+        for r in catalog.QUERIES["retention_cohorts"](spark, d).collect()
+    }
+    assert out[("2024-01-01", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-01", 2)] == (1, 1, 1.0)
+    assert ("2024-01-01", 1) not in out
+    assert out[("2024-01-08", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 2, 0.5)
+
+
+def test_attribution_linear_splits_credit(spark):
+    from kissmetrics_to_database_spark.plans import catalog
+
+    rows = [
+        # purchase 100.0 with 1 click + 1 view inside 7d -> 50/50
+        (1, 1, "2024-01-10 00:00:00", "click", 0.0),
+        (2, 1, "2024-01-11 00:00:00", "view", 0.0),
+        (3, 1, "2024-01-12 00:00:00", "purchase", 100.0),
+        # touch OUTSIDE the 7d window -> purchase is 'direct'
+        (4, 2, "2024-01-01 00:00:00", "click", 0.0),
+        (5, 2, "2024-01-20 00:00:00", "purchase", 30.0),
+        # same-user later touch must NOT attribute (t_ts < purchase ts)
+        (6, 2, "2024-01-21 00:00:00", "view", 0.0),
+    ]
+    d = _events_parquet(rows, "kmdb_attr_")
+    out = {
+        r["touch_type"]: (r["credit"], r["n_touches"])
+        for r in catalog.QUERIES["attribution_linear"](spark, d).collect()
+    }
+    assert out["click"] == (50.0, 1)
+    assert out["view"] == (50.0, 1)
+    assert out["direct"] == (30.0, 0)

@@ -623,6 +623,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "hashpartitioning"],
         ["CartesianProduct"],
     ),
+    # retention cohorts: user-keyed aggregates/joins + a broadcast
+    # calendar-scale cohort-size join; no single-partition funnels
+    "retention_cohorts": (
+        ["hashpartitioning", "BroadcastHashJoin"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
+    # attribution: touch join is a user-keyed equi-join with the 7-day
+    # window as residual (SMJ/SHJ is the correct 100-TB plan — neither
+    # side broadcasts); the only SinglePartition is the 1-row 'direct'
+    # global aggregate, so it is allowed
+    "attribution_linear": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
