@@ -9114,3 +9114,100 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "attribution_position",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+    ),
+    joined AS (
+      SELECT p.event_id, p.value, t.t_id, t.t_ts, t.t_type
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.ts
+       AND t.t_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT event_id, value, t_type,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY t_ts, t_id) AS pos,
+             CAST(count(*) OVER (PARTITION BY event_id) AS BIGINT) AS n_t
+      FROM joined
+    ),
+    credited AS (
+      SELECT t_type AS touch_type,
+             sum(value * (CASE
+               WHEN n_t = 1 THEN 1.0
+               WHEN n_t = 2 THEN 0.5
+               WHEN pos = 1 THEN 0.4
+               WHEN pos = n_t THEN 0.4
+               ELSE 0.2 / (n_t - 2) END)) AS credit,
+             CAST(count(*) AS BIGINT) AS n_touches
+      FROM ranked GROUP BY t_type
+    )
+    SELECT touch_type, round(credit, 2) AS credit, n_touches
+    FROM credited ORDER BY touch_type
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (r9): first and last touches inside the 7-day lookback earn 40%
+    of the purchase value each, middle touches share the remaining
+    20%; 1-touch journeys take 100%, 2-touch split 50/50. The
+    journey-shape complement of attribution_linear. Positions rank
+    inside a PURCHASE-partitioned window (bounded by per-journey
+    touch counts — never a global sort); ties on touch time break by
+    touch id for engine-exact replay."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (touches["user_id"] == purchases["user_id"])
+        & (F.col("t_ts") < purchases["ts"])
+        & (F.col("t_ts") >= purchases["ts"] - F.expr("INTERVAL 7 DAYS")),
+    ).select("event_id", "value", "t_id", "t_ts", "t_type")
+    w = Window.partitionBy("event_id")
+    ranked = joined.select(
+        "event_id",
+        "value",
+        "t_type",
+        F.row_number()
+        .over(w.orderBy("t_ts", "t_id"))
+        .alias("pos"),
+        F.count("*").over(w).cast("long").alias("n_t"),
+    )
+    share = (
+        F.when(F.col("n_t") == 1, F.lit(1.0))
+        .when(F.col("n_t") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_t"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_t") - 2))
+    )
+    return (
+        ranked.groupBy(F.col("t_type").alias("touch_type"))
+        .agg(
+            F.round(F.sum(F.col("value") * share), 2).alias("credit"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+        .orderBy("touch_type")
+    )

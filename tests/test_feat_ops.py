@@ -462,3 +462,29 @@ def test_attribution_linear_splits_credit(spark):
     assert out["click"] == (50.0, 1)
     assert out["view"] == (50.0, 1)
     assert out["direct"] == (30.0, 0)
+
+
+def test_attribution_position_u_shape(spark):
+    from kissmetrics_to_database_spark.plans import catalog
+
+    rows = [
+        # 4-touch journey, value 100: first/last 40 each, middles
+        # share 20 (10 + 10)
+        (1, 1, "2024-01-10 00:00:00", "click", 0.0),   # first  -> 40
+        (2, 1, "2024-01-10 06:00:00", "view", 0.0),    # middle -> 10
+        (3, 1, "2024-01-10 12:00:00", "view", 0.0),    # middle -> 10
+        (4, 1, "2024-01-11 00:00:00", "click", 0.0),   # last   -> 40
+        (5, 1, "2024-01-12 00:00:00", "purchase", 100.0),
+        # 1-touch journey, value 10: all credit to the view
+        (6, 2, "2024-01-10 00:00:00", "view", 0.0),
+        (7, 2, "2024-01-11 00:00:00", "purchase", 10.0),
+    ]
+    d = _events_parquet(rows, "kmdb_attr_pos_")
+    out = {
+        r["touch_type"]: (r["credit"], r["n_touches"])
+        for r in catalog.QUERIES["attribution_position"](spark, d).collect()
+    }
+    # clicks: 40 (first) + 40 (last) = 80; views: 10+10 middles + 10
+    # one-touch journey = 30
+    assert out["click"] == (80.0, 2)
+    assert out["view"] == (30.0, 3)
