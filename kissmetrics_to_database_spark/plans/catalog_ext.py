@@ -9211,3 +9211,85 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "attribution_time_decay",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+    ),
+    joined AS (
+      SELECT p.event_id, p.value, t.t_type,
+             pow(0.5, (epoch_us(p.ts) - epoch_us(t.t_ts))
+                      / 86400000000.0 / 3.5) AS w
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.ts
+       AND t.t_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    normed AS (
+      SELECT event_id, value, t_type, w,
+             sum(w) OVER (PARTITION BY event_id) AS w_sum
+      FROM joined
+    )
+    SELECT t_type AS touch_type,
+           round(sum(value * w / w_sum), 2) AS credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM normed GROUP BY t_type ORDER BY touch_type
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (r9): each touch in the
+    7-day lookback earns credit proportional to pow(0.5, age_days /
+    3.5) — a 3.5-day half-life, the recency-weighted complement of
+    the linear and U-shaped models. Ages come from exact microsecond
+    epochs (unix_micros / epoch_us in both engines) so the weights
+    are engine-identical doubles through libm pow. Normalization is a
+    PURCHASE-partitioned window sum (bounded by per-journey touch
+    counts); the readout is one touch-type groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    w = F.pow(
+        F.lit(0.5),
+        (F.unix_micros(purchases["ts"]) - F.unix_micros(F.col("t_ts")))
+        / F.lit(86400000000.0)
+        / F.lit(3.5),
+    )
+    joined = purchases.join(
+        touches,
+        (touches["user_id"] == purchases["user_id"])
+        & (F.col("t_ts") < purchases["ts"])
+        & (F.col("t_ts") >= purchases["ts"] - F.expr("INTERVAL 7 DAYS")),
+    ).select("event_id", "value", "t_type", w.alias("w"))
+    normed = joined.withColumn(
+        "w_sum", F.sum("w").over(Window.partitionBy("event_id"))
+    )
+    return (
+        normed.groupBy(F.col("t_type").alias("touch_type"))
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("w") / F.col("w_sum")), 2
+            ).alias("credit"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+        .orderBy("touch_type")
+    )

@@ -488,3 +488,27 @@ def test_attribution_position_u_shape(spark):
     # one-touch journey = 30
     assert out["click"] == (80.0, 2)
     assert out["view"] == (30.0, 3)
+
+
+def test_attribution_time_decay_weights(spark):
+    import math
+
+    from kissmetrics_to_database_spark.plans import catalog
+
+    rows = [
+        # touches exactly 7.0 and 3.5 half-lives... use 7d and 3.5d:
+        # w(7d) = 0.25, w(3.5d) = 0.5 -> click share 1/3, view 2/3
+        (1, 1, "2024-01-05 00:00:00", "click", 0.0),   # age 7d  -> 0.25
+        (2, 1, "2024-01-08 12:00:00", "view", 0.0),    # age 3.5d-> 0.5
+        (3, 1, "2024-01-12 00:00:00", "purchase", 90.0),
+    ]
+    d = _events_parquet(rows, "kmdb_attr_decay_")
+    out = {
+        r["touch_type"]: (r["credit"], r["n_touches"])
+        for r in catalog.QUERIES["attribution_time_decay"](
+            spark, d
+        ).collect()
+    }
+    # click: 90 * .25/.75 = 30; view: 90 * .5/.75 = 60
+    assert out["click"] == (30.0, 1)
+    assert out["view"] == (60.0, 1)
