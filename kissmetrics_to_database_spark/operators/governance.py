@@ -38,13 +38,15 @@ def laplace_noise(key: Column, scale: float) -> Column:
     through the Laplace inverse CDF
     ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``.
 
-    Determinism is a *release* property, not a privacy weakening: the
-    mechanism is sampled once per published statistic, and publishing
-    that one draw is exactly what the Laplace mechanism does — what
-    must stay unpredictable to the ADVERSARY is covered by keying the
-    hash on the group label, never on the data being protected.
-    (Re-releasing the same group under the same key reuses the same
-    draw, which is the correct way to avoid epsilon burn on replays.)
+    PRIVACY CONTRACT: the draw is only as unpredictable as ``key``.
+    For any DP use the key MUST include a secret component held
+    outside the release (an HMAC-style ``md5(secret || label)``) —
+    a key derivable from published columns alone lets an adversary
+    recompute and subtract the noise, which is no privacy at all.
+    :func:`dp_noisy_counts` enforces this by requiring a
+    ``release_key``. Determinism under a fixed secret key remains a
+    *release* property: re-releasing the same group reuses the same
+    draw instead of burning additional epsilon on replays.
     """
     v = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast(
         "double"
@@ -62,28 +64,46 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str | Column],
     epsilon: float = 0.5,
+    *,
+    release_key: str,
 ) -> DataFrame:
     """Epsilon-DP count-histogram release (Dwork et al. 2006 Laplace
     mechanism): per group, true count + Laplace(1/epsilon) noise,
     rounded to an integer and clamped at zero — the shape a
     governance pipeline publishes instead of raw per-slice counts.
 
+    ``release_key`` is a REQUIRED secret per-release salt, held
+    outside the release (a KMS secret, never a published column):
+    the noise is an HMAC-style draw ``md5(release_key || label)``,
+    unpredictable to anyone without the key yet bit-replayable by the
+    release owner (re-releases reuse the draw instead of burning more
+    epsilon). Keying on the public label alone would let an adversary
+    recompute and subtract the noise — that mode is refused.
+
     Each row lands in exactly one group, so the histogram is a
     parallel composition: total privacy spend is epsilon (the max,
     not the sum, across groups). Sensitivity of each count is 1.
 
     Output: group columns, ``noisy_count`` (BIGINT), ``epsilon``.
-    The true count never leaves the plan.
+    The true count and the release key never leave the plan.
 
     Engineering shape (100 TB): one hash-partitioned groupBy with
     map-side partial counts; the noise is a per-group codegen
-    projection keyed on the group label (deterministic, engine-
-    replayable — see :func:`laplace_noise`). Output is
-    group-cardinality-sized; nothing driver-side.
+    projection keyed on (secret, group label) — see
+    :func:`laplace_noise`. Output is group-cardinality-sized;
+    nothing driver-side.
     """
+    if not release_key:
+        raise ValueError(
+            "dp_noisy_counts requires a non-empty secret release_key; "
+            "noise derived from the public group label alone is "
+            "recomputable by an adversary and provides no privacy"
+        )
     grouped = df.groupBy(*group_cols)
     names = grouped.agg(F.count("*")).columns[:-1]
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in names])
+    key = F.concat_ws(
+        "|", F.lit(release_key), *[F.col(c).cast("string") for c in names]
+    )
     noise = laplace_noise(key, 1.0 / epsilon)
     return (
         grouped.agg(F.count("*").cast("double").alias("_n"))

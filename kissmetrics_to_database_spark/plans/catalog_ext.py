@@ -8713,7 +8713,7 @@ def q_record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
       SELECT event_type, day, n,
-             (CAST({_sql_hexint("md5(concat_ws('|', event_type, day))", 1, 12)} AS DOUBLE)
+             (CAST({_sql_hexint("md5(concat_ws('|', 'ktd-release-2026-08-sf-test', event_type, day))", 1, 12)} AS DOUBLE)
               + 0.5e0) / 281474976710656e0 AS u
       FROM g
     )
@@ -8730,12 +8730,15 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-(event_type, day) EVENT counts — what the governance layer
     publishes instead of raw slice counts. Disjoint groups compose in
     parallel, so the whole table costs eps=0.5 total. The Laplace
-    draw is a pure md5 function of the group LABEL (deterministic,
-    engine-replayable, replay-safe — re-releases reuse the draw
-    instead of burning budget). Event-level DP: user contribution
-    bounding (clamping events per user) is the caller's pre-step for
-    user-level guarantees. One map-side-combined groupBy; noise is a
-    codegen projection. See operators/governance.dp_noisy_counts."""
+    draw is an HMAC-style md5(secret release key || group label)
+    function (r10, ADVICE fix): unpredictable without the key, yet
+    bit-replayable by the release owner — re-releases reuse the draw
+    instead of burning budget. The key here is a test-fixture literal;
+    in production it is a KMS secret held outside the release.
+    Event-level DP: user contribution bounding (clamping events per
+    user) is the caller's pre-step for user-level guarantees. One
+    map-side-combined groupBy; noise is a codegen projection. See
+    operators/governance.dp_noisy_counts."""
     from kissmetrics_to_database_spark.operators import governance
 
     ev = load_table(spark, sf_dir, "events")
@@ -8746,6 +8749,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
         ],
         epsilon=0.5,
+        release_key="ktd-release-2026-08-sf-test",
     ).orderBy("event_type", "day")
 
 

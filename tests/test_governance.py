@@ -44,26 +44,54 @@ def test_dp_noisy_counts_exact_replay_and_clamp(spark):
     out = {
         (r["t"], r["d"]): r
         for r in governance.dp_noisy_counts(
-            df, ["t", "d"], epsilon=0.5
+            df, ["t", "d"], epsilon=0.5, release_key="sekrit"
         ).collect()
     }
     true = {("a", "d1"): 7, ("b", "d1"): 2, ("c", "d2"): 40}
     assert set(out) == set(true)
     for (t, d), n in true.items():
-        expect = max(0, round(n + _py_laplace(f"{t}|{d}", 2.0)))
+        expect = max(0, round(n + _py_laplace(f"sekrit|{t}|{d}", 2.0)))
         got = out[(t, d)]
         assert got["noisy_count"] == expect, (t, d)
         assert got["epsilon"] == 0.5
         assert got["noisy_count"] >= 0
-    # determinism: a second run is bit-identical (release replay
-    # reuses the draw instead of burning more epsilon)
+    # determinism: a second run under the same secret key is
+    # bit-identical (release replay reuses the draw instead of
+    # burning more epsilon)
     again = {
         (r["t"], r["d"]): r["noisy_count"]
         for r in governance.dp_noisy_counts(
-            df, ["t", "d"], epsilon=0.5
+            df, ["t", "d"], epsilon=0.5, release_key="sekrit"
         ).collect()
     }
     assert again == {k: v["noisy_count"] for k, v in out.items()}
+
+
+def test_dp_noisy_counts_key_changes_noise_and_is_required(spark):
+    """ADVICE r9 high: the draw must depend on the secret key —
+    a different key yields a different release, and omitting /
+    emptying the key is refused (label-only noise is recomputable
+    by an adversary)."""
+    import pytest
+
+    rows = [("a", "d1")] * 7 + [("c", "d2")] * 40
+    df = spark.createDataFrame(rows, "t string, d string")
+
+    def release(key):
+        return {
+            (r["t"], r["d"]): r["noisy_count"]
+            for r in governance.dp_noisy_counts(
+                df, ["t", "d"], epsilon=0.5, release_key=key
+            ).collect()
+        }
+
+    assert release("key-one") != release("key-two")
+    with pytest.raises(ValueError, match="release_key"):
+        governance.dp_noisy_counts(
+            df, ["t", "d"], epsilon=0.5, release_key=""
+        )
+    with pytest.raises(TypeError):
+        governance.dp_noisy_counts(df, ["t", "d"], epsilon=0.5)
 
 
 def test_dp_noisy_counts_clamps_negative_to_zero(spark):
@@ -73,8 +101,10 @@ def test_dp_noisy_counts_clamps_negative_to_zero(spark):
     key = next(
         k
         for k in (f"x{i}" for i in itertools.count())
-        if _py_laplace(f"{k}|d", 2.0) < -1.5
+        if _py_laplace(f"sekrit|{k}|d", 2.0) < -1.5
     )
     df = spark.createDataFrame([(key, "d")], "t string, d string")
-    [r] = governance.dp_noisy_counts(df, ["t", "d"], epsilon=0.5).collect()
+    [r] = governance.dp_noisy_counts(
+        df, ["t", "d"], epsilon=0.5, release_key="sekrit"
+    ).collect()
     assert r["noisy_count"] == 0
