@@ -281,46 +281,106 @@ def ffmpeg_available() -> bool:
     return bool(shutil.which("ffmpeg")) and bool(shutil.which("ffprobe"))
 
 
-def decode_frames_ffmpeg(payload: bytes):
+# Raw-RGB decode budget per payload (r10, ADVICE fix): a few minutes
+# of 1080p expands to tens of GB of rgb24 — buffering that whole
+# stream OOM-kills the executor instead of quarantining the row. The
+# cap turns "too big to decode on one executor" into the standard
+# row-level ValueError.
+_FFMPEG_MAX_DECODED_BYTES = 2 << 30  # 2 GiB of raw rgb24
+
+
+def _read_exact(stream, n: int) -> bytes:
+    chunks = []
+    got = 0
+    while got < n:
+        b = stream.read(n - got)
+        if not b:
+            break
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
+
+
+def decode_frames_ffmpeg(
+    payload: bytes, max_decoded_bytes: int = _FFMPEG_MAX_DECODED_BYTES
+):
     """Decode any container/codec ffmpeg understands into HxWx3 uint8
     RGB frame arrays (yielded in stream order). Raises ValueError when
     ffmpeg/ffprobe are absent or reject the payload — the caller's
-    quarantine contract, same as the from-spec decoders."""
+    quarantine contract, same as the from-spec decoders.
+
+    Streaming shape (r10, ADVICE fix): the payload is spilled to a
+    temp file so ffprobe/ffmpeg get SEEKABLE input (a pipe rejects
+    the common moov-at-end MP4 layout), and frames are read
+    incrementally from a Popen pipe one ``w*h*3`` buffer at a time —
+    peak memory is one frame plus the OS pipe buffer, never the whole
+    decoded stream. ``max_decoded_bytes`` bounds the total raw-RGB
+    budget; exceeding it kills the decoder and raises ValueError.
+    """
+    import os
     import subprocess
+    import tempfile
 
     if not ffmpeg_available():
         raise ValueError("inter-coded video and no ffmpeg on PATH")
-    probe = subprocess.run(
-        [
-            "ffprobe", "-v", "error", "-select_streams", "v:0",
-            "-show_entries", "stream=width,height", "-of", "csv=p=0",
-            "pipe:0",
-        ],
-        input=payload, capture_output=True,
-    )
+    fd, path = tempfile.mkstemp(suffix=".vid")
     try:
-        w, h = (int(x) for x in probe.stdout.decode().strip().split(","))
-    except Exception:
-        raise ValueError(
-            f"ffprobe rejected payload: {probe.stderr.decode()[:120]}"
-        ) from None
-    proc = subprocess.run(
-        [
-            "ffmpeg", "-v", "error", "-i", "pipe:0",
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-        ],
-        input=payload, capture_output=True,
-    )
-    if proc.returncode != 0 or not proc.stdout:
-        raise ValueError(
-            f"ffmpeg rejected payload: {proc.stderr.decode()[:120]}"
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        probe = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height", "-of", "csv=p=0",
+                path,
+            ],
+            capture_output=True,
         )
-    frame_bytes = w * h * 3
-    data = proc.stdout
-    for off in range(0, len(data) - frame_bytes + 1, frame_bytes):
-        yield np.frombuffer(
-            data, dtype=np.uint8, count=frame_bytes, offset=off
-        ).reshape(h, w, 3)
+        try:
+            w, h = (int(x) for x in probe.stdout.decode().strip().split(","))
+        except Exception:
+            raise ValueError(
+                f"ffprobe rejected payload: {probe.stderr.decode()[:120]}"
+            ) from None
+        frame_bytes = w * h * 3
+        if frame_bytes <= 0 or frame_bytes > max_decoded_bytes:
+            raise ValueError(f"implausible video dimensions {w}x{h}")
+        proc = subprocess.Popen(
+            [
+                "ffmpeg", "-v", "error", "-i", path,
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        try:
+            total = 0
+            yielded = False
+            while True:
+                buf = _read_exact(proc.stdout, frame_bytes)
+                if len(buf) < frame_bytes:
+                    break  # EOF (a trailing partial frame is dropped)
+                total += frame_bytes
+                if total > max_decoded_bytes:
+                    raise ValueError(
+                        f"decoded rgb24 stream exceeds "
+                        f"{max_decoded_bytes} byte budget"
+                    )
+                yielded = True
+                yield np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+            err = proc.stderr.read()
+            rc = proc.wait()
+            if rc != 0 or not yielded:
+                raise ValueError(
+                    f"ffmpeg rejected payload: {err.decode()[:120]}"
+                )
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+            proc.stdout.close()
+            proc.stderr.close()
+    finally:
+        os.unlink(path)
 
 
 def decode_video_frames(payload: bytes):

@@ -212,3 +212,70 @@ def test_ffmpeg_h264_roundtrip():
     assert got[0].shape == (32, 32, 3)
     # lossy codec: constant frames come back near-constant
     assert abs(float(got[1].mean()) - 128.0) < 12.0
+
+
+def _install_fake_ffmpeg(tmp_path, monkeypatch, n_frames=2, w=4, h=3):
+    """Put fake ffprobe/ffmpeg executables on PATH that require a real
+    seekable input FILE (they open() the path argument — a pipe name
+    would fail) and stream n_frames deterministic rgb24 frames."""
+    import os
+    import stat
+    import textwrap
+
+    frame_bytes = w * h * 3
+    (tmp_path / "ffprobe").write_text(
+        textwrap.dedent(
+            f"""\
+            #!/usr/bin/env python3
+            import sys
+            open(sys.argv[-1], "rb").read()  # must be a real file
+            print("{w},{h}")
+            """
+        )
+    )
+    (tmp_path / "ffmpeg").write_text(
+        textwrap.dedent(
+            f"""\
+            #!/usr/bin/env python3
+            import os, sys
+            path = sys.argv[sys.argv.index("-i") + 1]
+            open(path, "rb").read()  # must be a real file
+            for i in range({n_frames}):
+                os.write(1, bytes((i + j) % 256 for j in range({frame_bytes})))
+            """
+        )
+    )
+    for name in ("ffprobe", "ffmpeg"):
+        p = tmp_path / name
+        p.chmod(p.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+    return frame_bytes
+
+
+def test_ffmpeg_streaming_decode_via_tempfile(tmp_path, monkeypatch):
+    """r10 ADVICE fix: the decoder spills the payload to a temp FILE
+    (seekable — moov-at-end MP4s need this) and reads frames
+    incrementally from the pipe; fake binaries verify both the
+    file-path input and the exact frame framing."""
+    _install_fake_ffmpeg(tmp_path, monkeypatch, n_frames=2, w=4, h=3)
+    assert avi.ffmpeg_available()
+    got = list(avi.decode_frames_ffmpeg(b"fake-payload"))
+    assert len(got) == 2 and got[0].shape == (3, 4, 3)
+    assert got[0].ravel()[0] == 0 and got[1].ravel()[0] == 1
+    assert got[1].ravel()[5] == 6
+
+
+def test_ffmpeg_decode_byte_budget_quarantines(tmp_path, monkeypatch):
+    """r10 ADVICE fix: the raw-RGB budget turns an arbitrarily long
+    decoded stream into a row-level ValueError instead of buffering
+    it all (OOM). Budget of one frame -> second frame trips it."""
+    import pytest
+
+    fb = _install_fake_ffmpeg(tmp_path, monkeypatch, n_frames=3, w=4, h=3)
+    it = avi.decode_frames_ffmpeg(b"fake-payload", max_decoded_bytes=fb)
+    assert next(it).shape == (3, 4, 3)
+    with pytest.raises(ValueError, match="budget"):
+        list(it)
+    # implausible dimensions (one frame alone over budget) quarantine
+    with pytest.raises(ValueError, match="implausible"):
+        list(avi.decode_frames_ffmpeg(b"x", max_decoded_bytes=fb - 1))
