@@ -173,13 +173,21 @@ def hll_registers(
 
 
 def hll_estimate(
-    regs: DataFrame, group_col: str, b: int = 8, ndigits: int = 6
+    regs: DataFrame,
+    group_cols: str | list[str],
+    b: int = 8,
+    ndigits: int = 6,
 ) -> DataFrame:
     """Collapse (group, register, mrho) state into the per-group
-    estimate (Flajolet alpha_m correction + linear counting)."""
+    estimate (Flajolet alpha_m correction + linear counting).
+    ``group_cols`` may be one column name or several (r10, ADVICE
+    fix) — composite keys stay real columns through the aggregate,
+    never packed into a delimited string whose delimiter a group
+    value could contain."""
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = regs.groupBy(group_col).agg(
+    agg = regs.groupBy(*cols).agg(
         (
             F.sum(F.pow(F.lit(2.0), -F.col("mrho")))
             + (F.lit(float(m)) - F.count("*"))
@@ -191,7 +199,7 @@ def hll_estimate(
         (raw <= F.lit(2.5 * m)) & (F.col("_zeros") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
     ).otherwise(raw)
-    return agg.select(group_col, F.round(est, ndigits).alias("hll_n"))
+    return agg.select(*cols, F.round(est, ndigits).alias("hll_n"))
 
 
 # ---------------------------------------------------------------------------
@@ -395,13 +403,13 @@ def hll_pairwise_overlap(
         )
         .groupBy("group_a", "group_b", "register")
         .agg(F.max("mrho").alias("mrho"))
-        .withColumn("_pair", F.concat_ws("|", "group_a", "group_b"))
     )
-    union_est = hll_estimate(merged, "_pair", b, ndigits).select(
-        F.split("_pair", "\\|")[0].alias("group_a"),
-        F.split("_pair", "\\|")[1].alias("group_b"),
-        F.col("hll_n").alias("hll_union"),
-    )
+    # (group_a, group_b) stays a real composite key through the
+    # estimate (r10, ADVICE fix) — the old concat_ws('|')/split round
+    # trip mis-split any group value containing '|' and silently
+    # dropped rows at the join-back, and broke non-string group types.
+    union_est = hll_estimate(merged, ["group_a", "group_b"], b, ndigits)
+    union_est = union_est.withColumnRenamed("hll_n", "hll_union")
     return (
         union_est.join(
             singles.select(

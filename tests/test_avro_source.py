@@ -103,3 +103,30 @@ def test_hll_pairwise_overlap_inclusion_exclusion(spark):
             abs((r["hll_a"] + r["hll_b"] - r["hll_union"]) - r["est_overlap"])
             < 1e-6
         )
+
+
+def test_hll_pairwise_overlap_pipe_in_group_values(spark):
+    """r10 ADVICE fix: group values containing the old '|' pack
+    delimiter (and non-string group types) survive — the composite
+    pair key now stays real columns through the estimate instead of
+    a concat/split round trip that mis-split and dropped rows."""
+    from kissmetrics_to_database_spark.operators import sketches
+
+    rows = (
+        [("a|x", u) for u in range(40)]
+        + [("b|y|z", u) for u in range(20, 60)]
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = sketches.hll_pairwise_overlap(df, "g", "u").collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r["group_a"], r["group_b"]) == ("a|x", "b|y|z")
+    assert r["hll_union"] >= max(r["hll_a"], r["hll_b"]) - 1e-6
+    # integer group keys round-trip with their type intact
+    idf = spark.createDataFrame(
+        [(7, u) for u in range(30)] + [(11, u) for u in range(15, 45)],
+        "g long, u long",
+    )
+    [ri] = sketches.hll_pairwise_overlap(idf, "g", "u").collect()
+    assert (ri["group_a"], ri["group_b"]) == (7, 11)
+    assert isinstance(ri["group_a"], int)
