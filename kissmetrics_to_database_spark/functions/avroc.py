@@ -198,17 +198,50 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
+def _branch_accepts(bt: str, val: Any, exact: bool) -> bool:
+    """Union branch dispatch by Python value type (r10, ADVICE fix —
+    null-ness alone routed every non-None value to the first non-null
+    branch, crashing or mis-encoding multi-branch unions). The
+    ``exact`` pass matches strict types; the second pass allows the
+    Avro-sanctioned int→float/double promotion."""
+    if bt == "null":
+        return val is None
+    if bt == "boolean":
+        return isinstance(val, bool)
+    if bt in ("int", "long"):
+        return isinstance(val, int) and not isinstance(val, bool)
+    if bt in ("float", "double"):
+        if isinstance(val, float):
+            return True
+        return (
+            not exact and isinstance(val, int) and not isinstance(val, bool)
+        )
+    if bt in ("string", "enum"):
+        return isinstance(val, str)
+    if bt in ("bytes", "fixed"):
+        return isinstance(val, (bytes, bytearray))
+    if bt in ("record", "map"):
+        return isinstance(val, dict)
+    if bt == "array":
+        return isinstance(val, list)
+    return False
+
+
 def _encode(buf: io.BytesIO, schema: Any, val: Any, names: dict[str, Any]) -> None:
     schema = _resolve(schema, names)
-    if isinstance(schema, list):  # union: first branch accepting val
-        for i, branch in enumerate(schema):
-            b = _resolve(branch, names)
-            bt = b["type"] if isinstance(b, dict) else b
-            if (val is None) == (bt == "null"):
-                buf.write(_zigzag(i))
-                _encode(buf, branch, val, names)
-                return
-        raise ValueError(f"avro: no union branch for {val!r}")
+    if isinstance(schema, list):  # union: branch matched by value type
+        for exact in (True, False):
+            for i, branch in enumerate(schema):
+                b = _resolve(branch, names)
+                bt = b["type"] if isinstance(b, dict) else b
+                if _branch_accepts(bt, val, exact):
+                    buf.write(_zigzag(i))
+                    _encode(buf, branch, val, names)
+                    return
+        raise ValueError(
+            f"avro: no union branch in {schema!r} matches value "
+            f"{val!r} of type {type(val).__name__}"
+        )
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":

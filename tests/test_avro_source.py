@@ -130,3 +130,41 @@ def test_hll_pairwise_overlap_pipe_in_group_values(spark):
     [ri] = sketches.hll_pairwise_overlap(idf, "g", "u").collect()
     assert (ri["group_a"], ri["group_b"]) == (7, 11)
     assert isinstance(ri["group_a"], int)
+
+
+def test_union_branch_by_value_type():
+    """r10 ADVICE fix: multi-branch unions route by Python value
+    type, not null-ness; unmatched values raise a clear ValueError."""
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "v", "type": ["null", "long", "string"]},
+            {"name": "w", "type": ["null", "double"]},
+        ],
+    }
+    recs = [
+        {"v": None, "w": None},
+        {"v": 42, "w": 1.5},
+        {"v": "forty-two", "w": 3},  # int promotes to the double branch
+        {"v": -7, "w": 0.0},
+    ]
+    _, back = avroc.read_container(avroc.write_container(schema, recs))
+    assert back == [
+        {"v": None, "w": None},
+        {"v": 42, "w": 1.5},
+        {"v": "forty-two", "w": 3.0},
+        {"v": -7, "w": 0.0},
+    ]
+    # booleans never leak into int/long branches
+    bschema = {
+        "type": "record",
+        "name": "b",
+        "fields": [{"name": "x", "type": ["long", "boolean"]}],
+    }
+    _, bb = avroc.read_container(
+        avroc.write_container(bschema, [{"x": True}, {"x": 5}])
+    )
+    assert bb == [{"x": True}, {"x": 5}]
+    with pytest.raises(ValueError, match="no union branch"):
+        avroc.write_container(schema, [{"v": 1.25, "w": None}])
