@@ -21,9 +21,22 @@ design (one Avro row per FILE); the replay is driver-side — the same
 place Iceberg's own readers plan — and the data scan touches only
 the snapshot's files (the log IS the pruning).
 
-Honest boundary: v2 DELETE manifests (``content`` ≠ data, positional
-/ equality deletes) and format-version > 2 raise ValueError rather
-than returning wrong rows.
+v2 merge-on-read (r10, VERDICT r9 #3): POSITIONAL delete files —
+parquet of (file_path, pos) rows referenced by delete manifests
+(``content`` = 1) — are applied as a distributed anti-join of the
+data scan (tagged with ``_metadata.file_path`` / ``row_index``,
+Spark's native per-file row position) against the delete scan. The
+delete side is read as plain parquet too, so at 100 TB both sides
+stay distributed; Catalyst/AQE broadcasts the delete side when it is
+small (the common case — deletes are a fraction of the table).
+
+Honest boundary: EQUALITY deletes (data_file ``content`` = 2) and
+format-version > 2 raise ValueError rather than returning wrong
+rows. Sequence-number scoping is simplified to file-path identity:
+positional deletes name their target data file explicitly and file
+paths are unique per table, so path identity is exact unless a
+writer rewrites a different file under the same path (which the spec
+forbids).
 
 ``IcebergFixtureWriter`` emits a spec-shaped metadata tree (JSON +
 real Avro manifests) so tests and catalog queries round-trip real
@@ -38,6 +51,8 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kissmetrics_to_database_spark.functions import avroc
 
@@ -85,12 +100,22 @@ def _local(path_like: str, table_path: str) -> str:
 
 
 def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
-    """Resolve a snapshot (default: current) to its live data files.
-    → {snapshot_id, files: [paths], record_count}."""
+    """Resolve a snapshot (default: current) to its live data files
+    and live positional-delete files.
+    → {snapshot_id, files, delete_files, record_count, path_map}
+    where ``path_map`` maps each data file's manifest-written path
+    string to its resolved local path (delete rows reference data
+    files by that manifest string)."""
     meta = table_metadata(path)
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if not snaps:
-        return {"snapshot_id": None, "files": [], "record_count": 0}
+        return {
+            "snapshot_id": None,
+            "files": [],
+            "delete_files": [],
+            "record_count": 0,
+            "path_map": {},
+        }
     sid = (
         int(meta["current-snapshot-id"])
         if snapshot_id is None
@@ -102,13 +127,10 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
     with open(mlist_path, "rb") as f:
         _, mentries = avroc.read_container(f.read())
     files: list[str] = []
+    delete_files: list[str] = []
+    path_map: dict[str, str] = {}
     n_rows = 0
     for me in mentries:
-        if int(me.get("content", 0)) != 0:
-            raise ValueError(
-                "v2 delete manifest present — positional/equality "
-                "deletes are out of this reader's declared scope"
-            )
         with open(_local(me["manifest_path"], path), "rb") as f:
             _, entries = avroc.read_container(f.read())
         for e in entries:
@@ -118,9 +140,61 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise ValueError(f"non-parquet data file ({fmt})")
-            files.append(_local(df["file_path"], path))
-            n_rows += int(df.get("record_count", 0))
-    return {"snapshot_id": sid, "files": sorted(files), "record_count": n_rows}
+            content = int(df.get("content") or 0)
+            local = _local(df["file_path"], path)
+            if content == 0:  # data file
+                files.append(local)
+                path_map[str(df["file_path"])] = local
+                n_rows += int(df.get("record_count", 0))
+            elif content == 1:  # positional delete file (v2 MOR)
+                delete_files.append(local)
+            else:  # 2 = equality deletes
+                raise ValueError(
+                    "v2 equality-delete file present — equality "
+                    "deletes are out of this reader's declared scope"
+                )
+    return {
+        "snapshot_id": sid,
+        "files": sorted(files),
+        "delete_files": sorted(delete_files),
+        "record_count": n_rows,
+        "path_map": path_map,
+    }
+
+
+def _spark_schema(meta: dict) -> T.StructType:
+    """Current Iceberg JSON schema → Spark StructType (primitive
+    columns; nested types raise — out of this reader's scope)."""
+    prims = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta.get("schema") or {}]
+    schema = next(
+        (s for s in schemas if s.get("schema-id", 0) == sid), schemas[0]
+    )
+    fields = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str) and t in prims:
+            dt: T.DataType = prims[t]
+        elif isinstance(t, str) and t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            dt = T.DecimalType(int(p), int(s))
+        else:
+            raise ValueError(f"unsupported Iceberg column type {t!r}")
+        fields.append(T.StructField(f["name"], dt, not f.get("required")))
+    return T.StructType(fields)
 
 
 def read_iceberg(
@@ -129,11 +203,59 @@ def read_iceberg(
     """Snapshot read (default: current snapshot; pass a snapshot-id
     for time travel). Iceberg data files carry ALL columns (identity
     partition values included), so the scan is a plain parquet read
-    of the resolved file list."""
+    of the resolved file list.
+
+    A table with no snapshots, or a valid snapshot whose live file
+    list is empty (e.g. a delete-all overwrite), reads as an EMPTY
+    DataFrame typed from the table schema — mirroring read_delta
+    (r10, ADVICE fix), not an error.
+
+    v2 merge-on-read: live positional-delete files are anti-joined
+    against the scan on (file, row position) using Spark's native
+    ``_metadata.file_path`` / ``_metadata.row_index`` parquet
+    columns. Both sides are distributed scans; the delete side maps
+    manifest path strings to scan URIs through a metadata-scale
+    broadcast (one row per data FILE)."""
     state = snapshot_files(path, snapshot_id)
     if not state["files"]:
-        raise ValueError("empty table (no snapshots)")
-    return spark.read.parquet(*state["files"])
+        return spark.createDataFrame([], _spark_schema(table_metadata(path)))
+    if not state["delete_files"]:
+        return spark.read.parquet(*state["files"])
+    scan = spark.read.parquet(*state["files"])
+    cols = scan.columns
+    # manifest path string (how delete rows name data files) → the
+    # URI _metadata.file_path reports for the same local file
+    # (Hadoop-style "file:/abs/path", single slash)
+    ref_rows = sorted(
+        {
+            (ref, "file:" + os.path.abspath(local))
+            for ref, local in state["path_map"].items()
+        }
+        | {
+            (local, "file:" + os.path.abspath(local))
+            for local in state["path_map"].values()
+        }
+    )
+    ref_map = spark.createDataFrame(ref_rows, "ref string, _duri string")
+    dels = (
+        spark.read.parquet(*state["delete_files"])
+        .select(
+            F.col("file_path").cast("string").alias("ref"),
+            F.col("pos").cast("long").alias("_dpos"),
+        )
+        .join(F.broadcast(ref_map), "ref")
+        .select("_duri", "_dpos")
+    )
+    tagged = spark.read.parquet(*state["files"]).select(
+        *cols,
+        F.col("_metadata.file_path").alias("_uri"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    return tagged.join(
+        dels,
+        (tagged["_uri"] == dels["_duri"]) & (tagged["_pos"] == dels["_dpos"]),
+        "left_anti",
+    ).select(*cols)
 
 
 def iceberg_history(path: str) -> list[dict]:
@@ -176,6 +298,7 @@ _MANIFEST_SCHEMA = {
                 "type": "record",
                 "name": "r2",
                 "fields": [
+                    {"name": "content", "type": "int", "default": 0},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
@@ -209,6 +332,7 @@ class IcebergFixtureWriter:
         self.version = 0
         self.snapshots: list[dict] = []
         self.live: dict[str, int] = {}  # rel data path -> record count
+        self.live_deletes: dict[str, int] = {}  # rel delete path -> rows
         self._file_no = 0
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -236,12 +360,64 @@ class IcebergFixtureWriter:
             )
             self.live[rel] = len(pdf)
             added.append(rel)
+        return self._snapshot(added, [], operation)
+
+    def delete_commit(
+        self,
+        deletes: list[tuple[str, int]],
+        operation: str = "delete",
+    ) -> str:
+        """One v2 merge-on-read snapshot: write ``deletes`` —
+        (table-relative data path, row position) rows — as a
+        positional-delete parquet file referenced by a delete
+        manifest (content=1). Returns the delete file's rel path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"data/del-{self._file_no:05d}.parquet"
+        self._file_no += 1
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "file_path": [p for p, _ in deletes],
+                    "pos": [int(x) for _, x in deletes],
+                }
+            ),
+            os.path.join(self.path, rel),
+        )
+        self.live_deletes[rel] = len(deletes)
+        self._snapshot([], [rel], operation)
+        return rel
+
+    def _write_manifest(
+        self, rel: str, entries: list[dict], sid: int
+    ) -> dict:
+        with open(os.path.join(self.path, rel), "wb") as f:
+            f.write(avroc.write_container(_MANIFEST_SCHEMA, entries))
+        return {
+            "manifest_path": rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.path, rel)
+            ),
+            "added_snapshot_id": sid,
+        }
+
+    def _snapshot(
+        self,
+        added: list[str],
+        added_deletes: list[str],
+        operation: str,
+    ) -> list[str]:
         sid = 1000 + len(self.snapshots)
-        entries = [
-            {
-                "status": 1 if rel in added else 0,
+
+        def entry(rel: str, n: int, content: int) -> dict:
+            return {
+                "status": 1
+                if rel in added or rel in added_deletes
+                else 0,
                 "snapshot_id": sid,
                 "data_file": {
+                    "content": content,
                     "file_path": rel,
                     "file_format": "PARQUET",
                     "record_count": n,
@@ -250,27 +426,28 @@ class IcebergFixtureWriter:
                     ),
                 },
             }
-            for rel, n in sorted(self.live.items())
-        ]
-        man_rel = f"metadata/manifest-{sid}.avro"
-        with open(os.path.join(self.path, man_rel), "wb") as f:
-            f.write(avroc.write_container(_MANIFEST_SCHEMA, entries))
+
+        mlist_entries = []
+        data_mf = self._write_manifest(
+            f"metadata/manifest-{sid}.avro",
+            [entry(rel, n, 0) for rel, n in sorted(self.live.items())],
+            sid,
+        )
+        mlist_entries.append({**data_mf, "content": 0})
+        if self.live_deletes:
+            del_mf = self._write_manifest(
+                f"metadata/manifest-{sid}-deletes.avro",
+                [
+                    entry(rel, n, 1)
+                    for rel, n in sorted(self.live_deletes.items())
+                ],
+                sid,
+            )
+            mlist_entries.append({**del_mf, "content": 1})
         mlist_rel = f"metadata/snap-{sid}.avro"
         with open(os.path.join(self.path, mlist_rel), "wb") as f:
             f.write(
-                avroc.write_container(
-                    _MANIFEST_LIST_SCHEMA,
-                    [
-                        {
-                            "manifest_path": man_rel,
-                            "manifest_length": os.path.getsize(
-                                os.path.join(self.path, man_rel)
-                            ),
-                            "content": 0,
-                            "added_snapshot_id": sid,
-                        }
-                    ],
-                )
+                avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist_entries)
             )
         parent = self.snapshots[-1]["snapshot-id"] if self.snapshots else None
         snap = {

@@ -118,18 +118,73 @@ def test_history(table):
     assert hist[-1]["parent_snapshot_id"] is None
 
 
-def test_delete_manifest_boundary(tmp_path):
+def test_equality_delete_boundary(tmp_path):
+    """r10: positional deletes are in scope; EQUALITY deletes
+    (data_file content=2) remain the declared ValueError boundary."""
     w = ib.IcebergFixtureWriter(str(tmp_path / "d"), FIELDS)
-    w.commit(_pdf([1]))
-    # flip the manifest-list entry to content=1 (v2 delete manifest)
-    mlist = os.path.join(w.path, "metadata", "snap-1000.avro")
-    with open(mlist, "rb") as f:
+    added = w.commit(_pdf([1, 2]))
+    w.delete_commit([(added[0], 0)])
+    man = os.path.join(w.path, "metadata", "manifest-1001-deletes.avro")
+    with open(man, "rb") as f:
         schema, entries = avroc.read_container(f.read())
-    entries[0]["content"] = 1
-    with open(mlist, "wb") as f:
+    entries[0]["data_file"]["content"] = 2
+    with open(man, "wb") as f:
         f.write(avroc.write_container(schema, entries))
-    with pytest.raises(ValueError, match="delete manifest"):
+    with pytest.raises(ValueError, match="equality"):
         ib.snapshot_files(w.path)
+
+
+def test_positional_deletes_applied(spark, tmp_path):
+    """v2 merge-on-read (VERDICT r9 #3): positional-delete files
+    anti-join out exactly the (file, pos) rows; time travel to the
+    pre-delete snapshot still sees every row."""
+    w = ib.IcebergFixtureWriter(str(tmp_path / "mor"), FIELDS)
+    f0 = w.commit(_pdf([1, 2, 3]))  # snapshot 1000
+    f1 = w.commit(_pdf([4, 5]))  # snapshot 1001
+    w.delete_commit([(f0[0], 1), (f1[0], 0)])  # snapshot 1002: drop 2, 4
+    assert _ids(ib.read_iceberg(spark, w.path)) == [1, 3, 5]
+    assert _ids(ib.read_iceberg(spark, w.path, snapshot_id=1001)) == [
+        1, 2, 3, 4, 5,
+    ]
+    # a second delete commit stacks with the first
+    w.delete_commit([(f0[0], 0)])  # snapshot 1003: drop 1
+    assert _ids(ib.read_iceberg(spark, w.path)) == [3, 5]
+    # non-deleted columns survive intact
+    rows = {r["id"]: r["val"] for r in ib.read_iceberg(spark, w.path).collect()}
+    assert rows == {3: "v3", 5: "v5"}
+    st = ib.snapshot_files(w.path)
+    assert len(st["delete_files"]) == 2 and len(st["files"]) == 2
+
+
+def test_empty_snapshot_reads_as_typed_empty(spark, tmp_path):
+    """r10 ADVICE fix: a valid snapshot with an empty live file list
+    (delete-all overwrite) and a no-snapshot table both read as an
+    empty DataFrame typed from the table schema, mirroring
+    read_delta."""
+    w = ib.IcebergFixtureWriter(str(tmp_path / "e"), FIELDS)
+    added = w.commit(_pdf([1, 2]))
+    w.commit(None, remove_paths=added, operation="overwrite")
+    df = ib.read_iceberg(spark, w.path)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "val"]
+    assert df.schema["id"].dataType.typeName() == "long"
+    # no-snapshot table: metadata only
+    t2 = tmp_path / "ns"
+    os.makedirs(t2 / "metadata")
+    meta = {
+        "format-version": 2,
+        "table-uuid": "ns",
+        "location": str(t2),
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": FIELDS}
+        ],
+        "current-schema-id": 0,
+        "snapshots": [],
+    }
+    json.dump(meta, open(t2 / "metadata" / "v1.metadata.json", "w"))
+    open(t2 / "metadata" / "version-hint.text", "w").write("1")
+    df2 = ib.read_iceberg(spark, str(t2))
+    assert df2.count() == 0 and df2.columns == ["id", "val"]
 
 
 def test_format_version_boundary(tmp_path):
