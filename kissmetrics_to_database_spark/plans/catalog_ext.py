@@ -9107,7 +9107,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND t.t_ts >= p.ts - INTERVAL 7 DAY
     ),
     per_p AS (
-      SELECT event_id, CAST(any_value(value) AS DOUBLE) AS value,
+      SELECT event_id,
+             CAST(round(CAST(any_value(value) AS DOUBLE) * 100.0, 0)
+                  AS BIGINT) AS value_c,
              CAST(count(t_id) AS BIGINT) AS n_t
       FROM joined GROUP BY event_id
     ),
@@ -9117,18 +9119,21 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credited AS (
       SELECT pt.t_type AS touch_type,
-             sum(p.value * pt.n_tt / p.n_t) AS credit,
+             sum(CAST(round(p.value_c * pt.n_tt * 1000000.0 / p.n_t, 0)
+                      AS BIGINT)) AS credit_u,
              CAST(sum(pt.n_tt) AS BIGINT) AS n_touches
       FROM per_pt pt JOIN per_p p USING (event_id)
       GROUP BY pt.t_type
     ),
     direct AS (
       SELECT 'direct' AS touch_type,
-             coalesce(sum(value), 0.0) AS credit,
+             coalesce(sum(value_c * 1000000), 0) AS credit_u,
              CAST(0 AS BIGINT) AS n_touches
       FROM per_p WHERE n_t = 0
     )
-    SELECT touch_type, round(credit, 2) AS credit, n_touches
+    SELECT touch_type,
+           round(CAST(credit_u AS DOUBLE) / 100000000.0, 2) AS credit,
+           n_touches
     FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
     ORDER BY touch_type
     """,
@@ -9142,8 +9147,12 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed EQUI-join with the time window as a residual predicate
     (per-user event counts bound the fan-out — the interval-join
     contract); credit normalization is two skinny purchase-keyed
-    aggregates; the readout is one touch-type groupBy. Credit sums
-    are doubles rounded at 2 (the money-aggregate convention)."""
+    aggregates; the readout is one touch-type groupBy. Credit
+    arithmetic is exact BIGINT micro-units (r10, VERDICT r9 #1, the
+    r8 classifier rule): value snaps to cents, each per-(purchase,
+    type) share rounds ONCE to 1e-8 dollars BEFORE the sum, so the
+    aggregate is an order-independent integer sum with one terminal
+    division — partition-layout-proof by construction."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
@@ -9164,7 +9173,9 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("event_id", "value", "t_id", "t_type")
     per_p = joined.groupBy("event_id").agg(
-        F.any_value("value").cast("double").alias("value"),
+        F.round(F.any_value("value").cast("double") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("value_c"),
         F.count("t_id").cast("long").alias("n_t"),
     )
     per_pt = (
@@ -9176,21 +9187,33 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_pt.join(per_p, "event_id")
         .groupBy(F.col("t_type").alias("touch_type"))
         .agg(
-            F.sum(F.col("value") * F.col("n_tt") / F.col("n_t")).alias(
-                "credit"
-            ),
+            F.sum(
+                F.round(
+                    F.col("value_c")
+                    * F.col("n_tt")
+                    * F.lit(1000000.0)
+                    / F.col("n_t"),
+                    0,
+                ).cast("long")
+            ).alias("credit_u"),
             F.sum("n_tt").cast("long").alias("n_touches"),
         )
     )
     direct = per_p.where(F.col("n_t") == 0).agg(
         F.lit("direct").alias("touch_type"),
-        F.coalesce(F.sum("value"), F.lit(0.0)).alias("credit"),
+        F.coalesce(F.sum(F.col("value_c") * F.lit(1000000)), F.lit(0))
+        .cast("long")
+        .alias("credit_u"),
         F.lit(0).cast("long").alias("n_touches"),
     )
     return (
         credited.unionByName(direct)
         .select(
-            "touch_type", F.round("credit", 2).alias("credit"), "n_touches"
+            "touch_type",
+            F.round(
+                F.col("credit_u").cast("double") / F.lit(100000000.0), 2
+            ).alias("credit"),
+            "n_touches",
         )
         .orderBy("touch_type")
     )
@@ -9216,7 +9239,10 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND t.t_ts >= p.ts - INTERVAL 7 DAY
     ),
     ranked AS (
-      SELECT event_id, value, t_type,
+      SELECT event_id,
+             CAST(round(CAST(value AS DOUBLE) * 100.0, 0) AS BIGINT)
+               AS value_c,
+             t_type,
              row_number() OVER (PARTITION BY event_id
                                 ORDER BY t_ts, t_id) AS pos,
              CAST(count(*) OVER (PARTITION BY event_id) AS BIGINT) AS n_t
@@ -9224,16 +9250,19 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credited AS (
       SELECT t_type AS touch_type,
-             sum(value * (CASE
-               WHEN n_t = 1 THEN 1.0
-               WHEN n_t = 2 THEN 0.5
-               WHEN pos = 1 THEN 0.4
-               WHEN pos = n_t THEN 0.4
-               ELSE 0.2 / (n_t - 2) END)) AS credit,
+             sum(CAST(round(value_c * (CASE
+               WHEN n_t = 1 THEN 1.0e0
+               WHEN n_t = 2 THEN 0.5e0
+               WHEN pos = 1 THEN 0.4e0
+               WHEN pos = n_t THEN 0.4e0
+               ELSE 0.2e0 / (n_t - 2) END) * 1000000.0, 0) AS BIGINT))
+               AS credit_u,
              CAST(count(*) AS BIGINT) AS n_touches
       FROM ranked GROUP BY t_type
     )
-    SELECT touch_type, round(credit, 2) AS credit, n_touches
+    SELECT touch_type,
+           round(CAST(credit_u AS DOUBLE) / 100000000.0, 2) AS credit,
+           n_touches
     FROM credited ORDER BY touch_type
     """,
 )
@@ -9245,7 +9274,9 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     journey-shape complement of attribution_linear. Positions rank
     inside a PURCHASE-partitioned window (bounded by per-journey
     touch counts — never a global sort); ties on touch time break by
-    touch id for engine-exact replay."""
+    touch id for engine-exact replay. Credit arithmetic is exact
+    BIGINT micro-units pre-sum (r10, VERDICT r9 #1) —
+    partition-layout-proof, one terminal division."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -9269,7 +9300,9 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_id")
     ranked = joined.select(
         "event_id",
-        "value",
+        F.round(F.col("value").cast("double") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("value_c"),
         "t_type",
         F.row_number()
         .over(w.orderBy("t_ts", "t_id"))
@@ -9283,11 +9316,24 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pos") == F.col("n_t"), F.lit(0.4))
         .otherwise(F.lit(0.2) / (F.col("n_t") - 2))
     )
+    # exact BIGINT micro-units (r10, VERDICT r9 #1): each touch's
+    # credit rounds ONCE to 1e-8 dollars pre-sum; the aggregate is an
+    # order-independent integer sum with one terminal division
+    credit_u = F.round(
+        F.col("value_c") * share * F.lit(1000000.0), 0
+    ).cast("long")
     return (
         ranked.groupBy(F.col("t_type").alias("touch_type"))
         .agg(
-            F.round(F.sum(F.col("value") * share), 2).alias("credit"),
+            F.sum(credit_u).alias("credit_u"),
             F.count("*").cast("long").alias("n_touches"),
+        )
+        .select(
+            "touch_type",
+            F.round(
+                F.col("credit_u").cast("double") / F.lit(100000000.0), 2
+            ).alias("credit"),
+            "n_touches",
         )
         .orderBy("touch_type")
     )
@@ -9306,21 +9352,28 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
     ),
     joined AS (
-      SELECT p.event_id, p.value, t.t_type,
-             pow(0.5, (epoch_us(p.ts) - epoch_us(t.t_ts))
-                      / 86400000000.0 / 3.5) AS w
+      SELECT p.event_id,
+             CAST(round(CAST(p.value AS DOUBLE) * 100.0, 0) AS BIGINT)
+               AS value_c,
+             t.t_type,
+             CAST(round(pow(0.5, (epoch_us(p.ts) - epoch_us(t.t_ts))
+                      / 86400000000.0 / 3.5) * 1000000000.0, 0)
+                  AS BIGINT) AS w_n
       FROM purchases p JOIN touches t
         ON t.user_id = p.user_id
        AND t.t_ts < p.ts
        AND t.t_ts >= p.ts - INTERVAL 7 DAY
     ),
     normed AS (
-      SELECT event_id, value, t_type, w,
-             sum(w) OVER (PARTITION BY event_id) AS w_sum
+      SELECT event_id, value_c, t_type, w_n,
+             CAST(sum(w_n) OVER (PARTITION BY event_id) AS BIGINT) AS w_sum
       FROM joined
     )
     SELECT t_type AS touch_type,
-           round(sum(value * w / w_sum), 2) AS credit,
+           round(CAST(sum(CAST(round(value_c
+                     * (CAST(w_n AS DOUBLE) / w_sum)
+                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / 100000000.0, 2) AS credit,
            CAST(count(*) AS BIGINT) AS n_touches
     FROM normed GROUP BY t_type ORDER BY touch_type
     """,
@@ -9331,9 +9384,13 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.5) — a 3.5-day half-life, the recency-weighted complement of
     the linear and U-shaped models. Ages come from exact microsecond
     epochs (unix_micros / epoch_us in both engines) so the weights
-    are engine-identical doubles through libm pow. Normalization is a
-    PURCHASE-partitioned window sum (bounded by per-journey touch
-    counts); the readout is one touch-type groupBy."""
+    are engine-identical doubles through libm pow. Each weight then
+    snaps ONCE to integer nano-units (r10, VERDICT r9 #1, the
+    linkage.py u-probability pattern), so the purchase-partitioned
+    normalization window is an exact BIGINT sum and each touch's
+    credit rounds once to 1e-8 dollars pre-aggregate — the readout
+    is an order-independent integer sum with one terminal division,
+    partition-layout-proof by construction."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -9348,28 +9405,51 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t_ts"),
         F.col("event_type").alias("t_type"),
     )
-    w = F.pow(
-        F.lit(0.5),
-        (F.unix_micros(purchases["ts"]) - F.unix_micros(F.col("t_ts")))
-        / F.lit(86400000000.0)
-        / F.lit(3.5),
-    )
+    w_n = F.round(
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros(purchases["ts"]) - F.unix_micros(F.col("t_ts")))
+            / F.lit(86400000000.0)
+            / F.lit(3.5),
+        )
+        * F.lit(1000000000.0),
+        0,
+    ).cast("long")
     joined = purchases.join(
         touches,
         (touches["user_id"] == purchases["user_id"])
         & (F.col("t_ts") < purchases["ts"])
         & (F.col("t_ts") >= purchases["ts"] - F.expr("INTERVAL 7 DAYS")),
-    ).select("event_id", "value", "t_type", w.alias("w"))
-    normed = joined.withColumn(
-        "w_sum", F.sum("w").over(Window.partitionBy("event_id"))
+    ).select(
+        "event_id",
+        F.round(F.col("value").cast("double") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("value_c"),
+        "t_type",
+        w_n.alias("w_n"),
     )
+    normed = joined.withColumn(
+        "w_sum",
+        F.sum("w_n").over(Window.partitionBy("event_id")).cast("long"),
+    )
+    credit_u = F.round(
+        F.col("value_c")
+        * (F.col("w_n").cast("double") / F.col("w_sum"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
     return (
         normed.groupBy(F.col("t_type").alias("touch_type"))
         .agg(
-            F.round(
-                F.sum(F.col("value") * F.col("w") / F.col("w_sum")), 2
-            ).alias("credit"),
+            F.sum(credit_u).alias("credit_u"),
             F.count("*").cast("long").alias("n_touches"),
+        )
+        .select(
+            "touch_type",
+            F.round(
+                F.col("credit_u").cast("double") / F.lit(100000000.0), 2
+            ).alias("credit"),
+            "n_touches",
         )
         .orderBy("touch_type")
     )

@@ -512,3 +512,31 @@ def test_attribution_time_decay_weights(spark):
     # click: 90 * .25/.75 = 30; view: 90 * .5/.75 = 60
     assert out["click"] == (30.0, 1)
     assert out["view"] == (60.0, 1)
+
+
+def test_attribution_readouts_partition_order_proof(spark):
+    """r10, VERDICT r9 #1: the three attribution credit readouts are
+    exact BIGINT micro-unit sums (each per-touch credit rounds once
+    pre-sum), so they must be bit-identical across partition layouts.
+    The float-sum formulation this replaces flips a 2-dp half-cent
+    boundary when spark.sql.shuffle.partitions changes — the class
+    that produced round 7's only red row."""
+    from kissmetrics_to_database_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in (
+        "attribution_linear",
+        "attribution_position",
+        "attribution_time_decay",
+    ):
+        q = catalog.QUERIES[name]
+        runs = []
+        try:
+            for n in ("1", "3", "8", "17", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                runs.append([tuple(r) for r in q(spark, sf).collect()])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        for other in runs[1:]:
+            assert other == runs[0], name
