@@ -32,10 +32,19 @@ This module implements exactly that replay, read-only:
   fixture binaries). It is NOT a production writer: no conflict
   detection, single process only.
 
-Honest boundary: tables requiring reader version > 1 (deletion
-vectors, column mapping, v2 checkpoints) raise ValueError — the same
-quarantine contract as the media decoders, stated instead of wrong
-results.
+Column mapping (r10, VERDICT r9 #4): tables with
+``delta.columnMapping.mode`` = ``name`` or ``id`` read correctly —
+parquet files are scanned under each column's
+``delta.columnMapping.physicalName`` (which the protocol requires
+writers to assign in BOTH modes; Delta-written id-mode files carry
+the same physical names) and renamed to logical names, a pure
+metadata projection. ``partitionValues`` are keyed by physical name
+when mapping is on. Reader version 2 (= column mapping) and version
+3 whose ``readerFeatures`` ⊆ {columnMapping} are accepted.
+
+Honest boundary: any other reader feature (deletion vectors, v2
+checkpoints, type widening…) raises ValueError — the same quarantine
+contract as the media decoders, stated instead of wrong results.
 """
 
 from __future__ import annotations
@@ -122,13 +131,19 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
     for act in actions:
         if "protocol" in act:
             p = act["protocol"]
-            if int(p.get("minReaderVersion", 1)) > 1 or p.get(
-                "readerFeatures"
+            feats = set(p.get("readerFeatures") or [])
+            if feats - {"columnMapping"}:
+                raise ValueError(
+                    "table requires Delta reader features beyond "
+                    f"column mapping ({sorted(feats)}) — deletion "
+                    "vectors etc. are out of this reader's declared "
+                    "scope"
+                )
+            if int(p.get("minReaderVersion", 1)) > 3 or (
+                int(p.get("minReaderVersion", 1)) == 3 and not feats
             ):
                 raise ValueError(
-                    "table requires Delta reader features beyond v1 "
-                    f"({p}) — deletion vectors / column mapping are "
-                    "out of this reader's declared scope"
+                    f"unsupported Delta minReaderVersion ({p})"
                 )
         elif "metaData" in act:
             metadata = act["metaData"]
@@ -160,29 +175,58 @@ def read_delta(
     scanned — the log replay IS the partition/file pruning step), and
     partition columns are rebuilt from ``partitionValues``, cast to
     the schema's declared types. Column order follows the table
-    schema."""
+    schema. Under column mapping the parquet scan uses each field's
+    ``delta.columnMapping.physicalName`` and renames to the logical
+    name — a metadata-only projection."""
     state = snapshot_state(path, version)
     schema = table_schema(state["metadata"])
     part_cols = list(state["metadata"].get("partitionColumns") or [])
+    mode = (state["metadata"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "name", "id"):
+        raise ValueError(f"unknown delta.columnMapping.mode {mode!r}")
+    phys_of = {
+        f.name: (
+            (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            if mode != "none"
+            else f.name
+        )
+        for f in schema.fields
+    }
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
     type_of = {f.name: f.dataType for f in schema.fields}
 
     if not state["files"]:
         return spark.createDataFrame([], schema)
 
     # group files by partition tuple; partitionValues are strings per
-    # spec (null encoded as JSON null) and cast to the declared type
+    # spec (null encoded as JSON null, keyed by PHYSICAL name under
+    # column mapping) and cast to the declared type
     groups: dict[tuple, list[str]] = {}
     for add in state["files"]:
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
         groups.setdefault(key, []).append(
             os.path.join(path, add["path"])
         )
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
+        df = df.select(
+            *[
+                F.col(phys_of[f.name]).alias(f.name)
+                for f in data_fields
+            ]
+        )
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -239,15 +283,35 @@ class DeltaFixtureWriter:
         path: str,
         schema: T.StructType,
         partition_columns: list[str] | None = None,
+        column_mapping_mode: str | None = None,
     ) -> None:
         self.path = path
         self.schema = schema
         self.partition_columns = partition_columns or []
+        self.column_mapping_mode = column_mapping_mode
+        # physical names in the Delta writer style (col-<uuid>); a
+        # deterministic suffix keeps fixtures replayable
+        self.phys_of = {
+            f.name: (
+                f"col-{i:04d}" if column_mapping_mode else f.name
+            )
+            for i, f in enumerate(schema.fields)
+        }
         self.version = -1
         os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
 
     def _schema_string(self) -> str:
-        return json.dumps(self.schema.jsonValue())
+        js = self.schema.jsonValue()
+        if self.column_mapping_mode:
+            for i, f in enumerate(js["fields"]):
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": self.phys_of[
+                        f["name"]
+                    ],
+                }
+        return json.dumps(js)
 
     def commit(
         self,
@@ -268,8 +332,14 @@ class DeltaFixtureWriter:
             {"commitInfo": {"operation": operation, "version": v}}
         ]
         if v == 0:
+            cm = self.column_mapping_mode
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 2 if cm else 1,
+                        "minWriterVersion": 5 if cm else 2,
+                    }
+                }
             )
             actions.append(
                 {
@@ -278,7 +348,9 @@ class DeltaFixtureWriter:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": self._schema_string(),
                         "partitionColumns": self.partition_columns,
-                        "configuration": {},
+                        "configuration": (
+                            {"delta.columnMapping.mode": cm} if cm else {}
+                        ),
                     }
                 }
             )
@@ -297,7 +369,10 @@ class DeltaFixtureWriter:
                 rel = f"part-{v:05d}-{i:05d}.parquet"
                 pq.write_table(
                     pa.Table.from_pandas(
-                        sub.drop(columns=pc), preserve_index=False
+                        sub.drop(columns=pc).rename(
+                            columns=self.phys_of
+                        ),
+                        preserve_index=False,
                     ),
                     os.path.join(self.path, rel),
                 )
@@ -306,7 +381,8 @@ class DeltaFixtureWriter:
                         "add": {
                             "path": rel,
                             "partitionValues": {
-                                c: str(val) for c, val in zip(pc, key)
+                                self.phys_of[c]: str(val)
+                                for c, val in zip(pc, key)
                             },
                             "size": os.path.getsize(
                                 os.path.join(self.path, rel)

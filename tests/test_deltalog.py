@@ -102,8 +102,24 @@ def test_schema_and_partition_types(spark, tmp_path):
 def test_reader_feature_boundary(spark, tmp_path):
     w = dl.DeltaFixtureWriter(str(tmp_path / "x"), SCHEMA, ["part"])
     w.commit(_pdf([1], "a"))
-    # simulate a v3 table (deletion vectors etc.)
+    # v3 table requiring deletion vectors: still a declared boundary
     log = os.path.join(w.path, "_delta_log", f"{1:020d}.json")
+    with open(log, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="reader features"):
+        dl.read_delta(spark, w.path)
+    # v3 with an empty feature list is malformed
     with open(log, "w", encoding="utf-8") as f:
         f.write(
             json.dumps(
@@ -111,8 +127,64 @@ def test_reader_feature_boundary(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="reader features"):
+    with pytest.raises(ValueError, match="minReaderVersion"):
         dl.read_delta(spark, w.path)
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """r10, VERDICT r9 #4: delta.columnMapping.mode=name tables read
+    correctly — parquet files carry physical col-XXXX names; the
+    reader scans by physicalName and renames to logical names, with
+    partitionValues keyed by physical name."""
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "cm"), SCHEMA, ["part"], column_mapping_mode="name"
+    )
+    added = w.commit(_pdf([1, 2], "a"))
+    w.commit(_pdf([3], "b"))
+    w.commit(_pdf([4], "a"), remove_paths=added, operation="MERGE")
+    # the physical layer really is renamed (not a no-op fixture)
+    import pyarrow.parquet as pq
+
+    phys_cols = pq.read_schema(os.path.join(w.path, added[0])).names
+    assert all(c.startswith("col-") for c in phys_cols)
+    df = dl.read_delta(spark, w.path)
+    assert sorted(df.columns) == ["id", "part", "val"]
+    assert sorted((r["id"], r["part"]) for r in df.collect()) == [
+        (3, "b"),
+        (4, "a"),
+    ]
+    # time travel under mapping
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, w.path, version=1).collect()
+    ) == [1, 2, 3]
+    # reader-v2 protocol accepted; readerFeatures=[columnMapping] too
+    log0 = os.path.join(w.path, "_delta_log", f"{0:020d}.json")
+    lines = open(log0).read().strip().split("\n")
+    acts = [json.loads(x) for x in lines]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+            }
+    with open(log0, "w", encoding="utf-8") as f:
+        f.writelines(json.dumps(a) + "\n" for a in acts)
+    assert dl.read_delta(spark, w.path).count() == 2
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """id-mode tables written Delta-style (physicalName assigned in
+    both modes) read through the same physical-name projection."""
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "cmid"), SCHEMA, [], column_mapping_mode="id"
+    )
+    w.commit(_pdf([5, 6], "z"))
+    df = dl.read_delta(spark, w.path)
+    assert sorted((r["id"], r["part"]) for r in df.collect()) == [
+        (5, "z"),
+        (6, "z"),
+    ]
 
 
 def test_history(table):
