@@ -1,0 +1,237 @@
+"""Lakehouse commit tailing (r10, VERDICT r9 #6): treat a Delta table
+or a manifest-log (tablelog) table as a STREAMING SOURCE — each new
+committed version becomes one micro-batch, epoch = commit version —
+composing the r9 lakehouse readers with the r7/r8 exactly-once epoch
+machinery. This is what a real ingest pipeline does with a lakehouse
+table: tail the transaction log, not the directory.
+
+Contract (the reference's advance-after-commit watermark,
+KissmetricsToDatabase.php's processed-file index, restated for
+commit logs):
+
+- A persisted CURSOR file records the last fully-processed version.
+  It advances ONLY after the sink returns — so delivery is
+  at-least-once, and composing with an epoch-keyed idempotent sink
+  (``tablelog.write_table(..., epoch_id=version)`` or
+  ``pipeline.jdbc_exactly_once_sink``'s staged ledger) yields
+  exactly-once end-to-end: a crash between sink and cursor advance
+  replays the version, the sink's ledger recognizes the epoch, and
+  the rows land once.
+- The cursor is written atomically (tmp + fsync + rename), the
+  tablelog manifest recipe, so a crash never leaves a torn cursor.
+- Restart = construct a new tailer over the same cursor path; it
+  resumes from the recorded version.
+
+Incremental semantics per source:
+
+- **tablelog**: an ``append`` commit's batch is the manifest's file
+  list MINUS the previous manifest's (immutable segments make set
+  difference exact); ``compact`` commits rewrite bytes without
+  changing rows — skipped (cursor still advances); ``overwrite``
+  commits replace the table — the whole new file list is the batch
+  (a tailer consumer sees the replacement content once; document
+  downstream semantics yourself if you overwrite mid-stream).
+- **delta**: a commit's batch is its JSON ``add`` actions (read
+  straight from ``_delta_log/<v>.json`` — no snapshot replay needed
+  for a tail). Commits carrying ``remove`` actions raise ValueError:
+  row-level change feeds need Delta CDF, which is out of this
+  reader's declared scope — stated, not silently wrong. Partition
+  columns are reconstructed from each add's partitionValues exactly
+  as in ``read_delta``, including column-mapping physical names.
+
+Scale shape: a poll lists the log directory (metadata-scale — one
+entry per COMMIT) and reads only the new versions' files; the data
+scan is incremental by construction. Nothing driver-side grows with
+table size, only with commit count per poll.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kissmetrics_to_database_spark.sources import deltalog, tablelog
+
+
+def _read_cursor(cursor_path: str) -> int:
+    """Last fully-processed version; -1 before the first advance."""
+    if not os.path.exists(cursor_path):
+        return -1
+    with open(cursor_path, encoding="utf-8") as f:
+        return int(json.load(f)["version"])
+
+
+def _advance_cursor(cursor_path: str, version: int) -> None:
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": int(version)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, cursor_path)
+
+
+def _delta_commit_actions(path: str, version: int) -> list[dict]:
+    log = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    actions = []
+    with open(log, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+    return actions
+
+
+class CommitTailer:
+    """Tail a lakehouse table's commit log. ``kind`` is 'tablelog' or
+    'delta'. ``poll(spark, sink)`` feeds each new version to
+    ``sink(batch_df, version)`` in commit order, advancing the cursor
+    after each sink return; returns the versions processed."""
+
+    def __init__(self, kind: str, table_path: str, cursor_path: str):
+        if kind not in ("tablelog", "delta"):
+            raise ValueError(f"unknown tailer kind {kind!r}")
+        self.kind = kind
+        self.table_path = table_path
+        self.cursor_path = cursor_path
+
+    @property
+    def position(self) -> int:
+        return _read_cursor(self.cursor_path)
+
+    def committed_versions(self) -> list[int]:
+        if self.kind == "tablelog":
+            return tablelog.list_versions(self.table_path)
+        jsons, _ = deltalog._log_versions(
+            os.path.join(self.table_path, "_delta_log")
+        )
+        return sorted(jsons)
+
+    def pending(self) -> list[int]:
+        cur = self.position
+        return [v for v in self.committed_versions() if v > cur]
+
+    # -- incremental batch construction -------------------------------
+
+    def _tablelog_batch(
+        self, spark: SparkSession, version: int
+    ) -> DataFrame | None:
+        man = tablelog.read_manifest(self.table_path, version)
+        if man.get("mode") == "compact":
+            return None  # byte rewrite, no new rows
+        prev_files: set[str] = set()
+        if man.get("mode") == "append" and version > 0:
+            versions = tablelog.list_versions(self.table_path)
+            older = [v for v in versions if v < version]
+            if older:
+                prev_files = set(
+                    tablelog.read_manifest(self.table_path, older[-1])[
+                        "files"
+                    ]
+                )
+        new_files = [f for f in man["files"] if f not in prev_files]
+        if not new_files:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*new_files)
+
+    def _delta_batch(
+        self, spark: SparkSession, version: int
+    ) -> DataFrame | None:
+        state = deltalog.snapshot_state(self.table_path, version)
+        meta = state["metadata"]
+        schema = deltalog.table_schema(meta)
+        part_cols = list(meta.get("partitionColumns") or [])
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        phys_of = {
+            f.name: (
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if mode != "none"
+                else f.name
+            )
+            for f in schema.fields
+        }
+        actions = _delta_commit_actions(self.table_path, version)
+        if any("remove" in a for a in actions):
+            raise ValueError(
+                f"delta commit {version} contains remove actions — "
+                "tailing row-level changes needs Delta CDF, out of "
+                "this tailer's declared scope (appends only)"
+            )
+        adds = [a["add"] for a in actions if "add" in a]
+        if not adds:
+            return None
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(
+            [
+                T.StructField(phys_of[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        type_of = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for add in adds:
+            pv = add.get("partitionValues") or {}
+            key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(self.table_path, add["path"])
+            )
+        parts = []
+        for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(data_schema).parquet(*files)
+            df = df.select(
+                *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
+            )
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    c,
+                    (F.lit(None) if raw is None else F.lit(raw)).cast(
+                        type_of[c]
+                    ),
+                )
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def batch_for(
+        self, spark: SparkSession, version: int
+    ) -> DataFrame | None:
+        if self.kind == "tablelog":
+            return self._tablelog_batch(spark, version)
+        return self._delta_batch(spark, version)
+
+    # -- the tail loop -------------------------------------------------
+
+    def poll(
+        self,
+        spark: SparkSession,
+        sink: Callable[[DataFrame, int], Any],
+        max_versions: int | None = None,
+    ) -> list[int]:
+        """Process pending versions in commit order. For each: build
+        the incremental batch, call ``sink(batch_df, version)``, then
+        advance the cursor — the advance-after-commit contract. A
+        sink exception leaves the cursor untouched, so the version
+        replays on the next poll (pair with an epoch-keyed sink for
+        exactly-once)."""
+        done: list[int] = []
+        for v in self.pending():
+            if max_versions is not None and len(done) >= max_versions:
+                break
+            batch = self.batch_for(spark, v)
+            if batch is not None:
+                sink(batch, v)
+            _advance_cursor(self.cursor_path, v)
+            done.append(v)
+        return done

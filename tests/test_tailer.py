@@ -1,0 +1,146 @@
+"""Lakehouse commit tailing (r10): new commits picked up once each
+across restarts and crash replays — the exactly-once composition of
+the commit cursor (advance-after-sink) with epoch-keyed sinks."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from kissmetrics_to_database_spark.sources import deltalog as dl
+from kissmetrics_to_database_spark.sources import tablelog
+from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"v{i}") for i in ids], "id long, val string")
+
+
+def _dest_count(spark, dest):
+    return tablelog.read_table(spark, dest).count()
+
+
+def test_tablelog_tail_exactly_once_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    cursor = str(tmp_path / "cursor.json")
+    tablelog.write_table(_df(spark, [1, 2]), src)  # v0
+    tablelog.write_table(_df(spark, [3]), src)  # v1
+    tablelog.write_table(_df(spark, [4, 5]), src)  # v2
+
+    def sink(batch, version):
+        tablelog.write_table(batch, dest, epoch_id=version)
+
+    t = CommitTailer("tablelog", src, cursor)
+    assert t.pending() == [0, 1, 2]
+    assert t.poll(spark, sink) == [0, 1, 2]
+    assert _dest_count(spark, dest) == 5
+    # nothing pending; a fresh tailer over the same cursor resumes
+    assert t.poll(spark, sink) == []
+    t2 = CommitTailer("tablelog", src, cursor)
+    assert t2.pending() == []
+    # a new commit is picked up by the restarted tailer, once
+    tablelog.write_table(_df(spark, [6]), src)  # v3
+    assert t2.poll(spark, sink) == [3]
+    assert _dest_count(spark, dest) == 6
+    assert t2.poll(spark, sink) == []
+
+
+def test_tablelog_tail_crash_replay_is_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    cursor = str(tmp_path / "cursor.json")
+    tablelog.write_table(_df(spark, [1, 2, 3]), src)  # v0
+    calls = {"n": 0}
+
+    def flaky_sink(batch, version):
+        tablelog.write_table(batch, dest, epoch_id=version)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash between sink and cursor advance")
+
+    t = CommitTailer("tablelog", src, cursor)
+    with pytest.raises(RuntimeError, match="crash"):
+        t.poll(spark, flaky_sink)
+    # cursor untouched: the version replays; the dest epoch ledger
+    # recognizes epoch 0 and skips — rows land exactly once
+    assert t.position == -1 and t.pending() == [0]
+    assert t.poll(spark, flaky_sink) == [0]
+    assert _dest_count(spark, dest) == 3
+
+
+def test_tablelog_tail_skips_compaction_applies_overwrite(spark, tmp_path):
+    src = str(tmp_path / "src")
+    cursor = str(tmp_path / "cursor.json")
+    tablelog.write_table(_df(spark, [1, 2]), src)  # v0
+    tablelog.write_table(_df(spark, [3]), src)  # v1
+    tablelog.compact_table(spark, src)  # v2: byte rewrite, no new rows
+    tablelog.write_table(_df(spark, [9]), src, mode="overwrite")  # v3
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(r["id"] for r in batch.collect())))
+
+    t = CommitTailer("tablelog", src, cursor)
+    assert t.poll(spark, sink) == [0, 1, 2, 3]
+    assert seen == [(0, [1, 2]), (1, [3]), (3, [9])]  # v2 skipped
+
+
+def test_delta_tail_incremental_adds_and_remove_boundary(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+
+    def pdf(ids, part):
+        return pd.DataFrame(
+            {"id": ids, "val": [f"v{i}" for i in ids], "part": part}
+        )
+
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "d"), schema, partition_columns=["part"]
+    )
+    added0 = w.commit(pdf([1, 2], "a"))  # v0
+    w.commit(pdf([3], "b"))  # v1
+    cursor = str(tmp_path / "dc.json")
+    t = CommitTailer("delta", w.path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append(
+            (version, sorted((r["id"], r["part"]) for r in batch.collect()))
+        )
+
+    assert t.poll(spark, sink) == [0, 1]
+    assert seen == [(0, [(1, "a"), (2, "a")]), (1, [(3, "b")])]
+    # a remove-bearing commit is a declared boundary (appends only)
+    w.commit(pdf([4], "a"), remove_paths=added0, operation="MERGE")  # v2
+    with pytest.raises(ValueError, match="remove actions"):
+        t.poll(spark, sink)
+    assert t.position == 1  # cursor untouched by the failed version
+
+
+def test_delta_tail_column_mapped_table(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "cm"), schema, column_mapping_mode="name"
+    )
+    w.commit(pd.DataFrame({"id": [7, 8], "val": ["x", "y"]}))
+    t = CommitTailer("delta", w.path, str(tmp_path / "c.json"))
+    seen = []
+    t.poll(spark, lambda b, v: seen.append(sorted(r["id"] for r in b.collect())))
+    assert seen == [[7, 8]]
+
+
+def test_tailer_rejects_unknown_kind(tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        CommitTailer("iceberg", str(tmp_path), str(tmp_path / "c"))
