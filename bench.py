@@ -197,6 +197,8 @@ HEADLINE = [
     "delta_column_mapping",
     "bitext_margin_mining_ann",
     "bitext_ann_recall",
+    "funnel_conversion",
+    "dau_mau_stickiness",
 ]
 
 

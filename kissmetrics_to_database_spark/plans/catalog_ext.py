@@ -9345,7 +9345,195 @@ def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deployment runs on its events warehouse — weekly retention cohorts
 # and multi-touch attribution. Reference anchor: the events table the
 # reference ETLs exists to feed exactly these queries downstream.
+# Round 10 adds the third: ordered funnel conversion — the query
+# Kissmetrics the product was built around.
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(t.t1) AS t1
+      FROM events e JOIN t1 t ON e.user_id = t.user_id
+      WHERE e.event_type = 'click' AND e.ts > t.t1
+        AND e.ts <= t.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(t.t1) AS t1
+      FROM events e JOIN t2 t ON e.user_id = t.user_id
+      WHERE e.event_type = 'signup' AND e.ts > t.t2
+        AND e.ts <= t.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    t4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN t3 t ON e.user_id = t.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t.t3
+        AND e.ts <= t.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             (SELECT count(*) FROM t1) AS n
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM t3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n AS BIGINT) AS n_users,
+           round(n / CAST(nullif(lag(n) OVER (ORDER BY step), 0)
+                          AS DOUBLE), 6) AS conv_from_prev,
+           round(n / CAST(nullif(first_value(n) OVER (ORDER BY step), 0)
+                          AS DOUBLE), 6) AS conv_from_first
+    FROM counts ORDER BY step
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered FUNNEL CONVERSION (r10): view → click → signup →
+    purchase, each step's FIRST occurrence strictly after the prior
+    step and inside a 7-day window from the first view — the query
+    the Kissmetrics product was built around, run on the events
+    warehouse the reference's ETL exists to feed. Per step: users
+    reached, step-over-step and from-first conversion.
+
+    Distributed shape: four user-keyed min-aggregates chained by
+    user_id equi-joins — every stage hash-partitions on the SAME key,
+    so after the first shuffle the chain co-partitions (AQE reuses
+    the layout); per-user state is one timestamp per step, never an
+    event list; the readout is a 4-row frame. Counts are exact
+    BIGINTs; each conversion is one terminal division (layout-proof
+    by construction)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    e = ev.select("user_id", "event_type", "ts")
+    win = F.expr("INTERVAL 7 DAYS")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "signup")
+        .join(t2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    t4 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t3, "user_id")
+        .where((F.col("ts") > F.col("t3")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t4"))
+    )
+    counts = None
+    for step, (name, frame) in enumerate(
+        [("view", t1), ("click", t2), ("signup", t3), ("purchase", t4)],
+        start=1,
+    ):
+        row = frame.agg(F.count("*").alias("n")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n").cast("long").alias("n"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        F.col("n").alias("n_users"),
+        F.round(
+            F.col("n")
+            / F.nullif(F.lag("n").over(w), F.lit(0)).cast("double"),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("n")
+            / F.nullif(F.first("n").over(w), F.lit(0)).cast("double"),
+            6,
+        ).alias("conv_from_first"),
+    ).orderBy("step")
+
+
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             count(DISTINCT user_id) AS dau
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    per_m AS (
+      SELECT date_trunc('month', d) AS month,
+             CAST(sum(dau) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    monthly AS (
+      SELECT date_trunc('month', ts) AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT p.month, p.n_days, p.sum_dau, m.mau,
+           round(p.sum_dau / CAST(p.n_days * m.mau AS DOUBLE), 6)
+             AS stickiness
+    FROM per_m p JOIN monthly m ON p.month = m.month
+    ORDER BY p.month
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per month (r10) — the third classic
+    product-analytics readout (with retention cohorts and funnels):
+    average daily active users over monthly active users. All
+    aggregates are exact BIGINTs (sum of daily distinct counts, day
+    count, monthly distinct count); stickiness is one terminal
+    division — layout-proof. Two hash-partitioned countDistincts and
+    a month-keyed join; nothing scales past month-cardinality."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    per_m = daily.groupBy(F.date_trunc("month", "d").alias("month")).agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        per_m.join(monthly, "month")
+        .select(
+            "month",
+            "n_days",
+            "sum_dau",
+            "mau",
+            F.round(
+                F.col("sum_dau")
+                / (F.col("n_days") * F.col("mau")).cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
 
 
 @query(
