@@ -199,6 +199,7 @@ HEADLINE = [
     "bitext_ann_recall",
     "funnel_conversion",
     "dau_mau_stickiness",
+    "iceberg_equality_deletes",
 ]
 
 

@@ -8816,6 +8816,79 @@ def q_iceberg_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICEBERG_EQ_FIX: dict = {}
+
+
+def _iceberg_eq_fixture(spark, sf_dir: str) -> str:
+    """Equality-delete fixture (r10): commit the even-doc_id half
+    (seq 1), EQUALITY-delete lang='de' (seq 2 — applies only to seq
+    < 2), then commit the odd half (seq 3) — so the surviving set is
+    (even AND lang<>'de') OR odd, exercising sequence scoping through
+    real manifest bytes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICEBERG_EQ_FIX:
+        import pandas as pd
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        fields = [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "source", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"},
+        ]
+        path = tempfile.mkdtemp(prefix="kmdb_iceberg_eq_") + "/docs_eq"
+        w = ib.IcebergFixtureWriter(path, fields)
+        w.commit(pdf[pdf.doc_id % 2 == 0].reset_index(drop=True))
+        w.equality_delete_commit(
+            pd.DataFrame({"lang": ["de"]}), field_ids=[3]
+        )
+        w.commit(pdf[pdf.doc_id % 2 == 1].reset_index(drop=True))
+        _ICEBERG_EQ_FIX[key] = path
+    return _ICEBERG_EQ_FIX[key]
+
+
+@query(
+    "iceberg_equality_deletes",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE doc_id % 2 = 1 OR lang <> 'de'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_iceberg_equality_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes with sequence scoping (r10): the
+    delete file (lang='de', seq 2) removes matching rows only from
+    data files with a smaller data sequence number, so lang='de' rows
+    appended AFTER the delete (the odd-doc_id commit, seq 3) survive.
+    The reader anti-joins the sequence-tagged scan against the
+    delete rows on the equality columns with the seq predicate —
+    distributed on both sides. The oracle restates the surviving
+    membership from the documents table: any sequence-scoping,
+    field-id-resolution, or null-safe-equality bug breaks the hash."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    path = _iceberg_eq_fixture(spark, sf_dir)
+    return (
+        ib.read_iceberg(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query(
     "hll_user_overlap",
     f"""

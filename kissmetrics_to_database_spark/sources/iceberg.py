@@ -30,13 +30,18 @@ delete side is read as plain parquet too, so at 100 TB both sides
 stay distributed; Catalyst/AQE broadcasts the delete side when it is
 small (the common case — deletes are a fraction of the table).
 
-Honest boundary: EQUALITY deletes (data_file ``content`` = 2) and
-format-version > 2 raise ValueError rather than returning wrong
-rows. Sequence-number scoping is simplified to file-path identity:
-positional deletes name their target data file explicitly and file
-paths are unique per table, so path identity is exact unless a
-writer rewrites a different file under the same path (which the spec
-forbids).
+EQUALITY deletes (r10, data_file ``content`` = 2) apply with
+sequence-number scoping per the v2 spec: a delete row removes data
+rows that match on the ``equality_ids`` columns AND live in a data
+file whose data sequence number is STRICTLY LESS than the delete
+file's — so a delete-then-reinsert keeps the reinserted row. The
+reader requires explicit per-entry ``sequence_number`` on both sides
+when equality deletes are present (sequence inheritance from the
+manifest list is not implemented — ValueError, stated rather than
+wrong rows). Positional deletes need no sequence scoping: they name
+their target file explicitly and file paths are unique per table.
+
+Honest boundary: format-version > 2 raises ValueError.
 
 ``IcebergFixtureWriter`` emits a spec-shaped metadata tree (JSON +
 real Avro manifests) so tests and catalog queries round-trip real
@@ -128,6 +133,8 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
         _, mentries = avroc.read_container(f.read())
     files: list[str] = []
     delete_files: list[str] = []
+    equality_deletes: list[dict] = []
+    file_seq: dict[str, int | None] = {}
     path_map: dict[str, str] = {}
     n_rows = 0
     for me in mentries:
@@ -142,21 +149,37 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
                 raise ValueError(f"non-parquet data file ({fmt})")
             content = int(df.get("content") or 0)
             local = _local(df["file_path"], path)
+            seq = e.get("sequence_number")
             if content == 0:  # data file
                 files.append(local)
+                file_seq[local] = None if seq is None else int(seq)
                 path_map[str(df["file_path"])] = local
                 n_rows += int(df.get("record_count", 0))
             elif content == 1:  # positional delete file (v2 MOR)
                 delete_files.append(local)
-            else:  # 2 = equality deletes
-                raise ValueError(
-                    "v2 equality-delete file present — equality "
-                    "deletes are out of this reader's declared scope"
+            else:  # 2 = equality deletes (v2 MOR)
+                ids = df.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "equality-delete file without equality_ids"
+                    )
+                equality_deletes.append(
+                    {
+                        "path": local,
+                        "sequence_number": (
+                            None if seq is None else int(seq)
+                        ),
+                        "equality_ids": tuple(int(i) for i in ids),
+                    }
                 )
     return {
         "snapshot_id": sid,
         "files": sorted(files),
         "delete_files": sorted(delete_files),
+        "equality_deletes": sorted(
+            equality_deletes, key=lambda d: d["path"]
+        ),
+        "file_seq": file_seq,
         "record_count": n_rows,
         "path_map": path_map,
     }
@@ -219,43 +242,98 @@ def read_iceberg(
     state = snapshot_files(path, snapshot_id)
     if not state["files"]:
         return spark.createDataFrame([], _spark_schema(table_metadata(path)))
-    if not state["delete_files"]:
+    eq_dels = state.get("equality_deletes") or []
+    if not state["delete_files"] and not eq_dels:
         return spark.read.parquet(*state["files"])
-    scan = spark.read.parquet(*state["files"])
-    cols = scan.columns
-    # manifest path string (how delete rows name data files) → the
-    # URI _metadata.file_path reports for the same local file
-    # (Hadoop-style "file:/abs/path", single slash)
-    ref_rows = sorted(
-        {
-            (ref, "file:" + os.path.abspath(local))
-            for ref, local in state["path_map"].items()
-        }
-        | {
-            (local, "file:" + os.path.abspath(local))
-            for local in state["path_map"].values()
-        }
-    )
-    ref_map = spark.createDataFrame(ref_rows, "ref string, _duri string")
-    dels = (
-        spark.read.parquet(*state["delete_files"])
-        .select(
-            F.col("file_path").cast("string").alias("ref"),
-            F.col("pos").cast("long").alias("_dpos"),
-        )
-        .join(F.broadcast(ref_map), "ref")
-        .select("_duri", "_dpos")
-    )
+    cols = spark.read.parquet(*state["files"]).columns
     tagged = spark.read.parquet(*state["files"]).select(
         *cols,
         F.col("_metadata.file_path").alias("_uri"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    return tagged.join(
-        dels,
-        (tagged["_uri"] == dels["_duri"]) & (tagged["_pos"] == dels["_dpos"]),
-        "left_anti",
-    ).select(*cols)
+    if state["delete_files"]:
+        # manifest path string (how delete rows name data files) →
+        # the URI _metadata.file_path reports for the same local
+        # file (Hadoop-style "file:/abs/path", single slash)
+        ref_rows = sorted(
+            {
+                (ref, "file:" + os.path.abspath(local))
+                for ref, local in state["path_map"].items()
+            }
+            | {
+                (local, "file:" + os.path.abspath(local))
+                for local in state["path_map"].values()
+            }
+        )
+        ref_map = spark.createDataFrame(
+            ref_rows, "ref string, _duri string"
+        )
+        dels = (
+            spark.read.parquet(*state["delete_files"])
+            .select(
+                F.col("file_path").cast("string").alias("ref"),
+                F.col("pos").cast("long").alias("_dpos"),
+            )
+            .join(F.broadcast(ref_map), "ref")
+            .select("_duri", "_dpos")
+        )
+        tagged = tagged.join(
+            dels,
+            (tagged["_uri"] == dels["_duri"])
+            & (tagged["_pos"] == dels["_dpos"]),
+            "left_anti",
+        )
+    if eq_dels:
+        if any(
+            state["file_seq"].get(f) is None for f in state["files"]
+        ) or any(d["sequence_number"] is None for d in eq_dels):
+            raise ValueError(
+                "equality deletes require explicit sequence_number "
+                "on every data and delete manifest entry (sequence "
+                "inheritance not implemented)"
+            )
+        meta = table_metadata(path)
+        sid = meta.get("current-schema-id", 0)
+        schemas = meta.get("schemas") or [meta.get("schema") or {}]
+        schema = next(
+            (s for s in schemas if s.get("schema-id", 0) == sid),
+            schemas[0],
+        )
+        name_of = {int(f["id"]): f["name"] for f in schema.get("fields", [])}
+        seq_rows = sorted(
+            ("file:" + os.path.abspath(local), int(seq))
+            for local, seq in state["file_seq"].items()
+        )
+        seq_df = spark.createDataFrame(seq_rows, "_suri string, _seq long")
+        tagged = tagged.join(
+            F.broadcast(seq_df), tagged["_uri"] == seq_df["_suri"]
+        ).drop("_suri")
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            groups.setdefault(d["equality_ids"], []).append(d)
+        for ids, dl in sorted(groups.items()):
+            try:
+                names = [name_of[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {ids} not in table schema"
+                ) from exc
+            parts = [
+                spark.read.parquet(d["path"])
+                .select(
+                    *[F.col(n).alias(f"_d_{n}") for n in names],
+                    F.lit(int(d["sequence_number"])).alias("_dseq"),
+                )
+                for d in dl
+            ]
+            eq = parts[0]
+            for p in parts[1:]:
+                eq = eq.unionByName(p)
+            cond = eq["_dseq"] > tagged["_seq"]
+            for n in names:
+                cond = cond & tagged[n].eqNullSafe(eq[f"_d_{n}"])
+            tagged = tagged.join(eq, cond, "left_anti")
+    return tagged.select(*cols)
 
 
 def iceberg_history(path: str) -> list[dict]:
@@ -293,6 +371,11 @@ _MANIFEST_SCHEMA = {
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
         {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
+        {
             "name": "data_file",
             "type": {
                 "type": "record",
@@ -303,6 +386,11 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -331,8 +419,10 @@ class IcebergFixtureWriter:
         self.schema_fields = schema_fields  # iceberg JSON schema fields
         self.version = 0
         self.snapshots: list[dict] = []
-        self.live: dict[str, int] = {}  # rel data path -> record count
-        self.live_deletes: dict[str, int] = {}  # rel delete path -> rows
+        # rel data path -> (record count, data sequence number)
+        self.live: dict[str, tuple[int, int]] = {}
+        # rel delete path -> {n, seq, content, equality_ids}
+        self.live_deletes: dict[str, dict] = {}
         self._file_no = 0
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -358,9 +448,14 @@ class IcebergFixtureWriter:
                 pa.Table.from_pandas(pdf, preserve_index=False),
                 os.path.join(self.path, rel),
             )
-            self.live[rel] = len(pdf)
+            self.live[rel] = (len(pdf), self._next_seq())
             added.append(rel)
         return self._snapshot(added, [], operation)
+
+    def _next_seq(self) -> int:
+        """Data sequence number of the snapshot being built (v2:
+        strictly increasing per commit)."""
+        return len(self.snapshots) + 1
 
     def delete_commit(
         self,
@@ -385,7 +480,42 @@ class IcebergFixtureWriter:
             ),
             os.path.join(self.path, rel),
         )
-        self.live_deletes[rel] = len(deletes)
+        self.live_deletes[rel] = {
+            "n": len(deletes),
+            "seq": self._next_seq(),
+            "content": 1,
+            "equality_ids": None,
+        }
+        self._snapshot([], [rel], operation)
+        return rel
+
+    def equality_delete_commit(
+        self,
+        pdf,
+        field_ids: list[int],
+        operation: str = "delete",
+    ) -> str:
+        """One v2 merge-on-read snapshot with an EQUALITY-delete file:
+        ``pdf`` holds the delete rows' values for the columns named
+        by ``field_ids`` (table-schema field ids). The delete applies
+        to rows matching those values in data files with a STRICTLY
+        SMALLER sequence number — later appends of the same values
+        survive. Returns the delete file's rel path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"data/eqdel-{self._file_no:05d}.parquet"
+        self._file_no += 1
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(self.path, rel),
+        )
+        self.live_deletes[rel] = {
+            "n": len(pdf),
+            "seq": self._next_seq(),
+            "content": 2,
+            "equality_ids": [int(i) for i in field_ids],
+        }
         self._snapshot([], [rel], operation)
         return rel
 
@@ -410,12 +540,19 @@ class IcebergFixtureWriter:
     ) -> list[str]:
         sid = 1000 + len(self.snapshots)
 
-        def entry(rel: str, n: int, content: int) -> dict:
+        def entry(
+            rel: str,
+            n: int,
+            content: int,
+            seq: int,
+            equality_ids: list[int] | None = None,
+        ) -> dict:
             return {
                 "status": 1
                 if rel in added or rel in added_deletes
                 else 0,
                 "snapshot_id": sid,
+                "sequence_number": seq,
                 "data_file": {
                     "content": content,
                     "file_path": rel,
@@ -424,13 +561,17 @@ class IcebergFixtureWriter:
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(self.path, rel)
                     ),
+                    "equality_ids": equality_ids,
                 },
             }
 
         mlist_entries = []
         data_mf = self._write_manifest(
             f"metadata/manifest-{sid}.avro",
-            [entry(rel, n, 0) for rel, n in sorted(self.live.items())],
+            [
+                entry(rel, n, 0, seq)
+                for rel, (n, seq) in sorted(self.live.items())
+            ],
             sid,
         )
         mlist_entries.append({**data_mf, "content": 0})
@@ -438,8 +579,14 @@ class IcebergFixtureWriter:
             del_mf = self._write_manifest(
                 f"metadata/manifest-{sid}-deletes.avro",
                 [
-                    entry(rel, n, 1)
-                    for rel, n in sorted(self.live_deletes.items())
+                    entry(
+                        rel,
+                        d["n"],
+                        d["content"],
+                        d["seq"],
+                        d["equality_ids"],
+                    )
+                    for rel, d in sorted(self.live_deletes.items())
                 ],
                 sid,
             )

@@ -119,8 +119,8 @@ def test_history(table):
 
 
 def test_equality_delete_boundary(tmp_path):
-    """r10: positional deletes are in scope; EQUALITY deletes
-    (data_file content=2) remain the declared ValueError boundary."""
+    """r10: an equality-delete entry (content=2) WITHOUT equality_ids
+    is malformed — clear ValueError, never silently wrong rows."""
     w = ib.IcebergFixtureWriter(str(tmp_path / "d"), FIELDS)
     added = w.commit(_pdf([1, 2]))
     w.delete_commit([(added[0], 0)])
@@ -196,3 +196,71 @@ def test_format_version_boundary(tmp_path):
     json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="format-version"):
         ib.table_metadata(w.path)
+
+
+def test_equality_deletes_with_sequence_scoping(spark, tmp_path):
+    """r10: equality deletes remove matching rows only from data
+    files with a STRICTLY SMALLER sequence number — delete-then-
+    reinsert keeps the reinserted rows; stacking with positional
+    deletes and time travel both compose."""
+    import pandas as pd
+
+    FIELDS3 = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+        {"id": 3, "name": "grp", "required": False, "type": "string"},
+    ]
+
+    def pdf(ids, grp):
+        return pd.DataFrame(
+            {"id": ids, "val": [f"v{i}" for i in ids], "grp": grp}
+        )
+
+    w = ib.IcebergFixtureWriter(str(tmp_path / "eq"), FIELDS3)
+    w.commit(pdf([1, 2], "a"))  # snap 1000, seq 1
+    w.commit(pdf([3, 4], "b"))  # snap 1001, seq 2
+    # delete every grp='a' row written so far (seq 3)
+    w.equality_delete_commit(
+        pd.DataFrame({"grp": ["a"]}), field_ids=[3]
+    )  # snap 1002
+    got = sorted(
+        (r["id"], r["grp"])
+        for r in ib.read_iceberg(spark, w.path).collect()
+    )
+    assert got == [(3, "b"), (4, "b")]
+    # reinsert grp='a' AFTER the delete (seq 4): survives
+    w.commit(pdf([5], "a"))  # snap 1003
+    got = sorted(
+        (r["id"], r["grp"])
+        for r in ib.read_iceberg(spark, w.path).collect()
+    )
+    assert got == [(3, "b"), (4, "b"), (5, "a")]
+    # time travel to the pre-delete snapshot sees the original rows
+    assert sorted(
+        r["id"]
+        for r in ib.read_iceberg(spark, w.path, snapshot_id=1001).collect()
+    ) == [1, 2, 3, 4]
+    # stacking a positional delete on top composes
+    st = ib.snapshot_files(w.path)
+    f_b = [f for f in st["files"] if "f-00001" in f]
+    assert len(f_b) == 1
+    w.delete_commit([("data/f-00001.parquet", 0)])  # drop id=3
+    got = sorted(
+        r["id"] for r in ib.read_iceberg(spark, w.path).collect()
+    )
+    assert got == [4, 5]
+    # multi-column equality key
+    w2 = ib.IcebergFixtureWriter(str(tmp_path / "eq2"), FIELDS3)
+    w2.commit(pdf([1, 2, 3], "a"))
+    w2.equality_delete_commit(
+        pd.DataFrame({"id": [2], "grp": ["a"]}), field_ids=[1, 3]
+    )
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, w2.path).collect()
+    ) == [1, 3]
+    # unknown field id is a clear error
+    w2.equality_delete_commit(
+        pd.DataFrame({"id": [1]}), field_ids=[99]
+    )
+    with pytest.raises(ValueError, match="equality_ids"):
+        ib.read_iceberg(spark, w2.path).collect()
