@@ -200,6 +200,8 @@ HEADLINE = [
     "funnel_conversion",
     "dau_mau_stickiness",
     "iceberg_equality_deletes",
+    "semantic_decontamination_ann",
+    "semantic_decontamination_ann_recall",
 ]
 
 

@@ -1909,6 +1909,81 @@ def _flip_bits(bk: Column, positions: tuple[int, ...], b: int) -> Column:
     return col
 
 
+def semantic_decontamination_ann(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.35,
+    probe_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN-candidates + exact-verify SEMANTIC DECONTAMINATION (r10,
+    VERDICT r9 #2's optional sibling — the huge-eval-set route): same
+    verdict shape as :func:`semantic_decontamination`, but each
+    corpus vector is scored only against eval vectors sharing a
+    multi-probe LSH bucket (the EVAL side fans out ×(#keys) — it is
+    the small side even when "huge"), instead of the full
+    |corpus|×|eval| projection. Corpus vectors with NO colliding
+    eval candidate are clean by construction (null nearest/cosine,
+    contaminated = false).
+
+    Exactness on candidates: the cosine is the same raw double, the
+    per-vector max the same partial aggregation; only candidate
+    GENERATION is approximate — ``semantic_decontamination_ann_recall``
+    measures flag recall against the exact kernel at the operating
+    threshold."""
+    import itertools
+
+    b = len(hyperplanes)
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("_ev"),
+        _norm(F.col(vec_col)).alias("_en"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("_bk"),
+    )
+    combos = [
+        c
+        for r in range(int(probe_radius) + 1)
+        for c in itertools.combinations(range(1, b + 1), r)
+    ]
+    keys = F.array(*[_flip_bits(F.col("_bk"), c, b) for c in combos])
+    ev_keys = ev.select(
+        "eval_id", "_ev", "_en", F.explode(keys).alias("bucket")
+    )
+    tr = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_tv"),
+        _norm(F.col(vec_col)).alias("_tn"),
+        lsh_bucket_key(F.col(vec_col), hyperplanes).alias("bucket"),
+    )
+    scored = tr.join(F.broadcast(ev_keys), "bucket").select(
+        id_col,
+        "eval_id",
+        (
+            _dot(F.col("_tv"), F.col("_ev"))
+            / (F.col("_tn") * F.col("_en"))
+        ).alias("raw"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("raw").alias("raw"),
+                (-F.col("eval_id")).alias("neg_eval"),
+            )
+        ).alias("m")
+    )
+    ids = corpus.select(F.col(id_col))
+    return ids.join(best, id_col, "left").select(
+        id_col,
+        (-F.col("m.neg_eval")).cast("long").alias("nearest_eval_id"),
+        F.round("m.raw", 6).alias("max_eval_cosine"),
+        F.coalesce(
+            F.col("m.raw") >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
 def margin_bitext_mining_ann(
     df: DataFrame,
     hyperplanes: list[list[float]],

@@ -2976,6 +2976,162 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
+_SQL_DECON_ANN = f"""hp AS (
+      SELECT vec_id AS hid, embedding AS hv FROM embeddings
+      WHERE vec_id < 6
+    ),
+    sig AS (
+      SELECT e.vec_id, e.embedding,
+             string_agg(CASE WHEN {SQL_DOT.format(a='e.embedding', b='h.hv')} >= 0
+                        THEN '1' ELSE '0' END, '' ORDER BY h.hid) AS bucket
+      FROM embeddings e CROSS JOIN hp h
+      GROUP BY e.vec_id, e.embedding
+    ),
+    combos AS (
+      SELECT i, j
+      FROM unnest(range(0, 7)) AS u(i), unnest(range(0, 7)) AS v(j)
+      WHERE (i = 0 AND j = 0) OR (i > 0 AND j = 0) OR (i > 0 AND j > i)
+    ),
+    ek1 AS (
+      SELECT s.vec_id AS eval_id, s.embedding, c.j,
+             CASE WHEN c.i > 0 THEN
+               substr(s.bucket, 1, c.i - 1)
+               || (CASE substr(s.bucket, c.i, 1) WHEN '1' THEN '0' ELSE '1' END)
+               || substr(s.bucket, c.i + 1)
+             ELSE s.bucket END AS bkt1
+      FROM (SELECT * FROM sig WHERE vec_id % 97 = 0) s, combos c
+    ),
+    ek AS (
+      SELECT eval_id, embedding,
+             CASE WHEN j > 0 THEN
+               substr(bkt1, 1, j - 1)
+               || (CASE substr(bkt1, j, 1) WHEN '1' THEN '0' ELSE '1' END)
+               || substr(bkt1, j + 1)
+             ELSE bkt1 END AS bucket
+      FROM ek1
+    ),
+    trb AS (
+      SELECT vec_id, embedding, bucket FROM sig WHERE vec_id % 97 <> 0
+    ),
+    ascored AS (
+      SELECT t.vec_id, e.eval_id, {_SQL_RAW_COS_TE} AS raw
+      FROM trb t JOIN ek e ON t.bucket = e.bucket
+    ),
+    abest AS (
+      SELECT vec_id, eval_id, raw,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY raw DESC, eval_id) AS rn
+      FROM ascored
+    ),
+    ann_verdict AS (
+      SELECT s.vec_id, b.eval_id AS nearest_eval_id,
+             round(b.raw, 6) AS max_eval_cosine,
+             coalesce(b.raw >= 0.35, false) AS contaminated
+      FROM (SELECT vec_id FROM sig WHERE vec_id % 97 <> 0) s
+      LEFT JOIN (SELECT * FROM abest WHERE rn = 1) b USING (vec_id)
+    )"""
+
+
+@query(
+    "semantic_decontamination_ann",
+    f"""
+    WITH {_SQL_DECON_ANN}
+    SELECT vec_id, nearest_eval_id, max_eval_cosine, contaminated
+    FROM ann_verdict ORDER BY vec_id
+    """,
+)
+def q_semantic_decontamination_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN-routed semantic decontamination (r10, VERDICT r9 #2's
+    huge-eval sibling): each corpus vector scores only against eval
+    vectors sharing a multi-probe LSH bucket (6 sign bits, Hamming
+    radius 2 from the EVAL side — the small side fans out), with the
+    cosine and per-vector max exact on candidates; no-candidate rows
+    are clean by construction. This is the route SCALING.md names for
+    eval sets too big to broadcast-score exhaustively; recall at the
+    operating threshold is measured by
+    semantic_decontamination_ann_recall. See
+    similarity.semantic_decontamination_ann."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp = _bitext_hyperplanes(spark, sf_dir)
+    return similarity.semantic_decontamination_ann(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        hp,
+        threshold=0.35,
+        probe_radius=2,
+    ).orderBy("vec_id")
+
+
+@query(
+    "semantic_decontamination_ann_recall",
+    f"""
+    WITH {_SQL_DECON_ANN},
+    escored AS (
+      SELECT t.vec_id, {_SQL_RAW_COS_TE} AS raw
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0) t
+      CROSS JOIN (SELECT vec_id AS eval_id, embedding FROM embeddings
+                  WHERE vec_id % 97 = 0) e
+    ),
+    exact_flag AS (
+      SELECT vec_id, max(raw) >= 0.35 AS contaminated
+      FROM escored GROUP BY vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN x.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN a.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ann,
+           CAST(sum(CASE WHEN x.contaminated AND a.contaminated
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(sum(CASE WHEN x.contaminated AND a.contaminated
+                     THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN x.contaminated THEN 1 ELSE 0
+                                   END), 0) AS DOUBLE), 6) AS recall,
+           round(sum(CASE WHEN x.contaminated AND a.contaminated
+                     THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN a.contaminated THEN 1 ELSE 0
+                                   END), 0) AS DOUBLE), 6) AS precision
+    FROM exact_flag x JOIN ann_verdict a USING (vec_id)
+    """,
+)
+def q_semantic_decontamination_ann_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flag-level RECALL/PRECISION of the ANN decontamination route
+    vs the exact kernel at threshold 0.35 (r10) — the measured
+    operating point the r9 verdict asked for. Eval-regime by
+    definition (the exact kernel runs too); the production path is
+    semantic_decontamination_ann alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.where(F.col("vec_id") % 97 != 0)
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    hp = _bitext_hyperplanes(spark, sf_dir)
+    exact = similarity.semantic_decontamination(tr, ev, threshold=0.35).select(
+        "vec_id", F.col("contaminated").alias("c_e")
+    )
+    ann = similarity.semantic_decontamination_ann(
+        tr, ev, hp, threshold=0.35, probe_radius=2
+    ).select("vec_id", F.col("contaminated").alias("c_a"))
+    j = exact.join(ann, "vec_id")
+    ce = F.when(F.col("c_e"), 1).otherwise(0)
+    ca = F.when(F.col("c_a"), 1).otherwise(0)
+    both = F.when(F.col("c_e") & F.col("c_a"), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.sum(ce).cast("long").alias("n_exact"),
+        F.sum(ca).cast("long").alias("n_ann"),
+        F.sum(both).cast("long").alias("n_common"),
+        F.round(
+            F.sum(both) / F.nullif(F.sum(ce), F.lit(0)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.sum(both) / F.nullif(F.sum(ca), F.lit(0)).cast("double"), 6
+        ).alias("precision"),
+    )
+
+
 @query(
     "dbscan_clusters",
     f"""
