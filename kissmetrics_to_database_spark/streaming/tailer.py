@@ -38,6 +38,11 @@ Incremental semantics per source:
   reader's declared scope — stated, not silently wrong. Partition
   columns are reconstructed from each add's partitionValues exactly
   as in ``read_delta``, including column-mapping physical names.
+- **iceberg**: a snapshot's batch is its ADDED data files (manifest
+  entries with status=1 and the snapshot's own id); versions are
+  snapshot ids in commit order. Snapshots that add DELETE files
+  (positional or equality) raise ValueError — same appends-only
+  contract as the Delta tail.
 
 Scale shape: a poll lists the log directory (metadata-scale — one
 entry per COMMIT) and reads only the new versions' files; the data
@@ -56,7 +61,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kissmetrics_to_database_spark.sources import deltalog, tablelog
+from kissmetrics_to_database_spark.functions.avroc import (
+    read_container as avroc_read,
+)
+from kissmetrics_to_database_spark.sources import deltalog, iceberg, tablelog
 
 
 def _read_cursor(cursor_path: str) -> int:
@@ -95,7 +103,7 @@ class CommitTailer:
     after each sink return; returns the versions processed."""
 
     def __init__(self, kind: str, table_path: str, cursor_path: str):
-        if kind not in ("tablelog", "delta"):
+        if kind not in ("tablelog", "delta", "iceberg"):
             raise ValueError(f"unknown tailer kind {kind!r}")
         self.kind = kind
         self.table_path = table_path
@@ -108,6 +116,11 @@ class CommitTailer:
     def committed_versions(self) -> list[int]:
         if self.kind == "tablelog":
             return tablelog.list_versions(self.table_path)
+        if self.kind == "iceberg":
+            meta = iceberg.table_metadata(self.table_path)
+            return sorted(
+                int(s["snapshot-id"]) for s in meta.get("snapshots", [])
+            )
         jsons, _ = deltalog._log_versions(
             os.path.join(self.table_path, "_delta_log")
         )
@@ -204,11 +217,51 @@ class CommitTailer:
             out = out.unionByName(p)
         return out
 
+    def _iceberg_batch(
+        self, spark: SparkSession, version: int
+    ) -> DataFrame | None:
+        meta = iceberg.table_metadata(self.table_path)
+        snap = next(
+            s
+            for s in meta.get("snapshots", [])
+            if int(s["snapshot-id"]) == version
+        )
+        mlist = iceberg._local(snap["manifest-list"], self.table_path)
+        with open(mlist, "rb") as f:
+            _, mentries = avroc_read(f.read())
+        new_files: list[str] = []
+        for me in mentries:
+            with open(
+                iceberg._local(me["manifest_path"], self.table_path), "rb"
+            ) as f:
+                _, entries = avroc_read(f.read())
+            for e in entries:
+                if int(e["status"]) != 1:  # only this snapshot's ADDs
+                    continue
+                sid = e.get("snapshot_id")
+                if sid is not None and int(sid) != version:
+                    continue
+                df = e["data_file"]
+                if int(df.get("content") or 0) != 0:
+                    raise ValueError(
+                        f"iceberg snapshot {version} adds delete "
+                        "files — tailing row-level changes is out of "
+                        "this tailer's declared scope (appends only)"
+                    )
+                new_files.append(
+                    iceberg._local(df["file_path"], self.table_path)
+                )
+        if not new_files:
+            return None
+        return spark.read.parquet(*sorted(new_files))
+
     def batch_for(
         self, spark: SparkSession, version: int
     ) -> DataFrame | None:
         if self.kind == "tablelog":
             return self._tablelog_batch(spark, version)
+        if self.kind == "iceberg":
+            return self._iceberg_batch(spark, version)
         return self._delta_batch(spark, version)
 
     # -- the tail loop -------------------------------------------------

@@ -143,4 +143,35 @@ def test_delta_tail_column_mapped_table(spark, tmp_path):
 
 def test_tailer_rejects_unknown_kind(tmp_path):
     with pytest.raises(ValueError, match="kind"):
-        CommitTailer("iceberg", str(tmp_path), str(tmp_path / "c"))
+        CommitTailer("hudi", str(tmp_path), str(tmp_path / "c"))
+
+
+def test_iceberg_tail_added_files_and_delete_boundary(spark, tmp_path):
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    FIELDS = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+    ]
+    w = ib.IcebergFixtureWriter(str(tmp_path / "it"), FIELDS)
+    w.commit(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))  # 1000
+    w.commit(pd.DataFrame({"id": [3], "val": ["c"]}))  # 1001
+    cursor = str(tmp_path / "ic.json")
+    t = CommitTailer("iceberg", w.path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(r["id"] for r in batch.collect())))
+
+    assert t.poll(spark, sink) == [1000, 1001]
+    assert seen == [(1000, [1, 2]), (1001, [3])]
+    # restart resumes; a new append is picked up once
+    t2 = CommitTailer("iceberg", w.path, cursor)
+    w.commit(pd.DataFrame({"id": [4], "val": ["d"]}))  # 1002
+    assert t2.poll(spark, sink) == [1002]
+    assert seen[-1] == (1002, [4])
+    # a delete-file snapshot is the declared appends-only boundary
+    w.delete_commit([("data/f-00000.parquet", 0)])  # 1003
+    with pytest.raises(ValueError, match="delete"):
+        t2.poll(spark, sink)
+    assert t2.position == 1002
