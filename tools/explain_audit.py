@@ -637,6 +637,50 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # --- round-10 additions ---
+    # Iceberg v2 MOR: positional deletes anti-join the metadata-tagged
+    # scan; the manifest-string→URI map is the broadcast side; no
+    # product anywhere (the delete side may legitimately SMJ at scale)
+    "iceberg_mor_deletes": (
+        ["BroadcastHashJoin", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # equality deletes: per-group anti-join with the file→seq map
+    # broadcast; the seq rule is a join residual, never a product
+    "iceberg_equality_deletes": (
+        ["BroadcastHashJoin", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # column mapping is a metadata-only projection: scan + union +
+    # one groupBy — no joins at all
+    "delta_column_mapping": (
+        ["hashpartitioning"],
+        ["Join", "CartesianProduct"],
+    ),
+    # ANN bitext: candidates from a bucket EQUI-join (the whole point
+    # — the exact kernel's per-language product is gone); windows are
+    # candidate-keyed
+    "bitext_margin_mining_ann": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # ANN decontamination: eval probe keys broadcast into the bucket
+    # equi-join; corpus scanned once
+    "semantic_decontamination_ann": (
+        ["BroadcastHashJoin", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # funnel: chained user-keyed aggregates/joins; the only window is
+    # the 4-row readout (allowlisted below)
+    "funnel_conversion": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # DAU/MAU: two hash-partitioned distinct aggregates + month join
+    "dau_mau_stickiness": (
+        ["hashpartitioning"],
+        ["CartesianProduct", "SinglePartition"],
+    ),
 }
 
 
@@ -667,6 +711,9 @@ UNBOUNDED_WINDOW_ALLOW: dict[str, str] = {
     "burst_exposure_overlap": (
         "window input = hourly aggregate (calendar-scale)"
     ),
+    # step-over-step conversion ratios over the 4-row step-count
+    # union (one row per funnel step, constant regardless of events)
+    "funnel_conversion": "window input = 4 step-count rows (constant)",
 }
 
 
