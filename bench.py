@@ -202,6 +202,7 @@ HEADLINE = [
     "iceberg_equality_deletes",
     "semantic_decontamination_ann",
     "semantic_decontamination_ann_recall",
+    "delta_deletion_vectors",
 ]
 
 

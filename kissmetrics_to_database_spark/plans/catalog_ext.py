@@ -8773,6 +8773,87 @@ def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_DV_FIX: dict = {}
+
+
+def _delta_dv_fixture(spark, sf_dir: str) -> str:
+    """Deletion-vector fixture (r10): two data commits (doc_id parity
+    slices), then DV commits marking every doc_id % 5 == 0 row
+    deleted by ROW INDEX — one Z85-uuid .bin vector and one inline
+    Z85 vector, so both storage types decode through the from-spec
+    Roaring64 codec."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELTA_DV_FIX:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_delta_dv_") + "/docs_dv"
+        w = dl.DeltaFixtureWriter(path, schema, deletion_vectors=True)
+        rels, slices = [], []
+        for m, storage in ((0, "u"), (1, "i")):
+            part = pdf[pdf.doc_id % 2 == m].reset_index(drop=True)
+            [rel] = w.commit(part)
+            rels.append((rel, storage))
+            slices.append(part)
+        for (rel, storage), part in zip(rels, slices):
+            pos = [
+                int(i) for i, d in enumerate(part.doc_id) if d % 5 == 0
+            ]
+            if pos:
+                w.dv_delete(rel, pos, storage=storage)
+        _DELTA_DV_FIX[key] = path
+    return _DELTA_DV_FIX[key]
+
+
+@query(
+    "delta_deletion_vectors",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 5 <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS (r10): the current snapshot's add
+    actions carry DV descriptors — a Z85-uuid-named .bin (size/CRC
+    framed) and an inline Z85 payload — decoded through the from-spec
+    Roaring64-portable codec (functions/roaring.py) and anti-joined
+    against the `_metadata.row_index`-tagged scan, the same shape as
+    the Iceberg positional-delete path. DV decode is driver-side
+    (per-FILE metadata, bounded like the log); the anti-join is
+    distributed. The oracle restates the surviving membership
+    (doc_id % 5 != 0): any bitmap-decode, Z85, offset/checksum, or
+    row-index bug breaks the hash."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    path = _delta_dv_fixture(spark, sf_dir)
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 _ICEBERG_FIX: dict = {}
 
 

@@ -42,9 +42,19 @@ metadata projection. ``partitionValues`` are keyed by physical name
 when mapping is on. Reader version 2 (= column mapping) and version
 3 whose ``readerFeatures`` ⊆ {columnMapping} are accepted.
 
-Honest boundary: any other reader feature (deletion vectors, v2
-checkpoints, type widening…) raises ValueError — the same quarantine
-contract as the media decoders, stated instead of wrong results.
+Deletion vectors (r10): tables with the ``deletionVectors`` reader
+feature read correctly — each ``add`` action's DV descriptor
+(storageType ``u``/``p``/``i``, Z85-encoded UUID paths or inline
+payload, offset/size/cardinality) resolves through the from-spec
+Roaring64-portable codec (``functions/roaring.py``), and the marked
+row indexes anti-join against the ``_metadata.row_index``-tagged
+scan — the same shape as the Iceberg positional-delete path. DV
+decode is driver-side BY DESIGN: vectors are per-FILE metadata,
+bounded like the log itself; the anti-join stays distributed.
+
+Honest boundary: any other reader feature (v2 checkpoints, type
+widening…) raises ValueError — the same quarantine contract as the
+media decoders, stated instead of wrong results.
 """
 
 from __future__ import annotations
@@ -132,12 +142,12 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
         if "protocol" in act:
             p = act["protocol"]
             feats = set(p.get("readerFeatures") or [])
-            if feats - {"columnMapping"}:
+            if feats - {"columnMapping", "deletionVectors"}:
                 raise ValueError(
                     "table requires Delta reader features beyond "
-                    f"column mapping ({sorted(feats)}) — deletion "
-                    "vectors etc. are out of this reader's declared "
-                    "scope"
+                    f"column mapping / deletion vectors "
+                    f"({sorted(feats)}) — out of this reader's "
+                    "declared scope"
                 )
             if int(p.get("minReaderVersion", 1)) > 3 or (
                 int(p.get("minReaderVersion", 1)) == 3 and not feats
@@ -164,6 +174,55 @@ def table_schema(metadata: dict) -> T.StructType:
     """metaData.schemaString (Spark JSON schema, per spec) →
     StructType."""
     return T.StructType.fromJson(json.loads(metadata["schemaString"]))
+
+
+_DV_MAGIC = 1681511377  # deletion-vector payload magic, per spec
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Resolve one add-action deletionVector descriptor to its sorted
+    deleted row indexes: Z85-decode inline payloads or the UUID file
+    name (storageType u), read the versioned .bin at ``offset``
+    ([size BE][payload][crc32 BE]), verify the checksum and magic,
+    then decode the Roaring64 portable bitmap."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from kissmetrics_to_database_spark.functions import roaring
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = roaring.z85_decode(dv["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "p":
+            fpath = dv["pathOrInlineDv"]
+            if fpath.startswith("file:"):
+                fpath = fpath[len("file:") :]
+        else:
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_enc = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=roaring.z85_decode(uuid_enc))
+            name = f"deletion_vector_{u}.bin"
+            fpath = os.path.join(table_path, prefix or "", name)
+        if "offset" not in dv:
+            raise ValueError(
+                "deletion vector file reference without offset"
+            )
+        with open(fpath, "rb") as f:
+            blob = f.read()
+        off = int(dv["offset"])
+        (size,) = struct.unpack_from(">i", blob, off)
+        data = blob[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("deletion vector checksum mismatch")
+    else:
+        raise ValueError(f"unknown DV storageType {st!r}")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _DV_MAGIC:
+        raise ValueError(f"deletion vector bad magic {magic}")
+    return roaring.deserialize64(data[4:])
 
 
 def read_delta(
@@ -208,6 +267,20 @@ def read_delta(
     if not state["files"]:
         return spark.createDataFrame([], schema)
 
+    # deletion vectors: decode each referenced bitmap driver-side
+    # (per-FILE metadata, bounded like the log) into (file URI, row
+    # index) pairs for one distributed anti-join at the end
+    dv_rows: list[tuple[str, int]] = []
+    for add in state["files"]:
+        dv = add.get("deletionVector")
+        if dv:
+            uri = "file:" + os.path.abspath(
+                os.path.join(path, add["path"])
+            )
+            dv_rows.extend(
+                (uri, int(pos)) for pos in _dv_positions(path, dv)
+            )
+
     # group files by partition tuple; partitionValues are strings per
     # spec (null encoded as JSON null, keyed by PHYSICAL name under
     # column mapping) and cast to the declared type
@@ -218,15 +291,19 @@ def read_delta(
         groups.setdefault(key, []).append(
             os.path.join(path, add["path"])
         )
+    logical_cols = [f.name for f in schema.fields]
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
-        df = df.select(
-            *[
-                F.col(phys_of[f.name]).alias(f.name)
-                for f in data_fields
+        sel = [
+            F.col(phys_of[f.name]).alias(f.name) for f in data_fields
+        ]
+        if dv_rows:
+            sel += [
+                F.col("_metadata.file_path").alias("_uri"),
+                F.col("_metadata.row_index").alias("_pos"),
             ]
-        )
+        df = df.select(*sel)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -234,10 +311,21 @@ def read_delta(
                     type_of[c]
                 ),
             )
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        keep = logical_cols + (["_uri", "_pos"] if dv_rows else [])
+        parts.append(df.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if dv_rows:
+        dels = spark.createDataFrame(
+            sorted(dv_rows), "_duri string, _dpos long"
+        )
+        out = out.join(
+            F.broadcast(dels),
+            (out["_uri"] == dels["_duri"])
+            & (out["_pos"] == dels["_dpos"]),
+            "left_anti",
+        ).select(*logical_cols)
     return out
 
 
@@ -284,11 +372,14 @@ class DeltaFixtureWriter:
         schema: T.StructType,
         partition_columns: list[str] | None = None,
         column_mapping_mode: str | None = None,
+        deletion_vectors: bool = False,
     ) -> None:
         self.path = path
         self.schema = schema
         self.partition_columns = partition_columns or []
         self.column_mapping_mode = column_mapping_mode
+        self.deletion_vectors = deletion_vectors
+        self._adds: dict[str, dict] = {}  # rel path -> last add action
         # physical names in the Delta writer style (col-<uuid>); a
         # deterministic suffix keeps fixtures replayable
         self.phys_of = {
@@ -333,14 +424,23 @@ class DeltaFixtureWriter:
         ]
         if v == 0:
             cm = self.column_mapping_mode
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 2 if cm else 1,
-                        "minWriterVersion": 5 if cm else 2,
-                    }
+            dv = self.deletion_vectors
+            if dv:
+                feats = ["deletionVectors"] + (
+                    ["columnMapping"] if cm else []
+                )
+                proto = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats),
+                    "writerFeatures": sorted(feats),
                 }
-            )
+            else:
+                proto = {
+                    "minReaderVersion": 2 if cm else 1,
+                    "minWriterVersion": 5 if cm else 2,
+                }
+            actions.append({"protocol": proto})
             actions.append(
                 {
                     "metaData": {
@@ -376,22 +476,20 @@ class DeltaFixtureWriter:
                     ),
                     os.path.join(self.path, rel),
                 )
-                actions.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": {
-                                self.phys_of[c]: str(val)
-                                for c, val in zip(pc, key)
-                            },
-                            "size": os.path.getsize(
-                                os.path.join(self.path, rel)
-                            ),
-                            "modificationTime": 0,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                add = {
+                    "path": rel,
+                    "partitionValues": {
+                        self.phys_of[c]: str(val)
+                        for c, val in zip(pc, key)
+                    },
+                    "size": os.path.getsize(
+                        os.path.join(self.path, rel)
+                    ),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                actions.append({"add": add})
+                self._adds[rel] = add
                 added.append(rel)
         for rp in remove_paths or []:
             actions.append(
@@ -408,6 +506,84 @@ class DeltaFixtureWriter:
             for act in actions:
                 f.write(json.dumps(act) + "\n")
         return added
+
+    def dv_delete(
+        self,
+        rel_path: str,
+        positions: list[int],
+        storage: str = "u",
+    ) -> None:
+        """One commit marking ``positions`` (row indexes in
+        ``rel_path``) deleted via a DELETION VECTOR: remove the old
+        add, re-add the same file with a DV descriptor. Positions
+        accumulate across calls (the new vector is the union), the
+        spec's copy-on-write of the DV without rewriting data.
+        ``storage``: 'u' writes a Z85-uuid-named .bin (the production
+        layout), 'i' inlines the Z85 payload in the log."""
+        import struct
+        import uuid as _uuid
+        import zlib
+
+        from kissmetrics_to_database_spark.functions import roaring
+
+        if not self.deletion_vectors:
+            raise ValueError("writer created without deletion_vectors")
+        add = dict(self._adds[rel_path])
+        existing: list[int] = []
+        if add.get("deletionVector"):
+            existing = _dv_positions(self.path, add["deletionVector"])
+        marked = sorted(set(existing) | {int(p) for p in positions})
+        data = struct.pack("<i", _DV_MAGIC) + roaring.serialize64(marked)
+        if storage == "i":
+            pad = (-len(data)) % 4
+            dv = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(
+                    data + b"\x00" * pad
+                ),
+                "sizeInBytes": len(data),
+                "cardinality": len(marked),
+            }
+        elif storage == "u":
+            u = _uuid.UUID(int=self.version + 1)
+            name = f"deletion_vector_{u}.bin"
+            blob = (
+                b"\x01"
+                + struct.pack(">i", len(data))
+                + data
+                + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            )
+            with open(os.path.join(self.path, name), "wb") as f:
+                f.write(blob)
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.z85_encode(u.bytes),
+                "offset": 1,
+                "sizeInBytes": len(data),
+                "cardinality": len(marked),
+            }
+        else:
+            raise ValueError(f"unsupported fixture DV storage {storage!r}")
+        add["deletionVector"] = dv
+        add["dataChange"] = False
+        self._adds[rel_path] = add
+        self.version += 1
+        v = self.version
+        actions = [
+            {"commitInfo": {"operation": "DELETE", "version": v}},
+            {
+                "remove": {
+                    "path": rel_path,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            },
+            {"add": add},
+        ]
+        log = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+        with open(log, "w", encoding="utf-8") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
 
     def checkpoint(self) -> None:
         """Compact the replay ≤ current version into

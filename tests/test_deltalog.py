@@ -102,7 +102,8 @@ def test_schema_and_partition_types(spark, tmp_path):
 def test_reader_feature_boundary(spark, tmp_path):
     w = dl.DeltaFixtureWriter(str(tmp_path / "x"), SCHEMA, ["part"])
     w.commit(_pdf([1], "a"))
-    # v3 table requiring deletion vectors: still a declared boundary
+    # v3 table requiring a feature beyond columnMapping/deletionVectors
+    # (e.g. v2 checkpoints) is still a declared boundary
     log = os.path.join(w.path, "_delta_log", f"{1:020d}.json")
     with open(log, "w", encoding="utf-8") as f:
         f.write(
@@ -111,7 +112,7 @@ def test_reader_feature_boundary(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
@@ -202,3 +203,67 @@ def test_unpartitioned_checkpoint(spark, tmp_path):
     w.commit(pd.DataFrame({"id": [3]}))
     got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
     assert got == [1, 2, 3]
+
+
+def test_deletion_vectors_file_and_inline(spark, tmp_path):
+    """r10: deletionVectors tables read correctly — the DV descriptor
+    resolves through the Z85 + Roaring64-portable codec and the
+    marked row indexes anti-join out; vectors accumulate
+    copy-on-write; time travel sees the pre-delete rows."""
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "dv"), SCHEMA, ["part"], deletion_vectors=True
+    )
+    [f_a] = w.commit(_pdf([1, 2, 3], "a"))  # v0
+    [f_b] = w.commit(_pdf([4, 5], "b"))  # v1
+    w.dv_delete(f_a, [1], storage="u")  # v2: drop id=2
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [1, 3, 4, 5]
+    # vectors accumulate (union of old + new positions)
+    w.dv_delete(f_a, [0], storage="u")  # v3: drop id=1 too
+    w.dv_delete(f_b, [1], storage="i")  # v4: inline DV drops id=5
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [3, 4]
+    # partition column survives the DV anti-join
+    rows = {r["id"]: r["part"] for r in dl.read_delta(spark, w.path).collect()}
+    assert rows == {3: "a", 4: "b"}
+    # time travel to v1: everything visible
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, w.path, version=1).collect()
+    ) == [1, 2, 3, 4, 5]
+    # protocol advertises the feature; a corrupted checksum raises
+    import glob
+    import json as _json
+
+    log0 = os.path.join(w.path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(x) for x in open(log0).read().strip().split("\n")]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos[0]["readerFeatures"] == ["deletionVectors"]
+    for bin_path in glob.glob(
+        os.path.join(w.path, "deletion_vector_*.bin")
+    ):
+        blob = bytearray(open(bin_path, "rb").read())
+        blob[-1] ^= 0xFF
+        open(bin_path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        dl.read_delta(spark, w.path).collect()
+
+
+def test_deletion_vectors_compose_with_column_mapping(spark, tmp_path):
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "dvcm"),
+        SCHEMA,
+        [],
+        column_mapping_mode="name",
+        deletion_vectors=True,
+    )
+    [f0] = w.commit(_pdf([7, 8, 9], "z"))
+    w.dv_delete(f0, [0, 2], storage="i")
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [8]
+    log0 = os.path.join(w.path, "_delta_log", f"{0:020d}.json")
+    proto = [
+        json.loads(x)
+        for x in open(log0).read().strip().split("\n")
+        if "protocol" in x
+    ][0]["protocol"]
+    assert proto["readerFeatures"] == ["columnMapping", "deletionVectors"]

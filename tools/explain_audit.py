@@ -681,6 +681,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["CartesianProduct", "SinglePartition"],
     ),
+    # deletion vectors: the decoded (file, row-index) set broadcasts
+    # into a LeftAnti against the metadata-tagged scan
+    "delta_deletion_vectors": (
+        ["BroadcastHashJoin", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
