@@ -203,6 +203,7 @@ HEADLINE = [
     "semantic_decontamination_ann",
     "semantic_decontamination_ann_recall",
     "delta_deletion_vectors",
+    "ab_test_lift",
 ]
 
 

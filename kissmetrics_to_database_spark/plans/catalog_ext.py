@@ -9847,6 +9847,113 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ab_test_lift",
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             ({_sql_hexint("md5(CAST(user_id AS VARCHAR))", 1, 2)}) % 2
+               AS variant,
+             CAST(CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                THEN value END) >= 145.0
+                  THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(conv_b / CAST(n_b AS DOUBLE)
+                 - conv_a / CAST(n_a AS DOUBLE), 6) AS abs_lift,
+           round((conv_b / CAST(n_b AS DOUBLE)
+                  - conv_a / CAST(n_a AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b)
+                           / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM agg
+    """,
+)
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT lift (r10) — the other report the Kissmetrics
+    product shipped: users split 50/50 by a deterministic md5 parity
+    (engine-replayable, the weighted-sampling convention), conversion
+    = a premium purchase (value ≥ 145 — the testdata's ~median of
+    per-user max purchase, so both variants have informative rates;
+    every user purchases SOMETHING, making plain purchase-conversion
+    degenerate), readout = per-variant counts/rates, absolute lift,
+    and the pooled two-proportion z-score. All aggregates are exact
+    BIGINTs; every rate/z is a closed-form double from those integers
+    (layout-proof, one terminal rounding each). One user-keyed
+    aggregate + one global conditional aggregate; nothing scales
+    past user cardinality."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            )
+            >= F.lit(145.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    a_is = F.when(F.col("variant") == 0, 1).otherwise(0)
+    b_is = F.when(F.col("variant") == 1, 1).otherwise(0)
+    agg = users.agg(
+        F.sum(a_is).cast("long").alias("n_a"),
+        F.sum(a_is * F.col("converted")).cast("long").alias("conv_a"),
+        F.sum(b_is).cast("long").alias("n_b"),
+        F.sum(b_is * F.col("converted")).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("abs_lift"),
+        F.round(
+            (p_b - p_a)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@query(
     "retention_cohorts",
     """
     WITH firsts AS (
