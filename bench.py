@@ -447,9 +447,16 @@ def main() -> None:
     catalog.QUERIES["count_tables"](spark, sf_dir).collect()
     cache_tables(spark, sf_dir)
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c re-measures a subset with the
+    # identical methodology (same warm-up, cache, noop sink, steady
+    # medians) — for same-session splices after a targeted plan
+    # change, so unchanged queries keep their full-run numbers.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = [n for n in HEADLINE if not only or n in only.split(",")]
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         print(f"bench: {name}", file=sys.stderr, flush=True)
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()
@@ -463,22 +470,20 @@ def main() -> None:
         steady[name] = round(statistics.median(reruns), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall seconds (noop sink, local)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_steady": steady,
-                "value_steady": round(sum(steady.values()), 3),
-                "trainers": bench_trainers(spark, sf_dir),
-                "layout": bench_layout(spark, sf_dir),
-                "media": bench_media(),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall seconds (noop sink, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_steady": steady,
+        "value_steady": round(sum(steady.values()), 3),
+        "sf": sf,
+    }
+    if not only:  # the fixed-cost tiers only belong to full runs
+        out["trainers"] = bench_trainers(spark, sf_dir)
+        out["layout"] = bench_layout(spark, sf_dir)
+        out["media"] = bench_media()
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -893,10 +893,34 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE fragments for the ANN-routed bitext queries (r10): the
 # dv join, the exact-kernel pair set, and the multi-probe-LSH
 # candidate pipeline, each replayed verbatim in DuckDB.
+#
+# Index sizing (r10): the LSH bit count scales with corpus size —
+# b = 6 at ≤600 vectors, +2 per decade (6/8/10/12…) — the standard
+# log-n index-sizing rule that keeps BUCKET sizes (and therefore
+# candidate mass) near-constant as the corpus grows, instead of a
+# fixed-b index whose buckets grow linearly and push the bucket join
+# back toward all-pairs. Spark and the oracle compute b from the
+# same row count with the same thresholds.
+_LSH_B_SQL = (
+    "CASE WHEN n <= 600 THEN 6 WHEN n <= 6000 THEN 8 "
+    "WHEN n <= 60000 THEN 10 WHEN n <= 600000 THEN 12 ELSE 14 END"
+)
+
+
+def _lsh_bits(n: int) -> int:
+    for cap, b in ((600, 6), (6000, 8), (60000, 10), (600000, 12)):
+        if n <= cap:
+            return b
+    return 14
+
+
 _BITEXT_DV_SQL = """dv AS (
       SELECT d.doc_id AS id, d.lang, e.embedding AS v
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    )"""
+    ),
+    params AS (
+      SELECT {b_expr} AS b FROM (SELECT count(*) AS n FROM embeddings)
+    )""".format(b_expr=_LSH_B_SQL)
 
 _BITEXT_EXACT_SQL = f"""xsc AS (
       SELECT s.id AS src_id, t.id AS tgt_id, t.lang AS tgt_lang,
@@ -928,7 +952,7 @@ _BITEXT_EXACT_SQL = f"""xsc AS (
 
 _BITEXT_ANN_SQL = f"""hp AS (
       SELECT vec_id AS hid, embedding AS hv FROM embeddings
-      WHERE vec_id < 6
+      WHERE vec_id < (SELECT b FROM params)
     ),
     sig AS (
       SELECT dv.id, dv.lang, dv.v,
@@ -939,7 +963,8 @@ _BITEXT_ANN_SQL = f"""hp AS (
     ),
     combos AS (
       SELECT i, j
-      FROM unnest(range(0, 7)) AS u(i), unnest(range(0, 7)) AS v(j)
+      FROM unnest(range(0, (SELECT b FROM params) + 1)) AS u(i),
+           unnest(range(0, (SELECT b FROM params) + 1)) AS v(j)
       WHERE (i = 0 AND j = 0) OR (i > 0 AND j = 0) OR (i > 0 AND j > i)
     ),
     apk1 AS (
@@ -1000,9 +1025,13 @@ def _bitext_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bitext_hyperplanes(spark: SparkSession, sf_dir: str) -> list:
+    """First ``b`` corpus vectors as hyperplanes, with ``b`` sized
+    from the corpus count by the log-n rule (`_lsh_bits`) — the same
+    computation the oracle's params CTE does."""
     emb = load_table(spark, sf_dir, "embeddings")
+    b = _lsh_bits(emb.count())
     rows = (
-        emb.where(F.col("vec_id") < 6)
+        emb.where(F.col("vec_id") < b)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
@@ -1024,16 +1053,19 @@ def q_bitext_margin_mining_ann(
 ) -> DataFrame:
     """ANN-candidates + EXACT-verify bitext mining (r10, VERDICT r9
     #2 — the production route for the last perf-weak flag): candidate
-    en↔xx pairs come from a multi-probe hyperplane-LSH bucket join (6
-    sign bits = first 6 corpus vectors for determinism; the source
-    side probes every bucket within Hamming radius 2 — 22 keys), and
-    the margin pipeline — integer-snapped cosine, candidate-k-NN
-    normalizer sums, mutual-NN, threshold 1.2 — runs exactly on the
-    candidates. Work scales with bucket collision mass (~0.34 of the
-    pair space at this operating point on the near-uniform synthetic
-    embeddings, sign-LSH's worst case), never |src|x|tgt|;
-    `bitext_ann_recall` measures the approximation against the exact
-    kernel. See similarity.margin_bitext_mining_ann."""
+    en↔xx pairs come from a multi-probe hyperplane-LSH bucket join
+    (sign bits = the first b corpus vectors for determinism, with b
+    SIZED log-n from the corpus count — 6 at ≤600 vectors, +2 per
+    decade — so bucket sizes and candidate mass stay near-constant
+    as the corpus grows; the source side probes every bucket within
+    Hamming radius 2), and the margin pipeline — integer-snapped
+    cosine, candidate-k-NN normalizer sums, mutual-NN, threshold 1.2
+    — runs exactly on the candidates. Work scales with bucket
+    collision mass, never |src|x|tgt|; `bitext_ann_recall` measures
+    the approximation against the exact kernel at each SF's actual
+    operating point (near-uniform synthetic embeddings are sign-LSH's
+    documented worst case for recall). See
+    similarity.margin_bitext_mining_ann."""
     return similarity.margin_bitext_mining_ann(
         _bitext_dv(spark, sf_dir),
         _bitext_hyperplanes(spark, sf_dir),
@@ -1050,7 +1082,15 @@ def q_bitext_margin_mining_ann(
 @query(
     "bitext_ann_recall",
     f"""
-    WITH {_BITEXT_DV_SQL},
+    WITH dv0 AS (
+      SELECT d.doc_id AS id, d.lang, e.embedding AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    params AS (
+      SELECT {_LSH_B_SQL} AS b
+      FROM (SELECT count(*) AS n FROM embeddings)
+    ),
+    dv AS (SELECT * FROM dv0 WHERE lang <> 'en' OR id < 2000),
     {_BITEXT_EXACT_SQL},
     {_BITEXT_ANN_SQL},
     langs AS (
@@ -1090,10 +1130,16 @@ def q_bitext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operating point" bar — the lsh_recall_eval contract): per
     target language, pair counts from both miners, their overlap, and
     recall = |common|/|exact|, precision = |common|/|ann| (null when
-    a denominator is empty). An honest eval: the exact kernel runs
-    too, so this query is eval-regime by definition; the PRODUCTION
-    path is bitext_margin_mining_ann alone."""
-    dv = _bitext_dv(spark, sf_dir)
+    a denominator is empty). The SOURCE side is a constant eval
+    slice (doc_id < 2000 — the whole corpus at small SF, fixed work
+    at scale: the linkage_blocking_recall contract), because the
+    ground truth here is the exact two-sided kernel; both miners see
+    the identical sliced universe and the SAME log-n-sized index as
+    production. Eval-regime by definition; the PRODUCTION path is
+    bitext_margin_mining_ann alone."""
+    dv = _bitext_dv(spark, sf_dir).where(
+        (F.col("lang") != "en") | (F.col("doc_id") < 2000)
+    )
     langs = (
         dv.where(F.col("lang") != "en")
         .select(F.col("lang").alias("tgt_lang"))
@@ -2976,9 +3022,13 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
-_SQL_DECON_ANN = f"""hp AS (
+_SQL_DECON_ANN = f"""params AS (
+      SELECT {_LSH_B_SQL} AS b
+      FROM (SELECT count(*) AS n FROM embeddings)
+    ),
+    hp AS (
       SELECT vec_id AS hid, embedding AS hv FROM embeddings
-      WHERE vec_id < 6
+      WHERE vec_id < (SELECT b FROM params)
     ),
     sig AS (
       SELECT e.vec_id, e.embedding,
@@ -2989,7 +3039,8 @@ _SQL_DECON_ANN = f"""hp AS (
     ),
     combos AS (
       SELECT i, j
-      FROM unnest(range(0, 7)) AS u(i), unnest(range(0, 7)) AS v(j)
+      FROM unnest(range(0, (SELECT b FROM params) + 1)) AS u(i),
+           unnest(range(0, (SELECT b FROM params) + 1)) AS v(j)
       WHERE (i = 0 AND j = 0) OR (i > 0 AND j = 0) OR (i > 0 AND j > i)
     ),
     ek1 AS (
@@ -3070,7 +3121,8 @@ def q_semantic_decontamination_ann(
     WITH {_SQL_DECON_ANN},
     escored AS (
       SELECT t.vec_id, {_SQL_RAW_COS_TE} AS raw
-      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0) t
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 97 <> 0 AND vec_id < 2000) t
       CROSS JOIN (SELECT vec_id AS eval_id, embedding FROM embeddings
                   WHERE vec_id % 97 = 0) e
     ),
@@ -3101,11 +3153,17 @@ def q_semantic_decontamination_ann_recall(
 ) -> DataFrame:
     """Flag-level RECALL/PRECISION of the ANN decontamination route
     vs the exact kernel at threshold 0.35 (r10) — the measured
-    operating point the r9 verdict asked for. Eval-regime by
-    definition (the exact kernel runs too); the production path is
-    semantic_decontamination_ann alone."""
+    operating point the r9 verdict asked for, on a constant CORPUS
+    slice (vec_id < 2000 — whole corpus at small SF, fixed work at
+    scale; the flags are per-row independent, so slice flags equal
+    full-run flags restricted). The index is the same log-n-sized
+    production index. Eval-regime by definition (the exact kernel
+    runs too); the production path is semantic_decontamination_ann
+    alone."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tr = emb.where(F.col("vec_id") % 97 != 0)
+    tr = emb.where(
+        (F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 2000)
+    )
     ev = emb.where(F.col("vec_id") % 97 == 0)
     hp = _bitext_hyperplanes(spark, sf_dir)
     exact = similarity.semantic_decontamination(tr, ev, threshold=0.35).select(
