@@ -344,13 +344,20 @@ def decode_frames_ffmpeg(
         frame_bytes = w * h * 3
         if frame_bytes <= 0 or frame_bytes > max_decoded_bytes:
             raise ValueError(f"implausible video dimensions {w}x{h}")
+        # stderr goes to a temp FILE, not a pipe (r11 ADVICE): with
+        # both stdout and stderr as pipes, a payload that makes
+        # ffmpeg emit more stderr than the OS pipe buffer (~64 KB)
+        # deadlocks the stdout read loop instead of raising the
+        # quarantine ValueError. A file never back-pressures ffmpeg;
+        # we read a bounded tail of it only after stdout is drained.
+        err_f = tempfile.TemporaryFile()
         proc = subprocess.Popen(
             [
                 "ffmpeg", "-v", "error", "-i", path,
                 "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=err_f,
         )
         try:
             total = 0
@@ -367,18 +374,21 @@ def decode_frames_ffmpeg(
                     )
                 yielded = True
                 yield np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
-            err = proc.stderr.read()
             rc = proc.wait()
             if rc != 0 or not yielded:
+                err_f.seek(0, os.SEEK_END)
+                err_f.seek(max(0, err_f.tell() - 4096))
+                err = err_f.read()
                 raise ValueError(
-                    f"ffmpeg rejected payload: {err.decode()[:120]}"
+                    f"ffmpeg rejected payload: "
+                    f"{err.decode(errors='replace')[-200:]}"
                 )
         finally:
             if proc.poll() is None:
                 proc.kill()
                 proc.wait()
             proc.stdout.close()
-            proc.stderr.close()
+            err_f.close()
     finally:
         os.unlink(path)
 

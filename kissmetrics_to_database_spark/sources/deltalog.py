@@ -137,10 +137,12 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
                     actions.append(json.loads(line))
 
     metadata: dict | None = None
+    protocol: dict | None = None
     active: dict[str, dict] = {}
     for act in actions:
         if "protocol" in act:
             p = act["protocol"]
+            protocol = p
             feats = set(p.get("readerFeatures") or [])
             if feats - {"columnMapping", "deletionVectors"}:
                 raise ValueError(
@@ -166,8 +168,28 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
     return {
         "version": target,
         "metadata": metadata,
+        "protocol": protocol
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
         "files": [active[k] for k in sorted(active)],
     }
+
+
+def canonical_file_path(col) -> F.Column:
+    """``_metadata.file_path`` → the decoded absolute filesystem path.
+
+    Hadoop reports file_path as a percent-ENCODED URI (space→%20,
+    %→%25, non-ASCII literal), so matching it against a raw
+    ``os.path.abspath`` silently misses for any path containing a
+    character the encoder touches — and a silent miss on a DELETE
+    anti-join resurrects deleted rows (r11 ADVICE). Normalizing the
+    Spark side down to the decoded path makes the join exact for any
+    path: strip the scheme, protect literal '+' (the encoder leaves
+    it alone but ``url_decode`` is form-decoding), then url_decode.
+    """
+    no_scheme = F.regexp_replace(col, "^file:/+", "/")
+    return F.url_decode(
+        F.replace(no_scheme, F.lit("+"), F.lit("%2B"))
+    )
 
 
 def table_schema(metadata: dict) -> T.StructType:
@@ -274,9 +296,9 @@ def read_delta(
     for add in state["files"]:
         dv = add.get("deletionVector")
         if dv:
-            uri = "file:" + os.path.abspath(
-                os.path.join(path, add["path"])
-            )
+            # decoded absolute path — matched against the
+            # canonical_file_path() projection of _metadata.file_path
+            uri = os.path.abspath(os.path.join(path, add["path"]))
             dv_rows.extend(
                 (uri, int(pos)) for pos in _dv_positions(path, dv)
             )
@@ -300,7 +322,9 @@ def read_delta(
         ]
         if dv_rows:
             sel += [
-                F.col("_metadata.file_path").alias("_uri"),
+                canonical_file_path(F.col("_metadata.file_path")).alias(
+                    "_uri"
+                ),
                 F.col("_metadata.row_index").alias("_pos"),
             ]
         df = df.select(*sel)
@@ -593,26 +617,32 @@ class DeltaFixtureWriter:
         import pyarrow.parquet as pq
 
         state = snapshot_state(self.path, self.version)
+        # persist the table's ACTUAL protocol (readerFeatures and all)
+        # and the metaData configuration map — a post-checkpoint
+        # replay of a column-mapped / DV table must see the same
+        # minReaderVersion, features, and delta.columnMapping.mode it
+        # would have seen from the JSON commits (r11 ADVICE: the old
+        # hardcoded minReaderVersion=1 + dropped configuration
+        # silently downgraded mapped tables after checkpoint)
+        meta_row: dict = {
+            "id": state["metadata"]["id"],
+            "format": {"provider": "parquet"},
+            "schemaString": state["metadata"]["schemaString"],
+            "partitionColumns": state["metadata"]["partitionColumns"],
+        }
+        conf = state["metadata"].get("configuration") or {}
+        if conf:  # empty maps dropped: pyarrow zero-child structs
+            meta_row["configuration"] = dict(conf)
         rows: list[dict] = [
             {
-                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "protocol": dict(state["protocol"]),
                 "metaData": None,
                 "add": None,
                 "remove": None,
             },
             {
                 "protocol": None,
-                # empty maps (configuration / format.options) are
-                # dropped: pyarrow cannot write zero-child structs,
-                # and the replay never reads them
-                "metaData": {
-                    "id": state["metadata"]["id"],
-                    "format": {"provider": "parquet"},
-                    "schemaString": state["metadata"]["schemaString"],
-                    "partitionColumns": state["metadata"][
-                        "partitionColumns"
-                    ],
-                },
+                "metaData": meta_row,
                 "add": None,
                 "remove": None,
             },

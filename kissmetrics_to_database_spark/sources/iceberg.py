@@ -60,6 +60,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kissmetrics_to_database_spark.functions import avroc
+from kissmetrics_to_database_spark.sources.deltalog import (
+    canonical_file_path,
+)
 
 _VMETA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
@@ -248,20 +251,21 @@ def read_iceberg(
     cols = spark.read.parquet(*state["files"]).columns
     tagged = spark.read.parquet(*state["files"]).select(
         *cols,
-        F.col("_metadata.file_path").alias("_uri"),
+        canonical_file_path(F.col("_metadata.file_path")).alias("_uri"),
         F.col("_metadata.row_index").alias("_pos"),
     )
     if state["delete_files"]:
         # manifest path string (how delete rows name data files) →
-        # the URI _metadata.file_path reports for the same local
-        # file (Hadoop-style "file:/abs/path", single slash)
+        # the decoded absolute path canonical_file_path() yields for
+        # the same local file (percent-encoding normalized away —
+        # r11 ADVICE: raw "file:"+abspath misses on spaces/%/UTF-8)
         ref_rows = sorted(
             {
-                (ref, "file:" + os.path.abspath(local))
+                (ref, os.path.abspath(local))
                 for ref, local in state["path_map"].items()
             }
             | {
-                (local, "file:" + os.path.abspath(local))
+                (local, os.path.abspath(local))
                 for local in state["path_map"].values()
             }
         )
@@ -301,7 +305,7 @@ def read_iceberg(
         )
         name_of = {int(f["id"]): f["name"] for f in schema.get("fields", [])}
         seq_rows = sorted(
-            ("file:" + os.path.abspath(local), int(seq))
+            (os.path.abspath(local), int(seq))
             for local, seq in state["file_seq"].items()
         )
         seq_df = spark.createDataFrame(seq_rows, "_suri string, _seq long")

@@ -279,3 +279,56 @@ def test_ffmpeg_decode_byte_budget_quarantines(tmp_path, monkeypatch):
     # implausible dimensions (one frame alone over budget) quarantine
     with pytest.raises(ValueError, match="implausible"):
         list(avi.decode_frames_ffmpeg(b"x", max_decoded_bytes=fb - 1))
+
+
+def test_ffmpeg_stderr_flood_does_not_deadlock(tmp_path, monkeypatch):
+    """r11 ADVICE: stderr goes to a temp file, not a pipe — a payload
+    that makes ffmpeg emit more stderr than the OS pipe buffer
+    (~64 KB) used to deadlock the stdout read loop. The flood case
+    must (a) still deliver frames when ffmpeg succeeds and (b) raise
+    the quarantine ValueError with a stderr tail when it fails."""
+    import os
+    import stat
+    import textwrap
+
+    import pytest
+
+    w, h = 4, 3
+    frame_bytes = w * h * 3
+    (tmp_path / "ffprobe").write_text(
+        textwrap.dedent(
+            f"""\
+            #!/usr/bin/env python3
+            import sys
+            open(sys.argv[-1], "rb").read()
+            print("{w},{h}")
+            """
+        )
+    )
+    # 4 MB of stderr BEFORE any stdout: with stderr on a pipe this
+    # blocks ffmpeg at ~64 KB while the decoder blocks on stdout
+    (tmp_path / "ffmpeg").write_text(
+        textwrap.dedent(
+            f"""\
+            #!/usr/bin/env python3
+            import os, sys
+            path = sys.argv[sys.argv.index("-i") + 1]
+            open(path, "rb").read()
+            os.write(2, b"E" * (4 << 20))
+            mode = open(path, "rb").read(4)
+            if mode == b"fail":
+                os.write(2, b" the-final-reason")
+                sys.exit(1)
+            for i in range(2):
+                os.write(1, bytes((i + j) % 256 for j in range({frame_bytes})))
+            """
+        )
+    )
+    for name in ("ffprobe", "ffmpeg"):
+        p = tmp_path / name
+        p.chmod(p.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+    got = list(avi.decode_frames_ffmpeg(b"okay-payload"))
+    assert len(got) == 2 and got[0].shape == (h, w, 3)
+    with pytest.raises(ValueError, match="the-final-reason"):
+        list(avi.decode_frames_ffmpeg(b"fail-payload"))

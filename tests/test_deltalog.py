@@ -248,6 +248,41 @@ def test_deletion_vectors_file_and_inline(spark, tmp_path):
         dl.read_delta(spark, w.path).collect()
 
 
+def test_checkpoint_preserves_protocol_and_column_mapping(spark, tmp_path):
+    """r11 ADVICE: checkpoint() must persist the table's ACTUAL
+    protocol (readerFeatures included) and the metaData configuration
+    map — otherwise a checkpointed column-mapped + DV table replays
+    with minReaderVersion=1 / mode=none and reads physical col-XXXX
+    parquet under logical names (silently null columns)."""
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "ckcm"),
+        SCHEMA,
+        ["part"],
+        column_mapping_mode="name",
+        deletion_vectors=True,
+    )
+    [f0] = w.commit(_pdf([1, 2, 3], "a"))
+    w.dv_delete(f0, [1], storage="u")  # drop id=2
+    w.checkpoint()
+    w.commit(_pdf([4], "b"))  # json tail after the checkpoint
+    # force the replay through the checkpoint: corrupt pre-ckpt json
+    for v in range(w.version):
+        os.rename(
+            os.path.join(w.path, "_delta_log", f"{v:020d}.json"),
+            os.path.join(w.path, "_delta_log", f"{v:020d}.json.bak"),
+        )
+    state = dl.snapshot_state(w.path)
+    assert set(state["protocol"].get("readerFeatures") or []) == {
+        "columnMapping",
+        "deletionVectors",
+    }
+    assert (state["metadata"].get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    got = _rows(dl.read_delta(spark, w.path))
+    assert got == [(1, "v1", "a"), (3, "v3", "a"), (4, "v4", "b")]
+
+
 def test_deletion_vectors_compose_with_column_mapping(spark, tmp_path):
     w = dl.DeltaFixtureWriter(
         str(tmp_path / "dvcm"),
@@ -267,3 +302,19 @@ def test_deletion_vectors_compose_with_column_mapping(spark, tmp_path):
         if "protocol" in x
     ][0]["protocol"]
     assert proto["readerFeatures"] == ["columnMapping", "deletionVectors"]
+
+
+def test_deletion_vectors_in_path_with_space_and_percent(spark, tmp_path):
+    """r11 ADVICE: the DV anti-join canonicalizes _metadata.file_path
+    (percent-encoded URI) against the decoded abspath — a table
+    directory with space/'%'/'+' must still apply the vector."""
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "dv dir 100% a+b"),
+        SCHEMA,
+        ["part"],
+        deletion_vectors=True,
+    )
+    [f0] = w.commit(_pdf([1, 2, 3], "a"))
+    w.dv_delete(f0, [1], storage="i")  # drop id=2
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [1, 3]

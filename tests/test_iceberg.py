@@ -264,3 +264,21 @@ def test_equality_deletes_with_sequence_scoping(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="equality_ids"):
         ib.read_iceberg(spark, w2.path).collect()
+
+
+def test_deletes_in_path_with_space_and_percent(spark, tmp_path):
+    """r11 ADVICE: _metadata.file_path is a percent-ENCODED URI, so
+    the delete anti-joins must canonicalize both sides — a table
+    directory with a space/'%'/'+' used to silently miss the join
+    and resurrect deleted rows."""
+    w = ib.IcebergFixtureWriter(
+        str(tmp_path / "mor dir 100% a+b"), FIELDS
+    )
+    f0 = w.commit(_pdf([1, 2, 3]))
+    w.delete_commit([(f0[0], 1)])  # drop id=2
+    assert _ids(ib.read_iceberg(spark, w.path)) == [1, 3]
+    # equality deletes use the same canonical path for seq scoping
+    w.equality_delete_commit(
+        pd.DataFrame({"id": [3]}), field_ids=[1]
+    )
+    assert _ids(ib.read_iceberg(spark, w.path)) == [1]
