@@ -9138,7 +9138,11 @@ def _iceberg_eq_fixture(spark, sf_dir: str) -> str:
             {"id": 3, "name": "lang", "required": False, "type": "string"},
         ]
         path = tempfile.mkdtemp(prefix="kmdb_iceberg_eq_") + "/docs_eq"
-        w = ib.IcebergFixtureWriter(path, fields)
+        # production-writer shape (r11, VERDICT r10 #2): ADDED entries
+        # carry null sequence numbers, inherited from the manifest list
+        w = ib.IcebergFixtureWriter(
+            path, fields, inherit_sequence_numbers=True
+        )
         w.commit(pdf[pdf.doc_id % 2 == 0].reset_index(drop=True))
         w.equality_delete_commit(
             pd.DataFrame({"lang": ["de"]}), field_ids=[3]
@@ -9165,10 +9169,13 @@ def q_iceberg_equality_deletes(
     delete file (lang='de', seq 2) removes matching rows only from
     data files with a smaller data sequence number, so lang='de' rows
     appended AFTER the delete (the odd-doc_id commit, seq 3) survive.
-    The reader anti-joins the sequence-tagged scan against the
-    delete rows on the equality columns with the seq predicate —
-    distributed on both sides. The oracle restates the surviving
-    membership from the documents table: any sequence-scoping,
+    The fixture is written in the PRODUCTION shape (r11): ADDED
+    manifest entries carry null sequence numbers that the reader
+    inherits from the manifest-list entry per the v2 spec. The reader
+    anti-joins the sequence-tagged scan against the delete rows on
+    the equality columns with the seq predicate — distributed on both
+    sides. The oracle restates the surviving membership from the
+    documents table: any sequence-inheritance, sequence-scoping,
     field-id-resolution, or null-safe-equality bug breaks the hash."""
     from kissmetrics_to_database_spark.sources import iceberg as ib
 

@@ -531,6 +531,162 @@ class DeltaFixtureWriter:
                 f.write(json.dumps(act) + "\n")
         return added
 
+    def optimize(self) -> None:
+        """One OPTIMIZE-style commit: rewrite ALL active files into
+        one compacted file per partition tuple, with every add and
+        remove flagged ``dataChange: false`` — the protocol's marker
+        for a commit that changes bytes but not rows. Tailers must
+        skip these, not die on them (r11, VERDICT r10 #1)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        self.version += 1
+        v = self.version
+        actions: list[dict] = [
+            {"commitInfo": {"operation": "OPTIMIZE", "version": v}}
+        ]
+        old = dict(self._adds)
+        frames = []
+        for rel in sorted(old):
+            tbl = pq.read_table(os.path.join(self.path, rel))
+            pdf = tbl.to_pandas()
+            add = old[rel]
+            for pc in self.partition_columns:
+                pdf[self.phys_of[pc]] = (add.get("partitionValues") or {}).get(
+                    self.phys_of[pc]
+                )
+            frames.append(pdf)
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+            self._adds.pop(rel)
+        merged = pd.concat(frames, ignore_index=True) if frames else None
+        if merged is not None and len(merged):
+            pc_phys = [self.phys_of[c] for c in self.partition_columns]
+            keys = (
+                merged[pc_phys]
+                .drop_duplicates()
+                .itertuples(index=False, name=None)
+                if pc_phys
+                else [()]
+            )
+            import pyarrow as pa
+
+            for i, key in enumerate(sorted(keys, key=str)):
+                sub = merged
+                for c, val in zip(pc_phys, key):
+                    sub = sub[sub[c] == val]
+                rel = f"part-{v:05d}-{i:05d}-compacted.parquet"
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub.drop(columns=pc_phys), preserve_index=False
+                    ),
+                    os.path.join(self.path, rel),
+                )
+                add = {
+                    "path": rel,
+                    "partitionValues": {
+                        c: str(val) for c, val in zip(pc_phys, key)
+                    },
+                    "size": os.path.getsize(os.path.join(self.path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+                actions.append({"add": add})
+                self._adds[rel] = add
+        log = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+        with open(log, "w", encoding="utf-8") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+
+    def cdf_commit(
+        self,
+        changes_pdf,
+        remove_paths: list[str] | None = None,
+        add_pdf=None,
+        operation: str = "DELETE",
+    ) -> None:
+        """One row-level-change commit WITH a change-data file (Delta
+        CDF): ``changes_pdf`` holds the change rows — data columns
+        plus a ``_change_type`` string column (insert /
+        update_preimage / update_postimage / delete) — written under
+        ``_change_data/`` and referenced by a ``cdc`` action;
+        ``remove_paths``/``add_pdf`` are the usual dataChange=true
+        file swaps the change rows describe. Per the protocol, when a
+        commit carries cdc actions they are the COMPLETE change
+        record for that commit."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if "_change_type" not in changes_pdf.columns:
+            raise ValueError("changes_pdf needs a _change_type column")
+        self.version += 1
+        v = self.version
+        actions: list[dict] = [
+            {"commitInfo": {"operation": operation, "version": v}}
+        ]
+        os.makedirs(os.path.join(self.path, "_change_data"), exist_ok=True)
+        cdc_rel = f"_change_data/cdc-{v:05d}.parquet"
+        phys = dict(self.phys_of)
+        phys["_change_type"] = "_change_type"
+        pq.write_table(
+            pa.Table.from_pandas(
+                changes_pdf.rename(columns=phys), preserve_index=False
+            ),
+            os.path.join(self.path, cdc_rel),
+        )
+        actions.append(
+            {
+                "cdc": {
+                    "path": cdc_rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(self.path, cdc_rel)
+                    ),
+                    "dataChange": False,
+                }
+            }
+        )
+        if add_pdf is not None and len(add_pdf):
+            rel = f"part-{v:05d}-00000.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    add_pdf.rename(columns=self.phys_of),
+                    preserve_index=False,
+                ),
+                os.path.join(self.path, rel),
+            )
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(self.path, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            actions.append({"add": add})
+            self._adds[rel] = add
+        for rp in remove_paths or []:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rp,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            self._adds.pop(rp, None)
+        log = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+        with open(log, "w", encoding="utf-8") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+
     def dv_delete(
         self,
         rel_path: str,

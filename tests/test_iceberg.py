@@ -282,3 +282,84 @@ def test_deletes_in_path_with_space_and_percent(spark, tmp_path):
         pd.DataFrame({"id": [3]}), field_ids=[1]
     )
     assert _ids(ib.read_iceberg(spark, w.path)) == [1]
+
+
+def test_equality_deletes_with_inherited_sequence_numbers(spark, tmp_path):
+    """r11, VERDICT r10 #2: production v2 writers leave entry-level
+    sequence_number null on ADDED entries and inherit it from the
+    manifest-list entry — the inherited shape must read identically
+    to the explicit shape, including delete-then-reinsert scoping."""
+    FIELDS3 = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+        {"id": 3, "name": "grp", "required": False, "type": "string"},
+    ]
+
+    def pdf(ids, grp):
+        return pd.DataFrame(
+            {"id": ids, "val": [f"v{i}" for i in ids], "grp": grp}
+        )
+
+    w = ib.IcebergFixtureWriter(
+        str(tmp_path / "inh"), FIELDS3, inherit_sequence_numbers=True
+    )
+    w.commit(pdf([1, 2], "a"))  # seq 1
+    w.commit(pdf([3, 4], "b"))  # seq 2
+    w.equality_delete_commit(
+        pd.DataFrame({"grp": ["a"]}), field_ids=[3]
+    )  # seq 3
+    w.commit(pdf([5], "a"))  # seq 4: reinsert AFTER delete — survives
+    got = sorted(
+        (r["id"], r["grp"])
+        for r in ib.read_iceberg(spark, w.path).collect()
+    )
+    assert got == [(3, "b"), (4, "b"), (5, "a")]
+    # the manifest bytes really are the null-seq production shape
+    st = ib.snapshot_files(w.path)
+    meta = ib.table_metadata(w.path)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if int(s["snapshot-id"]) == st["snapshot_id"]
+    )
+    with open(ib._local(snap["manifest-list"], w.path), "rb") as f:
+        _, mentries = avroc.read_container(f.read())
+    assert all(me.get("sequence_number") is not None for me in mentries)
+    saw_null_added = False
+    for me in mentries:
+        with open(ib._local(me["manifest_path"], w.path), "rb") as f:
+            _, entries = avroc.read_container(f.read())
+        for e in entries:
+            if int(e["status"]) == 1:
+                assert e.get("sequence_number") is None
+                saw_null_added = True
+            else:
+                assert e.get("sequence_number") is not None
+    assert saw_null_added
+    # a table where NO sequence is resolvable still raises
+    w2 = ib.IcebergFixtureWriter(str(tmp_path / "bad"), FIELDS3)
+    w2.commit(pdf([1], "a"))
+    w2.equality_delete_commit(pd.DataFrame({"grp": ["a"]}), field_ids=[3])
+    import json as _json
+
+    # null out BOTH entry seqs and manifest-list seqs
+    meta2 = ib.table_metadata(w2.path)
+    snap2 = meta2["snapshots"][-1]
+    ml_path = ib._local(snap2["manifest-list"], w2.path)
+    with open(ml_path, "rb") as f:
+        _, ml_entries = avroc.read_container(f.read())
+    for me in ml_entries:
+        me["sequence_number"] = None
+        mf_path = ib._local(me["manifest_path"], w2.path)
+        with open(mf_path, "rb") as f:
+            _, entries = avroc.read_container(f.read())
+        for e in entries:
+            e["sequence_number"] = None
+        with open(mf_path, "wb") as f:
+            f.write(avroc.write_container(ib._MANIFEST_SCHEMA, entries))
+    with open(ml_path, "wb") as f:
+        f.write(
+            avroc.write_container(ib._MANIFEST_LIST_SCHEMA, ml_entries)
+        )
+    with pytest.raises(ValueError, match="sequence"):
+        ib.read_iceberg(spark, w2.path)

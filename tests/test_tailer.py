@@ -117,11 +117,140 @@ def test_delta_tail_incremental_adds_and_remove_boundary(spark, tmp_path):
 
     assert t.poll(spark, sink) == [0, 1]
     assert seen == [(0, [(1, "a"), (2, "a")]), (1, [(3, "b")])]
-    # a remove-bearing commit is a declared boundary (appends only)
+    # a commit that removes rows WITHOUT change data is the declared
+    # boundary (r11: message updated — CDF commits now stream)
     w.commit(pdf([4], "a"), remove_paths=added0, operation="MERGE")  # v2
-    with pytest.raises(ValueError, match="remove actions"):
+    with pytest.raises(ValueError, match="change data"):
         t.poll(spark, sink)
     assert t.position == 1  # cursor untouched by the failed version
+
+
+def test_delta_tail_survives_optimize(spark, tmp_path):
+    """r11, VERDICT r10 #1: an OPTIMIZE-style commit (remove+add
+    pairs, all dataChange=false) is a byte rewrite — the tailer skips
+    it and advances the cursor; every row is delivered exactly once
+    across it."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+
+    def pdf(ids, part):
+        return pd.DataFrame(
+            {"id": ids, "val": [f"v{i}" for i in ids], "part": part}
+        )
+
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "opt"), schema, partition_columns=["part"]
+    )
+    w.commit(pdf([1, 2], "a"))  # v0
+    cursor = str(tmp_path / "oc.json")
+    t = CommitTailer("delta", w.path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(r["id"] for r in batch.collect())))
+
+    assert t.poll(spark, sink) == [0]
+    # interleave: append, OPTIMIZE mid-stream, append
+    w.commit(pdf([3], "b"))  # v1
+    w.optimize()  # v2: dataChange=false remove+add pairs
+    w.commit(pdf([4], "a"))  # v3
+    assert t.poll(spark, sink) == [1, 2, 3]
+    # v2 produced NO batch; each row delivered exactly once
+    assert seen == [(0, [1, 2]), (1, [3]), (3, [4])]
+    assert t.position == 3
+    # the optimized table still reads whole
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_delta_tail_cdf_delete_streams_row_changes(spark, tmp_path):
+    """r11, VERDICT r10 #5: a remove-carrying commit WITH cdc actions
+    streams its _change_data rows (with _change_type) instead of
+    raising; a remove-carrying commit without CDF still raises."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    w = dl.DeltaFixtureWriter(str(tmp_path / "cdf"), schema)
+    [f0] = w.commit(pd.DataFrame({"id": [1, 2, 3], "val": ["a", "b", "c"]}))
+    cursor = str(tmp_path / "cc.json")
+    t = CommitTailer("delta", w.path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(map(tuple, batch.collect()))))
+
+    assert t.poll(spark, sink) == [0]
+    # v1: DELETE id=2 with change data — file swap + cdc action
+    w.cdf_commit(
+        pd.DataFrame({"id": [2], "val": ["b"], "_change_type": ["delete"]}),
+        remove_paths=[f0],
+        add_pdf=pd.DataFrame({"id": [1, 3], "val": ["a", "c"]}),
+        operation="DELETE",
+    )
+    assert t.poll(spark, sink) == [1]
+    assert seen[-1] == (1, [(2, "b", "delete")])
+    # the table itself reads post-delete
+    got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
+    assert got == [1, 3]
+    # update-shaped CDF: pre + post images stream together
+    [f1] = [a for a in w._adds][:1]
+    w.cdf_commit(
+        pd.DataFrame(
+            {
+                "id": [1, 1],
+                "val": ["a", "A"],
+                "_change_type": ["update_preimage", "update_postimage"],
+            }
+        ),
+        remove_paths=[f1],
+        add_pdf=pd.DataFrame({"id": [1, 3], "val": ["A", "c"]}),
+        operation="UPDATE",
+    )
+    assert t.poll(spark, sink) == [2]
+    assert seen[-1] == (
+        2,
+        [(1, "A", "update_postimage"), (1, "a", "update_preimage")],
+    )
+
+
+def test_iceberg_tail_skips_replace_snapshot(spark, tmp_path):
+    """r11: an Iceberg snapshot with summary operation=replace
+    (compaction) is skipped with the cursor advancing."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    FIELDS = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+    ]
+    w = ib.IcebergFixtureWriter(str(tmp_path / "ir"), FIELDS)
+    f0 = w.commit(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))  # 1000
+    cursor = str(tmp_path / "irc.json")
+    t = CommitTailer("iceberg", w.path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(r["id"] for r in batch.collect())))
+
+    assert t.poll(spark, sink) == [1000]
+    # 1001: compaction — same rows rewritten, operation=replace
+    w.commit(
+        pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}),
+        remove_paths=f0,
+        operation="replace",
+    )
+    # 1002: a real append after the compaction
+    w.commit(pd.DataFrame({"id": [3], "val": ["c"]}))
+    assert t.poll(spark, sink) == [1001, 1002]
+    assert seen == [(1000, [1, 2]), (1002, [3])]
+    assert t.position == 1002
 
 
 def test_delta_tail_column_mapped_table(spark, tmp_path):
