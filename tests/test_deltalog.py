@@ -318,3 +318,104 @@ def test_deletion_vectors_in_path_with_space_and_percent(spark, tmp_path):
     w.dv_delete(f0, [1], storage="i")  # drop id=2
     got = sorted(r["id"] for r in dl.read_delta(spark, w.path).collect())
     assert got == [1, 3]
+
+
+def test_write_delta_roundtrip_read_and_tail(spark, tmp_path):
+    """r11, VERDICT r10 #6: the PRODUCTION append path — write with
+    write_delta, read back with read_delta, tail with CommitTailer,
+    and validate the commit-log fields against PROTOCOL.md."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "out")
+    df0 = spark.createDataFrame(
+        [(1, "a", "de"), (2, "b", "de"), (3, "c", None)],
+        "id long, val string, lang string",
+    )
+    v0 = dl.write_delta(df0, path, partition_columns=["lang"])
+    assert v0 == 0
+    df1 = spark.createDataFrame(
+        [(4, "d", "en 100%")], "id long, val string, lang string"
+    )
+    assert dl.write_delta(df1, path, partition_columns=["lang"]) == 1
+    got = sorted(
+        (r["id"], r["lang"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "de"), (2, "de"), (3, None), (4, "en 100%")]
+    # time travel
+    assert dl.read_delta(spark, path, version=0).count() == 3
+
+    # PROTOCOL.md field shapes on commit 0
+    lines = [
+        json.loads(x)
+        for x in open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json")
+        )
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    kinds = [next(iter(a)) for a in lines]
+    assert kinds[0] == "commitInfo"
+    proto = next(a["protocol"] for a in lines if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in lines if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == ["lang"]
+    assert isinstance(meta["id"], str) and meta["id"]
+    # schemaString parses back to the logical schema
+    assert [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ] == ["id", "val", "lang"]
+    adds = [a["add"] for a in lines if "add" in a]
+    assert adds and all(
+        a["dataChange"] is True
+        and isinstance(a["size"], int)
+        and isinstance(a["modificationTime"], int)
+        and not a["path"].startswith("/")
+        for a in adds
+    )
+    # partitionValues authoritative: null partition encoded as None
+    pvs = {a["path"]: a["partitionValues"]["lang"] for a in adds}
+    assert None in pvs.values() and "de" in pvs.values()
+    # data files do NOT contain the partition column (Hive layout)
+    import pyarrow.parquet as pq
+
+    some = adds[0]["path"]
+    assert "lang" not in pq.read_schema(os.path.join(path, some)).names
+
+    # our own tailer tails the written table
+    cursor = str(tmp_path / "cur.json")
+    t = CommitTailer("delta", path, cursor)
+    seen = []
+    t.poll(spark, lambda b, v: seen.append((v, sorted(r["id"] for r in b.collect()))))
+    assert seen == [(0, [1, 2, 3]), (1, [4])]
+
+
+def test_write_delta_exactly_once_epochs_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "eo")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path, txn_app_id="job", epoch_id=0)
+    dl.write_delta(mk([3]), path, txn_app_id="job", epoch_id=1)
+    # crash-replay of epoch 1: skipped, no duplicate rows
+    v = dl.write_delta(mk([3]), path, txn_app_id="job", epoch_id=1)
+    assert v == 1
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [1, 2, 3]
+    # txn actions are real SetTransaction records
+    st = dl.snapshot_state(path)
+    assert st["txns"] == {"job": 1}
+    # overwrite replaces content, time travel keeps history
+    dl.write_delta(mk([9]), path, mode="overwrite")
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [9]
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path, version=1).collect()
+    ) == [1, 2, 3]
+    # schema guard: partition mismatch raises
+    with pytest.raises(ValueError, match="partitioned"):
+        dl.write_delta(mk([10]), path, partition_columns=["val"])
