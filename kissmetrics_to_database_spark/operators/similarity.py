@@ -1917,6 +1917,7 @@ def semantic_decontamination_ann(
     probe_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_threshold_keys: int = 2_000_000,
 ) -> DataFrame:
     """ANN-candidates + exact-verify SEMANTIC DECONTAMINATION (r10,
     VERDICT r9 #2's optional sibling — the huge-eval-set route): same
@@ -1927,6 +1928,15 @@ def semantic_decontamination_ann(
     |corpus|×|eval| projection. Corpus vectors with NO colliding
     eval candidate are clean by construction (null nearest/cosine,
     contaminated = false).
+
+    Broadcast size gate (r11, VERDICT r10 #4): the probe-key side is
+    eval × ~C(b, ≤radius) rows WITH embeddings — forcing that to
+    broadcast is only right while it is actually small. The hint is
+    applied when (eval rows × probe combos) ≤
+    ``broadcast_threshold_keys`` (one cheap count of the eval side);
+    above it the bucket join runs as a plain shuffle join and AQE
+    picks the strategy. Both plan regimes are asserted in PLANS.md
+    (`semantic_decontamination_ann` / `..._shuffle`).
 
     Exactness on candidates: the cosine is the same raw double, the
     per-vector max the same partial aggregation; only candidate
@@ -1957,7 +1967,20 @@ def semantic_decontamination_ann(
         _norm(F.col(vec_col)).alias("_tn"),
         lsh_bucket_key(F.col(vec_col), hyperplanes).alias("bucket"),
     )
-    scored = tr.join(F.broadcast(ev_keys), "bucket").select(
+    n_keys = eval_set.count() * len(combos)
+    # over the gate, PIN shuffle_hash rather than merely dropping the
+    # hint: Catalyst's size estimate of an exploded side is an
+    # underestimate (explode output ≈ input bytes in stats), so
+    # letting the optimizer decide can still broadcast a too-big
+    # probe side — the exact OOM this gate exists to prevent. The
+    # bucket-hash join needs no sort and stays partition-parallel
+    # (the edit_distance_pairs precedent).
+    ev_side = (
+        F.broadcast(ev_keys)
+        if n_keys <= int(broadcast_threshold_keys)
+        else ev_keys.hint("shuffle_hash")
+    )
+    scored = tr.join(ev_side, "bucket").select(
         id_col,
         "eval_id",
         (

@@ -3116,6 +3116,40 @@ def q_semantic_decontamination_ann(
 
 
 @query(
+    "semantic_decontamination_ann_shuffle",
+    f"""
+    WITH {_SQL_DECON_ANN}
+    SELECT vec_id, nearest_eval_id, max_eval_cosine, contaminated
+    FROM ann_verdict ORDER BY vec_id
+    """,
+)
+def q_semantic_decontamination_ann_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LARGE-eval regime of the ANN decontamination route (r11,
+    VERDICT r10 #4): identical semantics to
+    semantic_decontamination_ann — same oracle, same hash — but with
+    the broadcast size gate tripped (threshold 0), so the
+    eval-probe-keys × corpus bucket join runs as a plain shuffle
+    join. A genuinely huge eval set × ~37 probe combos with
+    embeddings attached will not broadcast; this is the plan that
+    regime gets, and PLANS.md asserts it contains no forced
+    broadcast of the probe side while the small regime keeps its
+    BroadcastHashJoin. See similarity.semantic_decontamination_ann
+    (broadcast_threshold_keys)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hp = _bitext_hyperplanes(spark, sf_dir)
+    return similarity.semantic_decontamination_ann(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        hp,
+        threshold=0.35,
+        probe_radius=2,
+        broadcast_threshold_keys=0,
+    ).orderBy("vec_id")
+
+
+@query(
     "semantic_decontamination_ann_recall",
     f"""
     WITH {_SQL_DECON_ANN},

@@ -664,11 +664,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["hashpartitioning"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # ANN decontamination: eval probe keys broadcast into the bucket
-    # equi-join; corpus scanned once
+    # ANN decontamination, SMALL-eval regime: probe keys under the
+    # size gate broadcast into the bucket equi-join; corpus scanned once
     "semantic_decontamination_ann": (
         ["BroadcastHashJoin", "hashpartitioning"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # r11 (VERDICT r10 #4), LARGE-eval regime: over the gate the
+    # probe side is pinned shuffle_hash (size stats on an exploded
+    # side underestimate — the optimizer could still wrongly
+    # broadcast); the bucket join must be a ShuffledHashJoin with NO
+    # broadcast of the probe side anywhere
+    "semantic_decontamination_ann_shuffle": (
+        ["ShuffledHashJoin", "hashpartitioning"],
+        [
+            "BroadcastHashJoin Inner",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
     ),
     # funnel: chained user-keyed aggregates/joins; the only window is
     # the 4-row readout (allowlisted below)
