@@ -460,8 +460,6 @@ def write_delta(
     action per FILE — is driver-side, exactly like the readers.
     """
     import hashlib
-    import shutil
-    import uuid
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock
 
@@ -502,59 +500,7 @@ def write_delta(
                     "column-mapped tables are read-only here"
                 )
 
-        # distributed data write into a per-commit staging dir, then
-        # rename into the table root (same-filesystem rename: cheap)
-        seg = uuid.uuid4().hex[:12]
-        stage = os.path.join(path, f"_staging-{seg}")
-        writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(stage)
-        adds: list[dict] = []
-        for root, _dirs, files in os.walk(stage):
-            for name in sorted(files):
-                if not name.endswith(".parquet") or name.startswith("_"):
-                    continue
-                rel_dir = os.path.relpath(root, stage)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                pv = (
-                    _dir_partition_values(rel_dir, part_cols)
-                    if part_cols
-                    else {}
-                )
-                base, _, _ = name.partition(".")
-                final_name = f"{base}-{seg}.snappy.parquet"
-                final_rel = (
-                    os.path.join(rel_dir, final_name)
-                    if rel_dir
-                    else final_name
-                )
-                os.makedirs(
-                    os.path.dirname(os.path.join(path, final_rel))
-                    or path,
-                    exist_ok=True,
-                )
-                os.rename(
-                    os.path.join(root, name),
-                    os.path.join(path, final_rel),
-                )
-                adds.append(
-                    {
-                        "path": final_rel.replace(os.sep, "/"),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(
-                            os.path.join(path, final_rel)
-                        ),
-                        "modificationTime": int(
-                            os.path.getmtime(
-                                os.path.join(path, final_rel)
-                            )
-                            * 1000
-                        ),
-                        "dataChange": True,
-                    }
-                )
-        shutil.rmtree(stage, ignore_errors=True)
+        adds = _stage_distributed_write(df, path, part_cols)
 
         actions: list[dict] = [
             {
@@ -603,6 +549,159 @@ def write_delta(
         actions.extend({"add": a} for a in adds)
 
         log_dir = os.path.join(path, "_delta_log")
+        final = os.path.join(log_dir, f"{version:020d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"version {version} already committed under {log_dir} "
+                "— writer-lock invariant violated"
+            )
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return version
+
+
+def _stage_distributed_write(
+    df: DataFrame,
+    path: str,
+    part_cols: list[str],
+    data_change: bool = True,
+) -> list[dict]:
+    """Distributed data write into a per-commit staging dir, then
+    rename into the table root (same-filesystem rename: cheap).
+    Returns the spec-shaped ``add`` dicts — ``partitionValues``
+    reconstructed from the Hive directory names, ``dataChange`` as
+    given (true for WRITE, false for OPTIMIZE rewrites)."""
+    import shutil
+    import uuid
+
+    seg = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging-{seg}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for name in sorted(files):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            pv = (
+                _dir_partition_values(rel_dir, part_cols)
+                if part_cols
+                else {}
+            )
+            base, _, _ = name.partition(".")
+            final_name = f"{base}-{seg}.snappy.parquet"
+            final_rel = (
+                os.path.join(rel_dir, final_name) if rel_dir else final_name
+            )
+            os.makedirs(
+                os.path.dirname(os.path.join(path, final_rel)) or path,
+                exist_ok=True,
+            )
+            os.rename(
+                os.path.join(root, name), os.path.join(path, final_rel)
+            )
+            adds.append(
+                {
+                    "path": final_rel.replace(os.sep, "/"),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(os.path.join(path, final_rel)),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(path, final_rel))
+                        * 1000
+                    ),
+                    "dataChange": bool(data_change),
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE (bin-pack compaction) for tables this engine wrote —
+    the WRITE side of the r11 tailer fix: rewrites the current
+    snapshot's live files into fewer, larger ones and commits the
+    swap with every ``remove`` AND ``add`` flagged
+    ``dataChange: false``, the protocol's marker for a commit that
+    changes bytes but not rows. Our tailer (and any spec-correct
+    consumer) skips the commit and keeps streaming; time travel to
+    pre-OPTIMIZE versions still works because old files are removed
+    from the LOG, not from disk (no vacuum here).
+
+    The rewrite is a normal distributed Spark job: partitioned
+    tables repartition on their partition columns (one output file
+    per live partition tuple); unpartitioned tables coalesce to
+    ``ceil(live_bytes / target_file_bytes)`` files. Only the
+    metadata commit is driver-side, like every writer in this
+    module. Declared scope: logical-name parquet only — column-
+    mapped tables and deletion-vector files are refused, not
+    silently rewritten wrong.
+
+    Returns the committed version (the current version when there
+    is nothing to compact)."""
+    import math
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    log_dir = os.path.join(path, "_delta_log")
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        state = snapshot_state(path)
+        version = state["version"] + 1
+        conf = state["metadata"].get("configuration") or {}
+        if conf.get("delta.columnMapping.mode", "none") != "none":
+            raise ValueError(
+                "optimize_delta rewrites logical-name parquet — "
+                "column-mapped tables are out of scope"
+            )
+        if any(a.get("deletionVector") for a in state["files"]):
+            raise ValueError(
+                "optimize_delta does not materialize deletion "
+                "vectors — vacuum/rewrite DV files first"
+            )
+        part_cols = list(state["metadata"].get("partitionColumns") or [])
+        if len(state["files"]) <= (1 if not part_cols else len(part_cols)):
+            return state["version"]
+        df = read_delta(spark, path)
+        if part_cols:
+            df = df.repartition(*part_cols)
+        else:
+            live_bytes = sum(int(a.get("size") or 0) for a in state["files"])
+            df = df.coalesce(
+                max(1, math.ceil(live_bytes / max(1, target_file_bytes)))
+            )
+        adds = _stage_distributed_write(df, path, part_cols, data_change=False)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {},
+                    "engineInfo": "kissmetrics_to_database_spark",
+                }
+            }
+        ]
+        for old in state["files"]:
+            actions.append(
+                {
+                    "remove": {
+                        "path": old["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
         final = os.path.join(log_dir, f"{version:020d}.json")
         if os.path.exists(final):
             raise RuntimeError(

@@ -419,3 +419,100 @@ def test_write_delta_exactly_once_epochs_and_overwrite(spark, tmp_path):
     # schema guard: partition mismatch raises
     with pytest.raises(ValueError, match="partitioned"):
         dl.write_delta(mk([10]), path, partition_columns=["val"])
+
+
+def test_optimize_delta_compacts_without_breaking_tail(spark, tmp_path):
+    """r11: the WRITE side of the tailer's dataChange=false fix —
+    optimize_delta rewrites live files into fewer ones in one
+    distributed job, flags the swap dataChange=false, and a tail
+    that polls before AND after the OPTIMIZE still delivers every
+    row exactly once. Time travel to the pre-OPTIMIZE version keeps
+    working (files leave the log, not the disk)."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "opt")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path)
+    dl.write_delta(mk([3]), path)
+
+    cursor = str(tmp_path / "cur.json")
+    t = CommitTailer("delta", path, cursor)
+    seen: list = []
+    t.poll(spark, lambda b, v: seen.append((v, sorted(r["id"] for r in b.collect()))))
+    assert seen == [(0, [1, 2]), (1, [3])]
+
+    n_before = len(dl.snapshot_state(path)["files"])
+    v = dl.optimize_delta(spark, path)
+    assert v == 2
+    st = dl.snapshot_state(path)
+    assert len(st["files"]) < n_before
+    assert all(a["dataChange"] is False for a in st["files"])
+    # rows unchanged, pre-OPTIMIZE time travel intact
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) == [1, 2, 3]
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path, version=1).collect()
+    ) == [1, 2, 3]
+
+    # append across the OPTIMIZE; the tail skips v2 and delivers v3
+    dl.write_delta(mk([4]), path)
+    t.poll(spark, lambda b, v: seen.append((v, sorted(r["id"] for r in b.collect()))))
+    assert seen == [(0, [1, 2]), (1, [3]), (3, [4])]
+
+    # idempotent on an already-compact table
+    assert dl.optimize_delta(spark, path) == 4  # compacts v3's file in
+    assert dl.optimize_delta(spark, path) == 4  # nothing to do: no-op
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_optimize_delta_partitioned_one_file_per_tuple(spark, tmp_path):
+    path = str(tmp_path / "optp")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "de"), (3, "en"), (4, None)],
+        "id long, lang string",
+    )
+    dl.write_delta(df, path, partition_columns=["lang"])
+    dl.write_delta(
+        spark.createDataFrame([(5, "de")], "id long, lang string"),
+        path,
+        partition_columns=["lang"],
+    )
+    dl.optimize_delta(spark, path)
+    st = dl.snapshot_state(path)
+    # one live file per partition tuple (de, en, null)
+    pvs = [a["partitionValues"]["lang"] for a in st["files"]]
+    assert sorted(pvs, key=str) == [None, "de", "en"]
+    got = sorted(
+        (r["id"], r["lang"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "de"), (2, "de"), (3, "en"), (4, None), (5, "de")]
+
+
+def test_optimize_delta_refuses_column_mapping_and_dv(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    import pandas as pd
+
+    cm = str(tmp_path / "cm")
+    w = dl.DeltaFixtureWriter(cm, schema, column_mapping_mode="name")
+    w.commit(pd.DataFrame({"col-0000": [1], "col-0001": ["a"]}))
+    with pytest.raises(ValueError, match="column-mapped"):
+        dl.optimize_delta(spark, cm)
+
+    dv = str(tmp_path / "dv")
+    w2 = dl.DeltaFixtureWriter(dv, schema, deletion_vectors=True)
+    added = w2.commit(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))
+    w2.commit(pd.DataFrame({"id": [3], "val": ["c"]}))
+    w2.dv_delete(added[0], [0], storage="u")
+    with pytest.raises(ValueError, match="deletion"):
+        dl.optimize_delta(spark, dv)
