@@ -204,6 +204,15 @@ HEADLINE = [
     "semantic_decontamination_ann_recall",
     "delta_deletion_vectors",
     "ab_test_lift",
+    # round-11 additions
+    "delta_cdf_tail",
+    "delta_writer_roundtrip",
+    "delta_optimize_roundtrip",
+    "semantic_decontamination_ann_shuffle",
+    "semantic_decontamination_ivf",
+    "semantic_decontamination_ivf_recall",
+    "bitext_margin_mining_ivf",
+    "bitext_ivf_recall",
 ]
 
 

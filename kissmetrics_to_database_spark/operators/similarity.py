@@ -126,20 +126,26 @@ def ivf_assign(
     scored = corpus.join(F.broadcast(c)).select(
         id_col,
         vec_col,
+        *keep_cols,
         "_cid",
         F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_cscore"),
     )
+    # One aggregation carries the vector (and keep_cols — constant per
+    # id) alongside the argmax, so assignment costs a single id-keyed
+    # shuffle with NO corpus-scale join-back (r11: the previous
+    # groupBy-then-rejoin shape paid a second shuffle + sort-merge).
     best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("_cscore"), (-F.col("_cid")).alias("_ncid"))).alias("_b")
+        F.max(
+            F.struct(F.col("_cscore"), (-F.col("_cid")).alias("_ncid"))
+        ).alias("_b"),
+        F.first(vec_col).alias(vec_col),
+        *[F.first(k).alias(k) for k in keep_cols],
     )
-    return (
-        corpus.join(best, id_col)
-        .select(
-            id_col,
-            vec_col,
-            *keep_cols,
-            (-F.col("_b._ncid")).cast("long").alias("cell"),
-        )
+    return best.select(
+        id_col,
+        vec_col,
+        *keep_cols,
+        (-F.col("_b._ncid")).cast("long").alias("cell"),
     )
 
 
@@ -1988,6 +1994,15 @@ def semantic_decontamination_ann(
             / (F.col("_tn") * F.col("_en"))
         ).alias("raw"),
     )
+    return _decon_verdict(scored, corpus, id_col, threshold)
+
+
+def _decon_verdict(
+    scored: DataFrame, corpus: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared exact-verify tail of the ANN decontamination routes:
+    per-corpus-vector max over candidate cosines (partial agg),
+    left-joined back so no-candidate rows read as clean."""
     best = scored.groupBy(id_col).agg(
         F.max(
             F.struct(
@@ -2005,6 +2020,85 @@ def semantic_decontamination_ann(
             F.col("m.raw") >= F.lit(float(threshold)), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def semantic_decontamination_ivf(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_threshold_keys: int = 2_000_000,
+) -> DataFrame:
+    """TRAINED-IVF candidate generation for semantic decontamination
+    (r11, VERDICT r10 #3): same exact-verify tail as
+    :func:`semantic_decontamination_ann`, but candidates come from a
+    DATA-ADAPTIVE index — each corpus vector lives in its
+    nearest-trained-centroid cell (``ivf_assign``: cosine argmax,
+    round-6, min-cell tie-break), each eval vector probes its
+    ``nprobe`` best cells, and candidates are one cell equi-join.
+    ``centroids`` is a (cluster, _c) table from
+    ``kmeans_train_centroids`` — train once, serve many.
+
+    Why this exists: random sign-LSH hyperplanes have no locality to
+    exploit on near-uniform embeddings (the r10 routes' measured
+    0.30–0.51 recall on this synthetic testdata); trained centroids
+    adapt to the data's actual density, the standard answer when the
+    space IS clustered. ``semantic_decontamination_ivf_recall``
+    measures both generators on the same slices so the trade is
+    evidence, not inference.
+
+    Scale shape: assignment is one corpus scan × K broadcast
+    centroids; the candidate join carries |eval| × nprobe rows on
+    the probe side, size-gated exactly like the LSH route (broadcast
+    under the threshold, pinned shuffle_hash above it)."""
+    cent = centroids.select(
+        F.col("cluster").cast("long").alias("cent_id"),
+        F.col("_c").alias("cent_vec"),
+    )
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), cent, id_col, vec_col
+    ).select(
+        id_col,
+        F.col(vec_col).alias("_tv"),
+        _norm(F.col(vec_col)).alias("_tn"),
+        "cell",
+    )
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("_ev"),
+        _norm(F.col(vec_col)).alias("_en"),
+    )
+    pc = ev.join(F.broadcast(cent)).select(
+        "eval_id",
+        "_ev",
+        "_en",
+        F.col("cent_id"),
+        F.round(cosine(F.col("_ev"), F.col("cent_vec")), 6).alias("_s"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("_s"), F.asc("cent_id"))
+    ev_keys = (
+        pc.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(nprobe))
+        .select("eval_id", "_ev", "_en", F.col("cent_id").alias("cell"))
+    )
+    n_keys = eval_set.count() * int(nprobe)
+    ev_side = (
+        F.broadcast(ev_keys)
+        if n_keys <= int(broadcast_threshold_keys)
+        else ev_keys.hint("shuffle_hash")
+    )
+    scored = assigned.join(ev_side, "cell").select(
+        id_col,
+        "eval_id",
+        (
+            _dot(F.col("_tv"), F.col("_ev"))
+            / (F.col("_tn") * F.col("_en"))
+        ).alias("raw"),
+    )
+    return _decon_verdict(scored, corpus, id_col, threshold)
 
 
 def margin_bitext_mining_ann(
@@ -2098,6 +2192,17 @@ def margin_bitext_mining_ann(
         .cast("long")
         .alias("ci"),
     )
+    return _bitext_margin_verify(cand, k, threshold)
+
+
+def _bitext_margin_verify(
+    cand: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Shared exact-verify tail of the ANN bitext routes: candidate
+    rows (src_id, tgt_id, tgt_lang, ci int64 micro-cosine) →
+    mutual-NN pairs over the margin threshold, with candidate-keyed
+    k-NN normalizer sums — identical math to the exact kernel,
+    restricted to the candidate set."""
     fw = Window.partitionBy("src_id", "tgt_lang").orderBy(
         F.desc("ci"), F.asc("tgt_id")
     )
@@ -2133,6 +2238,90 @@ def margin_bitext_mining_ann(
         )
         .where(F.col("margin") >= F.lit(float(threshold)))
     )
+
+
+def margin_bitext_mining_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+    src_lang: str = "en",
+    k: int = 4,
+    threshold: float = 1.2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """TRAINED-IVF candidate generation for margin bitext mining
+    (r11, VERDICT r10 #3): the same Artetxe & Schwenk exact-verify
+    tail as :func:`margin_bitext_mining_ann`, with candidates from a
+    DATA-ADAPTIVE inverted file instead of sign-LSH buckets — target
+    vectors live in their nearest-trained-centroid cell, each source
+    vector probes its ``nprobe`` best cells, candidates are one cell
+    equi-join. ``centroids`` is a (cluster, _c) table from
+    ``kmeans_train_centroids`` — train once, serve many.
+
+    Each (src, tgt) pair arises at most once (a target has exactly
+    one home cell; probe cells per source are distinct), so no dedup
+    stage is needed. Work scales with per-cell collision mass ×
+    nprobe — tunable by (k_centroids, nprobe) exactly as (b, radius)
+    tunes the LSH route; ``bitext_ivf_recall`` measures both
+    generators on the same slice."""
+    dv = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(vec_col).alias("v"),
+    )
+    cent = centroids.select(
+        F.col("cluster").cast("long").alias("cent_id"),
+        F.col("_c").alias("cent_vec"),
+    )
+    src = dv.where(F.col("lang") == src_lang).select(
+        F.col("id").alias("src_id"),
+        F.col("v").alias("_sv"),
+        _norm(F.col("v")).alias("_sn"),
+    )
+    pc = src.join(F.broadcast(cent)).select(
+        "src_id",
+        "_sv",
+        "_sn",
+        F.col("cent_id"),
+        F.round(cosine(F.col("_sv"), F.col("cent_vec")), 6).alias("_s"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("_s"), F.asc("cent_id"))
+    probes = (
+        pc.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(nprobe))
+        .select("src_id", "_sv", "_sn", F.col("cent_id").alias("cell"))
+    )
+    tgt = ivf_assign(
+        dv.where(F.col("lang") != src_lang).select(
+            F.col("id"), F.col("lang"), F.col("v")
+        ),
+        cent,
+        id_col="id",
+        vec_col="v",
+        keep_cols=("lang",),
+    ).select(
+        F.col("lang").alias("tgt_lang"),
+        F.col("id").alias("tgt_id"),
+        F.col("v").alias("_tv"),
+        _norm(F.col("v")).alias("_tn"),
+        "cell",
+    )
+    cand = tgt.join(probes, "cell").select(
+        "src_id",
+        "tgt_id",
+        "tgt_lang",
+        F.round(
+            F.lit(1e6)
+            * _dot(F.col("_sv"), F.col("_tv"))
+            / (F.col("_sn") * F.col("_tn")),
+            0,
+        )
+        .cast("long")
+        .alias("ci"),
+    )
+    return _bitext_margin_verify(cand, k, threshold)
 
 
 def dbscan_cosine(

@@ -10670,3 +10670,438 @@ def q_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT — trained-IVF candidate routes for the two-sided ANN kernels
+# (r11, VERDICT r10 #3): the kmeans/IVF family as a DATA-ADAPTIVE
+# candidate generator for bitext mining and semantic decontamination,
+# measured on the same constant eval slices as the sign-LSH routes so
+# the generator choice is evidence, not inference.
+# ---------------------------------------------------------------------------
+
+_IVF_ROUTE_CENTROIDS: dict[str, DataFrame] = {}
+
+
+def _ivf_route_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/serve-many centroids for the IVF candidate routes
+    (the _pq_codebooks_cached precedent): one kmeans_train_centroids
+    (k=8, iters=2 — the exact schedule SQL_KMEANS_CTES replays) per
+    sf_dir, shared by all four IVF-route queries. Training is
+    deterministic, so the memo cannot change results."""
+    if sf_dir not in _IVF_ROUTE_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_ROUTE_CENTROIDS[sf_dir] = similarity.kmeans_train_centroids(
+            emb, k=8, iters=2
+        )
+    return _IVF_ROUTE_CENTROIDS[sf_dir]
+
+
+def _sql_decon_ivf(corpus_where: str) -> str:
+    """DuckDB replay of the IVF-candidate decontamination route:
+    trained c2 centroids (shared Lloyd CTEs), cosine-argmax cell per
+    corpus vector (round-6, min-cluster tie-break), top-2 probe cells
+    per eval vector, one cell equi-join, then the exact-verify tail
+    byte-for-byte from the LSH-route oracle."""
+    return f"""{SQL_KMEANS_CTES},
+    ivf_corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {corpus_where}
+    ),
+    ivf_eval AS (
+      SELECT vec_id AS eval_id, embedding FROM embeddings
+      WHERE vec_id % 97 = 0
+    ),
+    cassign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT t.vec_id, t.embedding, c.cluster AS cell,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c')} DESC, c.cluster
+               ) AS rn
+        FROM ivf_corpus t CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    eprobe AS (
+      SELECT eval_id, embedding, cell FROM (
+        SELECT p.eval_id, p.embedding, c.cluster AS cell,
+               row_number() OVER (
+                 PARTITION BY p.eval_id
+                 ORDER BY {_sql_cosine('p.embedding', 'c.c')} DESC, c.cluster
+               ) AS rn
+        FROM ivf_eval p CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ),
+    iscored AS (
+      SELECT t.vec_id, e.eval_id, {_SQL_RAW_COS_TE} AS raw
+      FROM cassign t JOIN eprobe e ON t.cell = e.cell
+    ),
+    ibest AS (
+      SELECT vec_id, eval_id, raw,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY raw DESC, eval_id) AS rn
+      FROM iscored
+    ),
+    ivf_verdict AS (
+      SELECT s.vec_id, b.eval_id AS nearest_eval_id,
+             round(b.raw, 6) AS max_eval_cosine,
+             coalesce(b.raw >= 0.35, false) AS contaminated
+      FROM ivf_corpus s
+      LEFT JOIN (SELECT * FROM ibest WHERE rn = 1) b USING (vec_id)
+    )"""
+
+
+@query(
+    "semantic_decontamination_ivf",
+    f"""
+    WITH {_sql_decon_ivf("vec_id % 97 <> 0")}
+    SELECT vec_id, nearest_eval_id, max_eval_cosine, contaminated
+    FROM ivf_verdict ORDER BY vec_id
+    """,
+)
+def q_semantic_decontamination_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED-IVF candidate route for semantic decontamination (r11,
+    VERDICT r10 #3): same exact-verify tail as the LSH route, but
+    candidates come from a data-adaptive inverted file — corpus
+    vectors live in their nearest-trained-centroid cell, eval vectors
+    probe their 2 best cells. Random sign-LSH hyperplanes have no
+    locality to exploit on near-uniform embeddings (the r10 routes'
+    measured 0.37 flag recall); trained centroids adapt to the data's
+    actual density. semantic_decontamination_ivf_recall measures both
+    generators on the same slice. See
+    similarity.semantic_decontamination_ivf."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontamination_ivf(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        _ivf_route_centroids(spark, sf_dir),
+        threshold=0.35,
+        nprobe=2,
+    ).orderBy("vec_id")
+
+
+@query(
+    "semantic_decontamination_ivf_recall",
+    f"""
+    WITH {_sql_decon_ivf("vec_id % 97 <> 0 AND vec_id < 2000")},
+    escored AS (
+      SELECT t.vec_id, {_SQL_RAW_COS_TE} AS raw
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 97 <> 0 AND vec_id < 2000) t
+      CROSS JOIN (SELECT vec_id AS eval_id, embedding FROM embeddings
+                  WHERE vec_id % 97 = 0) e
+    ),
+    exact_flag AS (
+      SELECT vec_id, max(raw) >= 0.35 AS contaminated
+      FROM escored GROUP BY vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN x.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN a.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ivf,
+           CAST(sum(CASE WHEN x.contaminated AND a.contaminated
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(sum(CASE WHEN x.contaminated AND a.contaminated
+                     THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN x.contaminated THEN 1 ELSE 0
+                                   END), 0) AS DOUBLE), 6) AS recall,
+           round(sum(CASE WHEN x.contaminated AND a.contaminated
+                     THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN a.contaminated THEN 1 ELSE 0
+                                   END), 0) AS DOUBLE), 6) AS precision
+    FROM exact_flag x JOIN ivf_verdict a USING (vec_id)
+    """,
+)
+def q_semantic_decontamination_ivf_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flag-level RECALL/PRECISION of the IVF decontamination route
+    vs the exact kernel at threshold 0.35 (r11, VERDICT r10 #3's
+    done-bar: IVF recall rows alongside the LSH numbers on the same
+    slice). Same constant corpus slice (vec_id < 2000) and the same
+    trained index as production; eval-regime by definition — the
+    production path is semantic_decontamination_ivf alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.where((F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 2000))
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    exact = similarity.semantic_decontamination(
+        tr, ev, threshold=0.35
+    ).select("vec_id", F.col("contaminated").alias("c_e"))
+    ivf = similarity.semantic_decontamination_ivf(
+        tr, ev, _ivf_route_centroids(spark, sf_dir), threshold=0.35, nprobe=2
+    ).select("vec_id", F.col("contaminated").alias("c_a"))
+    j = exact.join(ivf, "vec_id")
+    ce = F.when(F.col("c_e"), 1).otherwise(0)
+    ca = F.when(F.col("c_a"), 1).otherwise(0)
+    both = F.when(F.col("c_e") & F.col("c_a"), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.sum(ce).cast("long").alias("n_exact"),
+        F.sum(ca).cast("long").alias("n_ivf"),
+        F.sum(both).cast("long").alias("n_common"),
+        F.round(
+            F.sum(both) / F.nullif(F.sum(ce), F.lit(0)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.sum(both) / F.nullif(F.sum(ca), F.lit(0)).cast("double"), 6
+        ).alias("precision"),
+    )
+
+
+# IVF candidate CTEs for the bitext route: target vectors in their
+# home cell, source vectors probing their 2 best cells, then the
+# candidate margin tail byte-for-byte from the LSH-route oracle.
+# References a `dv` CTE the enclosing query defines (full or sliced).
+_BITEXT_IVF_SQL = f"""tassign AS (
+      SELECT id AS tgt_id, lang AS tgt_lang, v, cell FROM (
+        SELECT t.id, t.lang, t.v, c.cluster AS cell,
+               row_number() OVER (
+                 PARTITION BY t.id
+                 ORDER BY {_sql_cosine('t.v', 'c.c')} DESC, c.cluster
+               ) AS rn
+        FROM (SELECT * FROM dv WHERE lang <> 'en') t CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    sprobe AS (
+      SELECT id AS src_id, v, cell FROM (
+        SELECT s.id, s.v, c.cluster AS cell,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY {_sql_cosine('s.v', 'c.c')} DESC, c.cluster
+               ) AS rn
+        FROM (SELECT * FROM dv WHERE lang = 'en') s CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ),
+    icand AS (
+      SELECT p.src_id, t.tgt_id, t.tgt_lang,
+             CAST(round(1e6 * {SQL_DOT.format(a='p.v', b='t.v')}
+               / (sqrt({SQL_DOT.format(a='p.v', b='p.v')})
+                * sqrt({SQL_DOT.format(a='t.v', b='t.v')}))) AS BIGINT) AS ci
+      FROM tassign t JOIN sprobe p ON t.cell = p.cell
+    ),
+    iranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id, tgt_lang
+                                ORDER BY ci DESC, tgt_id) AS fr,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY ci DESC, src_id) AS br
+      FROM icand
+    ),
+    isx AS (SELECT src_id, tgt_lang, sum(ci) AS s_sum
+            FROM iranked WHERE fr <= 4 GROUP BY src_id, tgt_lang),
+    ity AS (SELECT tgt_id, sum(ci) AS t_sum
+            FROM iranked WHERE br <= 4 GROUP BY tgt_id),
+    ivf_pairs AS (
+      SELECT m.src_id, m.tgt_id, m.tgt_lang,
+             m.ci / 1e6 AS cosine,
+             round(8.0 * m.ci / (x.s_sum + y.t_sum), 6) AS margin
+      FROM (SELECT * FROM iranked WHERE fr = 1 AND br = 1) m
+      JOIN isx x ON m.src_id = x.src_id AND m.tgt_lang = x.tgt_lang
+      JOIN ity y ON m.tgt_id = y.tgt_id
+      WHERE round(8.0 * m.ci / (x.s_sum + y.t_sum), 6) >= 1.2
+    )"""
+
+
+@query(
+    "bitext_margin_mining_ivf",
+    f"""
+    WITH {SQL_KMEANS_CTES},
+    dv AS (
+      SELECT d.doc_id AS id, d.lang, e2.embedding AS v
+      FROM documents d JOIN embeddings e2 ON d.doc_id = e2.vec_id
+    ),
+    {_BITEXT_IVF_SQL}
+    SELECT src_id, tgt_id, tgt_lang, cosine, margin
+    FROM ivf_pairs ORDER BY src_id, tgt_id
+    """,
+)
+def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-IVF candidate route for margin bitext mining (r11,
+    VERDICT r10 #3): the Artetxe & Schwenk exact-verify margin tail
+    on candidates from a data-adaptive inverted file (targets in
+    their home cell, sources probing 2 cells) instead of sign-LSH
+    buckets. bitext_ivf_recall measures this generator against the
+    exact kernel on the same slice as bitext_ann_recall. See
+    similarity.margin_bitext_mining_ivf."""
+    return similarity.margin_bitext_mining_ivf(
+        _bitext_dv(spark, sf_dir),
+        _ivf_route_centroids(spark, sf_dir),
+        "doc_id",
+        "lang",
+        "embedding",
+        src_lang="en",
+        k=4,
+        threshold=1.2,
+        nprobe=2,
+    ).orderBy("src_id", "tgt_id")
+
+
+@query(
+    "bitext_ivf_recall",
+    f"""
+    WITH {SQL_KMEANS_CTES},
+    dv0 AS (
+      SELECT d.doc_id AS id, d.lang, e2.embedding AS v
+      FROM documents d JOIN embeddings e2 ON d.doc_id = e2.vec_id
+    ),
+    dv AS (SELECT * FROM dv0 WHERE lang <> 'en' OR id < 2000),
+    {_BITEXT_EXACT_SQL},
+    {_BITEXT_IVF_SQL},
+    langs AS (
+      SELECT DISTINCT lang AS tgt_lang FROM dv WHERE lang <> 'en'
+    ),
+    ep AS (SELECT tgt_lang, src_id, tgt_id FROM exact_pairs),
+    ip AS (SELECT tgt_lang, src_id, tgt_id FROM ivf_pairs),
+    hits AS (
+      SELECT ep.tgt_lang,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ep JOIN ip ON ep.tgt_lang = ip.tgt_lang
+          AND ep.src_id = ip.src_id AND ep.tgt_id = ip.tgt_id
+      GROUP BY ep.tgt_lang
+    )
+    SELECT l.tgt_lang,
+           CAST(coalesce(ec.n, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(ac.n, 0) AS BIGINT) AS n_ivf,
+           CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(h.n_common, 0)
+                 / CAST(nullif(coalesce(ec.n, 0), 0) AS DOUBLE), 6)
+             AS recall,
+           round(coalesce(h.n_common, 0)
+                 / CAST(nullif(coalesce(ac.n, 0), 0) AS DOUBLE), 6)
+             AS precision
+    FROM langs l
+    LEFT JOIN (SELECT tgt_lang, count(*) AS n FROM ep GROUP BY 1) ec
+      ON l.tgt_lang = ec.tgt_lang
+    LEFT JOIN (SELECT tgt_lang, count(*) AS n FROM ip GROUP BY 1) ac
+      ON l.tgt_lang = ac.tgt_lang
+    LEFT JOIN hits h ON l.tgt_lang = h.tgt_lang
+    ORDER BY l.tgt_lang
+    """,
+)
+def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL/PRECISION of the IVF-routed bitext miner vs the exact
+    kernel (r11, VERDICT r10 #3's done-bar): identical slice and
+    methodology to bitext_ann_recall — per target language, pair
+    counts from both miners, overlap, recall = |common|/|exact|,
+    precision = |common|/|ivf| — so the IVF rows sit directly
+    alongside the LSH rows. The index is the same trained k=8
+    centroid table as production."""
+    dv = _bitext_dv(spark, sf_dir).where(
+        (F.col("lang") != "en") | (F.col("doc_id") < 2000)
+    )
+    langs = (
+        dv.where(F.col("lang") != "en")
+        .select(F.col("lang").alias("tgt_lang"))
+        .distinct()
+    )
+    exact = similarity.margin_bitext_mining(
+        dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
+    ).select("tgt_lang", "src_id", "tgt_id")
+    ivf = similarity.margin_bitext_mining_ivf(
+        dv,
+        _ivf_route_centroids(spark, sf_dir),
+        "doc_id",
+        "lang",
+        "embedding",
+        src_lang="en",
+        k=4,
+        threshold=1.2,
+        nprobe=2,
+    ).select("tgt_lang", "src_id", "tgt_id")
+    ec = exact.groupBy("tgt_lang").agg(F.count("*").alias("n_e"))
+    ac = ivf.groupBy("tgt_lang").agg(F.count("*").alias("n_a"))
+    hits = exact.join(ivf, ["tgt_lang", "src_id", "tgt_id"]).groupBy(
+        "tgt_lang"
+    ).agg(F.count("*").alias("n_c"))
+    out = (
+        langs.join(ec, "tgt_lang", "left")
+        .join(ac, "tgt_lang", "left")
+        .join(hits, "tgt_lang", "left")
+        .select(
+            "tgt_lang",
+            F.coalesce("n_e", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce("n_c", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_c", F.lit(0))
+                / F.nullif(
+                    F.coalesce("n_e", F.lit(0)), F.lit(0)
+                ).cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce("n_c", F.lit(0))
+                / F.nullif(
+                    F.coalesce("n_a", F.lit(0)), F.lit(0)
+                ).cast("double"),
+                6,
+            ).alias("precision"),
+        )
+    )
+    return out.orderBy("tgt_lang")
+
+
+_DELTA_OPT_FIX: dict = {}
+
+
+def _delta_optimize_fixture(spark, sf_dir: str) -> str:
+    """OPTIMIZE roundtrip fixture (r11): two write_delta appends
+    (even doc_ids, then odd) followed by one DISTRIBUTED
+    optimize_delta — the dataChange=false bin-pack rewrite — so the
+    read-back proves compaction changed bytes but not rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELTA_OPT_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_delta_opt_") + "/docs_opt"
+        dl.write_delta(docs.where(F.col("doc_id") % 2 == 0), path)
+        dl.write_delta(docs.where(F.col("doc_id") % 2 == 1), path)
+        n_before = len(dl.snapshot_state(path)["files"])
+        dl.optimize_delta(spark, path)
+        st = dl.snapshot_state(path)
+        assert len(st["files"]) < n_before, "OPTIMIZE did not compact"
+        assert all(a["dataChange"] is False for a in st["files"])
+        _DELTA_OPT_FIX[key] = path
+    return _DELTA_OPT_FIX[key]
+
+
+@query(
+    "delta_optimize_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_delta_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE, OPTIMIZE, then read (r11): the engine's own
+    dataChange=false bin-pack compaction — a distributed rewrite of
+    the live snapshot committed as a pure byte swap — must leave the
+    table's CONTENT byte-identical to the pre-OPTIMIZE log. The
+    oracle is the straight aggregate over the source table; the
+    fixture additionally asserts the file count dropped and every
+    surviving add is flagged dataChange=false. Tail-across-OPTIMIZE
+    exactly-once is covered by
+    test_optimize_delta_compacts_without_breaking_tail. See
+    sources/deltalog.optimize_delta."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    path = _delta_optimize_fixture(spark, sf_dir)
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )

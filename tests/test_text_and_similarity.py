@@ -1517,3 +1517,84 @@ def test_margin_bitext_mining_ann_matches_exact_on_clustered(spark):
         ).collect()
     }
     assert ann0 <= ann
+
+
+def test_margin_bitext_mining_ivf_matches_exact_on_clustered(spark):
+    """r11, VERDICT r10 #3: the trained-IVF candidate generator
+    recovers the exact kernel's pair set on clustered embeddings,
+    like the LSH route — the generators differ only in how they
+    propose candidates."""
+    import math
+
+    rows = []
+    for i in range(6):
+        a = math.pi * i / 6.0
+        base = [math.cos(a), math.sin(a), 0.2 * i, 1.0]
+        rows.append((i, "en", [float(x) for x in base]))
+        rows.append((100 + i, "fr", [float(x + 0.01) for x in base]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, embedding array<float>"
+    )
+    cent = similarity.kmeans_train_centroids(
+        df.selectExpr("doc_id AS vec_id", "embedding"), k=6, iters=2
+    )
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining(
+            df, k=2, threshold=1.0
+        ).collect()
+    }
+    ivf = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining_ivf(
+            df, cent, k=2, threshold=1.0, nprobe=2
+        ).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(6)}
+    assert ivf == exact
+    # nprobe=1 (home cell only) is a subset of the nprobe=2 set
+    ivf1 = {
+        (r["src_id"], r["tgt_id"])
+        for r in similarity.margin_bitext_mining_ivf(
+            df, cent, k=2, threshold=1.0, nprobe=1
+        ).collect()
+    }
+    assert ivf1 <= ivf
+
+
+def test_semantic_decontamination_ivf_matches_exact_on_clustered(spark):
+    """r11: on clustered embeddings the IVF decontamination route's
+    flags equal the exact kernel's; no-candidate corpus rows read as
+    clean (contaminated=false, null nearest)."""
+    import math
+
+    corpus_rows, eval_rows = [], []
+    for i in range(4):
+        a = math.pi * i / 2.0
+        base = [math.cos(a), math.sin(a), 1.0, 0.5 * i]
+        corpus_rows.append((i, [float(x) for x in base]))
+        # evals 0/1 sit on corpus 0/1's directions; 2/3 far away
+        if i < 2:
+            eval_rows.append((50 + i, [float(x + 0.01) for x in base]))
+    eval_rows.append((60, [9.0, -9.0, -9.0, 9.0]))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame(
+        eval_rows, "vec_id long, embedding array<float>"
+    )
+    cent = similarity.kmeans_train_centroids(corpus, k=4, iters=2)
+    exact = {
+        r["vec_id"]: r["contaminated"]
+        for r in similarity.semantic_decontamination(
+            corpus, ev, threshold=0.9
+        ).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["contaminated"]
+        for r in similarity.semantic_decontamination_ivf(
+            corpus, ev, cent, threshold=0.9, nprobe=2
+        ).collect()
+    }
+    assert exact == {0: True, 1: True, 2: False, 3: False}
+    assert ivf == exact

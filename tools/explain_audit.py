@@ -683,6 +683,21 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
             "BroadcastNestedLoopJoin",
         ],
     ),
+    # r11 (VERDICT r10 #3) trained-IVF candidate routes: centroid
+    # assignment is a broadcast-NLJ cross against the 8-row centroid
+    # table (tiny by construction) folded into ONE id-keyed
+    # aggregation (no corpus-scale join-back); the CANDIDATE join is
+    # a cell equi-join — probe keys broadcast under the size gate —
+    # and the corpus never enters a cartesian. SMJ allowed only in
+    # the candidate-keyed verify tail (the ann-route precedent).
+    "semantic_decontamination_ivf": (
+        ["BroadcastHashJoin", "hashpartitioning"],
+        ["CartesianProduct"],
+    ),
+    "bitext_margin_mining_ivf": (
+        ["hashpartitioning"],
+        ["CartesianProduct"],
+    ),
     # funnel: chained user-keyed aggregates/joins; the only window is
     # the 4-row readout (allowlisted below)
     "funnel_conversion": (
