@@ -208,6 +208,7 @@ HEADLINE = [
     "delta_cdf_tail",
     "delta_writer_roundtrip",
     "delta_optimize_roundtrip",
+    "iceberg_writer_roundtrip",
     "semantic_decontamination_ann_shuffle",
     "semantic_decontamination_ivf",
     "semantic_decontamination_ivf_recall",

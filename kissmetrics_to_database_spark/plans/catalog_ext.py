@@ -11105,3 +11105,66 @@ def q_delta_optimize_roundtrip(
         )
         .orderBy("lang")
     )
+
+
+_ICEBERG_WRITER_FIX: dict = {}
+
+
+def _iceberg_writer_fixture(spark, sf_dir: str) -> str:
+    """Production Iceberg write path (r11): commit the documents
+    slice through ``write_iceberg`` — the DISTRIBUTED append-only v2
+    writer — in two commits (even doc_ids, then odd), so the
+    read-back exercises real spec bytes our sink emitted: manifest
+    REUSE across snapshots, null-sequence inheritance entries,
+    sequence-numbered manifest lists."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICEBERG_WRITER_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_iceberg_w_") + "/docs_w"
+        ib.write_iceberg(docs.where(F.col("doc_id") % 2 == 0), path)
+        ib.write_iceberg(docs.where(F.col("doc_id") % 2 == 1), path)
+        _ICEBERG_WRITER_FIX[key] = path
+    return _ICEBERG_WRITER_FIX[key]
+
+
+@query(
+    "iceberg_writer_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_iceberg_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE Iceberg, then read it back (r11): with write_delta (r11)
+    and tablelog (r8) this completes transactional WRITE support for
+    all three table formats the engine reads — pipelines can land
+    output other engines tail. The reader is the same ``read_iceberg``
+    every foreign table goes through; the oracle is the straight
+    aggregate over the source table, so any writer bug (lost file,
+    wrong record counts, broken manifest reuse, bad inheritance)
+    breaks the hash. Tailing + exactly-once epochs are covered by
+    test_write_iceberg_roundtrip_read_tail_and_epochs. See
+    sources/iceberg.write_iceberg."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    path = _iceberg_writer_fixture(spark, sf_dir)
+    return (
+        ib.read_iceberg(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )

@@ -376,6 +376,259 @@ def iceberg_history(path: str) -> list[dict]:
     return out
 
 
+_ICEBERG_TYPE_OF = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_fields(schema: T.StructType) -> list[dict]:
+    """Spark StructType → Iceberg JSON schema fields (primitive
+    columns, sequential field ids from 1 — the create-table shape;
+    the inverse of ``_spark_schema``'s primitive map)."""
+    fields = []
+    for i, f in enumerate(schema.fields):
+        tn = f.dataType.typeName()
+        if tn in _ICEBERG_TYPE_OF:
+            t = _ICEBERG_TYPE_OF[tn]
+        elif isinstance(f.dataType, T.DecimalType):
+            t = f"decimal({f.dataType.precision},{f.dataType.scale})"
+        else:
+            raise ValueError(
+                f"unsupported column type for Iceberg write: "
+                f"{f.name}: {f.dataType.simpleString()}"
+            )
+        fields.append(
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": t,
+            }
+        )
+    return fields
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    txn_app_id: str | None = None,
+    epoch_id: int | None = None,
+) -> int:
+    """Commit ``df`` to an Iceberg v2 table at ``path`` — the
+    PRODUCTION append path (r11), completing write support for all
+    three table formats (tablelog r8, Delta r11 write_delta). Emits
+    spec-shaped metadata per the Iceberg v2 spec: parquet data files
+    written DISTRIBUTED by Spark (staged, renamed under ``data/``),
+    then driver-side ONE new Avro manifest holding only this
+    snapshot's ADDED entries — prior manifests are REUSED by
+    reference in the new manifest list, the spec's append fast path,
+    so commit metadata cost is O(new files), not O(table) — a new
+    manifest list, vN.metadata.json and version-hint.text, each
+    published tmp+fsync+rename under the single-writer lock.
+
+    Production shapes on purpose: ADDED entries carry NULL sequence
+    numbers inherited from the manifest-list entry (the
+    inherit_sequence_numbers=True layout real v2 writers emit, which
+    our reader resolves per spec), and snapshot/metadata carry
+    ``sequence-number`` / ``last-sequence-number``.
+
+    Exactly-once streaming: ``txn_app_id`` + ``epoch_id`` are
+    recorded as snapshot-summary properties (the Flink-connector
+    idempotency pattern — its max-committed-checkpoint-id lives in
+    the summary); a replayed epoch ≤ the last committed one for that
+    app id is skipped. Returns the committed snapshot id (the
+    current one on a skipped replay).
+
+    Declared scope: append-only, unpartitioned, primitive columns —
+    schema evolution, partition specs and row-level deletes stay
+    read-side features here."""
+    import hashlib
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if (epoch_id is None) != (txn_app_id is None):
+        raise ValueError("txn_app_id and epoch_id go together")
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        hint = os.path.join(path, "metadata", "version-hint.text")
+        if os.path.exists(hint):
+            meta = table_metadata(path)
+            if int(meta.get("format-version", 2)) != 2:
+                raise ValueError(
+                    "write_iceberg appends to format-version 2 tables"
+                )
+            existing = _spark_schema(meta)
+            if [f.name for f in existing.fields] != list(df.columns):
+                raise ValueError(
+                    f"schema mismatch: table has "
+                    f"{[f.name for f in existing.fields]}, "
+                    f"write has {list(df.columns)}"
+                )
+            snaps = list(meta.get("snapshots") or [])
+            if epoch_id is not None:
+                done = [
+                    int((s.get("summary") or {}).get("kmdb-txn-epoch"))
+                    for s in snaps
+                    if (s.get("summary") or {}).get("kmdb-txn-app-id")
+                    == str(txn_app_id)
+                ]
+                if done and int(epoch_id) <= max(done):
+                    return int(meta["current-snapshot-id"])
+            prev_mlist: list[dict] = []
+            if snaps:
+                cur = next(
+                    s
+                    for s in snaps
+                    if int(s["snapshot-id"])
+                    == int(meta["current-snapshot-id"])
+                )
+                with open(_local(cur["manifest-list"], path), "rb") as f:
+                    _, prev_mlist = avroc.read_container(f.read())
+            with open(hint, encoding="utf-8") as f:
+                version = int(f.read().strip())
+            schemas = meta.get("schemas") or [meta.get("schema")]
+            table_uuid = meta.get("table-uuid") or uuid.uuid4().hex
+        else:
+            meta = None
+            snaps, prev_mlist, version = [], [], 0
+            schemas = [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": _iceberg_fields(df.schema),
+                }
+            ]
+            table_uuid = hashlib.md5(
+                os.path.abspath(path).encode()
+            ).hexdigest()
+
+        # distributed data write into a staging dir, renamed under
+        # data/ (same-filesystem rename); record counts come from the
+        # parquet footers — metadata-scale driver work, one per FILE
+        seg = uuid.uuid4().hex[:12]
+        stage = os.path.join(path, f"_staging-{seg}")
+        df.write.mode("overwrite").parquet(stage)
+        adds: list[tuple[str, int, int]] = []  # rel, rows, bytes
+        i = 0
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            rel = f"data/f-{seg}-{i:05d}.parquet"
+            i += 1
+            os.rename(
+                os.path.join(stage, name), os.path.join(path, rel)
+            )
+            adds.append(
+                (
+                    rel,
+                    int(
+                        pq.read_metadata(os.path.join(path, rel)).num_rows
+                    ),
+                    os.path.getsize(os.path.join(path, rel)),
+                )
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+
+        sid = (
+            max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
+        )
+        snap_seq = len(snaps) + 1
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited (production shape)
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "equality_ids": None,
+                },
+            }
+            for rel, n, sz in adds
+        ]
+        mf_rel = f"metadata/manifest-{sid}.avro"
+        _atomic_write(
+            os.path.join(path, mf_rel),
+            avroc.write_container(_MANIFEST_SCHEMA, entries),
+        )
+        mlist = list(prev_mlist) + [
+            {
+                "manifest_path": mf_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(path, mf_rel)
+                ),
+                "content": 0,
+                "added_snapshot_id": sid,
+                "sequence_number": snap_seq,
+            }
+        ]
+        mlist_rel = f"metadata/snap-{sid}.avro"
+        _atomic_write(
+            os.path.join(path, mlist_rel),
+            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+        )
+        summary = {
+            "operation": "append",
+            "added-data-files": str(len(adds)),
+            "added-records": str(sum(n for _, n, _ in adds)),
+        }
+        if epoch_id is not None:
+            summary["kmdb-txn-app-id"] = str(txn_app_id)
+            summary["kmdb-txn-epoch"] = str(int(epoch_id))
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": snap_seq,
+            "manifest-list": mlist_rel,
+            "summary": summary,
+        }
+        if snaps:
+            snap["parent-snapshot-id"] = int(snaps[-1]["snapshot-id"])
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": table_uuid,
+            "location": path,
+            "last-sequence-number": snap_seq,
+            "schemas": schemas,
+            "current-schema-id": (
+                (meta or {}).get("current-schema-id", 0)
+            ),
+            "current-snapshot-id": sid,
+            "snapshots": snaps + [snap],
+        }
+        version += 1
+        _atomic_write(
+            os.path.join(path, "metadata", f"v{version}.metadata.json"),
+            json.dumps(new_meta).encode(),
+        )
+        _atomic_write(hint, str(version).encode())
+        return sid
+
+
 # ---------------------------------------------------------------------------
 # fixture writer (spec-shaped bytes for round-trips; not a production writer)
 # ---------------------------------------------------------------------------

@@ -363,3 +363,83 @@ def test_equality_deletes_with_inherited_sequence_numbers(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="sequence"):
         ib.read_iceberg(spark, w2.path)
+
+
+def test_write_iceberg_roundtrip_read_tail_and_epochs(spark, tmp_path):
+    """r11: the PRODUCTION Iceberg append path — distributed write,
+    manifest-reuse commits (O(new files) metadata), null-sequence
+    inheritance shape, read back with read_iceberg, tail with
+    CommitTailer, exactly-once epoch replay skip."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "w")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    s0 = ib.write_iceberg(mk([1, 2]), path, txn_app_id="job", epoch_id=0)
+    s1 = ib.write_iceberg(mk([3]), path, txn_app_id="job", epoch_id=1)
+    assert s1 > s0
+    # crash-replay of epoch 1: skipped, snapshot unchanged
+    assert ib.write_iceberg(mk([3]), path, txn_app_id="job", epoch_id=1) == s1
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 2, 3]
+    # time travel to the first snapshot
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path, snapshot_id=s0).collect()
+    ) == [1, 2]
+    # production metadata shapes: ADDED entries carry null seq and
+    # inherit; snapshot + metadata carry sequence numbers
+    meta = ib.table_metadata(path)
+    assert meta["last-sequence-number"] == 2
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    assert snaps[s1]["sequence-number"] == 2
+    assert snaps[s1]["parent-snapshot-id"] == s0
+    st = ib.snapshot_files(path)
+    assert st["record_count"] == 3
+    assert all(v is not None for v in st["file_seq"].values())
+    # manifest REUSE: snapshot 2's manifest list references snapshot
+    # 1's manifest unchanged
+    with open(ib._local(snaps[s1]["manifest-list"], path), "rb") as f:
+        _, mlist = avroc.read_container(f.read())
+    assert len(mlist) == 2
+    assert {m["added_snapshot_id"] for m in mlist} == {s0, s1}
+    # our own tailer tails the written table, one batch per snapshot
+    cursor = str(tmp_path / "cur.json")
+    t = CommitTailer("iceberg", path, cursor)
+    seen = []
+    t.poll(
+        spark,
+        lambda b, v: seen.append((v, sorted(r["id"] for r in b.collect()))),
+    )
+    assert seen == [(s0, [1, 2]), (s1, [3])]
+    # append across the tail; only the new snapshot is delivered
+    s2 = ib.write_iceberg(mk([4]), path)
+    t.poll(
+        spark,
+        lambda b, v: seen.append((v, sorted(r["id"] for r in b.collect()))),
+    )
+    assert seen[-1] == (s2, [4])
+
+
+def test_write_iceberg_schema_guards(spark, tmp_path):
+    path = str(tmp_path / "g")
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    ib.write_iceberg(df, path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ib.write_iceberg(
+            spark.createDataFrame([(1,)], "other long"), path
+        )
+    with pytest.raises(ValueError, match="unsupported column type"):
+        ib.write_iceberg(
+            spark.createDataFrame(
+                [([1.0],)], "emb array<double>"
+            ),
+            str(tmp_path / "g2"),
+        )
+    # created schema fields carry sequential ids and spark-true types
+    meta = ib.table_metadata(path)
+    assert meta["schemas"][0]["fields"] == [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+    ]
