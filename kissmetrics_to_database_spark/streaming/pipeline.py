@@ -880,3 +880,51 @@ def tablelog_exactly_once_sink(
         )
 
     return sink
+
+
+def delta_exactly_once_sink(
+    table_path: str,
+    app_id: str,
+    partition_columns: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink committing each micro-batch as a DELTA
+    commit (r11): ``write_delta`` records the epoch in the protocol's
+    own SetTransaction action, so a crash-replayed epoch is an
+    idempotent no-op AND foreign engines (or our ``CommitTailer``)
+    see standard Delta exactly-once bytes. Streams land in a table
+    any Delta reader can tail — the lakehouse upgrade of
+    :func:`tablelog_exactly_once_sink`."""
+    from kissmetrics_to_database_spark.sources import deltalog
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        deltalog.write_delta(
+            batch_df,
+            table_path,
+            partition_columns=partition_columns,
+            txn_app_id=app_id,
+            epoch_id=int(epoch_id),
+        )
+
+    return sink
+
+
+def iceberg_exactly_once_sink(
+    table_path: str, app_id: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink committing each micro-batch as an ICEBERG v2
+    snapshot (r11): ``write_iceberg`` records the epoch in the
+    snapshot summary (the Flink-connector idempotency pattern), so a
+    crash-replayed epoch is skipped and the table stays consumable by
+    any Iceberg reader. Completes exactly-once streaming landings for
+    all three table formats."""
+    from kissmetrics_to_database_spark.sources import iceberg
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        iceberg.write_iceberg(
+            batch_df,
+            table_path,
+            txn_app_id=app_id,
+            epoch_id=int(epoch_id),
+        )
+
+    return sink
