@@ -718,6 +718,71 @@ def optimize_delta(
         return version
 
 
+def vacuum_delta(
+    path: str, retain_last: int = 2, dry_run: bool = False
+) -> list[str]:
+    """VACUUM for tables this engine wrote (r11): delete data files
+    on disk that no RETAINED version references — the physical
+    cleanup OPTIMIZE leaves behind (its rewrites drop files from the
+    LOG only). Retention is the last ``retain_last`` versions,
+    deterministic by version count rather than the open-source
+    implementation's wall-clock tombstone age, so tests and replays
+    are exact; the trade is documented, not hidden. Time travel to a
+    retained version keeps working; reads below the horizon fail on
+    the missing file, exactly like a vacuumed Delta table anywhere.
+
+    Scope guards: ``_delta_log`` and ``_change_data`` are never
+    touched (commit history stays intact — log cleanup is a separate
+    concern; CDF files are referenced by cdc actions this scan does
+    not replay). ``dry_run`` lists without deleting. Returns the
+    table-relative paths removed (or that would be)."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    log_dir = os.path.join(path, "_delta_log")
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        jsons, ckpts = _log_versions(log_dir)
+        versions = sorted(set(jsons) | set(ckpts))
+        if not versions:
+            raise ValueError(f"empty _delta_log: {path}")
+        retained = versions[-int(retain_last):]
+        live: set[str] = set()
+        for v in retained:
+            for a in snapshot_state(path, v)["files"]:
+                live.add(a["path"])
+        removed: list[str] = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [
+                d
+                for d in dirs
+                if d not in ("_delta_log", "_change_data")
+                and not d.startswith("_staging-")
+            ]
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(root, name), path
+                ).replace(os.sep, "/")
+                if rel not in live:
+                    removed.append(rel)
+                    if not dry_run:
+                        os.remove(os.path.join(root, name))
+        if not dry_run:
+            # drop now-empty partition directories
+            for root, dirs, files in os.walk(path, topdown=False):
+                if (
+                    root != path
+                    and not dirs
+                    and not files
+                    and "_delta_log" not in root
+                    and "_change_data" not in root
+                ):
+                    os.rmdir(root)
+        return sorted(removed)
+
+
 class DeltaFixtureWriter:
     """Minimal single-writer Delta commit emitter for round-trips.
 

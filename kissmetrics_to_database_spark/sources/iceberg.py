@@ -629,6 +629,81 @@ def write_iceberg(
         return sid
 
 
+def expire_iceberg_snapshots(
+    path: str, retain_last: int = 2, dry_run: bool = False
+) -> dict:
+    """Iceberg's expireSnapshots maintenance action (r11): drop all
+    but the last ``retain_last`` snapshots from the table metadata
+    and delete every file (data, manifest, manifest list) referenced
+    ONLY by the expired ones. The current snapshot is always
+    retained. Commits a new vN.metadata.json + version-hint through
+    the same atomic rename as the writer, under the writer lock.
+
+    Returns {expired_snapshot_ids, deleted_files} (``dry_run`` lists
+    without deleting or committing)."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        meta = table_metadata(path)
+        snaps = list(meta.get("snapshots") or [])
+        if len(snaps) <= retain_last:
+            return {"expired_snapshot_ids": [], "deleted_files": []}
+        keep, drop = snaps[-int(retain_last):], snaps[: -int(retain_last)]
+        cur = int(meta["current-snapshot-id"])
+        if cur not in {int(s["snapshot-id"]) for s in keep}:
+            raise ValueError(
+                "current snapshot falls outside the retention window"
+            )
+
+        def refs(snapshot: dict) -> set[str]:
+            out = {str(snapshot["manifest-list"])}
+            with open(_local(snapshot["manifest-list"], path), "rb") as f:
+                _, mentries = avroc.read_container(f.read())
+            for me in mentries:
+                out.add(str(me["manifest_path"]))
+                with open(_local(me["manifest_path"], path), "rb") as f:
+                    _, entries = avroc.read_container(f.read())
+                for e in entries:
+                    if int(e["status"]) != 2:
+                        out.add(str(e["data_file"]["file_path"]))
+            return out
+
+        live: set[str] = set()
+        for s in keep:
+            live |= refs(s)
+        dead: set[str] = set()
+        for s in drop:
+            dead |= refs(s)
+        doomed = sorted(dead - live)
+        if not dry_run:
+            for rel in doomed:
+                local = _local(rel, path)
+                if os.path.exists(local):
+                    os.remove(local)
+            with open(
+                os.path.join(path, "metadata", "version-hint.text"),
+                encoding="utf-8",
+            ) as f:
+                version = int(f.read().strip()) + 1
+            new_meta = {**meta, "snapshots": keep}
+            _atomic_write(
+                os.path.join(
+                    path, "metadata", f"v{version}.metadata.json"
+                ),
+                json.dumps(new_meta).encode(),
+            )
+            _atomic_write(
+                os.path.join(path, "metadata", "version-hint.text"),
+                str(version).encode(),
+            )
+        return {
+            "expired_snapshot_ids": [int(s["snapshot-id"]) for s in drop],
+            "deleted_files": doomed,
+        }
+
+
 # ---------------------------------------------------------------------------
 # fixture writer (spec-shaped bytes for round-trips; not a production writer)
 # ---------------------------------------------------------------------------

@@ -516,3 +516,36 @@ def test_optimize_delta_refuses_column_mapping_and_dv(spark, tmp_path):
     w2.dv_delete(added[0], [0], storage="u")
     with pytest.raises(ValueError, match="deletion"):
         dl.optimize_delta(spark, dv)
+
+
+def test_vacuum_delta_removes_only_unretained_files(spark, tmp_path):
+    """r11: VACUUM deletes data files no retained version references
+    (the physical half of OPTIMIZE), never touches _delta_log, and
+    leaves the current read intact."""
+    path = str(tmp_path / "vac")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path)    # v0
+    dl.write_delta(mk([3]), path)       # v1
+    dl.optimize_delta(spark, path)      # v2: rewrite, old files off-log
+
+    dry = dl.vacuum_delta(path, retain_last=1, dry_run=True)
+    assert dry  # pre-OPTIMIZE files are candidates
+    assert all(os.path.exists(os.path.join(path, r)) for r in dry)
+    removed = dl.vacuum_delta(path, retain_last=1)
+    assert removed == dry
+    assert all(not os.path.exists(os.path.join(path, r)) for r in removed)
+    # current snapshot reads fine; log history intact
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [1, 2, 3]
+    assert len(dl.delta_history(path)) == 3
+    # retained-window safety: with retain_last=2 nothing from v2 or
+    # the files v1 shares with it is deleted beyond what v1+v2 allow
+    dl.write_delta(mk([4]), path)       # v3
+    removed2 = dl.vacuum_delta(path, retain_last=2)
+    assert removed2 == []  # v2's compacted file is still live in v2/v3
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path, version=2).collect()
+    ) == [1, 2, 3]

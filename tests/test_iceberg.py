@@ -443,3 +443,42 @@ def test_write_iceberg_schema_guards(spark, tmp_path):
         {"id": 1, "name": "id", "required": False, "type": "long"},
         {"id": 2, "name": "val", "required": False, "type": "string"},
     ]
+
+
+def test_expire_iceberg_snapshots(spark, tmp_path):
+    """r11: expireSnapshots keeps the last N snapshots, deletes files
+    only the expired ones reference (shared data files survive via
+    manifest reuse), and commits new metadata atomically."""
+    path = str(tmp_path / "exp")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    s0 = ib.write_iceberg(mk([1, 2]), path)
+    s1 = ib.write_iceberg(mk([3]), path)
+    s2 = ib.write_iceberg(mk([4]), path)
+
+    out = ib.expire_iceberg_snapshots(path, retain_last=2, dry_run=True)
+    assert out["expired_snapshot_ids"] == [s0]
+    # s0's data file is REUSED by s1/s2's manifest lists → survives;
+    # only s0's own manifest list dies
+    assert all("snap-" in f or "manifest-" in f for f in out["deleted_files"])
+    out2 = ib.expire_iceberg_snapshots(path, retain_last=2)
+    assert out2 == out
+    for rel in out2["deleted_files"]:
+        assert not os.path.exists(ib._local(rel, path))
+    meta = ib.table_metadata(path)
+    assert [int(s["snapshot-id"]) for s in meta["snapshots"]] == [s1, s2]
+    # current read and retained time travel still whole
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 2, 3, 4]
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path, snapshot_id=s1).collect()
+    ) == [1, 2, 3]
+    with pytest.raises(ValueError, match="not in table"):
+        ib.read_iceberg(spark, path, snapshot_id=s0)
+    # no-op below the threshold
+    assert ib.expire_iceberg_snapshots(path, retain_last=5) == {
+        "expired_snapshot_ids": [],
+        "deleted_files": [],
+    }
