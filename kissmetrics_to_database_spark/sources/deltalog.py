@@ -783,6 +783,91 @@ def vacuum_delta(
         return sorted(removed)
 
 
+def checkpoint_delta(path: str, version: int | None = None) -> int:
+    """Write a Delta CHECKPOINT for the table at ``path`` (r11):
+    compacts the replay ≤ ``version`` (default: latest) into
+    <version>.checkpoint.parquet + _last_checkpoint, spec shape —
+    one row per action, nullable struct columns. The scale feature
+    long-lived landing tables need: post-checkpoint replays read one
+    parquet + the JSON tail instead of every commit since v0.
+
+    Persists the table's ACTUAL protocol (readerFeatures and all)
+    and the metaData configuration map — a post-checkpoint replay of
+    a column-mapped / DV table must see the same minReaderVersion,
+    features, and delta.columnMapping.mode it would have seen from
+    the JSON commits (r11 ADVICE: a hardcoded minReaderVersion=1 +
+    dropped configuration silently downgraded mapped tables). The
+    SetTransaction ledger survives too (exactly-once streaming
+    writers depend on it after log truncation). Both files publish
+    via atomic rename. Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = snapshot_state(path, version)
+    v = state["version"]
+    meta_row: dict = {
+        "id": state["metadata"]["id"],
+        "format": {"provider": "parquet"},
+        "schemaString": state["metadata"]["schemaString"],
+        "partitionColumns": state["metadata"]["partitionColumns"],
+    }
+    conf = state["metadata"].get("configuration") or {}
+    if conf:  # empty maps dropped: pyarrow zero-child structs
+        meta_row["configuration"] = dict(conf)
+    rows: list[dict] = [
+        {
+            "protocol": dict(state["protocol"]),
+            "metaData": None,
+            "add": None,
+            "remove": None,
+            "txn": None,
+        },
+        {
+            "protocol": None,
+            "metaData": meta_row,
+            "add": None,
+            "remove": None,
+            "txn": None,
+        },
+    ]
+    for app_id, tv in sorted(state.get("txns", {}).items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": None,
+                "txn": {"appId": app_id, "version": int(tv)},
+            }
+        )
+    for add in state["files"]:
+        add = dict(add)
+        if not add.get("partitionValues"):
+            add.pop("partitionValues", None)  # zero-child struct
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": add,
+                "remove": None,
+                "txn": None,
+            }
+        )
+    name = f"{v:020d}.checkpoint.parquet"
+    tmp = os.path.join(path, "_delta_log", name + ".tmp.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), tmp)
+    os.rename(tmp, os.path.join(path, "_delta_log", name))
+    lc_tmp = os.path.join(path, "_delta_log", "_last_checkpoint.tmp")
+    with open(lc_tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(
+        lc_tmp, os.path.join(path, "_delta_log", "_last_checkpoint")
+    )
+    return v
+
+
 class DeltaFixtureWriter:
     """Minimal single-writer Delta commit emitter for round-trips.
 
@@ -1168,77 +1253,6 @@ class DeltaFixtureWriter:
 
     def checkpoint(self) -> None:
         """Compact the replay ≤ current version into
-        <version>.checkpoint.parquet + _last_checkpoint (spec shape:
-        one row per action, nullable struct columns)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        state = snapshot_state(self.path, self.version)
-        # persist the table's ACTUAL protocol (readerFeatures and all)
-        # and the metaData configuration map — a post-checkpoint
-        # replay of a column-mapped / DV table must see the same
-        # minReaderVersion, features, and delta.columnMapping.mode it
-        # would have seen from the JSON commits (r11 ADVICE: the old
-        # hardcoded minReaderVersion=1 + dropped configuration
-        # silently downgraded mapped tables after checkpoint)
-        meta_row: dict = {
-            "id": state["metadata"]["id"],
-            "format": {"provider": "parquet"},
-            "schemaString": state["metadata"]["schemaString"],
-            "partitionColumns": state["metadata"]["partitionColumns"],
-        }
-        conf = state["metadata"].get("configuration") or {}
-        if conf:  # empty maps dropped: pyarrow zero-child structs
-            meta_row["configuration"] = dict(conf)
-        rows: list[dict] = [
-            {
-                "protocol": dict(state["protocol"]),
-                "metaData": None,
-                "add": None,
-                "remove": None,
-                "txn": None,
-            },
-            {
-                "protocol": None,
-                "metaData": meta_row,
-                "add": None,
-                "remove": None,
-                "txn": None,
-            },
-        ]
-        # SetTransaction ledger survives checkpointing (exactly-once
-        # streaming writers depend on it after log truncation)
-        for app_id, tv in sorted(state.get("txns", {}).items()):
-            rows.append(
-                {
-                    "protocol": None,
-                    "metaData": None,
-                    "add": None,
-                    "remove": None,
-                    "txn": {"appId": app_id, "version": int(tv)},
-                }
-            )
-        for add in state["files"]:
-            add = dict(add)
-            if not add.get("partitionValues"):
-                add.pop("partitionValues", None)  # zero-child struct
-            rows.append(
-                {
-                    "protocol": None,
-                    "metaData": None,
-                    "add": add,
-                    "remove": None,
-                    "txn": None,
-                }
-            )
-        name = f"{self.version:020d}.checkpoint.parquet"
-        pq.write_table(
-            pa.Table.from_pylist(rows),
-            os.path.join(self.path, "_delta_log", name),
-        )
-        with open(
-            os.path.join(self.path, "_delta_log", "_last_checkpoint"),
-            "w",
-            encoding="utf-8",
-        ) as f:
-            json.dump({"version": self.version, "size": len(rows)}, f)
+        <version>.checkpoint.parquet + _last_checkpoint (delegates to
+        the module-level :func:`checkpoint_delta`)."""
+        checkpoint_delta(self.path, self.version)

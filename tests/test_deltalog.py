@@ -549,3 +549,33 @@ def test_vacuum_delta_removes_only_unretained_files(spark, tmp_path):
     assert sorted(
         r["id"] for r in dl.read_delta(spark, path, version=2).collect()
     ) == [1, 2, 3]
+
+
+def test_checkpoint_delta_on_written_table_with_txns(spark, tmp_path):
+    """r11: the module-level checkpoint works on tables write_delta
+    produced — after checkpointing, replay starts from the parquet
+    (proven by hiding the pre-checkpoint JSON commits) and the
+    SetTransaction ledger still dedupes replayed epochs."""
+    path = str(tmp_path / "ckpt")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path, txn_app_id="job", epoch_id=0)
+    dl.write_delta(mk([3]), path, txn_app_id="job", epoch_id=1)
+    v = dl.checkpoint_delta(path)
+    assert v == 1
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", f"{1:020d}.checkpoint.parquet")
+    )
+    dl.write_delta(mk([4]), path, txn_app_id="job", epoch_id=2)
+    for old in (0, 1):
+        os.rename(
+            os.path.join(path, "_delta_log", f"{old:020d}.json"),
+            os.path.join(path, "_delta_log", f"{old:020d}.json.bak"),
+        )
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [1, 2, 3, 4]
+    # ledger survived the checkpoint: epoch-1 replay is still a no-op
+    assert dl.write_delta(mk([3]), path, txn_app_id="job", epoch_id=1) == 2
+    assert dl.read_delta(spark, path).count() == 4
