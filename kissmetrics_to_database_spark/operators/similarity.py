@@ -2265,48 +2265,116 @@ def margin_bitext_mining_ivf(
     stage is needed. Work scales with per-cell collision mass ×
     nprobe — tunable by (k_centroids, nprobe) exactly as (b, radius)
     tunes the LSH route; ``bitext_ivf_recall`` measures both
-    generators on the same slice."""
+    generators on the same slice.
+
+    K sizing makes or breaks this route's curve: with K fixed, both
+    sides grow and candidates go quadratic (measured 23.5× wall for
+    10× rows at k=8). Production sizing is K = 2^b with the same
+    log-n bit rule as the LSH route — cells and buckets then hold
+    the same near-constant mass. At that K the per-vector centroid
+    scoring (n×K cosines) dominates if done row-at-a-time, so
+    assignment and probe selection run as MAP-ONLY Arrow BLAS
+    kernels (one matmul per batch against the broadcast centroid
+    matrix — the exact-kernel `mine` recipe), with scores snapped to
+    1e6-integers half-away-from-zero so argmax/top-nprobe replay
+    byte-for-byte in the round-6 DuckDB oracle. Centroids are
+    driver-collected like the LSH hyperplane list — K rows, index
+    metadata, bounded by construction."""
+    cent_rows = sorted(
+        (
+            (int(r["c"]), [float(x) for x in r["v"]])
+            for r in centroids.select(
+                F.col("cluster").cast("long").alias("c"),
+                F.col("_c").alias("v"),
+            ).collect()
+        ),
+    )
+    cent_ids = [c for c, _ in cent_rows]
+    cent_mat = [v for _, v in cent_rows]
+    npb = max(1, min(int(nprobe), len(cent_ids)))
+
     dv = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.col(vec_col).alias("v"),
     )
-    cent = centroids.select(
-        F.col("cluster").cast("long").alias("cent_id"),
-        F.col("_c").alias("cent_vec"),
-    )
-    src = dv.where(F.col("lang") == src_lang).select(
-        F.col("id").alias("src_id"),
-        F.col("v").alias("_sv"),
-        _norm(F.col("v")).alias("_sn"),
-    )
-    pc = src.join(F.broadcast(cent)).select(
-        "src_id",
-        "_sv",
-        "_sn",
-        F.col("cent_id"),
-        F.round(cosine(F.col("_sv"), F.col("cent_vec")), 6).alias("_s"),
-    )
-    w = Window.partitionBy("src_id").orderBy(F.desc("_s"), F.asc("cent_id"))
+    vtype = dict(dv.dtypes)["v"]
+
+    def _snapped_scores(np, X):
+        C = np.asarray(cent_mat, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        cn[cn == 0] = 1.0
+        xn = np.sqrt((X * X).sum(axis=1))
+        xn[xn == 0] = 1.0
+        c = (X @ C.T) / np.outer(xn, cn)
+        # round half AWAY from zero at the round-6 snap scale — the
+        # Spark/DuckDB round() convention (np.round is half-to-even)
+        return np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c).astype(
+            np.int64
+        )
+
+    def tgt_cells(it):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ci = _snapped_scores(np, np.array(pdf["v"].tolist(), float))
+            # columns are cell-ascending, so argmax's first-max IS the
+            # min-cell tie-break
+            yield pd.DataFrame(
+                {
+                    "tgt_lang": pdf["lang"].to_numpy(),
+                    "tgt_id": pdf["id"].to_numpy(),
+                    "_tv": pdf["v"],
+                    "cell": ids[np.argmax(ci, axis=1)],
+                }
+            )
+
+    def src_probes(it):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ci = _snapped_scores(np, np.array(pdf["v"].tolist(), float))
+            # stable sort on -score keeps cell-ascending order among
+            # ties — (score desc, cell asc), the oracle's ordering
+            order = np.argsort(-ci, axis=1, kind="stable")[:, :npb]
+            m = len(pdf)
+            rep = np.repeat(np.arange(m), npb)
+            yield pd.DataFrame(
+                {
+                    "src_id": pdf["id"].to_numpy()[rep],
+                    "_sv": pdf["v"].iloc[rep].reset_index(drop=True),
+                    "cell": ids[order].reshape(-1),
+                }
+            )
+
     probes = (
-        pc.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= int(nprobe))
-        .select("src_id", "_sv", "_sn", F.col("cent_id").alias("cell"))
+        dv.where(F.col("lang") == src_lang)
+        .mapInPandas(
+            src_probes, schema=f"src_id long, _sv {vtype}, cell long"
+        )
+        .select("src_id", "_sv", _norm(F.col("_sv")).alias("_sn"), "cell")
     )
-    tgt = ivf_assign(
-        dv.where(F.col("lang") != src_lang).select(
-            F.col("id"), F.col("lang"), F.col("v")
-        ),
-        cent,
-        id_col="id",
-        vec_col="v",
-        keep_cols=("lang",),
-    ).select(
-        F.col("lang").alias("tgt_lang"),
-        F.col("id").alias("tgt_id"),
-        F.col("v").alias("_tv"),
-        _norm(F.col("v")).alias("_tn"),
-        "cell",
+    tgt = (
+        dv.where(F.col("lang") != src_lang)
+        .mapInPandas(
+            tgt_cells,
+            schema=f"tgt_lang string, tgt_id long, _tv {vtype}, cell long",
+        )
+        .select(
+            "tgt_lang",
+            "tgt_id",
+            "_tv",
+            _norm(F.col("_tv")).alias("_tn"),
+            "cell",
+        )
     )
     cand = tgt.join(probes, "cell").select(
         "src_id",

@@ -10680,21 +10680,54 @@ def q_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the generator choice is evidence, not inference.
 # ---------------------------------------------------------------------------
 
-_IVF_ROUTE_CENTROIDS: dict[str, DataFrame] = {}
+_IVF_ROUTE_CENTROIDS: dict[tuple, DataFrame] = {}
 
 
-def _ivf_route_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_cells(n: int) -> int:
+    """K sizing for the two-sided IVF route: K = 2^b with the SAME
+    log-n bit rule as `_lsh_bits`, so cells hold the same
+    near-constant mass as the LSH route's buckets. With K fixed the
+    bitext candidate join goes quadratic (both sides grow); with
+    this rule candidate mass per source stays ~constant."""
+    return 2 ** _lsh_bits(int(n))
+
+
+def _ivf_route_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
     """Train-once/serve-many centroids for the IVF candidate routes
     (the _pq_codebooks_cached precedent): one kmeans_train_centroids
-    (k=8, iters=2 — the exact schedule SQL_KMEANS_CTES replays) per
-    sf_dir, shared by all four IVF-route queries. Training is
-    deterministic, so the memo cannot change results."""
-    if sf_dir not in _IVF_ROUTE_CENTROIDS:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _IVF_ROUTE_CENTROIDS[sf_dir] = similarity.kmeans_train_centroids(
-            emb, k=8, iters=2
+    (iters=2 — the exact Lloyd schedule the shared SQL replays) per
+    (sf_dir, k), shared across the IVF-route queries. The one-sided
+    decontamination route keeps k=8 (its cost |eval|·n/K is LINEAR
+    in the corpus — K there is a recall knob, and k=8 shares the
+    kmeans family's artifact); the two-sided bitext route sizes
+    K = _ivf_cells(n) log-n. Training is deterministic, so the memo
+    cannot change results."""
+    key = (sf_dir, int(k))
+    if key not in _IVF_ROUTE_CENTROIDS:
+        # training cost is n×K×iters centroid scorings — repartition
+        # so it runs at cluster parallelism regardless of the input
+        # file layout (the testdata ships one row group per table)
+        emb = load_table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
         )
-    return _IVF_ROUTE_CENTROIDS[sf_dir]
+        _IVF_ROUTE_CENTROIDS[key] = similarity.kmeans_train_centroids(
+            emb, k=int(k), iters=2
+        )
+    return _IVF_ROUTE_CENTROIDS[key]
+
+
+# Parameterized Lloyd replay for the log-n-K bitext route: the SAME
+# unrolled k-means CTE block, with the init LIMIT driven by the
+# kparams CTE (the 2^b rule, computed from the corpus count exactly
+# as Spark computes _ivf_cells).
+_SQL_KPARAMS = """kparams AS (
+      SELECT CASE WHEN n <= 600 THEN 64 WHEN n <= 6000 THEN 256
+                  WHEN n <= 60000 THEN 1024 WHEN n <= 600000 THEN 4096
+                  ELSE 16384 END AS kk
+      FROM (SELECT count(*) AS n FROM embeddings)
+    )"""
 
 
 def _sql_decon_ivf(corpus_where: str) -> str:
@@ -10904,10 +10937,15 @@ _BITEXT_IVF_SQL = f"""tassign AS (
     )"""
 
 
+SQL_KMEANS_CTES_LOGN = _SQL_KPARAMS + "," + SQL_KMEANS_CTES.replace(
+    "LIMIT 8", "LIMIT (SELECT kk FROM kparams)"
+)
+
+
 @query(
     "bitext_margin_mining_ivf",
     f"""
-    WITH {SQL_KMEANS_CTES},
+    WITH {SQL_KMEANS_CTES_LOGN},
     dv AS (
       SELECT d.doc_id AS id, d.lang, e2.embedding AS v
       FROM documents d JOIN embeddings e2 ON d.doc_id = e2.vec_id
@@ -10925,9 +10963,10 @@ def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. bitext_ivf_recall measures this generator against the
     exact kernel on the same slice as bitext_ann_recall. See
     similarity.margin_bitext_mining_ivf."""
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
     return similarity.margin_bitext_mining_ivf(
         _bitext_dv(spark, sf_dir),
-        _ivf_route_centroids(spark, sf_dir),
+        _ivf_route_centroids(spark, sf_dir, _ivf_cells(emb_n)),
         "doc_id",
         "lang",
         "embedding",
@@ -10941,7 +10980,7 @@ def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bitext_ivf_recall",
     f"""
-    WITH {SQL_KMEANS_CTES},
+    WITH {SQL_KMEANS_CTES_LOGN},
     dv0 AS (
       SELECT d.doc_id AS id, d.lang, e2.embedding AS v
       FROM documents d JOIN embeddings e2 ON d.doc_id = e2.vec_id
@@ -10999,9 +11038,10 @@ def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.margin_bitext_mining(
         dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
     ).select("tgt_lang", "src_id", "tgt_id")
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
     ivf = similarity.margin_bitext_mining_ivf(
         dv,
-        _ivf_route_centroids(spark, sf_dir),
+        _ivf_route_centroids(spark, sf_dir, _ivf_cells(emb_n)),
         "doc_id",
         "lang",
         "embedding",
