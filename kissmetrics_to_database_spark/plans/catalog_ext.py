@@ -11208,3 +11208,295 @@ def q_iceberg_writer_roundtrip(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta row-level DML: DELETE and MERGE as production writers (r11)
+# ---------------------------------------------------------------------------
+
+_DELTA_DML_FIX: dict = {}
+
+
+def _delta_dml_fixture(spark, sf_dir: str) -> dict:
+    """Copy-on-write DML fixture (r11): a write_delta table built
+    from the documents slice in two lang-partitioned commits, then
+    one ``delete_delta`` (doc_id % 7 = 3) and one ``merge_delta``
+    (source = the doc_id % 5 = 0 rows re-sourced to 'merged', plus
+    brand-new doc_id = max+1..max+3 rows) — real protocol bytes for
+    both DML paths, CDF commits included."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELTA_DML_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_delta_dml_") + "/docs_dml"
+        dl.write_delta(
+            docs.where(F.col("doc_id") % 2 == 0),
+            path,
+            partition_columns=["lang"],
+        )
+        v_pre = dl.write_delta(
+            docs.where(F.col("doc_id") % 2 == 1),
+            path,
+            partition_columns=["lang"],
+        )
+        v_del = dl.delete_delta(spark, path, "doc_id % 7 = 3")
+        # %5==0 rows: the %7!=3 ones match (updates); the %7==3 ones
+        # were just deleted, so they re-enter as inserts
+        src = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+            "source", F.lit("merged")
+        )
+        v_mrg = dl.merge_delta(spark, path, src, on=["doc_id"])
+        _DELTA_DML_FIX[key] = {
+            "path": path,
+            "v_pre": v_pre,
+            "v_del": v_del,
+            "v_mrg": v_mrg,
+        }
+    return _DELTA_DML_FIX[key]
+
+
+def _read_cdf_rows(spark, path: str, version: int):
+    """The _change_data rows of one commit, read as a DataFrame (the
+    cdc action list is per-commit metadata, like the log replay)."""
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(path, "_delta_log", f"{version:020d}.json")
+    cdc_paths = []
+    with open(log, encoding="utf-8") as f:
+        for line in f:
+            act = _json.loads(line)
+            if "cdc" in act:
+                cdc_paths.append(_os.path.join(path, act["cdc"]["path"]))
+    return spark.read.parquet(*cdc_paths)
+
+
+@query(
+    "delta_delete_dml",
+    """
+    WITH phases AS (
+      SELECT 'cdf_delete' AS phase, doc_id
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT 'post' AS phase, doc_id
+      FROM documents WHERE doc_id % 7 <> 3
+      UNION ALL
+      SELECT 'pre' AS phase, doc_id FROM documents
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM phases GROUP BY phase ORDER BY phase
+    """,
+)
+def q_delta_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as a production Delta writer (r11): commit
+    the documents slice with write_delta, run ``delete_delta`` with a
+    SQL predicate, and verify all three protocol surfaces at once —
+    the pre-DELETE snapshot still time-travels ('pre'), the new
+    snapshot lost exactly the matching rows ('post'), and the commit
+    carries the deleted rows as a Change Data Feed file
+    ('cdf_delete') so tailers stream the delete row-level instead of
+    dying on the remove action. Copy-on-write: only files containing
+    a match are rewritten — the file-set discovery is one distributed
+    scan, survivors rewrite distributed, untouched files never read
+    again (tests/test_deltalog.py asserts their mtimes). Oracle
+    restates each phase's membership against the source table. See
+    sources/deltalog.delete_delta."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    fix = _delta_dml_fixture(spark, sf_dir)
+    path, v_pre, v_del = fix["path"], fix["v_pre"], fix["v_del"]
+
+    def agg(df, phase):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "sum_doc_id")
+
+    pre = agg(dl.read_delta(spark, path, version=v_pre), "pre")
+    post = agg(dl.read_delta(spark, path, version=v_del), "post")
+    cdf = agg(_read_cdf_rows(spark, path, v_del), "cdf_delete")
+    return cdf.unionByName(post).unionByName(pre).orderBy("phase")
+
+
+@query(
+    "delta_merge_dml",
+    """
+    WITH merged AS (
+      SELECT doc_id, source, lang FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, 'merged' AS source, lang FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT source = 'merged' AS is_merged,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM merged GROUP BY is_merged ORDER BY is_merged
+    """,
+)
+def q_delta_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) as a production Delta writer (r11): after the
+    DELETE above, ``merge_delta`` upserts the doc_id % 5 = 0 slice
+    re-sourced to 'merged' — keys surviving the delete replace
+    in-place, the deleted %7==3 multiples of 5 re-enter as inserts —
+    and the snapshot read back must show exactly the SQL MERGE
+    end-state the oracle restates. Copy-on-write file surgery, CDF
+    update_preimage/postimage/insert rows, and single-writer
+    lock discipline are covered in tests/test_deltalog.py; here the
+    oracle hash checks the resulting table end-state. See
+    sources/deltalog.merge_delta."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    fix = _delta_dml_fixture(spark, sf_dir)
+    return (
+        dl.read_delta(spark, fix["path"], version=fix["v_mrg"])
+        .groupBy(
+            (F.col("source") == "merged").alias("is_merged")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("is_merged")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hudi copy-on-write reader (r11): the third lakehouse format
+# ---------------------------------------------------------------------------
+
+_HUDI_FIX: dict = {}
+
+
+def _hudi_fixture(spark, sf_dir: str) -> dict:
+    """Hudi CoW table from the documents slice (r11): insert every
+    document partitioned by lang (one file group per lang), UPSERT
+    the doc_id % 3 == 0 rows re-sourced to 'rewritten' (copy-on-write
+    group rewrites — same fileId, new base file), then CLUSTER the
+    'en' partition (replacecommit — groups merged, old fileIds
+    replaced). Returns the path plus the insert instant for time
+    travel."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HUDI_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import hudi
+
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .toPandas()
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_hudi_") + "/docs_hudi"
+        w = hudi.HudiFixtureWriter(
+            path, key_col="doc_id", partition_col="lang"
+        )
+        i0 = w.insert(pdf)
+        up = pdf[pdf.doc_id % 3 == 0].copy()
+        up["source"] = "rewritten"
+        w.upsert(up)
+        w.cluster("en")
+        w.pending("commit")  # inflight instant must stay invisible
+        _HUDI_FIX[key] = {"path": path, "i0": i0}
+    return _HUDI_FIX[key]
+
+
+@query(
+    "hudi_snapshot_read",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rewritten
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_hudi_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi copy-on-write SNAPSHOT read (r11) — the third lakehouse
+    format, alongside Delta and Iceberg: serialize the documents
+    table into a real table-v6 Hudi layout (.hoodie timeline,
+    file-group base files, hive-style partition dirs), upsert a
+    slice, cluster a partition via replacecommit, leave a pending
+    instant dangling — then read the latest snapshot back through
+    the from-spec latest-file-slice resolver. A resolution bug
+    anywhere (stale base file picked after an upsert, replaced group
+    resurrected, inflight instant leaking) changes n_docs or
+    n_rewritten and breaks the hash. Scale shape: timeline replay is
+    per-FILE metadata on the driver — the scan reads exactly the
+    snapshot's base files, lang rebuilt from partition directories
+    so partition pruning reaches the scan. See sources/hudi.py."""
+    from kissmetrics_to_database_spark.sources import hudi
+
+    fix = _hudi_fixture(spark, sf_dir)
+    return (
+        hudi.read_hudi(spark, fix["path"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(
+                (F.col("source") == "rewritten").cast("long")
+            )
+            .cast("long")
+            .alias("n_rewritten"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "hudi_time_travel",
+    """
+    WITH phases AS (
+      SELECT 'insert' AS phase, doc_id, 0 AS rewritten FROM documents
+      UNION ALL
+      SELECT 'upsert' AS phase, doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rewritten
+      FROM documents
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(rewritten) AS BIGINT) AS n_rewritten
+    FROM phases GROUP BY phase ORDER BY phase
+    """,
+)
+def q_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi TIME TRAVEL by instant (r11): the same table read at the
+    insert instant must show every document un-rewritten (the upsert
+    and the clustering are invisible at ≤ i0), while the latest
+    snapshot shows the doc_id % 3 == 0 slice re-sourced — row counts
+    IDENTICAL across phases because copy-on-write upserts never
+    change membership, only file bytes. The oracle restates both
+    phases from the source table. See sources/hudi.read_hudi
+    (at_instant)."""
+    from kissmetrics_to_database_spark.sources import hudi
+
+    fix = _hudi_fixture(spark, sf_dir)
+
+    def agg(df, phase):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum((F.col("source") == "rewritten").cast("long"))
+            .cast("long")
+            .alias("n_rewritten"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            "n_docs",
+            "sum_doc_id",
+            "n_rewritten",
+        )
+
+    pre = agg(
+        hudi.read_hudi(spark, fix["path"], at_instant=fix["i0"]), "insert"
+    )
+    post = agg(hudi.read_hudi(spark, fix["path"]), "upsert")
+    return pre.unionByName(post).orderBy("phase")

@@ -868,6 +868,327 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     return v
 
 
+def _snapshot_with_path(
+    spark: SparkSession, path: str, state: dict
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Snapshot DataFrame with a ``_kmdb_path`` column = the decoded
+    absolute path of each row's data file, plus the abs-path → add
+    mapping. The DML writers use it to find which FILES a predicate
+    touches — copy-on-write rewrites whole files, so the unit of work
+    is the file, not the row. Declared scope matches optimize_delta:
+    logical-name parquet, no deletion vectors (callers enforce)."""
+    schema = table_schema(state["metadata"])
+    part_cols = list(state["metadata"].get("partitionColumns") or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    type_of = {f.name: f.dataType for f in schema.fields}
+    logical_cols = [f.name for f in schema.fields]
+
+    add_of = {
+        os.path.abspath(os.path.join(path, a["path"])): a
+        for a in state["files"]
+    }
+    if not state["files"]:
+        empty = spark.createDataFrame([], schema).withColumn(
+            "_kmdb_path", F.lit(None).cast("string")
+        )
+        return empty, add_of
+
+    groups: dict[tuple, list[str]] = {}
+    for add in state["files"]:
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, add["path"]))
+    parts = []
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        df = df.select(
+            *[F.col(f.name) for f in data_fields],
+            canonical_file_path(F.col("_metadata.file_path")).alias(
+                "_kmdb_path"
+            ),
+        )
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                (F.lit(None) if raw is None else F.lit(raw)).cast(
+                    type_of[c]
+                ),
+            )
+        parts.append(df.select(*logical_cols, "_kmdb_path"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, add_of
+
+
+def _stage_cdf_write(df: DataFrame, path: str, version: int) -> list[dict]:
+    """Distributed write of change rows (data columns +
+    ``_change_type``) into ``_change_data/``, returning spec-shaped
+    ``cdc`` actions (dataChange=false — per the protocol, cdc files
+    never count as table data). Same stage-then-rename recipe as
+    ``_stage_distributed_write``."""
+    import shutil
+    import uuid
+
+    seg = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging-cdc-{seg}")
+    df.write.mode("overwrite").parquet(stage)
+    cdc_dir = os.path.join(path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    actions: list[dict] = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        base, _, _ = name.partition(".")
+        rel = f"_change_data/cdc-{version:05d}-{base}-{seg}.parquet"
+        os.rename(os.path.join(stage, name), os.path.join(path, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return actions
+
+
+def _commit_json(log_dir: str, version: int, actions: list[dict]) -> None:
+    """Publish one commit file atomically (tmp + fsync + rename),
+    refusing to double-commit a version — the writer-lock invariant
+    shared by every writer in this module."""
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    if os.path.exists(final):
+        raise RuntimeError(
+            f"version {version} already committed under {log_dir} "
+            "— writer-lock invariant violated"
+        )
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for act in actions:
+            f.write(json.dumps(act) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def _require_plain_table(state: dict, op: str) -> None:
+    conf = state["metadata"].get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise ValueError(
+            f"{op} rewrites logical-name parquet — column-mapped "
+            "tables are out of scope"
+        )
+    if any(a.get("deletionVector") for a in state["files"]):
+        raise ValueError(
+            f"{op} does not materialize deletion vectors — "
+            "vacuum/rewrite DV files first"
+        )
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
+    """Row-level DELETE on a Delta table this engine can write —
+    copy-on-write DML (r11): rewrite only the files that contain a
+    matching row, commit remove(dataChange=true) + add for each, and
+    emit the deleted rows as a Change Data Feed commit
+    (``_change_data/`` + ``cdc`` actions) so the tailer — ours or any
+    spec-correct consumer — streams the delete as row-level changes
+    instead of dying on the remove (the r10 What's-missing #2 gap,
+    closed from the WRITE side).
+
+    ``predicate`` is a SQL boolean expression over the table's
+    columns (partition columns included — partition-only predicates
+    prune to file metadata and rewrite nothing that doesn't match).
+    SQL DELETE semantics: rows where the predicate is NULL survive.
+
+    Scale shape: one distributed scan of the live files finds the
+    affected FILE set (collected — bounded by file count, the same
+    metadata-scale contract as the log replay); untouched files are
+    never read again, survivors rewrite distributed. Time travel to
+    pre-DELETE versions keeps working (files leave the LOG, not the
+    disk). Returns the committed version — unchanged when nothing
+    matches (no empty commits)."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    log_dir = os.path.join(path, "_delta_log")
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        state = snapshot_state(path)
+        _require_plain_table(state, "delete_delta")
+        part_cols = list(state["metadata"].get("partitionColumns") or [])
+        logical_cols = [
+            f.name for f in table_schema(state["metadata"]).fields
+        ]
+        snap, add_of = _snapshot_with_path(spark, path, state)
+        pred = F.expr(predicate)
+        hit = F.coalesce(pred, F.lit(False))
+        affected = [
+            r["_kmdb_path"]
+            for r in snap.filter(hit)
+            .select("_kmdb_path")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return state["version"]
+        in_affected = snap.filter(F.col("_kmdb_path").isin(affected))
+        survivors = in_affected.filter(~hit).select(*logical_cols)
+        deleted = in_affected.filter(hit).select(
+            *logical_cols, F.lit("delete").alias("_change_type")
+        )
+        version = state["version"] + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "kissmetrics_to_database_spark",
+                }
+            }
+        ]
+        actions.extend(_stage_cdf_write(deleted, path, version))
+        for abs_path in sorted(affected):
+            actions.append(
+                {
+                    "remove": {
+                        "path": add_of[abs_path]["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        adds = _stage_distributed_write(
+            survivors, path, part_cols, data_change=True
+        )
+        actions.extend({"add": a} for a in adds)
+        _commit_json(log_dir, version, actions)
+        return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE (upsert) into a Delta table — copy-on-write DML (r11):
+    target rows whose ``on``-key matches a source row are replaced by
+    that source row; source rows with no match insert. Emits the full
+    CDF record (update_preimage / update_postimage / insert) so a
+    tailer streams the merge row-level, plus the protocol's
+    remove/add file swap for exactly the files that held a matched
+    key.
+
+    Contract: ``source`` carries the table's full column set;
+    source keys must be unique (checked — Delta's own MERGE raises
+    on multi-source matches too); every target row sharing a matched
+    key is replaced by the one source row.
+
+    Scale shape: the matched-FILE discovery is one distributed
+    semi-join of the snapshot against the (broadcast when small —
+    Catalyst/AQE decides) source keys; untouched files are never
+    rewritten. Returns the committed version."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if not on:
+        raise ValueError("merge_delta needs at least one key column")
+    log_dir = os.path.join(path, "_delta_log")
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        state = snapshot_state(path)
+        _require_plain_table(state, "merge_delta")
+        part_cols = list(state["metadata"].get("partitionColumns") or [])
+        logical_cols = [
+            f.name for f in table_schema(state["metadata"]).fields
+        ]
+        missing = [c for c in logical_cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing table columns: {missing}")
+        src = source.select(*logical_cols).cache()
+        n_src, n_keys = (
+            src.agg(
+                F.count(F.lit(1)),
+                F.count_distinct(*[F.col(c) for c in on]),
+            ).first()
+        )
+        if n_src != n_keys:
+            src.unpersist()
+            raise ValueError(
+                f"merge_delta source has duplicate keys on {on} "
+                f"({n_src} rows, {n_keys} distinct keys)"
+            )
+        snap, add_of = _snapshot_with_path(spark, path, state)
+        keys = src.select(*on)
+        matched_old = snap.join(keys, on=on, how="left_semi").cache()
+        affected = [
+            r["_kmdb_path"]
+            for r in matched_old.select("_kmdb_path").distinct().collect()
+        ]
+        in_affected = snap.filter(
+            F.col("_kmdb_path").isin(affected)
+            if affected
+            else F.lit(False)
+        )
+        survivors = in_affected.join(keys, on=on, how="left_anti").select(
+            *logical_cols
+        )
+        matched_src = src.join(
+            matched_old.select(*on).distinct(), on=on, how="left_semi"
+        )
+        inserted_src = src.join(
+            matched_old.select(*on).distinct(), on=on, how="left_anti"
+        )
+        changes = (
+            matched_old.select(
+                *logical_cols,
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            .unionByName(
+                matched_src.select(
+                    *logical_cols,
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+            )
+            .unionByName(
+                inserted_src.select(
+                    *logical_cols, F.lit("insert").alias("_change_type")
+                )
+            )
+        )
+        version = state["version"] + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {"matchedOn": list(on)},
+                    "engineInfo": "kissmetrics_to_database_spark",
+                }
+            }
+        ]
+        actions.extend(_stage_cdf_write(changes, path, version))
+        for abs_path in sorted(affected):
+            actions.append(
+                {
+                    "remove": {
+                        "path": add_of[abs_path]["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        new_data = survivors.unionByName(src)
+        adds = _stage_distributed_write(
+            new_data, path, part_cols, data_change=True
+        )
+        actions.extend({"add": a} for a in adds)
+        _commit_json(log_dir, version, actions)
+        src.unpersist()
+        matched_old.unpersist()
+        return version
+
+
 class DeltaFixtureWriter:
     """Minimal single-writer Delta commit emitter for round-trips.
 

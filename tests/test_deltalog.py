@@ -579,3 +579,184 @@ def test_checkpoint_delta_on_written_table_with_txns(spark, tmp_path):
     # ledger survived the checkpoint: epoch-1 replay is still a no-op
     assert dl.write_delta(mk([3]), path, txn_app_id="job", epoch_id=1) == 2
     assert dl.read_delta(spark, path).count() == 4
+
+
+def test_delete_delta_rewrites_only_affected_files(spark, tmp_path):
+    """r11 DML: DELETE rewrites only files holding a match, leaves
+    other files' bytes untouched on disk, emits CDF delete rows, and
+    keeps time travel to the pre-DELETE snapshot."""
+    path = str(tmp_path / "del")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, val string, lang string"
+    )
+    dl.write_delta(
+        mk([(1, "a", "de"), (2, "b", "de")]), path,
+        partition_columns=["lang"],
+    )
+    dl.write_delta(
+        mk([(3, "c", "en"), (4, "d", "en")]), path,
+        partition_columns=["lang"],
+    )
+    before = dl.snapshot_state(path)
+    untouched = {
+        a["path"]: os.path.getmtime(os.path.join(path, a["path"]))
+        for a in before["files"]
+        if a["partitionValues"].get("lang") == "en"
+    }
+    v = dl.delete_delta(spark, path, "id = 1")
+    assert v == 2
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [2, 3, 4]
+    # pre-delete snapshot intact
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path, version=1).collect()
+    ) == [1, 2, 3, 4]
+    # en files never rewritten (same path, same mtime, still active)
+    after = dl.snapshot_state(path)
+    for a in after["files"]:
+        if a["partitionValues"].get("lang") == "en":
+            assert a["path"] in untouched
+            assert (
+                os.path.getmtime(os.path.join(path, a["path"]))
+                == untouched[a["path"]]
+            )
+    # commit carries cdc + dataChange=true remove/add
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(path, "_delta_log", f"{2:020d}.json"))
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    cdcs = [a["cdc"] for a in lines if "cdc" in a]
+    assert cdcs and all(c["dataChange"] is False for c in cdcs)
+    assert all(
+        a["remove"]["dataChange"] is True for a in lines if "remove" in a
+    )
+    import pyarrow.parquet as pq
+
+    cdf = pq.read_table(os.path.join(path, cdcs[0]["path"])).to_pydict()
+    assert cdf["_change_type"] == ["delete"] and cdf["id"] == [1]
+
+
+def test_delete_delta_null_predicate_and_no_match(spark, tmp_path):
+    path = str(tmp_path / "deln")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, val string"
+    )
+    dl.write_delta(df, path)
+    # no match: no commit
+    assert dl.delete_delta(spark, path, "val = 'zzz'") == 0
+    assert dl.snapshot_state(path)["version"] == 0
+    # NULL predicate rows survive (SQL DELETE semantics)
+    assert dl.delete_delta(spark, path, "val = 'x'") == 1
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [2, 3]
+
+
+def test_delete_delta_refuses_mapped_and_dv_tables(spark, tmp_path):
+    w = dl.DeltaFixtureWriter(
+        str(tmp_path / "dv"), SCHEMA, deletion_vectors=True
+    )
+    added = w.commit(_pdf([1, 2, 3], "a"))
+    w.dv_delete(added[0], [0])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dl.delete_delta(spark, w.path, "id = 2")
+
+
+def test_merge_delta_upsert_roundtrip_and_cdf_tail(spark, tmp_path):
+    """r11 DML: MERGE updates matched keys, inserts new ones, emits
+    the full CDF record, and the tailer streams every phase."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "mrg")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    dl.write_delta(mk([(1, "a"), (2, "b")]), path)
+    dl.write_delta(mk([(3, "c")]), path)
+    src = mk([(2, "B2"), (4, "D4")])
+    v = dl.merge_delta(spark, path, src, on=["id"])
+    assert v == 2
+    got = sorted(
+        (r["id"], r["val"]) for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "D4")]
+    # time travel pre-merge
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path, version=1).collect()
+    ) == [1, 2, 3]
+    # CDF: preimage/postimage for id=2, insert for id=4
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(path, "_delta_log", f"{2:020d}.json"))
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    import pyarrow.parquet as pq
+
+    changes = []
+    for a in lines:
+        if "cdc" in a:
+            t = pq.read_table(
+                os.path.join(path, a["cdc"]["path"])
+            ).to_pylist()
+            changes.extend((r["id"], r["val"], r["_change_type"]) for r in t)
+    assert sorted(changes) == [
+        (2, "B2", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (4, "D4", "insert"),
+    ]
+    # tailer delivers the merge commit as row-level changes
+    cursor = str(tmp_path / "cur.json")
+    seen = []
+    CommitTailer("delta", path, cursor).poll(
+        spark,
+        lambda b, ver: seen.append(
+            (ver, sorted(map(tuple, b.select(b.columns).collect())))
+        ),
+    )
+    assert seen[2][0] == 2
+    assert sorted(x[-1] for x in seen[2][1]) == [
+        "insert",
+        "update_postimage",
+        "update_preimage",
+    ]
+
+
+def test_merge_delta_duplicate_source_keys_raise(spark, tmp_path):
+    path = str(tmp_path / "mdup")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    dl.write_delta(mk([(1, "a")]), path)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        dl.merge_delta(
+            spark, path, mk([(1, "x"), (1, "y")]), on=["id"]
+        )
+
+
+def test_merge_delta_pure_insert_and_partitioned(spark, tmp_path):
+    path = str(tmp_path / "mins")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, val string, lang string"
+    )
+    dl.write_delta(
+        mk([(1, "a", "de")]), path, partition_columns=["lang"]
+    )
+    v = dl.merge_delta(
+        spark, path, mk([(2, "b", "en")]), on=["id"]
+    )
+    assert v == 1
+    got = sorted(
+        (r["id"], r["lang"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "de"), (2, "en")]
+    # no remove actions in a pure-insert merge
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    assert not [a for a in lines if "remove" in a]
