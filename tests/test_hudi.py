@@ -1,0 +1,156 @@
+"""Hudi CoW reader round-trips: latest-file-slice resolution, upsert
+rewrites, time travel by instant, replacecommit (clustering), pending
+instants invisible, partition reconstruction, and the declared
+merge-on-read boundary."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from kissmetrics_to_database_spark.sources import hudi
+
+
+def _pdf(ids, lang):
+    return pd.DataFrame(
+        {"id": ids, "val": [f"v{i}" for i in ids], "lang": lang}
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    w = hudi.HudiFixtureWriter(
+        str(tmp_path / "t"), key_col="id", partition_col="lang"
+    )
+    w.insert(pd.concat([_pdf([1, 2], "de"), _pdf([3, 4], "en")]))
+    return w
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"], r["lang"]) for r in df.collect())
+
+
+def test_snapshot_read_and_partition_reconstruction(spark, table):
+    got = _rows(hudi.read_hudi(spark, table.path))
+    assert got == [
+        (1, "v1", "de"),
+        (2, "v2", "de"),
+        (3, "v3", "en"),
+        (4, "v4", "en"),
+    ]
+    # meta columns stripped by default, kept on request
+    df = hudi.read_hudi(spark, table.path, keep_meta=True)
+    assert "_hoodie_commit_time" in df.columns
+    assert "_hoodie_record_key" in df.columns
+
+
+def test_upsert_rewrites_group_not_forks(spark, table):
+    """CoW: an upsert of id=2 rewrites the de file group (same
+    fileId, new instant); en group's file is untouched on disk."""
+    en_files = {
+        rel: os.path.getmtime(os.path.join(table.path, rel))
+        for (p, _f), _ in table.groups.items()
+        for rel in [
+            os.path.join(p, n)
+            for n in os.listdir(os.path.join(table.path, p))
+        ]
+        if p == "lang=en"
+    }
+    up = pd.DataFrame({"id": [2], "val": ["V2NEW"], "lang": ["de"]})
+    table.upsert(up)
+    got = _rows(hudi.read_hudi(spark, table.path))
+    assert got == [
+        (1, "v1", "de"),
+        (2, "V2NEW", "de"),
+        (3, "v3", "en"),
+        (4, "v4", "en"),
+    ]
+    # still exactly one live fileId in lang=de
+    files, _ = hudi._latest_slices(table.path, None)
+    assert len([1 for p, _r in files if p == "lang=de"]) == 1
+    for rel, mtime in en_files.items():
+        assert os.path.getmtime(os.path.join(table.path, rel)) == mtime
+
+
+def test_time_travel_by_instant(spark, table):
+    i1 = sorted(t["instant"] for t in hudi.hudi_timeline(table.path))[0]
+    table.upsert(pd.DataFrame({"id": [1], "val": ["X"], "lang": ["de"]}))
+    old = _rows(hudi.read_hudi(spark, table.path, at_instant=i1))
+    assert old == [
+        (1, "v1", "de"),
+        (2, "v2", "de"),
+        (3, "v3", "en"),
+        (4, "v4", "en"),
+    ]
+    new = _rows(hudi.read_hudi(spark, table.path))
+    assert (1, "X", "de") in new and (1, "v1", "de") not in new
+
+
+def test_upsert_unmatched_keys_open_new_group(spark, table):
+    table.upsert(pd.DataFrame({"id": [9], "val": ["n"], "lang": ["de"]}))
+    files, _ = hudi._latest_slices(table.path, None)
+    assert len([1 for p, _r in files if p == "lang=de"]) == 2
+    assert (9, "n", "de") in _rows(hudi.read_hudi(spark, table.path))
+
+
+def test_replacecommit_clusters_groups(spark, table):
+    table.insert(_pdf([5], "de"))  # second de group
+    files, _ = hudi._latest_slices(table.path, None)
+    assert len([1 for p, _r in files if p == "lang=de"]) == 2
+    table.cluster("de")
+    files, _ = hudi._latest_slices(table.path, None)
+    assert len([1 for p, _r in files if p == "lang=de"]) == 1
+    got = _rows(hudi.read_hudi(spark, table.path))
+    assert [g for g in got if g[2] == "de"] == [
+        (1, "v1", "de"),
+        (2, "v2", "de"),
+        (5, "v5", "de"),
+    ]
+
+
+def test_pending_instants_invisible(spark, table):
+    """Snapshot isolation: requested/inflight instants with no
+    completed file contribute nothing."""
+    before = _rows(hudi.read_hudi(spark, table.path))
+    table.pending("commit")
+    assert _rows(hudi.read_hudi(spark, table.path)) == before
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    w = hudi.HudiFixtureWriter(str(tmp_path / "u"), key_col="id")
+    w.insert(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))
+    w.upsert(pd.DataFrame({"id": [2], "val": ["B"]}))
+    got = sorted(
+        (r["id"], r["val"])
+        for r in hudi.read_hudi(spark, w.path).collect()
+    )
+    assert got == [(1, "a"), (2, "B")]
+
+
+def test_merge_on_read_refused(tmp_path):
+    path = str(tmp_path / "mor")
+    os.makedirs(os.path.join(path, ".hoodie"))
+    with open(
+        os.path.join(path, ".hoodie", "hoodie.properties"), "w"
+    ) as f:
+        f.write("hoodie.table.type=MERGE_ON_READ\n")
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        hudi.hudi_timeline(path)
+
+
+def test_newer_table_version_refused(tmp_path):
+    path = str(tmp_path / "v9")
+    os.makedirs(os.path.join(path, ".hoodie"))
+    with open(
+        os.path.join(path, ".hoodie", "hoodie.properties"), "w"
+    ) as f:
+        f.write(
+            "hoodie.table.type=COPY_ON_WRITE\nhoodie.table.version=9\n"
+        )
+    with pytest.raises(ValueError, match="table.version"):
+        hudi.hudi_timeline(path)
+
+
+def test_not_a_table(tmp_path):
+    with pytest.raises(ValueError, match="no .hoodie"):
+        hudi.hudi_timeline(str(tmp_path / "nope"))
