@@ -11500,3 +11500,135 @@ def q_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = agg(hudi.read_hudi(spark, fix["path"]), "upsert")
     return pre.unionByName(post).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (r11): Deequ-style constraint audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_quality_audit",
+    """
+    WITH r AS (
+      SELECT 'orders' AS tbl, 'completeness' AS check_name,
+             'o_custkey' AS col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_custkey) AS BIGINT) AS n_good,
+             0.99 AS thr
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'uniqueness', 'o_orderkey',
+             CAST(count(o_orderkey) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT), 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'accepted_values', 'o_orderstatus',
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'matches_regex', 'o_orderpriority',
+             CAST(count(o_orderpriority) AS BIGINT),
+             CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                                               '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'non_negative', 'o_totalprice',
+             CAST(count(o_totalprice) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice >= 0
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'referential', 'o_custkey',
+             CAST(count(o_custkey) AS BIGINT),
+             CAST(sum(CASE WHEN o_custkey IN
+                           (SELECT c_custkey FROM customer)
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'lineitem', 'in_range', 'l_discount',
+             CAST(count(l_discount) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.08
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'referential', 'l_orderkey',
+             CAST(count(l_orderkey) AS BIGINT),
+             CAST(sum(CASE WHEN l_orderkey IN
+                           (SELECT o_orderkey FROM orders)
+                           THEN 1 ELSE 0 END) AS BIGINT), 1.0
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    )
+    SELECT tbl, check_name, col_name, n_rows, n_good,
+           CASE WHEN n_rows = 0 THEN 1.0
+                ELSE round(CAST(n_good AS DOUBLE) / n_rows, 6)
+           END AS ratio,
+           (CASE WHEN n_rows = 0 THEN 1.0
+                 ELSE round(CAST(n_good AS DOUBLE) / n_rows, 6)
+            END) >= thr AS passed
+    FROM r ORDER BY tbl, check_name, col_name
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style DATA-QUALITY GATE (r11): declared constraints over
+    orders and lineitem — completeness, key uniqueness, accepted
+    values, regex shape, non-negativity, range, and two referential
+    checks (orders.o_custkey ⊆ customer, lineitem.l_orderkey ⊆
+    orders) — evaluated into one report row per check with exact
+    BIGINT numerators and one terminal rounding. Scale design: ALL
+    single-table checks per table fold into ONE aggregate over ONE
+    scan (conditional counts + count_distinct, fanned out by explode
+    — adding a check adds an expression, not a job); each referential
+    check is one distinct-project + left-anti join that Catalyst
+    broadcasts when the dimension is small. The forward-looking
+    completion of the reference's AnalyzeTables family (SURVEY §2
+    A1/A2) for ingest gating. See operators/expectations.py."""
+    from kissmetrics_to_database_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rep_o = expectation_report(
+        orders,
+        [
+            {"check": "completeness", "column": "o_custkey",
+             "threshold": 0.99},
+            {"check": "uniqueness", "column": "o_orderkey"},
+            {"check": "accepted_values", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"check": "matches_regex", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"check": "non_negative", "column": "o_totalprice"},
+            {"check": "referential", "column": "o_custkey",
+             "ref": (customer, "c_custkey")},
+        ],
+        table="orders",
+    )
+    rep_l = expectation_report(
+        lineitem,
+        [
+            {"check": "in_range", "column": "l_discount",
+             "lo": 0.0, "hi": 0.08},
+            {"check": "referential", "column": "l_orderkey",
+             "ref": (orders, "o_orderkey")},
+        ],
+        table="lineitem",
+    )
+    return (
+        rep_o.unionByName(rep_l)
+        .select(
+            F.col("table").alias("tbl"),
+            F.col("check").alias("check_name"),
+            F.col("column").alias("col_name"),
+            "n_rows",
+            "n_good",
+            "ratio",
+            "passed",
+        )
+        .orderBy("tbl", "check_name", "col_name")
+    )
