@@ -921,6 +921,39 @@ def main() -> int:
         docs = load_table(spark, args.sf, "documents")
         return linkage.agreement_patterns(docs)
 
+    # r11: Hudi reader — a filter on the directory-derived partition
+    # column must reach the scan as PartitionFilters (the timeline
+    # already pruned FILES; this proves lang pruning composes on top)
+    def _hudi_partition_prune_plan():
+        from kissmetrics_to_database_spark.plans.catalog_ext import (
+            _hudi_fixture,
+        )
+        from kissmetrics_to_database_spark.sources import hudi
+
+        fix = _hudi_fixture(spark, args.sf)
+        return hudi.read_hudi(spark, fix["path"]).where("lang = 'en'")
+
+    # r11: the expectations suite must be ONE scan + ONE aggregate
+    # fanned out by explode — never a union of per-check jobs
+    def _expectations_plan():
+        from kissmetrics_to_database_spark.operators.expectations import (
+            expectation_report,
+        )
+        from kissmetrics_to_database_spark.session import load_table
+
+        orders = load_table(spark, args.sf, "orders")
+        return expectation_report(
+            orders,
+            [
+                {"check": "completeness", "column": "o_custkey"},
+                {"check": "uniqueness", "column": "o_orderkey"},
+                {"check": "accepted_values", "column": "o_orderstatus",
+                 "values": ["O", "F", "P"]},
+                {"check": "non_negative", "column": "o_totalprice"},
+            ],
+            table="orders",
+        )
+
     operator_checks = {
         # cosine ε-graph build: (cell, i, j)-keyed COGROUP feeds the
         # tiled-BLAS pair kernel — rows shuffle, pairs never do; the
@@ -975,6 +1008,16 @@ def main() -> int:
             _linkage_contingency_plan,
             ["hashpartitioning"],
             ["CartesianProduct"],
+        ),
+        "op:hudi_partition_prune": (
+            _hudi_partition_prune_plan,
+            ["PartitionFilters: [isnotnull(lang", "= en)"],
+            ["CartesianProduct"],
+        ),
+        "op:expectations_single_scan": (
+            _expectations_plan,
+            ["Generate", "explode"],
+            ["Union", "SortMergeJoin", "CartesianProduct"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
