@@ -11632,3 +11632,114 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "check_name", "col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg merge-on-read DELETE (r11): the other deletion strategy
+# ---------------------------------------------------------------------------
+
+_ICEBERG_DML_FIX: dict = {}
+
+
+def _iceberg_dml_fixture(spark, sf_dir: str) -> dict:
+    """write_iceberg the documents slice in two appends, then
+    ``delete_iceberg`` (doc_id % 7 = 3) — a positional-delete commit,
+    no data-file rewrite."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICEBERG_DML_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_ib_dml_") + "/docs_mor"
+        ib.write_iceberg(docs.where(F.col("doc_id") % 2 == 0), path)
+        s_pre = ib.write_iceberg(
+            docs.where(F.col("doc_id") % 2 == 1), path
+        )
+        s_del = ib.delete_iceberg(spark, path, "doc_id % 7 = 3")
+        _ICEBERG_DML_FIX[key] = {
+            "path": path,
+            "s_pre": s_pre,
+            "s_del": s_del,
+        }
+    return _ICEBERG_DML_FIX[key]
+
+
+@query(
+    "iceberg_delete_dml",
+    """
+    WITH phases AS (
+      SELECT 'deleted' AS phase, doc_id
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT 'post' AS phase, doc_id
+      FROM documents WHERE doc_id % 7 <> 3
+      UNION ALL
+      SELECT 'pre' AS phase, doc_id FROM documents
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM phases GROUP BY phase ORDER BY phase
+    """,
+)
+def q_iceberg_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE-ON-READ row-level DELETE (r11): commit the
+    documents slice with write_iceberg, run ``delete_iceberg`` — a
+    positional-delete file (content=1) + deletes manifest + new
+    snapshot, data bytes never rewritten — and verify three surfaces:
+    time travel to the pre-delete snapshot ('pre'), the post-delete
+    read where the reader's MOR anti-join must drop exactly the
+    matched rows ('post'), and the delete file itself ('deleted'):
+    its (file_path, pos) rows are semi-joined back against the
+    tagged pre-delete scan to recover the deleted doc_ids — a wrong
+    position or path string anywhere breaks the hash. Deliberate
+    contrast with delta_delete_dml's copy-on-write: MOR commit cost
+    is O(matched rows), CoW is O(affected files); this engine writes
+    both. See sources/iceberg.delete_iceberg."""
+    import os as _os
+
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    fix = _iceberg_dml_fixture(spark, sf_dir)
+    path = fix["path"]
+
+    def agg(df, phase):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "sum_doc_id")
+
+    pre = agg(ib.read_iceberg(spark, path, snapshot_id=fix["s_pre"]), "pre")
+    post = agg(ib.read_iceberg(spark, path), "post")
+    # recover the deleted rows from the positional-delete file:
+    # (file_path, pos) → semi-join against the tagged pre-delete scan
+    cur = ib.snapshot_files(path)
+    pre_state = ib.snapshot_files(path, snapshot_id=fix["s_pre"])
+    tagged, _cols = ib._tagged_snapshot(spark, path, pre_state)
+    ref_rows = sorted(
+        (ref, _os.path.abspath(local))
+        for ref, local in cur["path_map"].items()
+    )
+    ref_map = spark.createDataFrame(ref_rows, "ref string, _duri string")
+    del_rows = (
+        spark.read.parquet(*cur["delete_files"])
+        .select(
+            F.col("file_path").cast("string").alias("ref"),
+            F.col("pos").cast("long").alias("_dpos"),
+        )
+        .join(F.broadcast(ref_map), "ref")
+        .select("_duri", "_dpos")
+    )
+    deleted = agg(
+        tagged.join(
+            del_rows,
+            (tagged["_uri"] == del_rows["_duri"])
+            & (tagged["_pos"] == del_rows["_dpos"]),
+            "left_semi",
+        ),
+        "deleted",
+    )
+    return deleted.unionByName(post).unionByName(pre).orderBy("phase")

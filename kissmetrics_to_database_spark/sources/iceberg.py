@@ -258,6 +258,19 @@ def read_iceberg(
     eq_dels = state.get("equality_deletes") or []
     if not state["delete_files"] and not eq_dels:
         return spark.read.parquet(*state["files"])
+    tagged, cols = _tagged_snapshot(spark, path, state)
+    return tagged.select(*cols)
+
+
+def _tagged_snapshot(
+    spark: SparkSession, path: str, state: dict
+) -> tuple[DataFrame, list[str]]:
+    """The VISIBLE rows of a resolved snapshot, tagged with ``_uri``
+    (decoded absolute data-file path) and ``_pos`` (row index) —
+    positional and equality deletes already anti-joined away. Shared
+    by the read path and the MOR delete writer (which needs the
+    (file, position) identity of every row a predicate matches)."""
+    eq_dels = state.get("equality_deletes") or []
     cols = spark.read.parquet(*state["files"]).columns
     tagged = spark.read.parquet(*state["files"]).select(
         *cols,
@@ -349,7 +362,8 @@ def read_iceberg(
             for n in names:
                 cond = cond & tagged[n].eqNullSafe(eq[f"_d_{n}"])
             tagged = tagged.join(eq, cond, "left_anti")
-    return tagged.select(*cols)
+        tagged = tagged.drop("_seq")
+    return tagged, cols
 
 
 def iceberg_history(path: str) -> list[dict]:
@@ -626,6 +640,177 @@ def write_iceberg(
             json.dumps(new_meta).encode(),
         )
         _atomic_write(hint, str(version).encode())
+        return sid
+
+
+def delete_iceberg(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """Row-level DELETE on an Iceberg v2 table — MERGE-ON-READ (r11):
+    instead of rewriting data files (the Delta ``delete_delta``
+    copy-on-write shape), commit a POSITIONAL-DELETE file naming the
+    matched rows by (data-file path, row position) — the spec's
+    content=1 delete file — plus a deletes manifest and a new
+    snapshot whose manifest list reuses every prior manifest by
+    reference. Data bytes are never rewritten; the reader
+    anti-joins the delete rows away at scan time (the
+    ``read_iceberg`` MOR path this module already implements, so the
+    write side round-trips through the same machinery other engines'
+    tables do).
+
+    ``predicate`` is a SQL boolean over the table columns; SQL
+    DELETE semantics (NULL predicate rows survive). Matching rows
+    are located with one distributed scan of the VISIBLE snapshot
+    (prior positional/equality deletes already applied — a row
+    deleted twice would be spec-legal but wasteful); the delete file
+    is written distributed, sorted by (file_path, pos) as the spec
+    requires. Returns the committed snapshot id — unchanged when
+    nothing matches (no empty snapshots).
+
+    Why merge-on-read here and copy-on-write for Delta: the two
+    writers deliberately exercise BOTH industry deletion strategies
+    — MOR's O(matched rows) commit cost vs CoW's O(affected files)
+    rewrite — and the read paths for each were already in place."""
+    import shutil
+    import uuid
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        meta = table_metadata(path)
+        if int(meta.get("format-version", 2)) != 2:
+            raise ValueError(
+                "positional deletes are an Iceberg v2 feature"
+            )
+        state = snapshot_files(path)
+        if not state["files"]:
+            return int(meta["current-snapshot-id"])
+        tagged, _cols = _tagged_snapshot(spark, path, state)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        # manifest path string is how delete rows must name data
+        # files (the reader maps it back through path_map)
+        ref_rows = sorted(
+            (os.path.abspath(local), ref)
+            for ref, local in state["path_map"].items()
+        )
+        ref_map = spark.createDataFrame(
+            ref_rows, "_uri string, file_path string"
+        )
+        dels = (
+            tagged.where(hit)
+            .select("_uri", "_pos")
+            .join(F.broadcast(ref_map), "_uri")
+            .select(
+                F.col("file_path"), F.col("_pos").cast("long").alias("pos")
+            )
+            .sort("file_path", "pos")
+        )
+        seg = uuid.uuid4().hex[:12]
+        stage = os.path.join(path, f"_staging-del-{seg}")
+        dels.write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+
+        del_files: list[tuple[str, int, int]] = []
+        i = 0
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            n_rows = int(
+                pq.read_metadata(os.path.join(stage, name)).num_rows
+            )
+            if n_rows == 0:
+                continue
+            rel = f"data/del-{seg}-{i:05d}.parquet"
+            i += 1
+            os.rename(
+                os.path.join(stage, name), os.path.join(path, rel)
+            )
+            del_files.append(
+                (rel, n_rows, os.path.getsize(os.path.join(path, rel)))
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        if not del_files:
+            return int(meta["current-snapshot-id"])
+
+        snaps = list(meta.get("snapshots") or [])
+        cur = next(
+            s
+            for s in snaps
+            if int(s["snapshot-id"]) == int(meta["current-snapshot-id"])
+        )
+        with open(_local(cur["manifest-list"], path), "rb") as f:
+            _, prev_mlist = avroc.read_container(f.read())
+        sid = max(int(s["snapshot-id"]) for s in snaps) + 1
+        snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited (production shape)
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "equality_ids": None,
+                },
+            }
+            for rel, n, sz in del_files
+        ]
+        mf_rel = f"metadata/manifest-{sid}.avro"
+        _atomic_write(
+            os.path.join(path, mf_rel),
+            avroc.write_container(_MANIFEST_SCHEMA, entries),
+        )
+        mlist = list(prev_mlist) + [
+            {
+                "manifest_path": mf_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(path, mf_rel)
+                ),
+                "content": 1,
+                "added_snapshot_id": sid,
+                "sequence_number": snap_seq,
+            }
+        ]
+        mlist_rel = f"metadata/snap-{sid}.avro"
+        _atomic_write(
+            os.path.join(path, mlist_rel),
+            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+        )
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": snap_seq,
+            "parent-snapshot-id": int(cur["snapshot-id"]),
+            "manifest-list": mlist_rel,
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(del_files)),
+                "added-position-deletes": str(
+                    sum(n for _, n, _ in del_files)
+                ),
+                "kmdb-delete-predicate": predicate,
+            },
+        }
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"),
+            encoding="utf-8",
+        ) as f:
+            version = int(f.read().strip())
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = snap_seq
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = snaps + [snap]
+        version += 1
+        _atomic_write(
+            os.path.join(path, "metadata", f"v{version}.metadata.json"),
+            json.dumps(new_meta).encode(),
+        )
+        _atomic_write(
+            os.path.join(path, "metadata", "version-hint.text"),
+            str(version).encode(),
+        )
         return sid
 
 

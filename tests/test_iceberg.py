@@ -482,3 +482,108 @@ def test_expire_iceberg_snapshots(spark, tmp_path):
         "expired_snapshot_ids": [],
         "deleted_files": [],
     }
+
+
+def test_delete_iceberg_positional_mor(spark, tmp_path):
+    """r11 DML: merge-on-read DELETE commits a positional-delete
+    file + deletes manifest; data bytes never rewritten; time travel
+    to the pre-delete snapshot intact; reader anti-joins the rows."""
+    path = str(tmp_path / "mordel")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    s0 = ib.write_iceberg(mk([1, 2, 3]), path)
+    ib.write_iceberg(mk([4, 5]), path)
+    data_before = {
+        f: os.path.getmtime(f)
+        for f in ib.snapshot_files(path)["files"]
+    }
+    s2 = ib.delete_iceberg(spark, path, "id % 2 = 0")
+    got = sorted(r["id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [1, 3, 5]
+    # every data file untouched on disk (merge-on-read, not rewrite)
+    for f, mtime in data_before.items():
+        assert os.path.getmtime(f) == mtime
+        assert f in ib.snapshot_files(path)["files"]
+    # time travel pre-delete
+    assert sorted(
+        r["id"]
+        for r in ib.read_iceberg(spark, path, snapshot_id=s0).collect()
+    ) == [1, 2, 3]
+    # snapshot summary says delete
+    meta = ib.table_metadata(path)
+    snap = next(
+        s for s in meta["snapshots"] if int(s["snapshot-id"]) == s2
+    )
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-position-deletes"] == "2"
+    # delete file rows reference manifest path strings, sorted
+    dstate = ib.snapshot_files(path)
+    assert len(dstate["delete_files"]) >= 1
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(dstate["delete_files"][0]).to_pylist()
+    assert all(
+        set(r) == {"file_path", "pos"} and r["file_path"].startswith("data/")
+        for r in rows
+    )
+
+
+def test_delete_iceberg_second_delete_sees_first(spark, tmp_path):
+    """A second DELETE scans the VISIBLE snapshot: rows already
+    positionally deleted don't match again, and both delete files
+    apply together."""
+    path = str(tmp_path / "mordel2")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    ib.write_iceberg(mk([1, 2, 3, 4]), path)
+    ib.delete_iceberg(spark, path, "id <= 2")
+    s = ib.delete_iceberg(spark, path, "id >= 2")  # only 3,4 visible
+    meta = ib.table_metadata(path)
+    snap = next(
+        s2 for s2 in meta["snapshots"] if int(s2["snapshot-id"]) == s
+    )
+    # only 3 and 4 matched the second predicate (2 was already gone,
+    # so it must not be re-deleted) — and the final table is empty
+    assert snap["summary"]["added-position-deletes"] == "2"
+    assert (
+        sorted(r["id"] for r in ib.read_iceberg(spark, path).collect())
+        == []
+    )
+
+
+def test_delete_iceberg_no_match_no_commit(spark, tmp_path):
+    path = str(tmp_path / "mornone")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    sid = ib.write_iceberg(mk([1, 2]), path)
+    assert ib.delete_iceberg(spark, path, "id > 99") == sid
+    assert len(ib.table_metadata(path)["snapshots"]) == 1
+    # NULL predicate rows survive
+    mk2 = spark.createDataFrame(
+        [(3, None)], "id long, val string"
+    )
+    ib.write_iceberg(mk2, path)
+    ib.delete_iceberg(spark, path, "val = 'v1'")
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [2, 3]
+
+
+def test_delete_iceberg_then_append_then_delete(spark, tmp_path):
+    """Deletes compose with later appends: new files' rows at the
+    same positions must NOT be hit by older delete files."""
+    path = str(tmp_path / "morcompose")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    ib.write_iceberg(mk([1, 2]), path)
+    ib.delete_iceberg(spark, path, "id = 1")  # pos 0 of file A
+    ib.write_iceberg(mk([10, 20]), path)  # pos 0 of file B: id=10
+    got = sorted(r["id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [2, 10, 20]
+    ib.delete_iceberg(spark, path, "id = 20")
+    got = sorted(r["id"] for r in ib.read_iceberg(spark, path).collect())
+    assert got == [2, 10]
