@@ -11743,3 +11743,71 @@ def q_iceberg_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deleted",
     )
     return deleted.unionByName(post).unionByName(pre).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Delta data skipping (r11): add.stats written + file pruning on read
+# ---------------------------------------------------------------------------
+
+_DELTA_SKIP_FIX: dict = {}
+
+
+def _delta_skip_fixture(spark, sf_dir: str) -> str:
+    """write_delta the documents slice partitioned by lang, with the
+    rows RANGE-partitioned on doc_id inside each commit — so the
+    per-file add.stats min/max ranges are disjoint and a doc_id
+    predicate can prove most files dead."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELTA_SKIP_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .repartitionByRange(4, "doc_id")
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_delta_skip_") + "/docs_skip"
+        dl.write_delta(docs, path, partition_columns=["lang"])
+        _DELTA_SKIP_FIX[key] = path
+    return _DELTA_SKIP_FIX[key]
+
+
+@query(
+    "delta_data_skipping",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 300
+    """,
+)
+def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DATA SKIPPING (r11): write_delta collects per-file
+    ``stats`` JSON (numRecords/min/max/nullCount from the parquet
+    footers — the protocol's data-skipping shape); read_delta with a
+    predicate prunes, from the LOG alone, every file whose stats or
+    partitionValues prove no row can match, then re-applies the
+    predicate row-level (pruning is an optimization, never a
+    semantics change). The fixture range-partitions doc_id into
+    disjoint per-file ranges under lang partitions, so this read
+    touches only the lang=en files intersecting [100, 300) — at
+    100 TB on a sorted/Z-ordered table that is the difference
+    between a full scan and O(matching files). File-count assertions
+    live in tests/test_deltalog.py (inputFiles()); the oracle checks
+    the surviving rows exactly. See sources/deltalog._footer_stats /
+    _file_may_match."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    path = _delta_skip_fixture(spark, sf_dir)
+    return dl.read_delta(
+        spark,
+        path,
+        predicate="lang = 'en' AND doc_id >= 100 AND doc_id < 300",
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -253,8 +253,161 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
     return roaring.deserialize64(data[4:])
 
 
+_CONJUNCT_RE = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|!?=|<|>)\s*(.+?)\s*$"
+)
+
+
+def _parse_conjuncts(predicate: str) -> list[tuple[str, str, Any]]:
+    """Parse the stats-prunable subset of a predicate: top-level
+    AND-chains of ``col <op> literal``. Conjuncts outside the subset
+    (ORs, functions, parens…) are IGNORED for skipping — pruning is
+    an optimization, never a semantics change; unparseable input
+    just skips nothing."""
+    out: list[tuple[str, str, Any]] = []
+    if re.search(r"\bOR\b|\(", predicate, re.IGNORECASE):
+        return out
+    for part in re.split(r"\bAND\b", predicate, flags=re.IGNORECASE):
+        m = _CONJUNCT_RE.match(part)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if op == "!=":
+            continue  # min/max can't prove inequality mismatch
+        val: Any
+        if lit.startswith(("'", '"')) and lit.endswith(lit[0]):
+            val = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    continue
+        out.append((col, op, val))
+    return out
+
+
+def _range_may_match(op: str, val, mn, mx) -> bool:
+    """Can any value in [mn, mx] satisfy ``x <op> val``?"""
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+    except TypeError:
+        return True  # incomparable types: never skip on a guess
+    return True
+
+
+def _file_may_match(
+    add: dict,
+    conjuncts: list[tuple[str, str, Any]],
+    part_cols: list[str],
+    type_of: dict,
+) -> bool:
+    """Evaluate stats + partitionValues against the conjuncts: False
+    only when some conjunct PROVABLY matches no row of the file."""
+    stats = add.get("stats")
+    stats = json.loads(stats) if isinstance(stats, str) else (stats or {})
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    n_rec = stats.get("numRecords")
+    pv = add.get("partitionValues") or {}
+    for col, op, val in conjuncts:
+        if col in part_cols:
+            raw = pv.get(col)
+            if raw is None:
+                return False  # NULL partition: comparison never true
+            t = type_of.get(col)
+            try:
+                typed: Any = raw
+                if isinstance(t, (T.IntegerType, T.LongType, T.ShortType)):
+                    typed = int(raw)
+                elif isinstance(t, (T.DoubleType, T.FloatType)):
+                    typed = float(raw)
+                if not _range_may_match(op, val, typed, typed):
+                    return False
+            except (TypeError, ValueError):
+                continue
+            continue
+        if col in mins and col in maxs:
+            if not _range_may_match(op, val, mins[col], maxs[col]):
+                return False
+        elif (
+            n_rec is not None
+            and nulls.get(col) is not None
+            and int(nulls[col]) == int(n_rec)
+            and int(n_rec) > 0
+        ):
+            return False  # all-null column: comparisons never true
+    return True
+
+
+def _footer_stats(abs_path: str) -> str | None:
+    """Per-file Delta ``add.stats`` JSON from the parquet footer —
+    numRecords + min/max/nullCount for numeric and string columns
+    (other types omitted: no skipping on them). Driver-side footer
+    reads, one per FILE — the same metadata-scale contract as the
+    log itself."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(abs_path)
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, Any] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: out of the skipping subset
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(
+                mn, bool
+            ):
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps(
+        {
+            "numRecords": int(md.num_rows),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table at ``version`` (default latest).
 
@@ -264,7 +417,16 @@ def read_delta(
     the schema's declared types. Column order follows the table
     schema. Under column mapping the parquet scan uses each field's
     ``delta.columnMapping.physicalName`` and renames to the logical
-    name — a metadata-only projection."""
+    name — a metadata-only projection.
+
+    ``predicate`` (r11): a SQL boolean applied to the result — and,
+    for its stats-prunable conjuncts (``col <op> literal`` AND
+    chains), used for DATA SKIPPING against each add action's
+    ``stats`` JSON (min/max/nullCount our writer collects from
+    parquet footers, the protocol's data-skipping shape) and
+    partitionValues: files provably containing no match are never
+    scanned. At 100 TB a sorted/Z-ordered table turns a selective
+    read into an O(matching files) operation from the log alone."""
     state = snapshot_state(path, version)
     schema = table_schema(state["metadata"])
     part_cols = list(state["metadata"].get("partitionColumns") or [])
@@ -292,8 +454,25 @@ def read_delta(
     )
     type_of = {f.name: f.dataType for f in schema.fields}
 
+    if predicate:
+        # DATA SKIPPING (r11): drop files whose add.stats min/max (or
+        # partitionValues) prove no row can match — file-level pruning
+        # from the LOG alone, before any scan. Mapped tables carry
+        # physical-name stats keys; skip pruning there rather than
+        # guess. The predicate is ALWAYS re-applied row-level below —
+        # pruning can only remove provably-dead files.
+        conj = _parse_conjuncts(predicate) if mode == "none" else []
+        if conj:
+            state = dict(state)
+            state["files"] = [
+                a
+                for a in state["files"]
+                if _file_may_match(a, conj, part_cols, type_of)
+            ]
+
     if not state["files"]:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return out.filter(predicate) if predicate else out
 
     # deletion vectors: decode each referenced bitmap driver-side
     # (per-FILE metadata, bounded like the log) into (file URI, row
@@ -356,7 +535,7 @@ def read_delta(
             & (out["_pos"] == dels["_dpos"]),
             "left_anti",
         ).select(*logical_cols)
-    return out
+    return out.filter(predicate) if predicate else out
 
 
 def delta_history(path: str) -> list[dict]:
@@ -609,18 +788,20 @@ def _stage_distributed_write(
             os.rename(
                 os.path.join(root, name), os.path.join(path, final_rel)
             )
-            adds.append(
-                {
-                    "path": final_rel.replace(os.sep, "/"),
-                    "partitionValues": pv,
-                    "size": os.path.getsize(os.path.join(path, final_rel)),
-                    "modificationTime": int(
-                        os.path.getmtime(os.path.join(path, final_rel))
-                        * 1000
-                    ),
-                    "dataChange": bool(data_change),
-                }
-            )
+            add = {
+                "path": final_rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(os.path.join(path, final_rel)),
+                "modificationTime": int(
+                    os.path.getmtime(os.path.join(path, final_rel))
+                    * 1000
+                ),
+                "dataChange": bool(data_change),
+            }
+            stats = _footer_stats(os.path.join(path, final_rel))
+            if stats is not None:
+                add["stats"] = stats
+            adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
 

@@ -760,3 +760,81 @@ def test_merge_delta_pure_insert_and_partitioned(spark, tmp_path):
         .split("\n")
     ]
     assert not [a for a in lines if "remove" in a]
+
+
+def test_write_delta_stats_and_data_skipping(spark, tmp_path):
+    """r11: write_delta collects per-file add.stats; read_delta with
+    a predicate skips files whose stats prove no match — verified by
+    inputFiles() — and returns exactly the matching rows."""
+    path = str(tmp_path / "skip")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+    ).coalesce(1)
+    dl.write_delta(mk(0, 100), path)
+    dl.write_delta(mk(100, 200), path)
+    dl.write_delta(mk(200, 300), path)
+    # stats landed on the adds
+    state = dl.snapshot_state(path)
+    assert len(state["files"]) == 3
+    st = json.loads(state["files"][0]["stats"])
+    assert st["numRecords"] == 100
+    assert set(st["minValues"]) == {"id", "val"}
+
+    full = dl.read_delta(spark, path)
+    pruned = dl.read_delta(spark, path, predicate="id >= 250")
+    assert len(full.inputFiles()) == 3
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["id"] for r in pruned.collect()) == list(
+        range(250, 300)
+    )
+    # range conjunction prunes to the middle file
+    mid = dl.read_delta(
+        spark, path, predicate="id >= 120 AND id < 180"
+    )
+    assert len(mid.inputFiles()) == 1
+    assert mid.count() == 60
+    # string stats skip too
+    sv = dl.read_delta(spark, path, predicate="val = 'v42'")
+    assert len(sv.inputFiles()) == 1
+    assert [r["id"] for r in sv.collect()] == [42]
+    # unprunable predicate: no skipping, same rows
+    odd = dl.read_delta(
+        spark, path, predicate="id % 2 = 1 OR val = 'v2'"
+    )
+    assert len(odd.inputFiles()) == 3
+    assert odd.count() == 151
+    # predicate matching nothing: empty typed result
+    none = dl.read_delta(spark, path, predicate="id > 9999")
+    assert none.count() == 0 and none.columns == ["id", "val"]
+
+
+def test_data_skipping_partition_values_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "skip2")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "de"), (3, "en"), (None, "en")],
+        "id long, lang string",
+    )
+    dl.write_delta(df, path, partition_columns=["lang"])
+    pr = dl.read_delta(spark, path, predicate="lang = 'de'")
+    assert all("lang=de" in f for f in pr.inputFiles())
+    assert sorted(r["id"] for r in pr.collect()) == [1, 2]
+    # NULLs never match comparisons; stats with nulls stay safe
+    ge = dl.read_delta(spark, path, predicate="id >= 3")
+    assert [r["id"] for r in ge.collect()] == [3]
+
+
+def test_data_skipping_never_lies_on_dml_tables(spark, tmp_path):
+    """Stats survive DELETE/MERGE rewrites (rewritten files get fresh
+    footers) and pruning composes with CDF-bearing commits."""
+    path = str(tmp_path / "skip3")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+    ).coalesce(1)
+    dl.write_delta(mk(0, 50), path)
+    dl.write_delta(mk(50, 100), path)
+    dl.delete_delta(spark, path, "id >= 25 AND id < 75")
+    got = dl.read_delta(spark, path, predicate="id < 30")
+    assert sorted(r["id"] for r in got.collect()) == list(range(25))
+    # the rewritten survivor file carries stats too
+    state = dl.snapshot_state(path)
+    assert all("stats" in a for a in state["files"])
