@@ -1215,7 +1215,15 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         ]
         if not affected:
             return state["version"]
-        in_affected = snap.filter(F.col("_kmdb_path").isin(affected))
+        # semi-join, not isin: an IN list is an expression with one
+        # literal per file — at 100 TB a DELETE can touch 1e5 files,
+        # and the affected set belongs in a broadcast relation
+        aff_df = spark.createDataFrame(
+            [(p,) for p in sorted(affected)], "_kmdb_path string"
+        )
+        in_affected = snap.join(
+            F.broadcast(aff_df), on="_kmdb_path", how="left_semi"
+        )
         survivors = in_affected.filter(~hit).select(*logical_cols)
         deleted = in_affected.filter(hit).select(
             *logical_cols, F.lit("delete").alias("_change_type")
@@ -1307,10 +1315,11 @@ def merge_delta(
             r["_kmdb_path"]
             for r in matched_old.select("_kmdb_path").distinct().collect()
         ]
-        in_affected = snap.filter(
-            F.col("_kmdb_path").isin(affected)
-            if affected
-            else F.lit(False)
+        aff_df = spark.createDataFrame(
+            [(p,) for p in sorted(affected)], "_kmdb_path string"
+        )
+        in_affected = snap.join(
+            F.broadcast(aff_df), on="_kmdb_path", how="left_semi"
         )
         survivors = in_affected.join(keys, on=on, how="left_anti").select(
             *logical_cols
