@@ -11811,3 +11811,39 @@ def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+@query(
+    "hudi_incremental_pull",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_changed,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_hudi_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL QUERY (r11): pull only the records changed
+    after the insert instant — exactly the doc_id % 3 == 0 slice the
+    fixture's upsert re-sourced, even though (a) the copy-on-write
+    rewrite copied every unchanged document into the same base files
+    (record-level _hoodie_commit_time provenance must separate them)
+    and (b) a later replacecommit clustered the 'en' partition's
+    groups away (the timeline replay must follow the records into
+    the merged carrier group). A consumer pipeline reads O(changed
+    file groups), not O(table): the pull prunes untouched groups from
+    write stats before any scan. The oracle restates the changed set
+    from the source table. See sources/hudi.hudi_incremental and
+    streaming/tailer._hudi_batch (the same contract as a stream)."""
+    from kissmetrics_to_database_spark.sources import hudi
+
+    fix = _hudi_fixture(spark, sf_dir)
+    return (
+        hudi.hudi_incremental(spark, fix["path"], fix["i0"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_changed"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )

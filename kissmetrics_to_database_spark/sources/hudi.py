@@ -178,6 +178,18 @@ def read_hudi(
     files, _ = _latest_slices(path, at_instant)
     if not files:
         raise ValueError(f"Hudi table has no completed data: {path}")
+    df = _scan_files(spark, path, files)
+    if not keep_meta:
+        df = df.drop(*[c for c in META_COLS if c in df.columns])
+    return df
+
+
+def _scan_files(
+    spark: SparkSession, path: str, files: list[tuple[str, str]]
+) -> DataFrame:
+    """Scan [(partition_path, table-relative file)] with hive-style
+    partition columns rebuilt via Spark's ``basePath`` discovery —
+    meta columns kept (callers drop or filter on them)."""
     abs_files = [os.path.join(path, rel) for _part, rel in files]
     hive_style = all(
         all("=" in seg for seg in part.split("/"))
@@ -189,7 +201,90 @@ def read_hudi(
         # basePath keeps partition-dir discovery while listing
         # explicit leaf files — Spark's documented escape hatch
         reader = reader.option("basePath", path)
-    df = reader.parquet(*abs_files)
+    return reader.parquet(*abs_files)
+
+
+def hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Hudi INCREMENTAL QUERY (CoW): the records upserted AFTER
+    ``begin_instant`` (exclusive) up to ``end_instant`` (inclusive,
+    default latest) — Hudi's signature consumption mode: downstream
+    pipelines pull only what changed instead of re-reading snapshots.
+
+    Per the spec this is the latest file slices at ``end_instant``
+    filtered on the record-level ``_hoodie_commit_time`` meta column
+    (each record's LAST-upsert instant — copy-on-write rewrites
+    preserve it on unchanged records, so an untouched row never
+    reappears in a pull). The scan touches only file groups some
+    commit in the window rewrote: file pruning from the timeline's
+    write stats, then the row filter. An updated record is delivered
+    in its NEWEST version; deletes are out of CoW incremental scope
+    (no delete writer here)."""
+    from pyspark.sql import functions as F
+
+    timeline = hudi_timeline(path)
+    window = [
+        t
+        for t in timeline
+        if t["instant"] > str(begin_instant)
+        and (end_instant is None or t["instant"] <= str(end_instant))
+    ]
+    # file groups touched in the window (partition, fileId) — only
+    # their LATEST slice can hold rows stamped with window instants.
+    # Clustering replays too: a replacecommit moving a touched
+    # group's records into a merged group makes the NEW group the
+    # carrier (its records keep their original commit times).
+    window_set = {t["instant"] for t in window}
+    touched: set[tuple[str, str]] = set()
+    for inst in timeline:
+        if end_instant is not None and inst["instant"] > str(end_instant):
+            break
+        md = inst["metadata"]
+        wrote = {
+            (part, st["fileId"])
+            for part, stats in (
+                md.get("partitionToWriteStats") or {}
+            ).items()
+            for st in stats or []
+            if st.get("fileId")
+        }
+        if inst["action"] == "replacecommit":
+            replaced = {
+                (part, fid)
+                for part, fids in (
+                    md.get("partitionToReplaceFileIds") or {}
+                ).items()
+                for fid in fids or []
+            }
+            if replaced & touched:
+                touched -= replaced
+                touched |= wrote
+        elif inst["instant"] in window_set:
+            touched |= wrote
+    if not touched:
+        schema = read_hudi(
+            spark, path, keep_meta=keep_meta
+        ).schema
+        return spark.createDataFrame([], schema)
+    slices, _ = _latest_slices(path, end_instant)
+    # map each latest slice back to its (partition, fileId)
+    chosen = []
+    for part, rel in slices:
+        fid = os.path.basename(rel).split("_", 1)[0]
+        if (part, fid) in touched:
+            chosen.append((part, rel))
+    df = _scan_files(spark, path, chosen).where(
+        F.col("_hoodie_commit_time") > str(begin_instant)
+    )
+    if end_instant is not None:
+        df = df.where(
+            F.col("_hoodie_commit_time") <= str(end_instant)
+        )
     if not keep_meta:
         df = df.drop(*[c for c in META_COLS if c in df.columns])
     return df
@@ -248,6 +343,11 @@ class HudiFixtureWriter:
         return f"{self.partition_col}={value}"
 
     def _write_base_file(self, part: str, fid: str, instant: str, pdf):
+        """``pdf`` carries an internal ``_ct`` column: each RECORD's
+        last-upsert instant. Per the spec, a file-group rewrite
+        copies unchanged records WITH their original
+        ``_hoodie_commit_time`` — only the records the commit touched
+        get the new instant. Incremental pulls depend on that."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -259,6 +359,7 @@ class HudiFixtureWriter:
         )
         out = pdf.copy()
         self._seqno += 1
+        cts = out.pop("_ct")
         out.insert(0, "_hoodie_file_name", name)
         out.insert(0, "_hoodie_partition_path", part)
         out.insert(
@@ -267,7 +368,7 @@ class HudiFixtureWriter:
         out.insert(
             0, "_hoodie_commit_seqno", f"{instant}_0_{self._seqno}"
         )
-        out.insert(0, "_hoodie_commit_time", instant)
+        out.insert(0, "_hoodie_commit_time", cts.values)
         if self.partition_col is not None:
             out = out.drop(columns=[self.partition_col])
         pq.write_table(
@@ -310,7 +411,10 @@ class HudiFixtureWriter:
             self._n_group += 1
             fid = f"fg{self._n_group:06d}-0"
             rel, _ = self._write_base_file(
-                part, fid, instant, sub.reset_index(drop=True)
+                part,
+                fid,
+                instant,
+                sub.assign(_ct=instant).reset_index(drop=True),
             )
             p2s.setdefault(part, []).append(
                 self._stats(part, fid, rel, sub, 0)
@@ -343,10 +447,14 @@ class HudiFixtureWriter:
             ]
             if not len(hit):
                 continue
+            # unchanged records keep their original commit time;
+            # only the matched (rewritten) records get this instant
             merged = cur[~cur[self.key_col].isin(set(hit[self.key_col]))]
             import pandas as pd
 
-            merged = pd.concat([merged, hit], ignore_index=True)
+            merged = pd.concat(
+                [merged, hit.assign(_ct=instant)], ignore_index=True
+            )
             merged = merged.sort_values(self.key_col).reset_index(
                 drop=True
             )
@@ -362,7 +470,10 @@ class HudiFixtureWriter:
             self._n_group += 1
             fid = f"fg{self._n_group:06d}-0"
             rel, _ = self._write_base_file(
-                part, fid, instant, sub.reset_index(drop=True)
+                part,
+                fid,
+                instant,
+                sub.assign(_ct=instant).reset_index(drop=True),
             )
             p2s.setdefault(part, []).append(
                 self._stats(part, fid, rel, sub, 0)

@@ -50,6 +50,13 @@ Incremental semantics per source:
   skipped with the cursor advancing (r11). Snapshots that add DELETE
   files (positional or equality) raise ValueError — same
   appends-only contract as the Delta tail.
+- **hudi** (r11): versions are completed instants (their numeric
+  timestamp value preserves commit order); a commit's batch is its
+  written base files filtered to ``_hoodie_commit_time == instant``
+  — copy-on-write rewrites preserve unchanged records' original
+  commit times, so every record streams exactly once per upsert and
+  updates deliver the new record version. ``replacecommit``
+  (clustering) instants are skipped with the cursor advancing.
 
 Scale shape: a poll lists the log directory (metadata-scale — one
 entry per COMMIT) and reads only the new versions' files; the data
@@ -110,7 +117,7 @@ class CommitTailer:
     after each sink return; returns the versions processed."""
 
     def __init__(self, kind: str, table_path: str, cursor_path: str):
-        if kind not in ("tablelog", "delta", "iceberg"):
+        if kind not in ("tablelog", "delta", "iceberg", "hudi"):
             raise ValueError(f"unknown tailer kind {kind!r}")
         self.kind = kind
         self.table_path = table_path
@@ -127,6 +134,16 @@ class CommitTailer:
             meta = iceberg.table_metadata(self.table_path)
             return sorted(
                 int(s["snapshot-id"]) for s in meta.get("snapshots", [])
+            )
+        if self.kind == "hudi":
+            from kissmetrics_to_database_spark.sources import hudi
+
+            # Hudi instants are numeric yyyyMMddHHmmssSSS strings —
+            # their integer value preserves commit order, so the int
+            # cursor contract carries over unchanged
+            return sorted(
+                int(t["instant"])
+                for t in hudi.hudi_timeline(self.table_path)
             )
         jsons, _ = deltalog._log_versions(
             os.path.join(self.table_path, "_delta_log")
@@ -320,6 +337,44 @@ class CommitTailer:
             return None
         return spark.read.parquet(*sorted(new_files))
 
+    def _hudi_batch(
+        self, spark: SparkSession, version: int
+    ) -> DataFrame | None:
+        """A commit's batch is the rows it UPSERTED: the commit's
+        written base files filtered to ``_hoodie_commit_time == the
+        instant`` — copy-on-write rewrites carry unchanged records
+        with their ORIGINAL commit times, so the filter delivers each
+        record exactly once per upsert (updates stream as the new
+        record version, the CDC-style contract a Hudi incremental
+        consumer expects). ``replacecommit`` instants (clustering)
+        reorganize files without touching records — skipped with the
+        cursor advancing, like every other format's compaction."""
+        from kissmetrics_to_database_spark.sources import hudi
+
+        inst = next(
+            t
+            for t in hudi.hudi_timeline(self.table_path)
+            if int(t["instant"]) == version
+        )
+        if inst["action"] == "replacecommit":
+            return None  # file reorganization, no new records
+        pairs = [
+            (part, st["path"])
+            for part, stats in (
+                inst["metadata"].get("partitionToWriteStats") or {}
+            ).items()
+            for st in stats or []
+            if st.get("path")
+        ]
+        if not pairs:
+            return None
+        df = hudi._scan_files(spark, self.table_path, pairs).where(
+            F.col("_hoodie_commit_time") == inst["instant"]
+        )
+        return df.drop(
+            *[c for c in hudi.META_COLS if c in df.columns]
+        )
+
     def batch_for(
         self, spark: SparkSession, version: int
     ) -> DataFrame | None:
@@ -327,6 +382,8 @@ class CommitTailer:
             return self._tablelog_batch(spark, version)
         if self.kind == "iceberg":
             return self._iceberg_batch(spark, version)
+        if self.kind == "hudi":
+            return self._hudi_batch(spark, version)
         return self._delta_batch(spark, version)
 
     # -- the tail loop -------------------------------------------------

@@ -154,3 +154,95 @@ def test_newer_table_version_refused(tmp_path):
 def test_not_a_table(tmp_path):
     with pytest.raises(ValueError, match="no .hoodie"):
         hudi.hudi_timeline(str(tmp_path / "nope"))
+
+
+def test_commit_time_preserved_through_rewrites(spark, table):
+    """Spec: a CoW rewrite copies unchanged records with their
+    ORIGINAL _hoodie_commit_time; only upserted records get the new
+    instant."""
+    i0 = sorted(t["instant"] for t in hudi.hudi_timeline(table.path))[0]
+    table.upsert(pd.DataFrame({"id": [2], "val": ["X"], "lang": ["de"]}))
+    df = hudi.read_hudi(spark, table.path, keep_meta=True)
+    cts = {r["id"]: r["_hoodie_commit_time"] for r in df.collect()}
+    assert cts[1] == i0 and cts[3] == i0 and cts[4] == i0
+    assert cts[2] > i0
+
+
+def test_hudi_incremental_pull(spark, table):
+    i0 = sorted(t["instant"] for t in hudi.hudi_timeline(table.path))[0]
+    table.upsert(
+        pd.DataFrame(
+            {"id": [2, 9], "val": ["X2", "n9"], "lang": ["de", "en"]}
+        )
+    )
+    inc = sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in hudi.hudi_incremental(spark, table.path, i0).collect()
+    )
+    # only the upserted record (new version) and the insert
+    assert inc == [(2, "X2", "de"), (9, "n9", "en")]
+    # empty window
+    latest = sorted(
+        t["instant"] for t in hudi.hudi_timeline(table.path)
+    )[-1]
+    assert (
+        hudi.hudi_incremental(spark, table.path, latest).count() == 0
+    )
+
+
+def test_hudi_incremental_survives_clustering(spark, table):
+    """Records upserted in the window still stream after a later
+    replacecommit merged their file group away."""
+    i0 = sorted(t["instant"] for t in hudi.hudi_timeline(table.path))[0]
+    table.upsert(pd.DataFrame({"id": [2], "val": ["X"], "lang": ["de"]}))
+    table.insert(_pdf([7], "de"))
+    table.cluster("de")  # merges all de groups into one new fileId
+    inc = sorted(
+        (r["id"], r["val"])
+        for r in hudi.hudi_incremental(spark, table.path, i0).collect()
+    )
+    assert inc == [(2, "X"), (7, "v7")]
+
+
+def test_hudi_incremental_bounded_window(spark, table):
+    instants = [sorted(t["instant"] for t in hudi.hudi_timeline(table.path))[0]]
+    instants.append(
+        table.upsert(
+            pd.DataFrame({"id": [1], "val": ["A"], "lang": ["de"]})
+        )
+    )
+    instants.append(
+        table.upsert(
+            pd.DataFrame({"id": [3], "val": ["B"], "lang": ["en"]})
+        )
+    )
+    mid = hudi.hudi_incremental(
+        spark, table.path, instants[0], end_instant=instants[1]
+    )
+    assert [(r["id"], r["val"]) for r in mid.collect()] == [(1, "A")]
+
+
+def test_hudi_tailer_exactly_once(spark, table, tmp_path):
+    """CommitTailer('hudi'): inserts stream once, an upsert streams
+    only the touched records (new version), clustering is skipped,
+    and the cursor resumes across tailer restarts."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    cursor = str(tmp_path / "cur.json")
+    seen = []
+    sink = lambda b, v: seen.append(
+        (v, sorted((r["id"], r["val"]) for r in b.collect()))
+    )
+    t = CommitTailer("hudi", table.path, cursor)
+    t.poll(spark, sink)
+    assert len(seen) == 1
+    assert seen[0][1] == [(1, "v1"), (2, "v2"), (3, "v3"), (4, "v4")]
+    # upsert + cluster arrive; only the upsert delivers rows
+    table.upsert(pd.DataFrame({"id": [2], "val": ["X"], "lang": ["de"]}))
+    table.cluster("de")
+    t2 = CommitTailer("hudi", table.path, cursor)  # restart
+    t2.poll(spark, sink)
+    assert len(seen) == 2
+    assert seen[1][1] == [(2, "X")]
+    # idempotent: nothing pending now
+    assert t2.poll(spark, sink) == []
