@@ -272,7 +272,7 @@ def test_delta_tail_column_mapped_table(spark, tmp_path):
 
 def test_tailer_rejects_unknown_kind(tmp_path):
     with pytest.raises(ValueError, match="kind"):
-        CommitTailer("hudi", str(tmp_path), str(tmp_path / "c"))
+        CommitTailer("paimon", str(tmp_path), str(tmp_path / "c"))
 
 
 def test_iceberg_tail_added_files_and_delete_boundary(spark, tmp_path):
