@@ -11660,10 +11660,17 @@ def _iceberg_dml_fixture(spark, sf_dir: str) -> dict:
             docs.where(F.col("doc_id") % 2 == 1), path
         )
         s_del = ib.delete_iceberg(spark, path, "doc_id % 7 = 3")
+        # same merge shape as the Delta DML fixture: %5==0 rows
+        # re-sourced 'merged'; the deleted %7==3 multiples re-insert
+        src = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+            "source", F.lit("merged")
+        )
+        s_mrg = ib.merge_iceberg(spark, path, src, on=["doc_id"])
         _ICEBERG_DML_FIX[key] = {
             "path": path,
             "s_pre": s_pre,
             "s_del": s_del,
+            "s_mrg": s_mrg,
         }
     return _ICEBERG_DML_FIX[key]
 
@@ -11713,7 +11720,9 @@ def q_iceberg_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(phase).alias("phase"), "n_rows", "sum_doc_id")
 
     pre = agg(ib.read_iceberg(spark, path, snapshot_id=fix["s_pre"]), "pre")
-    post = agg(ib.read_iceberg(spark, path), "post")
+    post = agg(
+        ib.read_iceberg(spark, path, snapshot_id=fix["s_del"]), "post"
+    )
     # recover the deleted rows from the positional-delete file:
     # (file_path, pos) → semi-join against the tagged pre-delete scan
     cur = ib.snapshot_files(path)
@@ -11846,4 +11855,48 @@ def q_hudi_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "iceberg_merge_dml",
+    """
+    WITH merged AS (
+      SELECT doc_id, source, lang FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, 'merged' AS source, lang FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT source = 'merged' AS is_merged,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM merged GROUP BY is_merged ORDER BY is_merged
+    """,
+)
+def q_iceberg_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE via EQUALITY DELETES (r11): after the positional
+    DELETE, ``merge_iceberg`` upserts the doc_id % 5 = 0 slice in ONE
+    snapshot — an equality-delete file on doc_id plus the appended
+    source rows, with sequence-number scoping shadowing the old rows
+    while the same snapshot's inserts survive. The reader must then
+    compose BOTH merge-on-read delete styles over one table
+    (positional from the DELETE snapshot, equality from the MERGE)
+    to reproduce exactly the SQL end-state the oracle restates —
+    identical to delta_merge_dml's, computed by a structurally
+    different protocol (CoW rewrite there, O(source) MOR commit
+    here). See sources/iceberg.merge_iceberg."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    fix = _iceberg_dml_fixture(spark, sf_dir)
+    return (
+        ib.read_iceberg(spark, fix["path"], snapshot_id=fix["s_mrg"])
+        .groupBy((F.col("source") == "merged").alias("is_merged"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("is_merged")
     )

@@ -814,6 +814,216 @@ def delete_iceberg(
         return sid
 
 
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE (upsert) into an Iceberg v2 table — the EQUALITY-DELETE
+    shape (r11): ONE snapshot carrying (a) an equality-delete file
+    (content=2) holding the source's key tuples with ``equality_ids``
+    = the key columns' schema field ids, and (b) the appended source
+    rows as new data files. Sequence-number scoping does the rest at
+    read time: both manifests inherit the snapshot's sequence number,
+    and the spec applies an equality delete only to data files with a
+    STRICTLY SMALLER sequence number — so old rows matching a key
+    vanish while the same snapshot's new rows survive. This is the
+    upsert layout streaming CDC writers (e.g. the Flink connector)
+    emit; no data file is ever read or rewritten at commit time —
+    commit cost is O(source), not O(affected files) (contrast:
+    ``merge_delta`` rewrites matched files copy-on-write;
+    ``delete_iceberg`` locates row positions with a scan).
+
+    Contract: ``source`` carries the table's full column set; source
+    keys must be unique (checked); every existing row sharing a
+    matched key is replaced by the one source row — including rows a
+    prior snapshot's equality delete already shadows (shadowing
+    twice is spec-legal and read-correct). Returns the snapshot id."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if not on:
+        raise ValueError("merge_iceberg needs at least one key column")
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        meta = table_metadata(path)
+        if int(meta.get("format-version", 2)) != 2:
+            raise ValueError(
+                "equality deletes are an Iceberg v2 feature"
+            )
+        schema = _spark_schema(meta)
+        if [f.name for f in schema.fields] != list(source.columns):
+            raise ValueError(
+                f"schema mismatch: table has "
+                f"{[f.name for f in schema.fields]}, "
+                f"merge source has {list(source.columns)}"
+            )
+        sid_cur = meta.get("current-snapshot-id")
+        schemas = meta.get("schemas") or [meta.get("schema") or {}]
+        sch = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+            ),
+            schemas[0],
+        )
+        id_of = {f["name"]: int(f["id"]) for f in sch.get("fields", [])}
+        missing = [c for c in on if c not in id_of]
+        if missing:
+            raise ValueError(f"key columns not in table schema: {missing}")
+
+        src = source.cache()
+        n_src, n_keys = src.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(*[F.col(c) for c in on]),
+        ).first()
+        if n_src != n_keys:
+            src.unpersist()
+            raise ValueError(
+                f"merge_iceberg source has duplicate keys on {on} "
+                f"({n_src} rows, {n_keys} distinct keys)"
+            )
+
+        seg = uuid.uuid4().hex[:12]
+        # (a) the equality-delete file: the source's key tuples
+        del_stage = os.path.join(path, f"_staging-eqd-{seg}")
+        src.select(*on).write.mode("overwrite").parquet(del_stage)
+        # (b) the new data files
+        data_stage = os.path.join(path, f"_staging-mrg-{seg}")
+        src.write.mode("overwrite").parquet(data_stage)
+        src.unpersist()
+
+        def _promote(stage: str, prefix: str) -> list[tuple[str, int, int]]:
+            out = []
+            i = 0
+            for name in sorted(os.listdir(stage)):
+                if not name.endswith(".parquet") or name.startswith("_"):
+                    continue
+                n = int(
+                    pq.read_metadata(os.path.join(stage, name)).num_rows
+                )
+                if n == 0:
+                    continue
+                rel = f"data/{prefix}-{seg}-{i:05d}.parquet"
+                i += 1
+                os.rename(
+                    os.path.join(stage, name), os.path.join(path, rel)
+                )
+                out.append(
+                    (rel, n, os.path.getsize(os.path.join(path, rel)))
+                )
+            shutil.rmtree(stage, ignore_errors=True)
+            return out
+
+        eq_files = _promote(del_stage, "eqdel")
+        data_files = _promote(data_stage, "f")
+        if not data_files and not eq_files:
+            return int(sid_cur)
+
+        snaps = list(meta.get("snapshots") or [])
+        prev_mlist: list[dict] = []
+        if snaps and sid_cur is not None:
+            cur = next(
+                s
+                for s in snaps
+                if int(s["snapshot-id"]) == int(sid_cur)
+            )
+            with open(_local(cur["manifest-list"], path), "rb") as f:
+                _, prev_mlist = avroc.read_container(f.read())
+        sid = max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
+        snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
+
+        def _entries(files, content, eq_ids):
+            return [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": None,  # inherited
+                    "data_file": {
+                        "content": content,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
+                        "equality_ids": eq_ids,
+                    },
+                }
+                for rel, n, sz in files
+            ]
+
+        mlist = list(prev_mlist)
+        for files, content, eq_ids, tag in (
+            (eq_files, 2, [id_of[c] for c in on], "deletes"),
+            (data_files, 0, None, "data"),
+        ):
+            if not files:
+                continue
+            mf_rel = f"metadata/manifest-{sid}-{tag}.avro"
+            _atomic_write(
+                os.path.join(path, mf_rel),
+                avroc.write_container(
+                    _MANIFEST_SCHEMA, _entries(files, content, eq_ids)
+                ),
+            )
+            mlist.append(
+                {
+                    "manifest_path": mf_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, mf_rel)
+                    ),
+                    "content": 1 if content == 2 else 0,
+                    "added_snapshot_id": sid,
+                    "sequence_number": snap_seq,
+                }
+            )
+        mlist_rel = f"metadata/snap-{sid}.avro"
+        _atomic_write(
+            os.path.join(path, mlist_rel),
+            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+        )
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": snap_seq,
+            "manifest-list": mlist_rel,
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": str(len(data_files)),
+                "added-records": str(sum(n for _, n, _ in data_files)),
+                "added-delete-files": str(len(eq_files)),
+                "added-equality-deletes": str(
+                    sum(n for _, n, _ in eq_files)
+                ),
+                "kmdb-merge-on": ",".join(on),
+            },
+        }
+        if sid_cur is not None:
+            snap["parent-snapshot-id"] = int(sid_cur)
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"),
+            encoding="utf-8",
+        ) as f:
+            version = int(f.read().strip())
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = snap_seq
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = snaps + [snap]
+        version += 1
+        _atomic_write(
+            os.path.join(path, "metadata", f"v{version}.metadata.json"),
+            json.dumps(new_meta).encode(),
+        )
+        _atomic_write(
+            os.path.join(path, "metadata", "version-hint.text"),
+            str(version).encode(),
+        )
+        return sid
+
+
 def expire_iceberg_snapshots(
     path: str, retain_last: int = 2, dry_run: bool = False
 ) -> dict:

@@ -587,3 +587,93 @@ def test_delete_iceberg_then_append_then_delete(spark, tmp_path):
     ib.delete_iceberg(spark, path, "id = 20")
     got = sorted(r["id"] for r in ib.read_iceberg(spark, path).collect())
     assert got == [2, 10]
+
+
+def test_merge_iceberg_equality_delete_upsert(spark, tmp_path):
+    """r11 DML: MERGE = one snapshot with an equality-delete file on
+    the keys + appended source rows; sequence scoping keeps the new
+    rows while shadowing old ones; data bytes never rewritten."""
+    path = str(tmp_path / "mrgib")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    s0 = ib.write_iceberg(mk([(1, "a"), (2, "b")]), path)
+    ib.write_iceberg(mk([(3, "c")]), path)
+    data_before = {
+        f: os.path.getmtime(f)
+        for f in ib.snapshot_files(path)["files"]
+    }
+    s2 = ib.merge_iceberg(
+        spark, path, mk([(2, "B2"), (4, "D4")]), on=["id"]
+    )
+    got = sorted(
+        (r["id"], r["val"]) for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "D4")]
+    # no data file rewritten
+    for f, mtime in data_before.items():
+        assert os.path.getmtime(f) == mtime
+    # time travel pre-merge
+    assert sorted(
+        r["id"]
+        for r in ib.read_iceberg(spark, path, snapshot_id=s0).collect()
+    ) == [1, 2]
+    meta = ib.table_metadata(path)
+    snap = next(
+        s for s in meta["snapshots"] if int(s["snapshot-id"]) == s2
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    # one delete record per SOURCE key (key 4 shadows nothing —
+    # spec-legal; the scoping keeps the same snapshot's insert alive)
+    assert snap["summary"]["added-equality-deletes"] == "2"
+
+
+def test_merge_iceberg_chained_upserts(spark, tmp_path):
+    """Upserting the same key twice: the second source row wins; a
+    later plain append of the key also survives (strictly-smaller
+    scoping)."""
+    path = str(tmp_path / "mrgib2")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    ib.write_iceberg(mk([(1, "a")]), path)
+    ib.merge_iceberg(spark, path, mk([(1, "v1")]), on=["id"])
+    ib.merge_iceberg(spark, path, mk([(1, "v2")]), on=["id"])
+    got = [
+        (r["id"], r["val"]) for r in ib.read_iceberg(spark, path).collect()
+    ]
+    assert got == [(1, "v2")]
+    ib.write_iceberg(mk([(1, "v3")]), path)  # plain append after merges
+    got = sorted(
+        r["val"] for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == ["v2", "v3"]  # append not shadowed; v2 still live
+
+
+def test_merge_iceberg_guards(spark, tmp_path):
+    path = str(tmp_path / "mrgib3")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    ib.write_iceberg(mk([(1, "a")]), path)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        ib.merge_iceberg(
+            spark, path, mk([(1, "x"), (1, "y")]), on=["id"]
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        ib.merge_iceberg(spark, path, mk([(1, "x")]), on=["nope"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ib.merge_iceberg(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], "id long"),
+            on=["id"],
+        )
+
+
+def test_merge_then_positional_delete_compose(spark, tmp_path):
+    """Both MOR delete styles on one table: an equality-delete merge
+    followed by a positional delete reads correctly."""
+    path = str(tmp_path / "mrgib4")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    ib.write_iceberg(mk([(1, "a"), (2, "b"), (3, "c")]), path)
+    ib.merge_iceberg(spark, path, mk([(2, "B2")]), on=["id"])
+    ib.delete_iceberg(spark, path, "id = 1")
+    got = sorted(
+        (r["id"], r["val"]) for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [(2, "B2"), (3, "c")]
