@@ -214,6 +214,16 @@ HEADLINE = [
     "semantic_decontamination_ivf_recall",
     "bitext_margin_mining_ivf",
     "bitext_ivf_recall",
+    # round-11 continuation: lakehouse DML + Hudi + quality gate
+    "delta_delete_dml",
+    "delta_merge_dml",
+    "delta_data_skipping",
+    "iceberg_delete_dml",
+    "iceberg_merge_dml",
+    "hudi_snapshot_read",
+    "hudi_time_travel",
+    "hudi_incremental_pull",
+    "data_quality_audit",
 ]
 
 
