@@ -626,6 +626,12 @@ def write_delta(
     authoritative source — so ``read_delta`` and other engines
     rebuild partition columns exactly.
 
+    Schema (r11): validated against the table — a type conflict on a
+    shared column raises; NEW columns evolve the schema (mergeSchema
+    semantics: appended as nullable fields via a new ``metaData``
+    action, old files reading null for them); a write MISSING table
+    columns is fine (its files read null for the absent columns).
+
     Exactly-once streaming: ``txn_app_id`` + ``epoch_id`` emit the
     protocol's SetTransaction (``txn``) action. A replayed epoch
     (≤ the table's recorded version for that appId) is recognized
@@ -662,6 +668,7 @@ def write_delta(
             if last is not None and int(epoch_id) <= last:
                 # crash-replay of a committed epoch: idempotent no-op
                 return state["version"]
+        evolved_schema: T.StructType | None = None
         if state is not None:
             existing_parts = list(
                 state["metadata"].get("partitionColumns") or []
@@ -677,6 +684,35 @@ def write_delta(
                 raise ValueError(
                     "write_delta appends plain logical-name parquet — "
                     "column-mapped tables are read-only here"
+                )
+            # SCHEMA EVOLUTION (r11): silently committing files whose
+            # columns disagree with schemaString would make read_delta
+            # return nulls for the divergent columns — validate, and
+            # evolve the table schema when the write strictly ADDS
+            # columns (mergeSchema semantics: new fields append to the
+            # schema via a new metaData action; absent old columns
+            # read as null from the new files, which parquet scanning
+            # gives for free). Type conflicts raise.
+            existing = table_schema(state["metadata"])
+            have_types = {f.name: f.dataType for f in existing.fields}
+            for f in df.schema.fields:
+                old = have_types.get(f.name)
+                if old is not None and old != f.dataType:
+                    raise ValueError(
+                        f"column {f.name!r} type mismatch: table has "
+                        f"{old.simpleString()}, write has "
+                        f"{f.dataType.simpleString()}"
+                    )
+            new_fields = [
+                f for f in df.schema.fields if f.name not in have_types
+            ]
+            if new_fields:
+                evolved_schema = T.StructType(
+                    list(existing.fields)
+                    + [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in new_fields
+                    ]
                 )
 
         adds = _stage_distributed_write(df, path, part_cols)
@@ -710,6 +746,12 @@ def write_delta(
                     }
                 }
             )
+        elif evolved_schema is not None:
+            new_md = dict(state["metadata"])
+            new_md["schemaString"] = json.dumps(
+                evolved_schema.jsonValue()
+            )
+            actions.append({"metaData": new_md})
         if epoch_id is not None:
             actions.append(
                 {"txn": {"appId": str(txn_app_id), "version": int(epoch_id)}}

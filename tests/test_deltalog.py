@@ -838,3 +838,45 @@ def test_data_skipping_never_lies_on_dml_tables(spark, tmp_path):
     # the rewritten survivor file carries stats too
     state = dl.snapshot_state(path)
     assert all("stats" in a for a in state["files"])
+
+
+def test_write_delta_schema_evolution_and_type_guard(spark, tmp_path):
+    """r11: appending a frame with NEW columns evolves the table
+    schema (metaData action, old files read null); a type conflict
+    raises instead of silently writing divergent files; a write
+    missing table columns reads back null for them."""
+    path = str(tmp_path / "evo")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path
+    )
+    # new column -> schema evolves
+    dl.write_delta(
+        spark.createDataFrame(
+            [(2, "b", "de")], "id long, val string, lang string"
+        ),
+        path,
+    )
+    df = dl.read_delta(spark, path)
+    assert df.columns == ["id", "val", "lang"]
+    got = sorted(
+        (r["id"], r["val"], r["lang"]) for r in df.collect()
+    )
+    assert got == [(1, "a", None), (2, "b", "de")]
+    # evolved schema survives a checkpoint
+    dl.checkpoint_delta(path)
+    assert dl.read_delta(spark, path).columns == ["id", "val", "lang"]
+    # type conflict refused
+    with pytest.raises(ValueError, match="type mismatch"):
+        dl.write_delta(
+            spark.createDataFrame([("x", "y")], "id string, val string"),
+            path,
+        )
+    # write missing a column: its rows read null for it
+    dl.write_delta(
+        spark.createDataFrame([(3, "fr")], "id long, lang string"), path
+    )
+    got = sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", "de"), (3, None, "fr")]
