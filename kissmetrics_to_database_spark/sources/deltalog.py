@@ -852,6 +852,7 @@ def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (bin-pack compaction) for tables this engine wrote —
     the WRITE side of the r11 tailer fix: rewrites the current
@@ -894,22 +895,107 @@ def optimize_delta(
                 "vectors — vacuum/rewrite DV files first"
             )
         part_cols = list(state["metadata"].get("partitionColumns") or [])
-        if len(state["files"]) <= (1 if not part_cols else len(part_cols)):
+        if not zorder_by and len(state["files"]) <= (
+            1 if not part_cols else len(part_cols)
+        ):
             return state["version"]
         df = read_delta(spark, path)
-        if part_cols:
+        live_bytes = sum(int(a.get("size") or 0) for a in state["files"])
+        n_out = max(1, math.ceil(live_bytes / max(1, target_file_bytes)))
+        if zorder_by:
+            # OPTIMIZE ZORDER BY (r11): cluster the rewrite on the
+            # Morton curve of the given NUMERIC columns so each output
+            # file owns a contiguous curve segment and its add.stats
+            # min/max is tight on EVERY z column — multiplying the
+            # data-skipping win for multi-column predicates. Columns
+            # scale into 2^bits buckets from one min/max aggregate
+            # (min-max scaling: documented choice; Delta's own impl
+            # range-partitions — both preserve locality). Partitioned
+            # tables range-order on (partition, z) so partition dirs
+            # stay contiguous too.
+            schema = table_schema(state["metadata"])
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType,
+            )
+            for c in zorder_by:
+                fld = next(
+                    (f for f in schema.fields if f.name == c), None
+                )
+                if fld is None:
+                    raise ValueError(f"zorder column {c!r} not in table")
+                if c in part_cols:
+                    raise ValueError(
+                        f"zorder column {c!r} is a partition column"
+                    )
+                if not isinstance(fld.dataType, numeric):
+                    raise ValueError(
+                        f"zorder column {c!r} is "
+                        f"{fld.dataType.simpleString()} — numeric "
+                        "columns only (declared scope)"
+                    )
+            from kissmetrics_to_database_spark.operators.layout import (
+                morton_interleave,
+            )
+
+            bits = min(16, 62 // max(2, len(zorder_by)))
+            bounds = df.agg(
+                *[
+                    F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+                    for c in zorder_by
+                ],
+                *[
+                    F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                    for c in zorder_by
+                ],
+            ).first()
+            buckets = []
+            for c in zorder_by:
+                mn = bounds[f"_mn_{c}"]
+                mx = bounds[f"_mx_{c}"]
+                if mn is None or mx is None or mx <= mn:
+                    buckets.append(F.lit(0))
+                    continue
+                scaled = (
+                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit(float(mx - mn))
+                    * F.lit(float((1 << bits) - 1))
+                )
+                buckets.append(
+                    F.least(
+                        F.greatest(
+                            F.coalesce(scaled, F.lit(0.0)), F.lit(0.0)
+                        ),
+                        F.lit(float((1 << bits) - 1)),
+                    ).cast("long")
+                )
+            if len(buckets) == 1:
+                zcol = buckets[0]
+            else:
+                zcol = morton_interleave(buckets, bits)
+            df = df.withColumn("_kmdb_z", zcol)
+            range_cols = [F.col(c) for c in part_cols] + [
+                F.col("_kmdb_z")
+            ]
+            df = (
+                df.repartitionByRange(n_out, *range_cols)
+                .sortWithinPartitions(*range_cols)
+                .drop("_kmdb_z")
+            )
+        elif part_cols:
             df = df.repartition(*part_cols)
         else:
-            live_bytes = sum(int(a.get("size") or 0) for a in state["files"])
-            df = df.coalesce(
-                max(1, math.ceil(live_bytes / max(1, target_file_bytes)))
-            )
+            df = df.coalesce(n_out)
         adds = _stage_distributed_write(df, path, part_cols, data_change=False)
         actions: list[dict] = [
             {
                 "commitInfo": {
                     "operation": "OPTIMIZE",
-                    "operationParameters": {},
+                    "operationParameters": (
+                        {"zOrderBy": list(zorder_by)}
+                        if zorder_by
+                        else {}
+                    ),
                     "engineInfo": "kissmetrics_to_database_spark",
                 }
             }

@@ -880,3 +880,65 @@ def test_write_delta_schema_evolution_and_type_guard(spark, tmp_path):
         for r in dl.read_delta(spark, path).collect()
     )
     assert got == [(1, "a", None), (2, "b", "de"), (3, None, "fr")]
+
+
+def test_optimize_delta_zorder_tightens_skipping(spark, tmp_path):
+    """r11: OPTIMIZE ZORDER BY clusters the rewrite on the Morton
+    curve, so a two-column range predicate prunes to a strict subset
+    of files — where the pre-optimize row-correlated layout could
+    not — with rows identical and the commit still dataChange=false."""
+    path = str(tmp_path / "zopt")
+    rows = [
+        (x, y, f"r{x}-{y}") for x in range(0, 64) for y in range(0, 64)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, val string")
+    # row-major layout: every file spans the full y range
+    dl.write_delta(df.repartitionByRange(8, "x", "y"), path)
+    pred = "x >= 8 AND x < 16 AND y >= 8 AND y < 16"
+    before = dl.read_delta(spark, path, predicate=pred)
+    n_before = len(before.inputFiles())
+    rows_before = sorted((r["x"], r["y"]) for r in before.collect())
+    v = dl.optimize_delta(
+        spark, path, target_file_bytes=12 * 1024, zorder_by=["x", "y"]
+    )
+    after = dl.read_delta(spark, path, predicate=pred)
+    rows_after = sorted((r["x"], r["y"]) for r in after.collect())
+    assert rows_after == rows_before
+    state = dl.snapshot_state(path)
+    n_files = len(state["files"])
+    n_after = len(after.inputFiles())
+    assert n_files > 2  # the rewrite actually produced multiple files
+    assert n_after < n_files  # skipping prunes the z-clustered layout
+    # full read still whole; commit is a pure rewrite
+    assert dl.read_delta(spark, path).count() == 64 * 64
+    lines = [
+        json.loads(x)
+        for x in open(
+            os.path.join(path, "_delta_log", f"{v:020d}.json")
+        )
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    ci = next(a["commitInfo"] for a in lines if "commitInfo" in a)
+    assert ci["operationParameters"] == {"zOrderBy": ["x", "y"]}
+    assert all(
+        a["remove"]["dataChange"] is False for a in lines if "remove" in a
+    )
+
+
+def test_optimize_delta_zorder_guards(spark, tmp_path):
+    path = str(tmp_path / "zg")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, "a", "de")], "id long, val string, lang string"
+        ),
+        path,
+        partition_columns=["lang"],
+    )
+    with pytest.raises(ValueError, match="not in table"):
+        dl.optimize_delta(spark, path, zorder_by=["nope"])
+    with pytest.raises(ValueError, match="partition column"):
+        dl.optimize_delta(spark, path, zorder_by=["lang"])
+    with pytest.raises(ValueError, match="numeric"):
+        dl.optimize_delta(spark, path, zorder_by=["val"])
