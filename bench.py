@@ -217,6 +217,7 @@ HEADLINE = [
     # round-11 continuation: lakehouse DML + Hudi + quality gate
     "delta_delete_dml",
     "delta_merge_dml",
+    "delta_update_dml",
     "delta_data_skipping",
     "iceberg_delete_dml",
     "iceberg_merge_dml",

@@ -11251,11 +11251,18 @@ def _delta_dml_fixture(spark, sf_dir: str) -> dict:
             "source", F.lit("merged")
         )
         v_mrg = dl.merge_delta(spark, path, src, on=["doc_id"])
+        v_upd = dl.update_delta(
+            spark,
+            path,
+            {"source": "upper(lang)"},
+            "doc_id % 11 = 0",
+        )
         _DELTA_DML_FIX[key] = {
             "path": path,
             "v_pre": v_pre,
             "v_del": v_del,
             "v_mrg": v_mrg,
+            "v_upd": v_upd,
         }
     return _DELTA_DML_FIX[key]
 
@@ -11899,4 +11906,52 @@ def q_iceberg_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
         .orderBy("is_merged")
+    )
+
+
+@query(
+    "delta_update_dml",
+    """
+    WITH merged AS (
+      SELECT doc_id, source, lang FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, 'merged' AS source, lang FROM documents
+      WHERE doc_id % 5 = 0
+    ), updated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN upper(lang)
+                  ELSE source END AS source,
+             lang
+      FROM merged
+    )
+    SELECT (doc_id % 11 = 0) AS is_updated,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM updated GROUP BY is_updated ORDER BY is_updated
+    """,
+)
+def q_delta_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE as a production Delta writer (r11),
+    completing the copy-on-write DML trio: after the DELETE and
+    MERGE, ``update_delta`` sets source = upper(lang) on the
+    doc_id % 11 = 0 rows — assignments evaluated against the OLD row
+    in one simultaneous projection (the swap test in
+    tests/test_deltalog.py proves the semantics), only matching
+    files rewritten, update_preimage/postimage CDF emitted for
+    tailers. The oracle replays delete → merge → update against the
+    source table. See sources/deltalog.update_delta."""
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    fix = _delta_dml_fixture(spark, sf_dir)
+    return (
+        dl.read_delta(spark, fix["path"], version=fix["v_upd"])
+        .groupBy((F.col("doc_id") % 11 == 0).alias("is_updated"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("is_updated")
     )

@@ -1385,6 +1385,104 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         return version
 
 
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+) -> int:
+    """Row-level UPDATE — the third copy-on-write DML verb (r11):
+    rows matching ``predicate`` get each ``set_exprs`` column
+    replaced by its SQL expression (evaluated against the OLD row,
+    standard UPDATE semantics — all assignments see pre-update
+    values); only files containing a match are rewritten
+    (remove/add, dataChange=true); the commit carries the full CDF
+    update_preimage/update_postimage record so tailers stream the
+    update row-level. NULL-predicate rows are untouched (SQL
+    semantics). Updating a partition column is legal — rewritten
+    rows land in their new partition directories. Returns the
+    committed version (unchanged when nothing matches)."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if not set_exprs:
+        raise ValueError("update_delta needs at least one assignment")
+    log_dir = os.path.join(path, "_delta_log")
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        state = snapshot_state(path)
+        _require_plain_table(state, "update_delta")
+        part_cols = list(state["metadata"].get("partitionColumns") or [])
+        logical_cols = [
+            f.name for f in table_schema(state["metadata"]).fields
+        ]
+        bad = [c for c in set_exprs if c not in logical_cols]
+        if bad:
+            raise ValueError(f"SET columns not in table: {bad}")
+        snap, add_of = _snapshot_with_path(spark, path, state)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        affected = [
+            r["_kmdb_path"]
+            for r in snap.filter(hit)
+            .select("_kmdb_path")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return state["version"]
+        aff_df = spark.createDataFrame(
+            [(p,) for p in sorted(affected)], "_kmdb_path string"
+        )
+        in_affected = snap.join(
+            F.broadcast(aff_df), on="_kmdb_path", how="left_semi"
+        )
+        # all assignments evaluate against the OLD row (UPDATE
+        # semantics), so build them as one simultaneous projection
+        updated_cols = [
+            F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+            for c in logical_cols
+        ]
+        matched = in_affected.filter(hit).cache()
+        new_rows = matched.select(*updated_cols)
+        untouched = in_affected.filter(~hit).select(*logical_cols)
+        changes = matched.select(
+            *logical_cols,
+            F.lit("update_preimage").alias("_change_type"),
+        ).unionByName(
+            new_rows.select(
+                *logical_cols,
+                F.lit("update_postimage").alias("_change_type"),
+            )
+        )
+        version = state["version"] + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "kissmetrics_to_database_spark",
+                }
+            }
+        ]
+        actions.extend(_stage_cdf_write(changes, path, version))
+        for abs_path in sorted(affected):
+            actions.append(
+                {
+                    "remove": {
+                        "path": add_of[abs_path]["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        adds = _stage_distributed_write(
+            untouched.unionByName(new_rows), path, part_cols,
+            data_change=True,
+        )
+        actions.extend({"add": a} for a in adds)
+        _commit_json(log_dir, version, actions)
+        matched.unpersist()
+        return version
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,

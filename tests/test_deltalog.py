@@ -942,3 +942,84 @@ def test_optimize_delta_zorder_guards(spark, tmp_path):
         dl.optimize_delta(spark, path, zorder_by=["lang"])
     with pytest.raises(ValueError, match="numeric"):
         dl.optimize_delta(spark, path, zorder_by=["val"])
+
+
+def test_update_delta_simultaneous_assignments_and_cdf(spark, tmp_path):
+    """r11 DML: UPDATE evaluates all assignments against the OLD row
+    (swap test), rewrites only affected files, emits pre/post CDF,
+    and the tailer streams it."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "upd")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)],
+        "id long, a long, b long",
+    )
+    dl.write_delta(df.repartitionByRange(3, "id"), path)
+    v = dl.update_delta(
+        spark, path, {"a": "b", "b": "a"}, "id = 2"
+    )  # swap: needs simultaneous semantics
+    got = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, 10, 100), (2, 200, 20), (3, 30, 300)]
+    # time travel pre-update
+    assert sorted(
+        (r["a"]) for r in dl.read_delta(spark, path, version=0).collect()
+    ) == [10, 20, 30]
+    # only the file holding id=2 was rewritten
+    lines = [
+        json.loads(x)
+        for x in open(
+            os.path.join(path, "_delta_log", f"{v:020d}.json")
+        )
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    assert len([a for a in lines if "remove" in a]) == 1
+    import pyarrow.parquet as pq
+
+    changes = []
+    for a in lines:
+        if "cdc" in a:
+            changes += pq.read_table(
+                os.path.join(path, a["cdc"]["path"])
+            ).to_pylist()
+    assert sorted(
+        (c["id"], c["a"], c["b"], c["_change_type"]) for c in changes
+    ) == [
+        (2, 20, 200, "update_preimage"),
+        (2, 200, 20, "update_postimage"),
+    ]
+    # tailer streams the update commit
+    cursor = str(tmp_path / "cur.json")
+    seen = []
+    CommitTailer("delta", path, cursor).poll(
+        spark, lambda b, ver: seen.append((ver, b.columns))
+    )
+    assert seen[-1][0] == v and "_change_type" in seen[-1][1]
+
+
+def test_update_delta_partition_column_moves_rows(spark, tmp_path):
+    path = str(tmp_path / "updp")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "de"), (3, "en")], "id long, lang string"
+    )
+    dl.write_delta(df, path, partition_columns=["lang"])
+    dl.update_delta(spark, path, {"lang": "'fr'"}, "id = 1")
+    got = sorted(
+        (r["id"], r["lang"]) for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "fr"), (2, "de"), (3, "en")]
+    # the moved row's file lives in the fr partition dir
+    fr = dl.read_delta(spark, path, predicate="lang = 'fr'")
+    assert all("lang=fr" in f for f in fr.inputFiles())
+    # guards
+    with pytest.raises(ValueError, match="SET columns"):
+        dl.update_delta(spark, path, {"nope": "1"}, "id = 1")
+    with pytest.raises(ValueError, match="assignment"):
+        dl.update_delta(spark, path, {}, "id = 1")
+    # no match: no commit
+    assert dl.update_delta(spark, path, {"id": "id + 1"}, "id > 99") == 1
