@@ -221,6 +221,7 @@ HEADLINE = [
     "delta_data_skipping",
     "iceberg_delete_dml",
     "iceberg_merge_dml",
+    "iceberg_update_dml",
     "hudi_snapshot_read",
     "hudi_time_travel",
     "hudi_incremental_pull",

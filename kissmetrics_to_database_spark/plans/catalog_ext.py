@@ -11673,11 +11673,18 @@ def _iceberg_dml_fixture(spark, sf_dir: str) -> dict:
             "source", F.lit("merged")
         )
         s_mrg = ib.merge_iceberg(spark, path, src, on=["doc_id"])
+        s_upd = ib.update_iceberg(
+            spark,
+            path,
+            {"source": "upper(lang)"},
+            "doc_id % 11 = 0",
+        )
         _ICEBERG_DML_FIX[key] = {
             "path": path,
             "s_pre": s_pre,
             "s_del": s_del,
             "s_mrg": s_mrg,
+            "s_upd": s_upd,
         }
     return _ICEBERG_DML_FIX[key]
 
@@ -11732,7 +11739,8 @@ def q_iceberg_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # recover the deleted rows from the positional-delete file:
     # (file_path, pos) → semi-join against the tagged pre-delete scan
-    cur = ib.snapshot_files(path)
+    # (pinned to the DELETE snapshot — later DML adds its own files)
+    cur = ib.snapshot_files(path, snapshot_id=fix["s_del"])
     pre_state = ib.snapshot_files(path, snapshot_id=fix["s_pre"])
     tagged, _cols = ib._tagged_snapshot(spark, path, pre_state)
     ref_rows = sorted(
@@ -11947,6 +11955,55 @@ def q_delta_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = _delta_dml_fixture(spark, sf_dir)
     return (
         dl.read_delta(spark, fix["path"], version=fix["v_upd"])
+        .groupBy((F.col("doc_id") % 11 == 0).alias("is_updated"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("is_updated")
+    )
+
+
+@query(
+    "iceberg_update_dml",
+    """
+    WITH merged AS (
+      SELECT doc_id, source, lang FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, 'merged' AS source, lang FROM documents
+      WHERE doc_id % 5 = 0
+    ), updated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN upper(lang)
+                  ELSE source END AS source,
+             lang
+      FROM merged
+    )
+    SELECT (doc_id % 11 = 0) AS is_updated,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM updated GROUP BY is_updated ORDER BY is_updated
+    """,
+)
+def q_iceberg_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE-ON-READ UPDATE (r11), completing DML symmetry
+    with Delta (each format now has DELETE/UPDATE/MERGE, in its
+    native strategy): one snapshot holds positional deletes of the
+    matched rows AND their updated versions as new files — existing
+    data bytes untouched, assignments evaluated against the old row.
+    The reader composes positional deletes from the DELETE and the
+    UPDATE plus equality deletes from the MERGE over one table; the
+    oracle replays delete → merge → update against the source table
+    (same SQL end-state as delta_update_dml, structurally different
+    protocol). See sources/iceberg.update_iceberg."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    fix = _iceberg_dml_fixture(spark, sf_dir)
+    return (
+        ib.read_iceberg(spark, fix["path"], snapshot_id=fix["s_upd"])
         .groupBy((F.col("doc_id") % 11 == 0).alias("is_updated"))
         .agg(
             F.count("*").cast("long").alias("n_rows"),

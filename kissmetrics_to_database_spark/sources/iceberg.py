@@ -643,6 +643,129 @@ def write_iceberg(
         return sid
 
 
+def _commit_v2_snapshot(
+    path: str,
+    meta: dict,
+    file_groups: list[tuple[list[tuple[str, int, int]], int, list | None, str]],
+    operation: str,
+    extra_summary: dict[str, str],
+) -> int:
+    """Shared snapshot-commit tail for the v2 writers: one new Avro
+    manifest per non-empty ``file_groups`` entry ``(files, content,
+    equality_ids, tag)`` with entry sequence numbers NULL (inherited,
+    the production shape), prior manifests reused by reference, then
+    manifest list → snapshot → vN.metadata.json → version-hint, each
+    published by atomic rename. Caller holds the writer lock.
+    Returns the new snapshot id."""
+    snaps = list(meta.get("snapshots") or [])
+    sid_cur = meta.get("current-snapshot-id")
+    prev_mlist: list[dict] = []
+    if snaps and sid_cur is not None:
+        cur = next(
+            s for s in snaps if int(s["snapshot-id"]) == int(sid_cur)
+        )
+        with open(_local(cur["manifest-list"], path), "rb") as f:
+            _, prev_mlist = avroc.read_container(f.read())
+    sid = max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
+    snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
+    summary = {"operation": operation}
+    summary.update(extra_summary)
+    mlist = list(prev_mlist)
+    for files, content, eq_ids, tag in file_groups:
+        if not files:
+            continue
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited (production shape)
+                "data_file": {
+                    "content": content,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "equality_ids": eq_ids,
+                },
+            }
+            for rel, n, sz in files
+        ]
+        mf_rel = f"metadata/manifest-{sid}-{tag}.avro"
+        _atomic_write(
+            os.path.join(path, mf_rel),
+            avroc.write_container(_MANIFEST_SCHEMA, entries),
+        )
+        mlist.append(
+            {
+                "manifest_path": mf_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(path, mf_rel)
+                ),
+                "content": 0 if content == 0 else 1,
+                "added_snapshot_id": sid,
+                "sequence_number": snap_seq,
+            }
+        )
+    mlist_rel = f"metadata/snap-{sid}.avro"
+    _atomic_write(
+        os.path.join(path, mlist_rel),
+        avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+    )
+    snap = {
+        "snapshot-id": sid,
+        "sequence-number": snap_seq,
+        "manifest-list": mlist_rel,
+        "summary": summary,
+    }
+    if sid_cur is not None:
+        snap["parent-snapshot-id"] = int(sid_cur)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"),
+        encoding="utf-8",
+    ) as f:
+        version = int(f.read().strip())
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = snap_seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = snaps + [snap]
+    version += 1
+    _atomic_write(
+        os.path.join(path, "metadata", f"v{version}.metadata.json"),
+        json.dumps(new_meta).encode(),
+    )
+    _atomic_write(
+        os.path.join(path, "metadata", "version-hint.text"),
+        str(version).encode(),
+    )
+    return sid
+
+
+def _promote_staging(
+    path: str, stage: str, prefix: str, seg: str
+) -> list[tuple[str, int, int]]:
+    """Move a staged distributed write's parquet parts under data/,
+    dropping empty files; returns [(rel, rows, bytes)] with row
+    counts from the footers (driver-side, one per FILE)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, int, int]] = []
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        n = int(pq.read_metadata(os.path.join(stage, name)).num_rows)
+        if n == 0:
+            continue
+        rel = f"data/{prefix}-{seg}-{i:05d}.parquet"
+        i += 1
+        os.rename(os.path.join(stage, name), os.path.join(path, rel))
+        out.append((rel, n, os.path.getsize(os.path.join(path, rel))))
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def delete_iceberg(
     spark: SparkSession, path: str, predicate: str
 ) -> int:
@@ -671,7 +794,6 @@ def delete_iceberg(
     writers deliberately exercise BOTH industry deletion strategies
     — MOR's O(matched rows) commit cost vs CoW's O(affected files)
     rewrite — and the read paths for each were already in place."""
-    import shutil
     import uuid
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock
@@ -708,110 +830,117 @@ def delete_iceberg(
         seg = uuid.uuid4().hex[:12]
         stage = os.path.join(path, f"_staging-del-{seg}")
         dels.write.mode("overwrite").parquet(stage)
-        import pyarrow.parquet as pq
-
-        del_files: list[tuple[str, int, int]] = []
-        i = 0
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet") or name.startswith("_"):
-                continue
-            n_rows = int(
-                pq.read_metadata(os.path.join(stage, name)).num_rows
-            )
-            if n_rows == 0:
-                continue
-            rel = f"data/del-{seg}-{i:05d}.parquet"
-            i += 1
-            os.rename(
-                os.path.join(stage, name), os.path.join(path, rel)
-            )
-            del_files.append(
-                (rel, n_rows, os.path.getsize(os.path.join(path, rel)))
-            )
-        shutil.rmtree(stage, ignore_errors=True)
+        del_files = _promote_staging(path, stage, "del", seg)
         if not del_files:
             return int(meta["current-snapshot-id"])
-
-        snaps = list(meta.get("snapshots") or [])
-        cur = next(
-            s
-            for s in snaps
-            if int(s["snapshot-id"]) == int(meta["current-snapshot-id"])
-        )
-        with open(_local(cur["manifest-list"], path), "rb") as f:
-            _, prev_mlist = avroc.read_container(f.read())
-        sid = max(int(s["snapshot-id"]) for s in snaps) + 1
-        snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
-        entries = [
+        return _commit_v2_snapshot(
+            path,
+            meta,
+            [(del_files, 1, None, "posdel")],
+            "delete",
             {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited (production shape)
-                "data_file": {
-                    "content": 1,  # position deletes
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n,
-                    "file_size_in_bytes": sz,
-                    "equality_ids": None,
-                },
-            }
-            for rel, n, sz in del_files
-        ]
-        mf_rel = f"metadata/manifest-{sid}.avro"
-        _atomic_write(
-            os.path.join(path, mf_rel),
-            avroc.write_container(_MANIFEST_SCHEMA, entries),
-        )
-        mlist = list(prev_mlist) + [
-            {
-                "manifest_path": mf_rel,
-                "manifest_length": os.path.getsize(
-                    os.path.join(path, mf_rel)
-                ),
-                "content": 1,
-                "added_snapshot_id": sid,
-                "sequence_number": snap_seq,
-            }
-        ]
-        mlist_rel = f"metadata/snap-{sid}.avro"
-        _atomic_write(
-            os.path.join(path, mlist_rel),
-            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
-        )
-        snap = {
-            "snapshot-id": sid,
-            "sequence-number": snap_seq,
-            "parent-snapshot-id": int(cur["snapshot-id"]),
-            "manifest-list": mlist_rel,
-            "summary": {
-                "operation": "delete",
                 "added-delete-files": str(len(del_files)),
                 "added-position-deletes": str(
                     sum(n for _, n, _ in del_files)
                 ),
                 "kmdb-delete-predicate": predicate,
             },
-        }
-        with open(
-            os.path.join(path, "metadata", "version-hint.text"),
-            encoding="utf-8",
-        ) as f:
-            version = int(f.read().strip())
-        new_meta = dict(meta)
-        new_meta["last-sequence-number"] = snap_seq
-        new_meta["current-snapshot-id"] = sid
-        new_meta["snapshots"] = snaps + [snap]
-        version += 1
-        _atomic_write(
-            os.path.join(path, "metadata", f"v{version}.metadata.json"),
-            json.dumps(new_meta).encode(),
         )
-        _atomic_write(
-            os.path.join(path, "metadata", "version-hint.text"),
-            str(version).encode(),
+
+
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+) -> int:
+    """Row-level UPDATE — merge-on-read (r11): ONE snapshot carrying
+    a positional-delete file for the matched rows AND their updated
+    versions as new data files. Positional deletes are
+    sequence-unscoped by position identity (the new files' rows have
+    different (file, pos)), so the pair is race-free within the
+    snapshot. Assignments evaluate against the OLD row in one
+    simultaneous projection (UPDATE semantics; column swaps are
+    safe); NULL-predicate rows untouched. Data bytes of existing
+    files are never rewritten — the matched-row scan is the only
+    data read, and the new files carry only the updated rows.
+    Returns the committed snapshot id (unchanged when nothing
+    matches)."""
+    import uuid
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if not set_exprs:
+        raise ValueError("update_iceberg needs at least one assignment")
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        meta = table_metadata(path)
+        if int(meta.get("format-version", 2)) != 2:
+            raise ValueError(
+                "positional deletes are an Iceberg v2 feature"
+            )
+        schema = _spark_schema(meta)
+        cols = [f.name for f in schema.fields]
+        bad = [c for c in set_exprs if c not in cols]
+        if bad:
+            raise ValueError(f"SET columns not in table: {bad}")
+        state = snapshot_files(path)
+        if not state["files"]:
+            return int(meta["current-snapshot-id"])
+        tagged, _cols = _tagged_snapshot(spark, path, state)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        matched = tagged.where(hit).cache()
+        ref_rows = sorted(
+            (os.path.abspath(local), ref)
+            for ref, local in state["path_map"].items()
         )
-        return sid
+        ref_map = spark.createDataFrame(
+            ref_rows, "_uri string, file_path string"
+        )
+        dels = (
+            matched.select("_uri", "_pos")
+            .join(F.broadcast(ref_map), "_uri")
+            .select(
+                F.col("file_path"),
+                F.col("_pos").cast("long").alias("pos"),
+            )
+            .sort("file_path", "pos")
+        )
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        seg = uuid.uuid4().hex[:12]
+        del_stage = os.path.join(path, f"_staging-udel-{seg}")
+        dels.write.mode("overwrite").parquet(del_stage)
+        data_stage = os.path.join(path, f"_staging-upd-{seg}")
+        updated.write.mode("overwrite").parquet(data_stage)
+        matched.unpersist()
+        del_files = _promote_staging(path, del_stage, "del", seg)
+        data_files = _promote_staging(path, data_stage, "f", seg)
+        if not del_files:
+            return int(meta["current-snapshot-id"])
+        return _commit_v2_snapshot(
+            path,
+            meta,
+            [
+                (del_files, 1, None, "posdel"),
+                (data_files, 0, None, "data"),
+            ],
+            "overwrite",
+            {
+                "added-delete-files": str(len(del_files)),
+                "added-position-deletes": str(
+                    sum(n for _, n, _ in del_files)
+                ),
+                "added-data-files": str(len(data_files)),
+                "added-records": str(sum(n for _, n, _ in data_files)),
+                "kmdb-update-predicate": predicate,
+            },
+        )
 
 
 def merge_iceberg(
@@ -840,10 +969,7 @@ def merge_iceberg(
     matched key is replaced by the one source row — including rows a
     prior snapshot's equality delete already shadows (shadowing
     twice is spec-legal and read-correct). Returns the snapshot id."""
-    import shutil
     import uuid
-
-    import pyarrow.parquet as pq
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock
 
@@ -898,100 +1024,19 @@ def merge_iceberg(
         src.write.mode("overwrite").parquet(data_stage)
         src.unpersist()
 
-        def _promote(stage: str, prefix: str) -> list[tuple[str, int, int]]:
-            out = []
-            i = 0
-            for name in sorted(os.listdir(stage)):
-                if not name.endswith(".parquet") or name.startswith("_"):
-                    continue
-                n = int(
-                    pq.read_metadata(os.path.join(stage, name)).num_rows
-                )
-                if n == 0:
-                    continue
-                rel = f"data/{prefix}-{seg}-{i:05d}.parquet"
-                i += 1
-                os.rename(
-                    os.path.join(stage, name), os.path.join(path, rel)
-                )
-                out.append(
-                    (rel, n, os.path.getsize(os.path.join(path, rel)))
-                )
-            shutil.rmtree(stage, ignore_errors=True)
-            return out
-
-        eq_files = _promote(del_stage, "eqdel")
-        data_files = _promote(data_stage, "f")
+        eq_files = _promote_staging(path, del_stage, "eqdel", seg)
+        data_files = _promote_staging(path, data_stage, "f", seg)
         if not data_files and not eq_files:
             return int(sid_cur)
-
-        snaps = list(meta.get("snapshots") or [])
-        prev_mlist: list[dict] = []
-        if snaps and sid_cur is not None:
-            cur = next(
-                s
-                for s in snaps
-                if int(s["snapshot-id"]) == int(sid_cur)
-            )
-            with open(_local(cur["manifest-list"], path), "rb") as f:
-                _, prev_mlist = avroc.read_container(f.read())
-        sid = max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
-        snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
-
-        def _entries(files, content, eq_ids):
-            return [
-                {
-                    "status": 1,
-                    "snapshot_id": sid,
-                    "sequence_number": None,  # inherited
-                    "data_file": {
-                        "content": content,
-                        "file_path": rel,
-                        "file_format": "PARQUET",
-                        "record_count": n,
-                        "file_size_in_bytes": sz,
-                        "equality_ids": eq_ids,
-                    },
-                }
-                for rel, n, sz in files
-            ]
-
-        mlist = list(prev_mlist)
-        for files, content, eq_ids, tag in (
-            (eq_files, 2, [id_of[c] for c in on], "deletes"),
-            (data_files, 0, None, "data"),
-        ):
-            if not files:
-                continue
-            mf_rel = f"metadata/manifest-{sid}-{tag}.avro"
-            _atomic_write(
-                os.path.join(path, mf_rel),
-                avroc.write_container(
-                    _MANIFEST_SCHEMA, _entries(files, content, eq_ids)
-                ),
-            )
-            mlist.append(
-                {
-                    "manifest_path": mf_rel,
-                    "manifest_length": os.path.getsize(
-                        os.path.join(path, mf_rel)
-                    ),
-                    "content": 1 if content == 2 else 0,
-                    "added_snapshot_id": sid,
-                    "sequence_number": snap_seq,
-                }
-            )
-        mlist_rel = f"metadata/snap-{sid}.avro"
-        _atomic_write(
-            os.path.join(path, mlist_rel),
-            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
-        )
-        snap = {
-            "snapshot-id": sid,
-            "sequence-number": snap_seq,
-            "manifest-list": mlist_rel,
-            "summary": {
-                "operation": "overwrite",
+        return _commit_v2_snapshot(
+            path,
+            meta,
+            [
+                (eq_files, 2, [id_of[c] for c in on], "deletes"),
+                (data_files, 0, None, "data"),
+            ],
+            "overwrite",
+            {
                 "added-data-files": str(len(data_files)),
                 "added-records": str(sum(n for _, n, _ in data_files)),
                 "added-delete-files": str(len(eq_files)),
@@ -1000,28 +1045,7 @@ def merge_iceberg(
                 ),
                 "kmdb-merge-on": ",".join(on),
             },
-        }
-        if sid_cur is not None:
-            snap["parent-snapshot-id"] = int(sid_cur)
-        with open(
-            os.path.join(path, "metadata", "version-hint.text"),
-            encoding="utf-8",
-        ) as f:
-            version = int(f.read().strip())
-        new_meta = dict(meta)
-        new_meta["last-sequence-number"] = snap_seq
-        new_meta["current-snapshot-id"] = sid
-        new_meta["snapshots"] = snaps + [snap]
-        version += 1
-        _atomic_write(
-            os.path.join(path, "metadata", f"v{version}.metadata.json"),
-            json.dumps(new_meta).encode(),
         )
-        _atomic_write(
-            os.path.join(path, "metadata", "version-hint.text"),
-            str(version).encode(),
-        )
-        return sid
 
 
 def expire_iceberg_snapshots(

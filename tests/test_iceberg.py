@@ -677,3 +677,42 @@ def test_merge_then_positional_delete_compose(spark, tmp_path):
         (r["id"], r["val"]) for r in ib.read_iceberg(spark, path).collect()
     )
     assert got == [(2, "B2"), (3, "c")]
+
+
+def test_update_iceberg_mor_simultaneous_assignments(spark, tmp_path):
+    """r11 DML: MOR UPDATE = one snapshot with positional deletes of
+    the matched rows + their updated versions; swap-safe assignments;
+    existing data bytes untouched; composes with further DML."""
+    path = str(tmp_path / "updib")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)],
+        "id long, a long, b long",
+    )
+    ib.write_iceberg(df, path)
+    before = {
+        f: os.path.getmtime(f) for f in ib.snapshot_files(path)["files"]
+    }
+    s = ib.update_iceberg(spark, path, {"a": "b", "b": "a"}, "id = 2")
+    got = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [(1, 10, 100), (2, 200, 20), (3, 30, 300)]
+    for f, mtime in before.items():
+        assert os.path.getmtime(f) == mtime
+    meta = ib.table_metadata(path)
+    snap = next(
+        x for x in meta["snapshots"] if int(x["snapshot-id"]) == s
+    )
+    assert snap["summary"]["added-position-deletes"] == "1"
+    assert snap["summary"]["added-records"] == "1"
+    # a second update sees the first's result (visible-snapshot scan)
+    ib.update_iceberg(spark, path, {"a": "a + 1"}, "id = 2")
+    got = {r["id"]: r["a"] for r in ib.read_iceberg(spark, path).collect()}
+    assert got[2] == 201
+    # guards + no-match no-commit
+    with pytest.raises(ValueError, match="SET columns"):
+        ib.update_iceberg(spark, path, {"zz": "1"}, "id = 1")
+    n_snaps = len(ib.table_metadata(path)["snapshots"])
+    ib.update_iceberg(spark, path, {"a": "0"}, "id > 99")
+    assert len(ib.table_metadata(path)["snapshots"]) == n_snaps
