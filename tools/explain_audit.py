@@ -933,6 +933,24 @@ def main() -> int:
         fix = _hudi_fixture(spark, args.sf)
         return hudi.read_hudi(spark, fix["path"]).where("lang = 'en'")
 
+    # r11: Delta data skipping — a stats-prunable predicate must
+    # shrink the scan's FILE LIST itself (the log is the pruning
+    # step), not just add a row filter: with 3 disjoint-range files
+    # the plan's file index lists exactly 1 path
+    def _delta_stats_prune_plan():
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        path = tempfile.mkdtemp(prefix="skip_audit_") + "/t"
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+        ).coalesce(1)
+        dl.write_delta(mk(0, 100), path)
+        dl.write_delta(mk(100, 200), path)
+        dl.write_delta(mk(200, 300), path)
+        return dl.read_delta(spark, path, predicate="id >= 250")
+
     # r11: the expectations suite must be ONE scan + ONE aggregate
     # fanned out by explode — never a union of per-check jobs
     def _expectations_plan():
@@ -1018,6 +1036,13 @@ def main() -> int:
             _expectations_plan,
             ["Generate", "explode"],
             ["Union", "SortMergeJoin", "CartesianProduct"],
+        ),
+        # single surviving file => the index lists exactly one entry
+        # (a 2+-file index renders a ", file:" separator)
+        "op:delta_stats_prune": (
+            _delta_stats_prune_plan,
+            ["InMemoryFileIndex [file:"],
+            [", file:", "CartesianProduct"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
