@@ -257,17 +257,62 @@ _CONJUNCT_RE = re.compile(
     r"^\s*(\w+)\s*(<=|>=|!?=|<|>)\s*(.+?)\s*$"
 )
 
+_LIT_PLACEHOLDER_RE = re.compile(r"^\x00(\d+)\x00$")
+
+
+def _mask_string_literals(predicate: str) -> tuple[str, list[str] | None]:
+    """Replace every quoted string literal with a ``\\x00N\\x00``
+    placeholder so structural scans (OR/paren detection, the AND
+    split) can't be fooled by keywords INSIDE a literal — e.g.
+    ``msg = ' AND b = 3'`` must stay one conjunct. Handles ``''``
+    escaping inside single-quoted literals. Returns (masked, None)
+    on an unterminated quote: the caller must then prune nothing."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(predicate)
+    while i < n:
+        c = predicate[i]
+        if c in ("'", '"'):
+            j = i + 1
+            buf: list[str] = []
+            closed = False
+            while j < n:
+                if predicate[j] == c:
+                    if c == "'" and j + 1 < n and predicate[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    closed = True
+                    j += 1
+                    break
+                buf.append(predicate[j])
+                j += 1
+            if not closed:
+                return predicate, None
+            lits.append("".join(buf))
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), lits
+
 
 def _parse_conjuncts(predicate: str) -> list[tuple[str, str, Any]]:
     """Parse the stats-prunable subset of a predicate: top-level
     AND-chains of ``col <op> literal``. Conjuncts outside the subset
     (ORs, functions, parens…) are IGNORED for skipping — pruning is
     an optimization, never a semantics change; unparseable input
-    just skips nothing."""
+    just skips nothing. String literals are masked before any
+    structural scan so quoted content (including ``AND``/``OR``/
+    parens) can never produce a spurious conjunct."""
     out: list[tuple[str, str, Any]] = []
-    if re.search(r"\bOR\b|\(", predicate, re.IGNORECASE):
+    masked, lits = _mask_string_literals(predicate)
+    if lits is None:
+        return out  # unterminated quote: conservatively prune nothing
+    if re.search(r"\bOR\b|\(", masked, re.IGNORECASE):
         return out
-    for part in re.split(r"\bAND\b", predicate, flags=re.IGNORECASE):
+    for part in re.split(r"\bAND\b", masked, flags=re.IGNORECASE):
         m = _CONJUNCT_RE.match(part)
         if not m:
             continue
@@ -275,8 +320,11 @@ def _parse_conjuncts(predicate: str) -> list[tuple[str, str, Any]]:
         if op == "!=":
             continue  # min/max can't prove inequality mismatch
         val: Any
-        if lit.startswith(("'", '"')) and lit.endswith(lit[0]):
-            val = lit[1:-1]
+        ph = _LIT_PLACEHOLDER_RE.match(lit)
+        if ph:
+            val = lits[int(ph.group(1))]
+        elif "\x00" in lit:
+            continue  # literal is an expression over strings: skip
         else:
             try:
                 val = int(lit)
@@ -1231,37 +1279,71 @@ def _snapshot_with_path(
     return out, add_of
 
 
-def _stage_cdf_write(df: DataFrame, path: str, version: int) -> list[dict]:
+def _stage_cdf_write(
+    df: DataFrame,
+    path: str,
+    version: int,
+    part_cols: list[str] | None = None,
+) -> list[dict]:
     """Distributed write of change rows (data columns +
     ``_change_type``) into ``_change_data/``, returning spec-shaped
     ``cdc`` actions (dataChange=false — per the protocol, cdc files
     never count as table data). Same stage-then-rename recipe as
-    ``_stage_distributed_write``."""
+    ``_stage_distributed_write``.
+
+    Partitioned tables (r12, ADVICE r11 #2): the change rows are
+    written ``partitionBy`` the table's partition columns and each
+    cdc action carries the REAL ``partitionValues`` parsed from the
+    Hive directory names — the spec's authoritative source — so
+    tailers (ours at ``tailer.py:_delta_files_df``, or any Delta
+    CDF consumer) rebuild partition columns instead of reading
+    NULLs."""
     import shutil
     import uuid
 
+    part_cols = list(part_cols or [])
     seg = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f"_staging-cdc-{seg}")
-    df.write.mode("overwrite").parquet(stage)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
     cdc_dir = os.path.join(path, "_change_data")
     os.makedirs(cdc_dir, exist_ok=True)
     actions: list[dict] = []
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet") or name.startswith("_"):
-            continue
-        base, _, _ = name.partition(".")
-        rel = f"_change_data/cdc-{version:05d}-{base}-{seg}.parquet"
-        os.rename(os.path.join(stage, name), os.path.join(path, rel))
-        actions.append(
-            {
-                "cdc": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "dataChange": False,
+    for root, _dirs, files in os.walk(stage):
+        for name in sorted(files):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            pv = (
+                _dir_partition_values(rel_dir, part_cols)
+                if part_cols
+                else {}
+            )
+            base, _, _ = name.partition(".")
+            final_name = f"cdc-{version:05d}-{base}-{seg}.parquet"
+            final_rel = os.path.join("_change_data", rel_dir, final_name)
+            os.makedirs(
+                os.path.dirname(os.path.join(path, final_rel)),
+                exist_ok=True,
+            )
+            os.rename(
+                os.path.join(root, name), os.path.join(path, final_rel)
+            )
+            actions.append(
+                {
+                    "cdc": {
+                        "path": final_rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(
+                            os.path.join(path, final_rel)
+                        ),
+                        "dataChange": False,
+                    }
                 }
-            }
-        )
+            )
     shutil.rmtree(stage, ignore_errors=True)
     return actions
 
@@ -1366,7 +1448,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
                 }
             }
         ]
-        actions.extend(_stage_cdf_write(deleted, path, version))
+        actions.extend(_stage_cdf_write(deleted, path, version, part_cols))
         for abs_path in sorted(affected):
             actions.append(
                 {
@@ -1462,7 +1544,7 @@ def update_delta(
                 }
             }
         ]
-        actions.extend(_stage_cdf_write(changes, path, version))
+        actions.extend(_stage_cdf_write(changes, path, version, part_cols))
         for abs_path in sorted(affected):
             actions.append(
                 {
@@ -1522,10 +1604,13 @@ def merge_delta(
         if missing:
             raise ValueError(f"source is missing table columns: {missing}")
         src = source.select(*logical_cols).cache()
+        # count_distinct over a STRUCT so NULL key fields still count
+        # as (distinct) keys — a bare count_distinct(cols...) drops
+        # NULL-bearing rows and would mis-report "duplicate keys".
         n_src, n_keys = (
             src.agg(
                 F.count(F.lit(1)),
-                F.count_distinct(*[F.col(c) for c in on]),
+                F.count_distinct(F.struct(*[F.col(c) for c in on])),
             ).first()
         )
         if n_src != n_keys:
@@ -1583,7 +1668,7 @@ def merge_delta(
                 }
             }
         ]
-        actions.extend(_stage_cdf_write(changes, path, version))
+        actions.extend(_stage_cdf_write(changes, path, version, part_cols))
         for abs_path in sorted(affected):
             actions.append(
                 {

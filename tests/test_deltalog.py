@@ -1023,3 +1023,62 @@ def test_update_delta_partition_column_moves_rows(spark, tmp_path):
         dl.update_delta(spark, path, {}, "id = 1")
     # no match: no commit
     assert dl.update_delta(spark, path, {"id": "id + 1"}, "id > 99") == 1
+
+
+def test_parse_conjuncts_masks_quoted_literals(spark, tmp_path):
+    """r12, ADVICE r11 #1: a predicate whose STRING LITERAL contains
+    ' AND ' (or OR, parens, comparison operators) must not shatter
+    into spurious conjuncts — that made data skipping prune files
+    that actually contain matching rows (silent data loss)."""
+    # unit level: the literal stays whole
+    assert dl._parse_conjuncts("msg = ' AND b = 3'") == [
+        ("msg", "=", " AND b = 3")
+    ]
+    assert dl._parse_conjuncts("a = 1 AND msg = 'x OR (y)'") == [
+        ("a", "=", 1),
+        ("msg", "=", "x OR (y)"),
+    ]
+    # '' escape inside a single-quoted literal
+    assert dl._parse_conjuncts("msg = 'it''s'") == [("msg", "=", "it's")]
+    # unterminated quote: conservatively prune nothing
+    assert dl._parse_conjuncts("msg = 'oops") == []
+    # a literal that is an EXPRESSION over strings is skipped (can't
+    # prune on it), but the sibling conjunct still prunes
+    assert dl._parse_conjuncts("a = 1 AND b = 'x' || 'y'") == [
+        ("a", "=", 1)
+    ]
+    # end-to-end: the file holding the matching row must NOT be pruned
+    path = str(tmp_path / "qlit")
+    df = spark.createDataFrame(
+        [(1, " AND b = 3"), (2, "plain")], "id long, msg string"
+    ).coalesce(1)
+    dl.write_delta(df, path)
+    got = dl.read_delta(spark, path, predicate="msg = ' AND b = 3'")
+    assert [(r["id"], r["msg"]) for r in got.collect()] == [
+        (1, " AND b = 3")
+    ]
+    assert len(got.inputFiles()) == 1
+
+
+def test_merge_delta_null_source_key_is_not_duplicate(spark, tmp_path):
+    """r12, ADVICE r11 #3: count_distinct over bare key columns drops
+    NULLs, so a unique-keyed source with one NULL key used to raise a
+    bogus 'duplicate keys' error. NULL keys never equi-match: the row
+    merges as an insert."""
+    path = str(tmp_path / "mnull")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    dl.write_delta(mk([(1, "a"), (2, "b")]), path)
+    v = dl.merge_delta(
+        spark, path, mk([(2, "B2"), (None, "nk")]), on=["id"]
+    )
+    assert v == 1
+    got = sorted(
+        ((r["id"], r["val"]) for r in dl.read_delta(spark, path).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [(1, "a"), (2, "B2"), (None, "nk")]
+    # genuinely duplicate NULL keys still raise
+    with pytest.raises(ValueError, match="duplicate keys"):
+        dl.merge_delta(
+            spark, path, mk([(None, "x"), (None, "y")]), on=["id"]
+        )

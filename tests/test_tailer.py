@@ -304,3 +304,51 @@ def test_iceberg_tail_added_files_and_delete_boundary(spark, tmp_path):
     with pytest.raises(ValueError, match="delete"):
         t2.poll(spark, sink)
     assert t2.position == 1002
+
+
+def test_delta_tail_cdf_partitioned_delete(spark, tmp_path):
+    """r12, ADVICE r11 #2: DML on a PARTITIONED table emits cdc
+    actions with real partitionValues (the cdc write is partitioned
+    like the table), so the tailer rebuilds partition columns instead
+    of streaming NULLs."""
+    path = str(tmp_path / "pcdf")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "en"), (3, "en"), (4, "fr")],
+        "id long, lang string",
+    )
+    dl.write_delta(df, path, partition_columns=["lang"])
+    cursor = str(tmp_path / "cur.json")
+    t = CommitTailer("delta", path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append((version, sorted(map(tuple, batch.collect()))))
+
+    assert t.poll(spark, sink) == [0]
+    dl.delete_delta(spark, path, "lang = 'en' AND id = 2")
+    assert t.poll(spark, sink) == [1]
+    # the deleted row streams WITH its partition column value
+    assert seen[-1] == (1, [(2, "en", "delete")])
+    # cdc actions carry real partitionValues per the Delta spec
+    import json as _json
+
+    acts = [
+        _json.loads(x)
+        for x in open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json")
+        )
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(
+        c["partitionValues"] == {"lang": "en"} for c in cdcs
+    )
+    # update on a partitioned table: pre+post images keep partitions
+    dl.update_delta(spark, path, {"id": "id + 10"}, "lang = 'fr'")
+    assert t.poll(spark, sink) == [2]
+    assert seen[-1] == (
+        2,
+        [(4, "fr", "update_preimage"), (14, "fr", "update_postimage")],
+    )
