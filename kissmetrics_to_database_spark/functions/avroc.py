@@ -246,7 +246,16 @@ def _encode(buf: io.BytesIO, schema: Any, val: Any, names: dict[str, Any]) -> No
         t = schema["type"]
         if t == "record":
             for f in schema["fields"]:
-                _encode(buf, f["type"], val[f["name"]], names)
+                if f["name"] in val:
+                    fv = val[f["name"]]
+                elif "default" in f:
+                    fv = f["default"]  # Avro field default (spec §schema)
+                else:
+                    raise KeyError(
+                        f"avro: record value missing field {f['name']!r} "
+                        "and the schema declares no default"
+                    )
+                _encode(buf, f["type"], fv, names)
             return
         if t == "array":
             if val:

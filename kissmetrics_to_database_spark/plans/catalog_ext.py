@@ -11837,6 +11837,74 @@ def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Iceberg data skipping (r12): manifest bounds written + file pruning on read
+# ---------------------------------------------------------------------------
+
+_ICE_SKIP_FIX: dict = {}
+
+
+def _iceberg_skip_fixture(spark, sf_dir: str) -> str:
+    """write_iceberg the documents slice with rows RANGE-partitioned
+    on doc_id, so each data file's manifest lower/upper bounds are
+    disjoint and a doc_id predicate can prove most files dead."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ICE_SKIP_FIX:
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang")
+            .repartitionByRange(4, "doc_id")
+        )
+        path = tempfile.mkdtemp(prefix="kmdb_ice_skip_") + "/docs_skip"
+        ib.write_iceberg(docs, path)
+        _ICE_SKIP_FIX[key] = path
+    return _ICE_SKIP_FIX[key]
+
+
+@query(
+    "iceberg_data_skipping",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 300
+    """,
+)
+def q_iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DATA SKIPPING (r12, VERDICT r11 #1): write_iceberg
+    records per-column ``lower_bounds``/``upper_bounds``/
+    ``null_value_counts`` on every manifest entry (parquet-footer
+    stats in the spec's Appendix-D binary shape, field-id keyed);
+    read_iceberg with a predicate prunes, from the MANIFESTS alone,
+    every data file whose bounds prove no row can match, then
+    re-applies the predicate row-level — the same
+    optimization-never-semantics contract as read_delta's skipping
+    one format over. The fixture range-partitions doc_id into
+    disjoint per-file ranges, so this read touches only the files
+    intersecting [100, 300) — at 100 TB the difference between a
+    full scan and O(matching files). File-count assertions live in
+    tests/test_iceberg.py (inputFiles()); the oracle checks the
+    surviving rows exactly. See sources/iceberg._manifest_stats /
+    _iceberg_file_may_match."""
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    path = _iceberg_skip_fixture(spark, sf_dir)
+    return ib.read_iceberg(
+        spark,
+        path,
+        predicate="lang = 'en' AND doc_id >= 100 AND doc_id < 300",
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
 @query(
     "hudi_incremental_pull",
     """

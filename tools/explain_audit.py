@@ -951,6 +951,20 @@ def main() -> int:
         dl.write_delta(mk(200, 300), path)
         return dl.read_delta(spark, path, predicate="id >= 250")
 
+    def _iceberg_stats_prune_plan():
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        path = tempfile.mkdtemp(prefix="iskip_audit_") + "/t"
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+        ).coalesce(1)
+        ib.write_iceberg(mk(0, 100), path)
+        ib.write_iceberg(mk(100, 200), path)
+        ib.write_iceberg(mk(200, 300), path)
+        return ib.read_iceberg(spark, path, predicate="id >= 250")
+
     # r11: the expectations suite must be ONE scan + ONE aggregate
     # fanned out by explode — never a union of per-check jobs
     def _expectations_plan():
@@ -1041,6 +1055,13 @@ def main() -> int:
         # (a 2+-file index renders a ", file:" separator)
         "op:delta_stats_prune": (
             _delta_stats_prune_plan,
+            ["InMemoryFileIndex [file:"],
+            [", file:", "CartesianProduct"],
+        ),
+        # r12: Iceberg mirrors it — manifest bounds prune the file
+        # LIST itself (one file in the scan), never a multi-file scan
+        "op:iceberg_stats_prune": (
+            _iceberg_stats_prune_plan,
             ["InMemoryFileIndex [file:"],
             [", file:", "CartesianProduct"],
         ),
