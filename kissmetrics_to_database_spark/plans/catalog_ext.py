@@ -11376,6 +11376,86 @@ def q_delta_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_merge_dup_key_targets",
+    """
+    WITH target AS (
+      SELECT doc_id, source, lang FROM documents
+      UNION ALL
+      SELECT doc_id, source, lang FROM documents WHERE doc_id % 3 = 0
+    ),
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN 'merged' ELSE source END
+               AS source,
+             lang
+      FROM target
+    ),
+    final AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), 'merged', 'xx'
+      UNION ALL
+      SELECT CAST(-2 AS BIGINT), 'merged', 'xx'
+    )
+    SELECT source = 'merged' AS is_merged,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM final GROUP BY is_merged ORDER BY is_merged
+    """,
+)
+def q_delta_merge_dup_key_targets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE onto a DUP-KEY target (r12, VERDICT r11 #2 — the r11
+    weak flag): the target deliberately holds every doc_id % 3 = 0
+    document TWICE; ``merge_delta`` must update EACH matched row
+    (Delta MERGE semantics — target multiplicity preserved), so the
+    doc_id % 6 = 0 keys come back re-sourced 'merged' in BOTH their
+    copies, while the two brand-new negative keys insert once. The
+    oracle restates Delta's per-row update in SQL over the same
+    duplicated target. The old anti-join+insert shape collapsed the
+    dup copies to one row and fails this hash. See
+    sources/deltalog.merge_delta; CDF multiplicity is asserted in
+    tests/test_deltalog.py."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="kmdb_mrg_dup_") + "/docs_dup"
+    dl.write_delta(docs, path, partition_columns=["lang"])
+    dl.write_delta(
+        docs.where(F.col("doc_id") % 3 == 0),
+        path,
+        partition_columns=["lang"],
+    )
+    src = (
+        docs.where(F.col("doc_id") % 6 == 0)
+        .withColumn("source", F.lit("merged"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "merged", "xx"), (-2, "merged", "xx")],
+                "doc_id long, source string, lang string",
+            )
+        )
+    )
+    dl.merge_delta(spark, path, src, on=["doc_id"])
+    return (
+        dl.read_delta(spark, path)
+        .groupBy((F.col("source") == "merged").alias("is_merged"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("is_merged")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hudi copy-on-write reader (r11): the third lakehouse format
 # ---------------------------------------------------------------------------

@@ -1581,8 +1581,11 @@ def merge_delta(
 
     Contract: ``source`` carries the table's full column set;
     source keys must be unique (checked — Delta's own MERGE raises
-    on multi-source matches too); every target row sharing a matched
-    key is replaced by the one source row.
+    on multi-source matches too). Duplicate keys on the TARGET side
+    are legal, exactly as in Delta's MERGE: EACH matched target row
+    is updated to the source row's values, preserving target
+    multiplicity (r12, VERDICT r11 #2 — the previous anti-join+insert
+    shape silently collapsed dup-key targets to one row).
 
     Scale shape: the matched-FILE discovery is one distributed
     semi-join of the snapshot against the (broadcast when small —
@@ -1635,8 +1638,13 @@ def merge_delta(
         survivors = in_affected.join(keys, on=on, how="left_anti").select(
             *logical_cols
         )
-        matched_src = src.join(
-            matched_old.select(*on).distinct(), on=on, how="left_semi"
+        # Delta MERGE updates EACH matched target row (dup-key targets
+        # are legal); the inner join against the unique-keyed source
+        # carries target multiplicity through to the updated rows
+        updated = (
+            matched_old.select(*on)
+            .join(src, on=on, how="inner")
+            .select(*logical_cols)
         )
         inserted_src = src.join(
             matched_old.select(*on).distinct(), on=on, how="left_anti"
@@ -1647,7 +1655,7 @@ def merge_delta(
                 F.lit("update_preimage").alias("_change_type"),
             )
             .unionByName(
-                matched_src.select(
+                updated.select(
                     *logical_cols,
                     F.lit("update_postimage").alias("_change_type"),
                 )
@@ -1679,7 +1687,9 @@ def merge_delta(
                     }
                 }
             )
-        new_data = survivors.unionByName(src)
+        new_data = survivors.unionByName(updated).unionByName(
+            inserted_src
+        )
         adds = _stage_distributed_write(
             new_data, path, part_cols, data_change=True
         )

@@ -1204,7 +1204,13 @@ def merge_iceberg(
     keys must be unique (checked); every existing row sharing a
     matched key is replaced by the one source row — including rows a
     prior snapshot's equality delete already shadows (shadowing
-    twice is spec-legal and read-correct). Returns the snapshot id."""
+    twice is spec-legal and read-correct). NOTE this is UPSERT
+    (key-replace) semantics, inherent to the equality-delete layout:
+    dup-key target rows COLLAPSE to the one source row, unlike
+    ``merge_delta`` (r12), which matches Delta MERGE by updating
+    each matched row. Callers needing per-row update semantics on
+    dup-key Iceberg targets must dedup first or use the
+    copy-on-write path. Returns the snapshot id."""
     import uuid
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock

