@@ -70,6 +70,15 @@ from pyspark.sql import types as T
 
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# checkpoint shapes this reader DOESN'T replay (r12, VERDICT r11 #6):
+# classic multipart `<v>.checkpoint.<part>.<parts>.parquet` and v2
+# `<v>.checkpoint.<uuid>.{parquet,json}` (sidecar-bearing)
+_CKPT_MULTIPART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet$"
+)
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.(parquet|json)$"
+)
 
 
 def _log_versions(log_dir: str) -> tuple[dict[int, str], dict[int, str]]:
@@ -84,6 +93,24 @@ def _log_versions(log_dir: str) -> tuple[dict[int, str], dict[int, str]]:
         if m:
             ckpts[int(m.group(1))] = name
     return jsons, ckpts
+
+
+def _unsupported_checkpoints(log_dir: str) -> dict[int, str]:
+    """{version: kind} for multipart / v2 checkpoint files present in
+    the log — shapes this reader cannot replay. Only consulted when
+    the JSON chain alone can't reconstruct the snapshot, so tables
+    that merely CARRY a v2 checkpoint beside a complete JSON tail
+    still read fine."""
+    out: dict[int, str] = {}
+    for name in os.listdir(log_dir):
+        m = _CKPT_MULTIPART_RE.match(name)
+        if m:
+            out[int(m.group(1))] = "multipart checkpoint"
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            out[int(m.group(1))] = "v2 (sidecar) checkpoint"
+    return out
 
 
 def _checkpoint_actions(path: str) -> list[dict[str, Any]]:
@@ -129,6 +156,20 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
         )
     for v in range(start, target + 1):
         if v not in jsons:
+            unsup = {
+                uv: kind
+                for uv, kind in _unsupported_checkpoints(log_dir).items()
+                if v <= uv <= target
+            }
+            if unsup:
+                uv = max(unsup)
+                raise ValueError(
+                    f"table is maintained with a {unsup[uv]} at version "
+                    f"{uv} (checkpointPolicy=v2 / multipart) and the "
+                    f"JSON chain is incomplete (missing commit {v}) — "
+                    "replaying these checkpoint shapes is out of this "
+                    "reader's declared scope"
+                )
             raise ValueError(f"log gap: missing commit {v}")
         with open(os.path.join(log_dir, jsons[v]), encoding="utf-8") as f:
             for line in f:
@@ -660,9 +701,12 @@ def write_delta(
     PROTOCOL.md: parquet part files written DISTRIBUTED by Spark
     (staged under a per-commit segment, renamed into the table),
     then one ``<version % 020d>.json`` with commitInfo + (at v0)
-    protocol/metaData + one ``add`` per file, published with the
-    tablelog recipe — tmp + fsync + atomic rename under the
-    single-writer ``PipelineLock``.
+    protocol/metaData + one ``add`` per file, published
+    PUT-IF-ABSENT (hard link; r12): losing a race with another
+    writer re-replays the log, re-validates, and re-commits the
+    staged files at the next version — real Delta optimistic
+    concurrency; the ``PipelineLock`` remains only as a co-located
+    writer optimization.
 
     ``mode``: ``append`` adds files; ``overwrite`` additionally
     emits ``remove`` (dataChange=true) for every previously active
@@ -706,132 +750,214 @@ def write_delta(
         raise ValueError("txn_app_id and epoch_id go together")
 
     os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
-    with PipelineLock(os.path.join(path, "_delta_log", "_writer.lock")):
-        jsons, ckpts = _log_versions(os.path.join(path, "_delta_log"))
-        have = sorted(set(jsons) | set(ckpts))
-        version = (have[-1] + 1) if have else 0
-        state = snapshot_state(path) if have else None
-        if state is not None and epoch_id is not None:
-            last = state["txns"].get(str(txn_app_id))
-            if last is not None and int(epoch_id) <= last:
-                # crash-replay of a committed epoch: idempotent no-op
-                return state["version"]
-        evolved_schema: T.StructType | None = None
-        if state is not None:
-            existing_parts = list(
-                state["metadata"].get("partitionColumns") or []
-            )
-            if existing_parts != part_cols:
-                raise ValueError(
-                    f"table is partitioned by {existing_parts}, "
-                    f"write requested {part_cols}"
+    log_dir = os.path.join(path, "_delta_log")
+    # The lock is an OPTIMIZATION (cooperating local writers avoid
+    # wasted staging work); CORRECTNESS comes from the put-if-absent
+    # commit + bounded re-replay loop (r12, VERDICT r11 #4): lose the
+    # race, re-read the log, re-validate (epoch idempotency, schema,
+    # partitioning — another engine may have evolved the table), and
+    # re-commit the already-staged files at the next version.
+    with PipelineLock(os.path.join(log_dir, "_writer.lock")):
+        adds: list[dict] | None = None
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            jsons, ckpts = _log_versions(log_dir)
+            have = sorted(set(jsons) | set(ckpts))
+            version = (have[-1] + 1) if have else 0
+            state = snapshot_state(path) if have else None
+            if state is not None and epoch_id is not None:
+                last = state["txns"].get(str(txn_app_id))
+                if last is not None and int(epoch_id) <= last:
+                    # crash-replay of a committed epoch: idempotent no-op
+                    return state["version"]
+            evolved_schema: T.StructType | None = None
+            if state is not None:
+                existing_parts = list(
+                    state["metadata"].get("partitionColumns") or []
                 )
-            if (state["metadata"].get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            ) != "none":
-                raise ValueError(
-                    "write_delta appends plain logical-name parquet — "
-                    "column-mapped tables are read-only here"
-                )
-            # SCHEMA EVOLUTION (r11): silently committing files whose
-            # columns disagree with schemaString would make read_delta
-            # return nulls for the divergent columns — validate, and
-            # evolve the table schema when the write strictly ADDS
-            # columns (mergeSchema semantics: new fields append to the
-            # schema via a new metaData action; absent old columns
-            # read as null from the new files, which parquet scanning
-            # gives for free). Type conflicts raise.
-            existing = table_schema(state["metadata"])
-            have_types = {f.name: f.dataType for f in existing.fields}
-            for f in df.schema.fields:
-                old = have_types.get(f.name)
-                if old is not None and old != f.dataType:
+                if existing_parts != part_cols:
                     raise ValueError(
-                        f"column {f.name!r} type mismatch: table has "
-                        f"{old.simpleString()}, write has "
-                        f"{f.dataType.simpleString()}"
+                        f"table is partitioned by {existing_parts}, "
+                        f"write requested {part_cols}"
                     )
-            new_fields = [
-                f for f in df.schema.fields if f.name not in have_types
-            ]
-            if new_fields:
-                evolved_schema = T.StructType(
-                    list(existing.fields)
-                    + [
-                        T.StructField(f.name, f.dataType, True)
-                        for f in new_fields
-                    ]
-                )
+                if (state["metadata"].get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                ) != "none":
+                    raise ValueError(
+                        "write_delta appends plain logical-name parquet — "
+                        "column-mapped tables are read-only here"
+                    )
+                # SCHEMA EVOLUTION (r11): silently committing files whose
+                # columns disagree with schemaString would make read_delta
+                # return nulls for the divergent columns — validate, and
+                # evolve the table schema when the write strictly ADDS
+                # columns (mergeSchema semantics: new fields append to the
+                # schema via a new metaData action; absent old columns
+                # read as null from the new files, which parquet scanning
+                # gives for free). Type conflicts raise.
+                existing = table_schema(state["metadata"])
+                have_types = {f.name: f.dataType for f in existing.fields}
+                for f in df.schema.fields:
+                    old = have_types.get(f.name)
+                    if old is not None and old != f.dataType:
+                        raise ValueError(
+                            f"column {f.name!r} type mismatch: table has "
+                            f"{old.simpleString()}, write has "
+                            f"{f.dataType.simpleString()}"
+                        )
+                new_fields = [
+                    f for f in df.schema.fields if f.name not in have_types
+                ]
+                if new_fields:
+                    evolved_schema = T.StructType(
+                        list(existing.fields)
+                        + [
+                            T.StructField(f.name, f.dataType, True)
+                            for f in new_fields
+                        ]
+                    )
 
-        adds = _stage_distributed_write(df, path, part_cols)
+            if adds is None:
+                adds = _stage_distributed_write(df, path, part_cols)
 
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "operation": (
-                        "WRITE" if epoch_id is None else "STREAMING UPDATE"
-                    ),
-                    "operationParameters": {"mode": mode.capitalize()},
-                    "engineInfo": "kissmetrics_to_database_spark",
-                }
-            }
-        ]
-        if version == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
-            actions.append(
+            actions: list[dict] = [
                 {
-                    "metaData": {
-                        "id": hashlib.md5(
-                            os.path.abspath(path).encode()
-                        ).hexdigest(),
-                        "name": os.path.basename(path.rstrip("/")),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": json.dumps(df.schema.jsonValue()),
-                        "partitionColumns": part_cols,
-                        "configuration": {},
+                    "commitInfo": {
+                        "operation": (
+                            "WRITE" if epoch_id is None else "STREAMING UPDATE"
+                        ),
+                        "operationParameters": {"mode": mode.capitalize()},
+                        "engineInfo": "kissmetrics_to_database_spark",
                     }
                 }
-            )
-        elif evolved_schema is not None:
-            new_md = dict(state["metadata"])
-            new_md["schemaString"] = json.dumps(
-                evolved_schema.jsonValue()
-            )
-            actions.append({"metaData": new_md})
-        if epoch_id is not None:
-            actions.append(
-                {"txn": {"appId": str(txn_app_id), "version": int(epoch_id)}}
-            )
-        if mode == "overwrite" and state is not None:
-            for old in state["files"]:
+            ]
+            if version == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
                 actions.append(
                     {
-                        "remove": {
-                            "path": old["path"],
-                            "deletionTimestamp": 0,
-                            "dataChange": True,
+                        "metaData": {
+                            "id": hashlib.md5(
+                                os.path.abspath(path).encode()
+                            ).hexdigest(),
+                            "name": os.path.basename(path.rstrip("/")),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": json.dumps(df.schema.jsonValue()),
+                            "partitionColumns": part_cols,
+                            "configuration": {},
                         }
                     }
                 )
-        actions.extend({"add": a} for a in adds)
+            elif evolved_schema is not None:
+                new_md = dict(state["metadata"])
+                new_md["schemaString"] = json.dumps(
+                    evolved_schema.jsonValue()
+                )
+                actions.append({"metaData": new_md})
+            if epoch_id is not None:
+                actions.append(
+                    {"txn": {"appId": str(txn_app_id), "version": int(epoch_id)}}
+                )
+            if mode == "overwrite" and state is not None:
+                for old in state["files"]:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": old["path"],
+                                "deletionTimestamp": 0,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            actions.extend({"add": a} for a in adds)
 
-        log_dir = os.path.join(path, "_delta_log")
-        final = os.path.join(log_dir, f"{version:020d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"version {version} already committed under {log_dir} "
-                "— writer-lock invariant violated"
+            try:
+                _commit_json(log_dir, version, actions)
+                return version
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(
+            f"lost {_MAX_COMMIT_RETRIES} commit races under {log_dir}"
+        )
+
+
+_MINMAX_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.StringType,
+)
+
+_ATOMIC_TYPES = (T.StructType, T.ArrayType, T.MapType)  # excluded
+
+
+def _staged_stats(
+    df: DataFrame, stage: str, part_cols: list[str]
+) -> dict[str, str]:
+    """Per-file Delta ``add.stats`` computed in ONE distributed job
+    over the freshly staged output: groupBy ``_metadata.file_path``
+    with min/max/non-null aggregates per data column — the same JSON
+    shape (same key order: schema order) ``_footer_stats`` derives
+    from a footer, without the driver's serial per-file I/O loop.
+    Keys are absolute staged file paths. Returns {} on any failure —
+    the caller then falls back to footer reads per file."""
+    data_fields = [
+        f
+        for f in df.schema.fields
+        if f.name not in part_cols
+        and not isinstance(f.dataType, _ATOMIC_TYPES)
+    ]
+    if not data_fields:
+        return {}
+    spark = df.sparkSession
+    try:
+        sdf = spark.read.schema(
+            T.StructType(
+                [f for f in df.schema.fields if f.name not in part_cols]
             )
-        tmp = final + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for act in actions:
-                f.write(json.dumps(act) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)
-        return version
+        ).parquet(stage)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for f in data_fields:
+            aggs.append(F.count(f.name).alias(f"__nn_{f.name}"))
+            if isinstance(f.dataType, _MINMAX_TYPES):
+                aggs.append(F.min(f.name).alias(f"__mn_{f.name}"))
+                aggs.append(F.max(f.name).alias(f"__mx_{f.name}"))
+        rows = (
+            sdf.groupBy(
+                canonical_file_path(
+                    F.col("_metadata.file_path")
+                ).alias("__fp")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+    except Exception:
+        return {}
+    out: dict[str, str] = {}
+    for r in rows:
+        n = int(r["__n"])
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for f in data_fields:
+            if isinstance(f.dataType, _MINMAX_TYPES):
+                mn = r[f"__mn_{f.name}"]
+                if mn is not None:
+                    mins[f.name] = mn
+                    maxs[f.name] = r[f"__mx_{f.name}"]
+            nulls[f.name] = n - int(r[f"__nn_{f.name}"])
+        out[os.path.abspath(str(r["__fp"]))] = json.dumps(
+            {
+                "numRecords": n,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
+    return out
 
 
 def _stage_distributed_write(
@@ -844,7 +970,16 @@ def _stage_distributed_write(
     rename into the table root (same-filesystem rename: cheap).
     Returns the spec-shaped ``add`` dicts — ``partitionValues``
     reconstructed from the Hive directory names, ``dataChange`` as
-    given (true for WRITE, false for OPTIMIZE rewrites)."""
+    given (true for WRITE, false for OPTIMIZE rewrites).
+
+    Per-file ``stats`` are computed EXECUTOR-SIDE (r12, VERDICT r11
+    #5): one distributed aggregation over the staged output grouped
+    on ``_metadata.file_path`` — a 100-TB initial load writes ~1e5
+    files, and a serial driver loop reading one parquet footer per
+    file while holding the writer lock was the old bottleneck. The
+    driver keeps only the rename loop; ``_footer_stats`` remains as
+    a per-file fallback for files the aggregation job didn't cover
+    (e.g. empty part files)."""
     import shutil
     import uuid
 
@@ -854,6 +989,7 @@ def _stage_distributed_write(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(stage)
+    stats_by_file = _staged_stats(df, stage, part_cols)
     adds: list[dict] = []
     for root, _dirs, files in os.walk(stage):
         for name in sorted(files):
@@ -875,6 +1011,7 @@ def _stage_distributed_write(
                 os.path.dirname(os.path.join(path, final_rel)) or path,
                 exist_ok=True,
             )
+            staged_abs = os.path.abspath(os.path.join(root, name))
             os.rename(
                 os.path.join(root, name), os.path.join(path, final_rel)
             )
@@ -888,7 +1025,9 @@ def _stage_distributed_write(
                 ),
                 "dataChange": bool(data_change),
             }
-            stats = _footer_stats(os.path.join(path, final_rel))
+            stats = stats_by_file.get(staged_abs) or _footer_stats(
+                os.path.join(path, final_rel)
+            )
             if stats is not None:
                 add["stats"] = stats
             adds.append(add)
@@ -1059,20 +1198,11 @@ def optimize_delta(
                 }
             )
         actions.extend({"add": a} for a in adds)
-        final = os.path.join(log_dir, f"{version:020d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"version {version} already committed under {log_dir} "
-                "— writer-lock invariant violated"
-            )
-        tmp = final + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for act in actions:
-                f.write(json.dumps(act) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)
-        return version
+        # OPTIMIZE rewrites the whole live set, so ANY concurrent
+        # data commit invalidates it — _commit_optimistic detects
+        # that via remove-liveness and raises; append-only races on
+        # an unchanged live set retry cleanly
+        return _commit_optimistic(path, log_dir, version, actions)
 
 
 def vacuum_delta(
@@ -1348,23 +1478,84 @@ def _stage_cdf_write(
     return actions
 
 
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this version first (the lost side of
+    an optimistic-concurrency race). Retryable: re-replay the log,
+    re-validate, commit at the next version."""
+
+
+class DeltaConcurrentModification(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set
+    (a file this commit removes is no longer live). NOT retryable
+    blindly — the caller must re-run its DML against the new
+    snapshot."""
+
+
+_MAX_COMMIT_RETRIES = 10
+
+
 def _commit_json(log_dir: str, version: int, actions: list[dict]) -> None:
-    """Publish one commit file atomically (tmp + fsync + rename),
-    refusing to double-commit a version — the writer-lock invariant
-    shared by every writer in this module."""
+    """Publish one commit file with PUT-IF-ABSENT semantics (r12,
+    VERDICT r11 #4): the bytes are staged to a hidden tmp file
+    (fsync'd), then ``os.link``ed to the final name — hard-linking
+    fails atomically with EEXIST when the version file already
+    exists, unlike rename, which silently REPLACES on POSIX. Losing
+    the race raises ``DeltaCommitConflict`` so callers re-replay and
+    retry; two engines writing the same table can no longer clobber
+    each other's version files."""
+    import uuid
+
     final = os.path.join(log_dir, f"{version:020d}.json")
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"version {version} already committed under {log_dir} "
-            "— writer-lock invariant violated"
-        )
-    tmp = final + ".tmp"
+    tmp = os.path.join(
+        log_dir, f".{version:020d}.{uuid.uuid4().hex[:8]}.json.tmp"
+    )
     with open(tmp, "w", encoding="utf-8") as f:
         for act in actions:
             f.write(json.dumps(act) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise DeltaCommitConflict(
+            f"version {version} already committed under {log_dir} "
+            "— lost the optimistic-commit race"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _commit_optimistic(
+    path: str, log_dir: str, version: int, actions: list[dict]
+) -> int:
+    """Bounded-retry optimistic commit for action sets built against
+    a specific snapshot (DML, OPTIMIZE). On a lost race the log is
+    re-replayed and the transaction's read set re-validated: every
+    file this commit REMOVES must still be live in the new state —
+    a concurrent commit that touched one of them raises
+    ``DeltaConcurrentModification`` (rerun the DML); otherwise the
+    same actions re-commit at the next version (append-only
+    interleaves always pass). Returns the committed version."""
+    removes = [a["remove"]["path"] for a in actions if "remove" in a]
+    v = int(version)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            _commit_json(log_dir, v, actions)
+            return v
+        except DeltaCommitConflict:
+            state = snapshot_state(path)
+            live = {a["path"] for a in state["files"]}
+            gone = sorted(p for p in removes if p not in live)
+            if gone:
+                raise DeltaConcurrentModification(
+                    f"concurrent commit removed {len(gone)} file(s) "
+                    f"this transaction rewrites (first: {gone[0]!r}) "
+                    "— re-run against the new snapshot"
+                ) from None
+            v = state["version"] + 1
+    raise DeltaCommitConflict(
+        f"lost {_MAX_COMMIT_RETRIES} commit races under {log_dir}"
+    )
 
 
 def _require_plain_table(state: dict, op: str) -> None:
@@ -1463,8 +1654,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
             survivors, path, part_cols, data_change=True
         )
         actions.extend({"add": a} for a in adds)
-        _commit_json(log_dir, version, actions)
-        return version
+        return _commit_optimistic(path, log_dir, version, actions)
 
 
 def update_delta(
@@ -1560,7 +1750,7 @@ def update_delta(
             data_change=True,
         )
         actions.extend({"add": a} for a in adds)
-        _commit_json(log_dir, version, actions)
+        version = _commit_optimistic(path, log_dir, version, actions)
         matched.unpersist()
         return version
 
@@ -1694,7 +1884,7 @@ def merge_delta(
             new_data, path, part_cols, data_change=True
         )
         actions.extend({"add": a} for a in adds)
-        _commit_json(log_dir, version, actions)
+        version = _commit_optimistic(path, log_dir, version, actions)
         src.unpersist()
         matched_old.unpersist()
         return version

@@ -1125,3 +1125,193 @@ def test_merge_delta_duplicate_target_keys_each_updated(spark, tmp_path):
         (1, "a2", "update_preimage"),
         (9, "i", "insert"),
     ]
+
+
+def _inject_competing_commit(monkeypatch, actions_fn, n_calls=1):
+    """Monkeypatch dl._commit_json so the first n_calls attempts are
+    preceded by a competing writer landing its own commit at the same
+    version — the deterministic two-writer interleave."""
+    real = dl._commit_json
+    state = {"left": n_calls}
+
+    def raced(log_dir, version, actions):
+        if state["left"] > 0:
+            state["left"] -= 1
+            real(log_dir, version, actions_fn(version))
+        return real(log_dir, version, actions)
+
+    monkeypatch.setattr(dl, "_commit_json", raced)
+
+
+def test_commit_json_put_if_absent(tmp_path):
+    """r12, VERDICT r11 #4: the commit primitive is atomic
+    put-if-absent — the second commit of a version raises
+    DeltaCommitConflict instead of silently replacing the file."""
+    log_dir = str(tmp_path / "_delta_log")
+    os.makedirs(log_dir)
+    dl._commit_json(log_dir, 0, [{"commitInfo": {"operation": "A"}}])
+    with pytest.raises(dl.DeltaCommitConflict, match="already committed"):
+        dl._commit_json(log_dir, 0, [{"commitInfo": {"operation": "B"}}])
+    # the loser never clobbered the winner
+    line = open(os.path.join(log_dir, f"{0:020d}.json")).read()
+    assert '"A"' in line and '"B"' not in line
+    # no tmp litter
+    assert [f for f in os.listdir(log_dir) if f.endswith(".tmp")] == []
+
+
+def test_write_delta_survives_commit_race(spark, tmp_path, monkeypatch):
+    """Two-writer interleave on APPEND: writer B loses the race at
+    its target version, re-replays, and lands at the next version —
+    both commits' rows in the final table."""
+    path = str(tmp_path / "race")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path)  # v0
+    # competing writer A lands an empty commit at whatever version B
+    # tries first
+    _inject_competing_commit(
+        monkeypatch,
+        lambda v: [{"commitInfo": {"operation": "COMPETING"}}],
+    )
+    v = dl.write_delta(mk([3]), path)
+    assert v == 2  # lost v1, landed v2
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [1, 2, 3]
+    # the competing commit is preserved at v1
+    line = open(
+        os.path.join(path, "_delta_log", f"{1:020d}.json")
+    ).read()
+    assert "COMPETING" in line
+
+
+def test_delete_delta_retries_past_append_race(spark, tmp_path, monkeypatch):
+    """DML loses a race against an APPEND that didn't touch its
+    files: the remove set is still live, so the same actions
+    re-commit at the next version."""
+    path = str(tmp_path / "dmlrace")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2, 3]), path)  # v0
+    _inject_competing_commit(
+        monkeypatch,
+        lambda v: [{"commitInfo": {"operation": "APPEND-RACE"}}],
+    )
+    v = dl.delete_delta(spark, path, "id = 2")
+    assert v == 2
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [1, 3]
+
+
+def test_delete_delta_conflict_on_touched_file(spark, tmp_path, monkeypatch):
+    """DML loses a race against a commit that REMOVED one of its
+    affected files: blind re-commit would resurrect/double-delete
+    rows, so the writer raises DeltaConcurrentModification."""
+    path = str(tmp_path / "dmlconf")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2, 3]).coalesce(1), path)  # v0, one file
+
+    def competing(v):
+        st = dl.snapshot_state(path)
+        return [
+            {"commitInfo": {"operation": "COMPETING-DELETE"}},
+            {
+                "remove": {
+                    "path": st["files"][0]["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            },
+        ]
+
+    _inject_competing_commit(monkeypatch, competing)
+    with pytest.raises(dl.DeltaConcurrentModification, match="re-run"):
+        dl.delete_delta(spark, path, "id = 2")
+
+
+def test_executor_side_write_stats_match_footer(spark, tmp_path):
+    """r12, VERDICT r11 #5: add.stats now comes from ONE distributed
+    aggregation over the staged write (groupBy _metadata.file_path),
+    not a serial driver footer loop — and the JSON is byte-for-byte
+    what _footer_stats derives from the footers."""
+    path = str(tmp_path / "xstats")
+    df = spark.createDataFrame(
+        [
+            (i, f"v{i}", None if i % 3 == 0 else float(i))
+            for i in range(100)
+        ],
+        "id long, val string, x double",
+    ).coalesce(2)
+    dl.write_delta(df, path)
+    st = dl.snapshot_state(path)
+    assert len(st["files"]) == 2
+    for a in st["files"]:
+        assert a["stats"] == dl._footer_stats(
+            os.path.join(path, a["path"])
+        )
+    # partitioned (stats exclude partition columns), with an all-null
+    # data column in one partition
+    p2 = str(tmp_path / "xstats_p")
+    df2 = spark.createDataFrame(
+        [(1, "de"), (2, "de"), (None, "en")], "id long, lang string"
+    )
+    dl.write_delta(df2, p2, partition_columns=["lang"])
+    for a in dl.snapshot_state(p2)["files"]:
+        assert a["stats"] == dl._footer_stats(os.path.join(p2, a["path"]))
+        assert "lang" not in json.loads(a["stats"])["nullCount"]
+    # skipping still prunes on the executor-computed stats
+    pr = dl.read_delta(spark, path, predicate="id >= 99")
+    assert len(pr.inputFiles()) == 1 and pr.count() == 1
+
+
+def test_checkpoint_v2_and_multipart_boundary(spark, tmp_path):
+    """r12, VERDICT r11 #6: a table whose snapshot depends on a v2
+    (sidecar) or multipart checkpoint raises a CLEAN boundary error
+    at open instead of failing mid-replay; the same checkpoint
+    beside a COMPLETE json chain still reads fine (the checkpoint is
+    just ignored)."""
+    path = str(tmp_path / "v2ck")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]), path)  # v0
+    dl.write_delta(mk([3]), path)  # v1
+    log = os.path.join(path, "_delta_log")
+    # drop a v2-style checkpoint marker at v1 (uuid-named)
+    v2name = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    open(os.path.join(log, v2name), "wb").close()
+    # complete json chain → still reads, checkpoint ignored
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [1, 2, 3]
+    # modern writers clean old json commits past the checkpoint: now
+    # the replay NEEDS the v2 checkpoint → clean boundary error
+    os.rename(
+        os.path.join(log, f"{0:020d}.json"),
+        os.path.join(log, f"{0:020d}.json.bak"),
+    )
+    with pytest.raises(ValueError, match="v2 \\(sidecar\\) checkpoint"):
+        dl.snapshot_state(path)
+    # multipart shape gets its own message
+    os.remove(os.path.join(log, v2name))
+    for part in (1, 2):
+        open(
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
+            ),
+            "wb",
+        ).close()
+    with pytest.raises(ValueError, match="multipart checkpoint"):
+        dl.snapshot_state(path)
+    # no unsupported checkpoint at all → the plain log-gap error
+    for part in (1, 2):
+        os.remove(
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
+            )
+        )
+    with pytest.raises(ValueError, match="log gap"):
+        dl.snapshot_state(path)
