@@ -226,6 +226,11 @@ HEADLINE = [
     "hudi_time_travel",
     "hudi_incremental_pull",
     "data_quality_audit",
+    # round 12: Iceberg skipping, MERGE dup-key semantics, Hudi MoR
+    "iceberg_data_skipping",
+    "delta_merge_dup_key_targets",
+    "hudi_mor_read",
+    "hudi_mor_time_travel_and_incremental",
 ]
 
 

@@ -48,10 +48,21 @@ Non-hive partition paths surface as the ``_hoodie_partition_path``
 meta column only. The five ``_hoodie_*`` meta columns are stripped
 unless ``keep_meta=True``.
 
+MERGE_ON_READ (r12, VERDICT r11 #3): deltacommit instants append
+dot-prefixed LOG files (`.{fileId}_{baseInstant}.log.{version}_{token}`)
+holding spec-framed Avro data blocks; the snapshot view merges each
+file slice's log records onto its base file — newest version per
+``_hoodie_record_key`` wins, ``_hoodie_is_deleted=true`` records
+tombstone — with the block parse and the merge both DISTRIBUTED (see
+``_merge_log_records``). Pending compactions are honored: until the
+compaction instant COMPLETES, readers keep merging the previous base
+with all logs, including logs rolled forward to the requested
+instant.
+
 Honest boundary (quarantine contract, same as the other readers):
-MERGE_ON_READ tables (log files needing compaction-on-read), pending
-compactions, and timeline layouts newer than table version 6 raise
-ValueError instead of returning wrong rows.
+timeline layouts newer than table version 6, non-Avro log block
+types, and unknown table types raise ValueError instead of
+returning wrong rows.
 """
 
 from __future__ import annotations
@@ -62,7 +73,14 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_COMPLETED_RE = re.compile(r"^(\d{14,17})\.(commit|replacecommit)$")
+_COMPLETED_RE = re.compile(
+    r"^(\d{14,17})\.(commit|deltacommit|replacecommit)$"
+)
+# log files: `.<fileId>_<baseInstant>.log.<version>_<writeToken>`
+_LOG_FILE_RE = re.compile(
+    r"^\.(?P<fid>[^_]+(?:-\d+)?)_(?P<base>\d{14,17})"
+    r"\.log\.(?P<ver>\d+)_(?P<token>.+)$"
+)
 META_COLS = [
     "_hoodie_commit_time",
     "_hoodie_commit_seqno",
@@ -95,12 +113,8 @@ def hudi_timeline(path: str) -> list[dict]:
         raise ValueError(f"not a Hudi table (no .hoodie): {path}")
     props = _read_properties(os.path.join(meta_dir, "hoodie.properties"))
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise ValueError(
-            f"hoodie.table.type={ttype} — merge-on-read tables need "
-            "log-file compaction on read, out of this reader's "
-            "declared scope"
-        )
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unknown hoodie.table.type={ttype}")
     tver = int(props.get("hoodie.table.version", "6"))
     if tver > 6:
         raise ValueError(
@@ -130,7 +144,37 @@ def _latest_slices(
     """Replay the timeline to ``at_instant`` (default: latest).
     Returns ([(partition_path, table-relative base-file path)],
     completed instants used). The latest-file-slice rule: newest base
-    file per (partition, fileId), minus replaced groups."""
+    file per (partition, fileId), minus replaced groups. CoW shape —
+    slices carrying LOG files raise here (callers needing the
+    merge-on-read view go through ``_latest_slices_mor``)."""
+    slices, instants = _latest_slices_mor(path, at_instant)
+    for s in slices:
+        if s["logs"]:
+            raise ValueError(
+                "file slice carries log files — merge-on-read view "
+                "required (read through read_hudi, which merges)"
+            )
+    files = sorted((s["part"], s["base"]) for s in slices)
+    return files, instants
+
+
+def _latest_slices_mor(
+    path: str, at_instant: str | None
+) -> tuple[list[dict], list[str]]:
+    """Latest FILE SLICES at ``at_instant`` (r12, VERDICT r11 #3 —
+    the merge-on-read read path): per live (partition, fileId), the
+    newest completed BASE file ≤ at_instant plus the ordered LOG
+    files that apply on top of it. Returns ([{part, fid, base,
+    logs: [(base_instant, version, rel), ...]}], instants).
+
+    Log attachment honors PENDING COMPACTION: a requested-but-not-
+    completed compaction at instant C makes writers emit logs whose
+    filename base-instant is C while the newest COMPLETED base is
+    still the older B — those logs must merge onto B's slice. Hence
+    logs attach when their base-instant ≥ the chosen base's instant,
+    ordered by (base-instant, log version): exactly Hudi's slicing
+    rule, expressed over the filename layout (authoritative per the
+    public spec)."""
     timeline = hudi_timeline(path)
     if at_instant is not None:
         timeline = [t for t in timeline if t["instant"] <= str(at_instant)]
@@ -138,8 +182,10 @@ def _latest_slices(
             raise ValueError(
                 f"no completed instant ≤ {at_instant} in timeline"
             )
-    # (partition, fileId) -> (instant, relpath)
-    groups: dict[tuple[str, str], tuple[str, str]] = {}
+    # (partition, fileId) -> (instant, base relpath)
+    bases: dict[tuple[str, str], tuple[str, str]] = {}
+    # (partition, fileId) -> [(base_instant, version, rel)]
+    logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
     for inst in timeline:
         md = inst["metadata"]
         for part, stats in (md.get("partitionToWriteStats") or {}).items():
@@ -149,18 +195,33 @@ def _latest_slices(
                 if not rel or not fid:
                     continue
                 key = (part, fid)
-                prev = groups.get(key)
+                name = os.path.basename(rel)
+                m = _LOG_FILE_RE.match(name)
+                if m:
+                    logs.setdefault(key, []).append(
+                        (m.group("base"), int(m.group("ver")), rel)
+                    )
+                    continue
+                prev = bases.get(key)
                 if prev is None or inst["instant"] >= prev[0]:
-                    groups[key] = (inst["instant"], rel)
+                    bases[key] = (inst["instant"], rel)
         for part, fids in (
             md.get("partitionToReplaceFileIds") or {}
         ).items():
             for fid in fids or []:
-                groups.pop((part, fid), None)
-    files = sorted(
-        (part, rel) for (part, _fid), (_t, rel) in groups.items()
-    )
-    return files, [t["instant"] for t in timeline]
+                bases.pop((part, fid), None)
+                logs.pop((part, fid), None)
+    slices = []
+    for (part, fid), (binst, brel) in sorted(bases.items()):
+        slice_logs = sorted(
+            (bi, v, rel)
+            for bi, v, rel in logs.get((part, fid), [])
+            if bi >= binst
+        )
+        slices.append(
+            {"part": part, "fid": fid, "base": brel, "logs": slice_logs}
+        )
+    return slices, [t["instant"] for t in timeline]
 
 
 def read_hudi(
@@ -174,11 +235,29 @@ def read_hudi(
     file list is exact (only the snapshot's latest file slices are
     scanned); hive-style partition directories rebuild as typed
     columns via Spark's ``basePath`` partition discovery, so
-    partition pruning on them reaches the scan."""
-    files, _ = _latest_slices(path, at_instant)
-    if not files:
+    partition pruning on them reaches the scan.
+
+    MERGE_ON_READ (r12, VERDICT r11 #3): slices carrying log files
+    merge DISTRIBUTED — base rows union the log records (parsed
+    executor-side from the log blocks), the newest version per
+    ``_hoodie_record_key`` wins (``max_by`` over a monotone
+    commit-sequence — one shuffle on the record key, map-side
+    combinable), and ``_hoodie_is_deleted`` tombstones drop. Pending
+    compactions are honored: logs written against a requested-but-
+    incomplete compaction instant still merge onto the previous
+    completed base."""
+    slices, _ = _latest_slices_mor(path, at_instant)
+    if not slices:
         raise ValueError(f"Hudi table has no completed data: {path}")
-    df = _scan_files(spark, path, files)
+    base_files = [(s["part"], s["base"]) for s in slices]
+    df = _scan_files(spark, path, base_files)
+    log_files = [
+        (s["part"], bi, rel)
+        for s in slices
+        for bi, _v, rel in s["logs"]
+    ]
+    if log_files:
+        df = _merge_log_records(spark, path, df, slices)
     if not keep_meta:
         df = df.drop(*[c for c in META_COLS if c in df.columns])
     return df
@@ -271,6 +350,22 @@ def hudi_incremental(
             spark, path, keep_meta=keep_meta
         ).schema
         return spark.createDataFrame([], schema)
+    mor_slices, _ = _latest_slices_mor(path, end_instant)
+    if any(s["logs"] for s in mor_slices):
+        # merge-on-read: the merged snapshot carries each record's
+        # last-change instant, so the window filter is exact; file
+        # pruning is coarser than CoW (the merge reads the touched
+        # groups' slices base+logs) — documented trade, r12
+        df = read_hudi(
+            spark, path, at_instant=end_instant, keep_meta=True
+        ).where(F.col("_hoodie_commit_time") > str(begin_instant))
+        if end_instant is not None:
+            df = df.where(
+                F.col("_hoodie_commit_time") <= str(end_instant)
+            )
+        if not keep_meta:
+            df = df.drop(*[c for c in META_COLS if c in df.columns])
+        return df
     slices, _ = _latest_slices(path, end_instant)
     # map each latest slice back to its (partition, fileId)
     chosen = []
@@ -541,3 +636,654 @@ class HudiFixtureWriter:
             return
         for pval, sub in pdf.groupby(self.partition_col, sort=True):
             yield pval, sub
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read: log-file codec + distributed merge (r12, VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+# Log-file framing per the public Hudi tech spec (hudi.apache.org
+# "Tech Specs", HoodieLogFormat): a sequence of blocks, each
+#   MAGIC "#HUDI#" | block size (8, BE) | format version (4) |
+#   block type ordinal (4) | header map | content length (8) |
+#   content | footer map | total block length (8)
+# where a metadata map is `count(4) | per entry: key ordinal (4),
+# value length (4), UTF-8 bytes`. An AVRO data block's content is
+# `format version (4) | record count (4) | per record: length (4) +
+# Avro binary` with the writer schema carried in the SCHEMA header.
+# Deletes ride as records with `_hoodie_is_deleted=true` (the public
+# payload convention), so one record codec serves both.
+
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+_AVRO_BLOCK_VERSION = 3
+# HoodieLogBlockType ordinals (command, delete, corrupt, avro, ...)
+_BLOCK_AVRO_DATA = 3
+# HeaderMetadataType ordinals
+_HDR_INSTANT_TIME = 0
+_HDR_SCHEMA = 2
+
+
+def _enc_meta_map(m: dict[int, str]) -> bytes:
+    import struct
+
+    out = [struct.pack(">i", len(m))]
+    for k in sorted(m):
+        v = m[k].encode("utf-8")
+        out.append(struct.pack(">i", int(k)))
+        out.append(struct.pack(">i", len(v)))
+        out.append(v)
+    return b"".join(out)
+
+
+def _dec_meta_map(blob: bytes, pos: int) -> tuple[dict[int, str], int]:
+    import struct
+
+    (n,) = struct.unpack_from(">i", blob, pos)
+    pos += 4
+    out: dict[int, str] = {}
+    for _ in range(n):
+        (k,) = struct.unpack_from(">i", blob, pos)
+        pos += 4
+        (ln,) = struct.unpack_from(">i", blob, pos)
+        pos += 4
+        out[k] = blob[pos : pos + ln].decode("utf-8")
+        pos += ln
+    return out, pos
+
+
+def encode_log_block(
+    block_type: int, header: dict[int, str], content: bytes
+) -> bytes:
+    """One spec-framed log block (see the section comment)."""
+    import struct
+
+    hdr = _enc_meta_map(header)
+    ftr = _enc_meta_map({})
+    body = (
+        struct.pack(">i", _LOG_FORMAT_VERSION)
+        + struct.pack(">i", int(block_type))
+        + hdr
+        + struct.pack(">q", len(content))
+        + content
+        + ftr
+    )
+    total = len(_LOG_MAGIC) + 8 + len(body) + 8
+    return (
+        _LOG_MAGIC
+        + struct.pack(">q", len(body) + 8)
+        + body
+        + struct.pack(">q", total)
+    )
+
+
+def decode_log_blocks(blob: bytes) -> list[dict]:
+    """All blocks of one log file → [{type, header, content}]."""
+    import struct
+
+    out = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + len(_LOG_MAGIC)] != _LOG_MAGIC:
+            raise ValueError(
+                f"log block magic mismatch at offset {pos}"
+            )
+        pos += len(_LOG_MAGIC)
+        (size,) = struct.unpack_from(">q", blob, pos)
+        pos += 8
+        end = pos + size  # size spans body + trailing total-length
+        (_ver,) = struct.unpack_from(">i", blob, pos)
+        pos += 4
+        (btype,) = struct.unpack_from(">i", blob, pos)
+        pos += 4
+        header, pos = _dec_meta_map(blob, pos)
+        (clen,) = struct.unpack_from(">q", blob, pos)
+        pos += 8
+        content = blob[pos : pos + clen]
+        pos += clen
+        _footer, pos = _dec_meta_map(blob, pos)
+        (_total,) = struct.unpack_from(">q", blob, pos)
+        pos += 8
+        if pos != end:
+            raise ValueError("log block length mismatch")
+        out.append({"type": btype, "header": header, "content": content})
+    return out
+
+
+def encode_avro_data_block(
+    records: list[dict], avro_schema: dict
+) -> bytes:
+    """AVRO data block content: version | count | (len + avro) each."""
+    import io
+    import struct
+
+    from kissmetrics_to_database_spark.functions import avroc
+
+    names: dict = {}
+    avroc._collect_names(avro_schema, names)
+    out = [
+        struct.pack(">i", _AVRO_BLOCK_VERSION),
+        struct.pack(">i", len(records)),
+    ]
+    for rec in records:
+        buf = io.BytesIO()
+        avroc._encode(buf, avro_schema, rec, names)
+        b = buf.getvalue()
+        out.append(struct.pack(">i", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_avro_data_block(
+    content: bytes, avro_schema: dict
+) -> list[dict]:
+    import struct
+
+    from kissmetrics_to_database_spark.functions import avroc
+
+    names: dict = {}
+    avroc._collect_names(avro_schema, names)
+    (_ver,) = struct.unpack_from(">i", content, 0)
+    (n,) = struct.unpack_from(">i", content, 4)
+    pos = 8
+    out = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">i", content, pos)
+        pos += 4
+        r = avroc._Reader(content[pos : pos + ln])
+        out.append(avroc._decode(r, avro_schema, names))
+        pos += ln
+    return out
+
+
+_AVRO_OF_SPARK = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _avro_record_schema(fields: list[tuple[str, str]]) -> dict:
+    """[(name, spark simpleString type)] → Avro record schema for
+    log records: meta strings required, data columns nullable."""
+    out = []
+    for name, t in fields:
+        if name.startswith("_hoodie_") and name != "_hoodie_is_deleted":
+            out.append({"name": name, "type": "string"})
+        elif name == "_hoodie_is_deleted":
+            out.append({"name": name, "type": "boolean"})
+        else:
+            at = _AVRO_OF_SPARK.get(t)
+            if at is None:
+                raise ValueError(
+                    f"unsupported log-record column type {t!r} ({name})"
+                )
+            out.append({"name": name, "type": ["null", at], "default": None})
+    return {"type": "record", "name": "hudi_log_record", "fields": out}
+
+
+def _merge_log_records(
+    spark: SparkSession, path: str, base_df: DataFrame, slices: list[dict]
+) -> DataFrame:
+    """The merge-on-read view: base rows ∪ log records, newest per
+    record key wins, tombstones drop. Log blocks parse EXECUTOR-side
+    (binaryFile scan + mapInPandas over the block codec) — the
+    driver never touches log bytes; at 100 TB a table can carry 1e5
+    log files and the parse scales with the cluster like any other
+    scan. The single shuffle is the groupBy on the record key with a
+    map-side-combinable ``max_by``."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    log_paths = [
+        os.path.join(path, rel)
+        for s in slices
+        for _bi, _v, rel in s["logs"]
+    ]
+    out_schema = T.StructType(
+        list(base_df.schema.fields)
+        + [
+            T.StructField("_hoodie_is_deleted", T.BooleanType(), False),
+            T.StructField("__seq", T.StringType(), False),
+        ]
+    )
+    avro_schema = _avro_record_schema(
+        [(f.name, f.dataType.simpleString()) for f in base_df.schema.fields]
+        + [("_hoodie_is_deleted", "boolean")]
+    )
+    col_names = [f.name for f in out_schema.fields]
+
+    def parse(iterator):
+        for pdf in iterator:
+            rows = []
+            for lp in pdf["__path"]:
+                with open(lp, "rb") as f:
+                    blob = f.read()
+                for bi, blk in enumerate(decode_log_blocks(blob)):
+                    if blk["type"] != _BLOCK_AVRO_DATA:
+                        raise ValueError(
+                            f"unsupported log block type {blk['type']}"
+                        )
+                    instant = blk["header"].get(_HDR_INSTANT_TIME, "")
+                    for rec in decode_avro_data_block(
+                        blk["content"], avro_schema
+                    ):
+                        rec = dict(rec)
+                        rec["__seq"] = f"{instant}.{bi:04d}"
+                        rows.append([rec.get(c) for c in col_names])
+            yield pd.DataFrame(rows, columns=col_names)
+
+    # Hudi log files are DOT-PREFIXED, and Hadoop's file listing
+    # (binaryFile included) silently drops hidden files — real Hudi
+    # readers open log streams through their own I/O for the same
+    # reason. So the PATH LIST distributes (one row per log file)
+    # and each task opens its files from the shared filesystem;
+    # executor-parallel, no driver byte-shuffling.
+    logs_df = (
+        spark.createDataFrame(
+            [(p,) for p in sorted(log_paths)], "__path string"
+        )
+        .repartition(min(len(log_paths), 32))
+        .mapInPandas(parse, schema=out_schema)
+    )
+    base_tagged = base_df.withColumn(
+        "_hoodie_is_deleted", F.lit(False)
+    ).withColumn(
+        # base instants strictly precede any attached log instant,
+        # and keys are unique within a slice's base file — the
+        # record's own commit time is a valid monotone sequence
+        "__seq",
+        F.col("_hoodie_commit_time").cast("string"),
+    )
+    un = base_tagged.select(*col_names).unionByName(logs_df)
+    payload = [c for c in col_names if c != "_hoodie_record_key"]
+    merged = (
+        un.groupBy("_hoodie_record_key")
+        .agg(
+            F.max_by(F.struct(*payload), F.col("__seq")).alias("__r")
+        )
+        .select("_hoodie_record_key", "__r.*")
+    )
+    return merged.filter(~F.col("_hoodie_is_deleted")).select(
+        *[f.name for f in base_df.schema.fields]
+    )
+
+
+_AVRO_OF_PANDAS = {
+    "int64": "long",
+    "int32": "int",
+    "float64": "double",
+    "float32": "float",
+    "object": "string",
+    "bool": "boolean",
+}
+
+
+class HudiMorFixtureWriter(HudiFixtureWriter):
+    """MERGE_ON_READ commit emitter (r12): deltacommits append
+    spec-framed LOG files (Avro data blocks) to file groups instead
+    of rewriting base files; unmatched keys still open new base-file
+    groups (a deltacommit legally carries both); deletes ride as
+    ``_hoodie_is_deleted=true`` records (the public payload
+    convention); ``request_compaction``/``compact`` emit the pending
+    marker and the completing ``commit`` that folds logs into new
+    base files at the requested instant. Fixture/test use only, like
+    every *FixtureWriter here."""
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        partition_col: str | None = None,
+    ) -> None:
+        super().__init__(path, key_col, partition_col)
+        with open(
+            os.path.join(path, ".hoodie", "hoodie.properties"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write(
+                "hoodie.table.name="
+                + os.path.basename(path.rstrip("/"))
+                + "\nhoodie.table.type=MERGE_ON_READ"
+                + "\nhoodie.table.version=6\n"
+            )
+        self._base_instant: dict[tuple[str, str], str] = {}
+        self._log_ver: dict[tuple[str, str], int] = {}
+        self._data_cols: list[str] | None = None
+        self._dtypes: dict[str, str] = {}
+        self.pending_compaction: str | None = None
+
+    # record the base instant for every base file the parent writes
+    def _write_base_file(self, part, fid, instant, pdf):
+        rel, name = super()._write_base_file(part, fid, instant, pdf)
+        self._base_instant[(part, fid)] = instant
+        if self._data_cols is None:
+            self._data_cols = [
+                c for c in pdf.columns if c != "_ct"
+            ]
+            self._dtypes = {
+                c: str(pdf[c].dtype) for c in self._data_cols
+            }
+        return rel, name
+
+    def insert(self, pdf) -> str:
+        """Initial inserts publish as deltacommit (the MoR shape) but
+        still write base parquet files per new group."""
+        instant = self._next_instant()
+        p2s: dict[str, list] = {}
+        for pval, sub in self._by_partition(pdf):
+            part = self._part_path(pval)
+            self._n_group += 1
+            fid = f"fg{self._n_group:06d}-0"
+            rel, _ = self._write_base_file(
+                part, fid, instant,
+                sub.assign(_ct=instant).reset_index(drop=True),
+            )
+            p2s.setdefault(part, []).append(
+                self._stats(part, fid, rel, sub, 0)
+            )
+        self._publish(
+            instant, "deltacommit", {"partitionToWriteStats": p2s}
+        )
+        return instant
+
+    def _avro_schema(self) -> dict:
+        fields = []
+        part_col = self.partition_col
+        ordered = [
+            c for c in (self._data_cols or []) if c != part_col
+        ] + ([part_col] if part_col else [])
+        meta_and_data = (
+            [(m, "string") for m in META_COLS]
+            + [
+                (c, _AVRO_OF_PANDAS[self._dtypes[c]])
+                for c in ordered
+            ]
+            + [("_hoodie_is_deleted", "boolean")]
+        )
+        for name, t in meta_and_data:
+            if name.startswith("_hoodie_") and name != "_hoodie_is_deleted":
+                fields.append({"name": name, "type": "string"})
+            elif name == "_hoodie_is_deleted":
+                fields.append({"name": name, "type": "boolean"})
+            else:
+                fields.append(
+                    {"name": name, "type": ["null", t], "default": None}
+                )
+        return {
+            "type": "record",
+            "name": "hudi_log_record",
+            "fields": fields,
+        }
+
+    def _append_log(
+        self, part: str, fid: str, instant: str, records: list[dict]
+    ) -> str:
+        base_inst = self._base_instant[(part, fid)]
+        ver = self._log_ver.get((part, fid), 0) + 1
+        self._log_ver[(part, fid)] = ver
+        name = f".{fid}_{base_inst}.log.{ver}_0-0-0"
+        rel = os.path.join(part, name) if part else name
+        schema = self._avro_schema()
+        content = encode_avro_data_block(records, schema)
+        block = encode_log_block(
+            _BLOCK_AVRO_DATA,
+            {
+                _HDR_INSTANT_TIME: instant,
+                _HDR_SCHEMA: json.dumps(schema),
+            },
+            content,
+        )
+        abs_path = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(abs_path) or self.path, exist_ok=True)
+        # one block per commit; a second commit to the same (group,
+        # base-instant) rolls a new .log.<version> file — both shapes
+        # exist in real tables, this fixture emits the latter
+        with open(abs_path, "wb") as f:
+            f.write(block)
+        return rel
+
+    def _log_record(
+        self, row: dict, instant: str, name: str, part: str,
+        deleted: bool = False,
+    ) -> dict:
+        self._seqno += 1
+        part_col = self.partition_col
+        ordered = [
+            c for c in (self._data_cols or []) if c != part_col
+        ] + ([part_col] if part_col else [])
+        rec = {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0_{self._seqno}",
+            "_hoodie_record_key": str(row[self.key_col]),
+            "_hoodie_partition_path": part,
+            "_hoodie_file_name": name,
+            "_hoodie_is_deleted": bool(deleted),
+        }
+        for c in ordered:
+            v = row.get(c)
+            if v is None or (deleted and c != self.key_col):
+                rec[c] = None
+            elif self._dtypes[c] == "object":
+                rec[c] = str(v)
+            elif self._dtypes[c] in ("float64", "float32"):
+                rec[c] = float(v)
+            elif self._dtypes[c] == "bool":
+                rec[c] = bool(v)
+            else:
+                rec[c] = int(v)
+        return rec
+
+    def delta_upsert(self, pdf) -> str:
+        """One deltacommit: matched keys APPEND a log file to their
+        group; unmatched keys open new base-file groups."""
+        import pandas as pd
+
+        instant = self._next_instant()
+        p2s: dict[str, list] = {}
+        remaining = pdf
+        for (part, fid), cur in sorted(self.groups.items()):
+            keys = set(cur[self.key_col])
+            hit = remaining[
+                remaining.apply(
+                    lambda r: self._part_path(
+                        r[self.partition_col]
+                        if self.partition_col
+                        else None
+                    )
+                    == part
+                    and r[self.key_col] in keys,
+                    axis=1,
+                )
+            ]
+            if not len(hit):
+                continue
+            base_inst = self._base_instant[(part, fid)]
+            recs = [
+                self._log_record(dict(r), instant, "", part)
+                for _, r in hit.iterrows()
+            ]
+            rel = self._append_log(part, fid, instant, recs)
+            p2s.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel.replace(os.sep, "/"),
+                    "numWrites": int(len(hit)),
+                    "numUpdateWrites": int(len(hit)),
+                    "baseInstantTime": base_inst,
+                    "totalWriteBytes": os.path.getsize(
+                        os.path.join(self.path, rel)
+                    ),
+                }
+            )
+            merged = cur[~cur[self.key_col].isin(set(hit[self.key_col]))]
+            merged = pd.concat(
+                [merged, hit.assign(_ct=instant)], ignore_index=True
+            ).sort_values(self.key_col).reset_index(drop=True)
+            self.groups[(part, fid)] = merged
+            remaining = remaining[
+                ~remaining[self.key_col].isin(set(hit[self.key_col]))
+            ]
+        for pval, sub in self._by_partition(remaining):
+            part = self._part_path(pval)
+            self._n_group += 1
+            fid = f"fg{self._n_group:06d}-0"
+            rel, _ = self._write_base_file(
+                part, fid, instant,
+                sub.assign(_ct=instant).reset_index(drop=True),
+            )
+            p2s.setdefault(part, []).append(
+                self._stats(part, fid, rel, sub, 0)
+            )
+        self._publish(
+            instant, "deltacommit", {"partitionToWriteStats": p2s}
+        )
+        return instant
+
+    def delta_delete(self, keys) -> str:
+        """One deltacommit of tombstone log records
+        (``_hoodie_is_deleted=true``) for the given record keys."""
+        instant = self._next_instant()
+        p2s: dict[str, list] = {}
+        todo = set(keys)
+        for (part, fid), cur in sorted(self.groups.items()):
+            hit = cur[cur[self.key_col].isin(todo)]
+            if not len(hit):
+                continue
+            recs = [
+                self._log_record(
+                    dict(r), instant, "", part, deleted=True
+                )
+                for _, r in hit.iterrows()
+            ]
+            rel = self._append_log(part, fid, instant, recs)
+            p2s.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel.replace(os.sep, "/"),
+                    "numWrites": int(len(hit)),
+                    "numDeletes": int(len(hit)),
+                    "totalWriteBytes": os.path.getsize(
+                        os.path.join(self.path, rel)
+                    ),
+                }
+            )
+            self.groups[(part, fid)] = cur[
+                ~cur[self.key_col].isin(set(hit[self.key_col]))
+            ].reset_index(drop=True)
+            todo -= set(hit[self.key_col])
+        self._publish(
+            instant, "deltacommit", {"partitionToWriteStats": p2s}
+        )
+        return instant
+
+    def request_compaction(self) -> str:
+        """Pending compaction: the requested marker lands and NEW
+        logs roll forward to the requested base instant — readers
+        must keep merging the old slice until the compaction
+        COMPLETES."""
+        instant = self._next_instant()
+        meta = os.path.join(self.path, ".hoodie")
+        for suffix in (".compaction.requested", ".compaction.inflight"):
+            with open(os.path.join(meta, instant + suffix), "w") as f:
+                f.write("")
+        for key in self.groups:
+            self._base_instant[key] = instant
+        self.pending_compaction = instant
+        return instant
+
+    def compact(self) -> str:
+        """Complete the pending compaction: fold each group's merged
+        state into a new base file AT the requested instant and
+        publish the ``commit``."""
+        if self.pending_compaction is None:
+            raise ValueError("no pending compaction")
+        instant = self.pending_compaction
+        p2s: dict[str, list] = {}
+        for (part, fid), cur in sorted(self.groups.items()):
+            rel, _ = self._write_base_file(part, fid, instant, cur)
+            p2s.setdefault(part, []).append(
+                self._stats(part, fid, rel, cur, 0)
+            )
+        self._publish(instant, "commit", {"partitionToWriteStats": p2s})
+        self.pending_compaction = None
+        return instant
+
+
+def log_records_df(
+    spark: SparkSession, path: str, rels: list[str]
+) -> DataFrame:
+    """The records of the given log files as a DataFrame (meta
+    columns + data columns + ``_hoodie_is_deleted``), typed from the
+    Avro schema the first block's SCHEMA header carries. One tiny
+    driver read fetches that header (metadata-scale); the record
+    parse itself distributes exactly like ``_merge_log_records``.
+    Used by the commit tailer to stream a deltacommit's rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not rels:
+        raise ValueError("no log files")
+    first = os.path.join(path, rels[0])
+    with open(first, "rb") as f:
+        blob = f.read()
+    blk0 = decode_log_blocks(blob)[0]
+    avro_schema = json.loads(blk0["header"][_HDR_SCHEMA])
+    spark_of = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+    }
+
+    def styp(t):
+        if isinstance(t, list):  # ["null", X]
+            t = [x for x in t if x != "null"][0]
+        return spark_of[t]
+
+    fields = [
+        T.StructField(f["name"], styp(f["type"]), True)
+        for f in avro_schema["fields"]
+    ]
+    out_schema = T.StructType(
+        fields + [T.StructField("__seq", T.StringType(), True)]
+    )
+    col_names = [f.name for f in out_schema.fields]
+    paths = [os.path.join(path, r) for r in rels]
+
+    def parse(iterator):
+        for pdf in iterator:
+            rows = []
+            for lp in pdf["__path"]:
+                with open(lp, "rb") as f:
+                    b = f.read()
+                for bi, blk in enumerate(decode_log_blocks(b)):
+                    if blk["type"] != _BLOCK_AVRO_DATA:
+                        raise ValueError(
+                            f"unsupported log block type {blk['type']}"
+                        )
+                    sch = json.loads(blk["header"][_HDR_SCHEMA])
+                    instant = blk["header"].get(_HDR_INSTANT_TIME, "")
+                    for rec in decode_avro_data_block(
+                        blk["content"], sch
+                    ):
+                        rec = dict(rec)
+                        rec["__seq"] = f"{instant}.{bi:04d}"
+                        rows.append([rec.get(c) for c in col_names])
+            yield pd.DataFrame(rows, columns=col_names)
+
+    return (
+        spark.createDataFrame(
+            [(p,) for p in sorted(paths)], "__path string"
+        )
+        .repartition(min(len(paths), 32))
+        .mapInPandas(parse, schema=out_schema)
+        .drop("__seq")
+    )

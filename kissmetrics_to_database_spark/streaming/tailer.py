@@ -358,17 +358,43 @@ class CommitTailer:
         )
         if inst["action"] == "replacecommit":
             return None  # file reorganization, no new records
-        pairs = [
-            (part, st["path"])
-            for part, stats in (
-                inst["metadata"].get("partitionToWriteStats") or {}
-            ).items()
-            for st in stats or []
-            if st.get("path")
-        ]
-        if not pairs:
+        base_pairs = []
+        log_rels = []
+        for part, stats in (
+            inst["metadata"].get("partitionToWriteStats") or {}
+        ).items():
+            for st in stats or []:
+                rel = st.get("path")
+                if not rel:
+                    continue
+                if hudi._LOG_FILE_RE.match(os.path.basename(rel)):
+                    log_rels.append(rel)
+                else:
+                    base_pairs.append((part, rel))
+        if not base_pairs and not log_rels:
             return None
-        df = hudi._scan_files(spark, self.table_path, pairs).where(
+        parts = []
+        if base_pairs:
+            parts.append(
+                hudi._scan_files(spark, self.table_path, base_pairs)
+            )
+        if log_rels:
+            # MoR deltacommit (r12): the commit's rows live in its
+            # LOG files — stream the records directly (tombstones
+            # carry no row payload and are dropped; the SNAPSHOT
+            # reader applies them)
+            logs = hudi.log_records_df(
+                spark, self.table_path, log_rels
+            )
+            if "_hoodie_is_deleted" in logs.columns:
+                logs = logs.filter(~F.col("_hoodie_is_deleted")).drop(
+                    "_hoodie_is_deleted"
+                )
+            parts.append(logs)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        df = df.where(
             F.col("_hoodie_commit_time") == inst["instant"]
         )
         return df.drop(

@@ -352,3 +352,42 @@ def test_delta_tail_cdf_partitioned_delete(spark, tmp_path):
         2,
         [(4, "fr", "update_preimage"), (14, "fr", "update_postimage")],
     )
+
+
+def test_hudi_mor_tailer_streams_log_records(spark, tmp_path):
+    """r12: a MoR deltacommit's rows stream from its LOG files (the
+    base-file scan can't see dot-prefixed logs); tombstone-only
+    commits stream zero rows with the cursor advancing."""
+    import pandas as pd
+
+    from kissmetrics_to_database_spark.sources import hudi
+
+    path = str(tmp_path / "mor")
+    w = hudi.HudiMorFixtureWriter(path, key_col="id", partition_col="lang")
+    w.insert(
+        pd.DataFrame(
+            {"id": [1, 2], "val": ["a", "b"], "lang": ["de", "de"]}
+        )
+    )
+    cursor = str(tmp_path / "cur.json")
+    t = CommitTailer("hudi", path, cursor)
+    seen = []
+
+    def sink(batch, version):
+        seen.append(
+            (version, sorted(map(tuple, batch.select("id", "val").collect())))
+        )
+
+    assert len(t.poll(spark, sink)) == 1
+    assert seen[-1][1] == [(1, "a"), (2, "b")]
+    # log upsert streams the new record versions
+    w.delta_upsert(
+        pd.DataFrame({"id": [2, 3], "val": ["B2", "c"], "lang": ["de", "de"]})
+    )
+    assert len(t.poll(spark, sink)) == 1
+    assert seen[-1][1] == [(2, "B2"), (3, "c")]
+    # tombstone-only commit: zero rows, cursor advances
+    w.delta_delete([1])
+    assert len(t.poll(spark, sink)) == 1
+    assert seen[-1][1] == []
+    assert t.poll(spark, sink) == []
