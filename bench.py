@@ -231,6 +231,7 @@ HEADLINE = [
     "delta_merge_dup_key_targets",
     "hudi_mor_read",
     "hudi_mor_time_travel_and_incremental",
+    "iceberg_partitioned_write",
 ]
 
 

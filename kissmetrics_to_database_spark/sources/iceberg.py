@@ -176,6 +176,7 @@ def snapshot_files(path: str, snapshot_id: int | None = None) -> dict:
                     "null_value_counts": df.get("null_value_counts"),
                     "lower_bounds": df.get("lower_bounds"),
                     "upper_bounds": df.get("upper_bounds"),
+                    "partition": df.get("partition"),
                 }
             elif content == 1:  # positional delete file (v2 MOR)
                 delete_files.append(local)
@@ -277,8 +278,19 @@ def _iceberg_file_may_match(
         e["key"]: e["value"]
         for e in (st.get("null_value_counts") or [])
     }
+    part = st.get("partition") or {}
     n_rec = int(st.get("record_count") or 0)
     for col, op, val in conjuncts:
+        # identity-partition tuple: an exact per-file value, usable
+        # even when the manifest carries no column stats (files from
+        # writers that record partitions but not bounds)
+        if col in part:
+            pv = part[col]
+            if pv is None:
+                return False  # NULL partition: comparison never true
+            if not _range_may_match(op, val, pv, pv):
+                return False
+            continue
         fi = info.get(col)
         if fi is None:
             continue
@@ -647,11 +659,89 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.rename(tmp, path)
 
 
+def _identity_partition_columns(meta: dict) -> list[str]:
+    """Source column names of the table's default partition spec
+    (identity transforms only — the spec shape this writer emits)."""
+    specs = meta.get("partition-specs") or []
+    dsid = meta.get("default-spec-id", 0)
+    spec = next(
+        (sp for sp in specs if sp.get("spec-id", 0) == dsid),
+        {"fields": []},
+    )
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta.get("schema") or {}]
+    schema = next(
+        (sc for sc in schemas if sc.get("schema-id", 0) == sid),
+        schemas[0],
+    )
+    name_of = {int(f["id"]): f["name"] for f in schema.get("fields", [])}
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform") != "identity":
+            raise ValueError(
+                f"non-identity partition transform {f.get('transform')!r} "
+                "is out of this writer's scope"
+            )
+        out.append(name_of[int(f["source-id"])])
+    return out
+
+
+def _typed_partition_value(raw: str | None, ice_type: str):
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _manifest_schema_with_partition(part_fields: list[dict]) -> dict:
+    """The base manifest schema with a per-table ``partition`` record
+    spliced into data_file — Avro containers are self-describing, so
+    readers decode whatever shape each manifest embeds."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    prec = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", _AVRO_BOUND_TYPE.get(f["type"], "string")],
+                "default": None,
+            }
+            for f in part_fields
+        ],
+    }
+    for fld in schema["fields"]:
+        if fld["name"] == "data_file":
+            fld["type"]["fields"].insert(
+                2, {"name": "partition", "type": prec}
+            )
+    return schema
+
+
+_AVRO_BOUND_TYPE = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "int",
+}
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     txn_app_id: str | None = None,
     epoch_id: int | None = None,
+    partition_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` — the
     PRODUCTION append path (r11), completing write support for all
@@ -678,9 +768,17 @@ def write_iceberg(
     app id is skipped. Returns the committed snapshot id (the
     current one on a skipped replay).
 
-    Declared scope: append-only, unpartitioned, primitive columns —
-    schema evolution, partition specs and row-level deletes stay
-    read-side features here."""
+    Partitioning (r12, VERDICT r11 #7): ``partition_columns`` write
+    an IDENTITY partition spec — hive-style ``data/<col>=<val>/``
+    layout, a ``partition-specs`` entry in the table metadata, and
+    each manifest entry carrying the spec's partition tuple. Per the
+    spec, identity-partition source columns stay IN the data files
+    (the staged write partitions on shadow copies of the columns),
+    so reads — and stats-based skipping — work unchanged; appends
+    must repeat the table's partition columns.
+
+    Declared scope: append-only, primitive columns — schema
+    evolution and row-level deletes stay read-side features here."""
     import hashlib
     import shutil
     import uuid
@@ -691,6 +789,10 @@ def write_iceberg(
 
     if (epoch_id is None) != (txn_app_id is None):
         raise ValueError("txn_app_id and epoch_id go together")
+    part_cols = list(partition_columns or [])
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in DataFrame: {missing}")
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
@@ -707,6 +809,12 @@ def write_iceberg(
                     f"schema mismatch: table has "
                     f"{[f.name for f in existing.fields]}, "
                     f"write has {list(df.columns)}"
+                )
+            existing_parts = _identity_partition_columns(meta)
+            if existing_parts != part_cols:
+                raise ValueError(
+                    f"table is partitioned by {existing_parts}, "
+                    f"write requested {part_cols}"
                 )
             snaps = list(meta.get("snapshots") or [])
             if epoch_id is not None:
@@ -751,26 +859,74 @@ def write_iceberg(
         # parquet footers — metadata-scale driver work, one per FILE
         seg = uuid.uuid4().hex[:12]
         stage = os.path.join(path, f"_staging-{seg}")
-        df.write.mode("overwrite").parquet(stage)
-        adds: list[tuple[str, int, int]] = []  # rel, rows, bytes
+        if part_cols:
+            # identity-partition columns must STAY in the data files
+            # (spec); partitionBy would strip them, so the write
+            # partitions on SHADOW copies and the dirs are renamed
+            # into the hive layout below
+            out_df = df
+            for c in part_cols:
+                out_df = out_df.withColumn(f"__p_{c}", F.col(c))
+            out_df.write.mode("overwrite").partitionBy(
+                *[f"__p_{c}" for c in part_cols]
+            ).parquet(stage)
+        else:
+            df.write.mode("overwrite").parquet(stage)
+        # rel, rows, bytes, {part col: raw dir value}
+        adds: list[tuple[str, int, int, dict]] = []
         i = 0
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet") or name.startswith("_"):
-                continue
-            rel = f"data/f-{seg}-{i:05d}.parquet"
-            i += 1
-            os.rename(
-                os.path.join(stage, name), os.path.join(path, rel)
-            )
-            adds.append(
-                (
-                    rel,
-                    int(
-                        pq.read_metadata(os.path.join(path, rel)).num_rows
-                    ),
-                    os.path.getsize(os.path.join(path, rel)),
+        from urllib.parse import unquote
+
+        for root, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet") or name.startswith("_"):
+                    continue
+                rel_dir = os.path.relpath(root, stage)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                pvals: dict[str, str | None] = {}
+                hive_dir = ""
+                if rel_dir:
+                    comps = [c for c in rel_dir.split(os.sep) if c]
+                    for c_name, comp in zip(part_cols, comps):
+                        pname, _, raw = comp.partition("=")
+                        if pname != f"__p_{c_name}":
+                            raise ValueError(
+                                f"unexpected staging dir {comp!r}"
+                            )
+                        pvals[c_name] = (
+                            None
+                            if raw == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(raw)
+                        )
+                    hive_dir = "/".join(
+                        f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else pvals[c]}"
+                        for c in part_cols
+                    )
+                rel = (
+                    f"data/{hive_dir}/f-{seg}-{i:05d}.parquet"
+                    if hive_dir
+                    else f"data/f-{seg}-{i:05d}.parquet"
                 )
-            )
+                i += 1
+                os.makedirs(
+                    os.path.dirname(os.path.join(path, rel)),
+                    exist_ok=True,
+                )
+                os.rename(
+                    os.path.join(root, name), os.path.join(path, rel)
+                )
+                adds.append(
+                    (
+                        rel,
+                        int(
+                            pq.read_metadata(
+                                os.path.join(path, rel)
+                            ).num_rows
+                        ),
+                        os.path.getsize(os.path.join(path, rel)),
+                        pvals,
+                    )
+                )
         shutil.rmtree(stage, ignore_errors=True)
 
         sid = (
@@ -781,6 +937,19 @@ def write_iceberg(
         cur_schema = next(
             (s for s in schemas if s.get("schema-id", 0) == cur_sid),
             schemas[0],
+        )
+        type_of_col = {
+            f["name"]: f["type"]
+            for f in cur_schema.get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
+        part_fields = [
+            {"name": c, "type": type_of_col[c]} for c in part_cols
+        ]
+        manifest_schema = (
+            _manifest_schema_with_partition(part_fields)
+            if part_cols
+            else _MANIFEST_SCHEMA
         )
         entries = [
             {
@@ -794,6 +963,19 @@ def write_iceberg(
                     "record_count": n,
                     "file_size_in_bytes": sz,
                     "equality_ids": None,
+                    # r12 (#7): the spec's partition tuple, typed
+                    **(
+                        {
+                            "partition": {
+                                c: _typed_partition_value(
+                                    pv.get(c), type_of_col[c]
+                                )
+                                for c in part_cols
+                            }
+                        }
+                        if part_cols
+                        else {}
+                    ),
                     # r12: per-column bounds + null counts from the
                     # parquet footer — the read side prunes on them
                     **_manifest_stats(
@@ -802,12 +984,12 @@ def write_iceberg(
                     ),
                 },
             }
-            for rel, n, sz in adds
+            for rel, n, sz, pv in adds
         ]
         mf_rel = f"metadata/manifest-{sid}.avro"
         _atomic_write(
             os.path.join(path, mf_rel),
-            avroc.write_container(_MANIFEST_SCHEMA, entries),
+            avroc.write_container(manifest_schema, entries),
         )
         mlist = list(prev_mlist) + [
             {
@@ -828,7 +1010,7 @@ def write_iceberg(
         summary = {
             "operation": "append",
             "added-data-files": str(len(adds)),
-            "added-records": str(sum(n for _, n, _ in adds)),
+            "added-records": str(sum(n for _, n, _sz, _pv in adds)),
         }
         if epoch_id is not None:
             summary["kmdb-txn-app-id"] = str(txn_app_id)
@@ -841,6 +1023,10 @@ def write_iceberg(
         }
         if snaps:
             snap["parent-snapshot-id"] = int(snaps[-1]["snapshot-id"])
+        id_of_col = {
+            f["name"]: int(f["id"])
+            for f in cur_schema.get("fields", [])
+        }
         new_meta = {
             "format-version": 2,
             "table-uuid": table_uuid,
@@ -850,6 +1036,22 @@ def write_iceberg(
             "current-schema-id": (
                 (meta or {}).get("current-schema-id", 0)
             ),
+            "partition-specs": (meta or {}).get("partition-specs")
+            or [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": id_of_col[c],
+                            "field-id": 1000 + j,
+                        }
+                        for j, c in enumerate(part_cols)
+                    ],
+                }
+            ],
+            "default-spec-id": (meta or {}).get("default-spec-id", 0),
             "current-snapshot-id": sid,
             "snapshots": snaps + [snap],
         }

@@ -798,3 +798,92 @@ def test_iceberg_data_skipping_composes_with_mor_deletes(spark, tmp_path):
         spark, str(tmp_path / "nostats"), predicate="id = 2"
     )
     assert [r["val"] for r in out.collect()] == ["b"]
+
+
+def test_write_iceberg_partitioned_roundtrip(spark, tmp_path):
+    """r12, VERDICT r11 #7: identity-partitioned writes — hive dir
+    layout, partition tuples in the manifests, partition-specs in the
+    metadata, identity columns STILL in the data files (per spec),
+    and file pruning on a partition predicate."""
+    path = str(tmp_path / "ipart")
+    df = spark.createDataFrame(
+        [(1, "a", "de"), (2, "b", "de"), (3, "c", "en"), (None, "d", "en")],
+        "id long, val string, lang string",
+    )
+    ib.write_iceberg(df, path, partition_columns=["lang"])
+    st = ib.snapshot_files(path)
+    assert all("/data/lang=" in f for f in st["files"])
+    # identity column present IN the data files
+    import pyarrow.parquet as pq
+
+    assert "lang" in pq.read_schema(st["files"][0]).names
+    key = lambda t: (t[0] is None, t[0] or 0, t[1])
+    got = sorted(
+        ((r["id"], r["lang"]) for r in ib.read_iceberg(spark, path).collect()),
+        key=key,
+    )
+    assert got == sorted(
+        [(1, "de"), (2, "de"), (3, "en"), (None, "en")], key=key
+    )
+    # partition predicate prunes the file list
+    pr = ib.read_iceberg(spark, path, predicate="lang = 'de'")
+    assert all("lang=de" in f for f in pr.inputFiles())
+    assert sorted(r["id"] for r in pr.collect()) == [1, 2]
+    # metadata carries the identity spec
+    meta = ib.table_metadata(path)
+    spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    # manifests carry typed partition tuples
+    mf = sorted(
+        n
+        for n in os.listdir(os.path.join(path, "metadata"))
+        if n.startswith("manifest-")
+    )
+    _, entries = avroc.read_container(
+        open(os.path.join(path, "metadata", mf[0]), "rb").read()
+    )
+    assert all(
+        e["data_file"]["partition"]["lang"] in ("de", "en")
+        for e in entries
+    )
+    # appends must repeat the table's partitioning
+    add = spark.createDataFrame(
+        [(9, "z", "fr")], "id long, val string, lang string"
+    )
+    with pytest.raises(ValueError, match="partitioned by"):
+        ib.write_iceberg(add, path)
+    ib.write_iceberg(add, path, partition_columns=["lang"])
+    assert ib.read_iceberg(spark, path).count() == 5
+    # DML composes: positional delete on a partitioned table
+    ib.delete_iceberg(spark, path, "id = 2")
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+        if r["id"] is not None
+    ) == [1, 3, 9]
+
+
+def test_partition_tuple_prunes_without_column_stats(spark, tmp_path):
+    """The manifest partition tuple alone prunes files even when an
+    entry carries NO column bounds (foreign-writer shape) — proven by
+    stripping the bounds from a written table's manifest."""
+    path = str(tmp_path / "ptonly")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "en")], "id long, lang string"
+    )
+    ib.write_iceberg(df, path, partition_columns=["lang"])
+    # strip bounds from every manifest entry, keep partition tuples
+    meta_dir = os.path.join(path, "metadata")
+    for n in os.listdir(meta_dir):
+        if not n.startswith("manifest-"):
+            continue
+        fp = os.path.join(meta_dir, n)
+        schema, entries = avroc.read_container(open(fp, "rb").read())
+        for e in entries:
+            e["data_file"]["lower_bounds"] = None
+            e["data_file"]["upper_bounds"] = None
+            e["data_file"]["null_value_counts"] = None
+        with open(fp, "wb") as f:
+            f.write(avroc.write_container(schema, entries))
+    pr = ib.read_iceberg(spark, path, predicate="lang = 'de'")
+    assert len(pr.inputFiles()) == 1
+    assert [r["id"] for r in pr.collect()] == [1]

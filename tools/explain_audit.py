@@ -951,6 +951,19 @@ def main() -> int:
         dl.write_delta(mk(200, 300), path)
         return dl.read_delta(spark, path, predicate="id >= 250")
 
+    def _iceberg_partition_prune_plan():
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        path = tempfile.mkdtemp(prefix="ipart_audit_") + "/t"
+        df = spark.createDataFrame(
+            [(1, "de"), (2, "de"), (3, "en"), (4, "fr")],
+            "id long, lang string",
+        )
+        ib.write_iceberg(df, path, partition_columns=["lang"])
+        return ib.read_iceberg(spark, path, predicate="lang = 'de'")
+
     def _iceberg_stats_prune_plan():
         import tempfile
 
@@ -1064,6 +1077,13 @@ def main() -> int:
             _iceberg_stats_prune_plan,
             ["InMemoryFileIndex [file:"],
             [", file:", "CartesianProduct"],
+        ),
+        # r12 #7: a partition predicate on a partitioned Iceberg
+        # write prunes to that partition's file(s) alone
+        "op:iceberg_partition_prune": (
+            _iceberg_partition_prune_plan,
+            ["InMemoryFileIndex [file:", "lang=de"],
+            ["lang=en", "lang=fr", "CartesianProduct"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
