@@ -77,19 +77,26 @@ def _latest_metadata(path: str) -> str:
     meta_dir = os.path.join(path, "metadata")
     if not os.path.isdir(meta_dir):
         raise ValueError(f"not an Iceberg table (no metadata/): {path}")
+    hint_v = -1
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         with open(hint, encoding="utf-8") as f:
-            v = int(f.read().strip())
-        return os.path.join(meta_dir, f"v{v}.metadata.json")
-    versions = sorted(
-        int(m.group(1))
-        for m in (_VMETA_RE.match(n) for n in os.listdir(meta_dir))
-        if m
+            hint_v = int(f.read().strip())
+    # hint updates are advisory under optimistic concurrency (r12):
+    # a loser's stale hint write must never roll the table back, so
+    # the resolved version is max(hint, scan)
+    scan_v = max(
+        (
+            int(m.group(1))
+            for m in (_VMETA_RE.match(n) for n in os.listdir(meta_dir))
+            if m
+        ),
+        default=-1,
     )
-    if not versions:
+    v = max(hint_v, scan_v)
+    if v < 0:
         raise ValueError(f"no vN.metadata.json under {meta_dir}")
-    return os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+    return os.path.join(meta_dir, f"v{v}.metadata.json")
 
 
 def table_metadata(path: str) -> dict:
@@ -795,273 +802,340 @@ def write_iceberg(
         raise ValueError(f"partition columns not in DataFrame: {missing}")
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    # The lock is a co-located-writer optimization (r12); correctness
+    # comes from the put-if-absent metadata publish + bounded
+    # re-replay loop: lose the race, re-read the table, re-validate
+    # (schema, partitioning, epoch idempotency), re-emit manifests at
+    # a fresh snapshot id, retry. Appends always win eventually.
     with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
-        hint = os.path.join(path, "metadata", "version-hint.text")
-        if os.path.exists(hint):
-            meta = table_metadata(path)
-            if int(meta.get("format-version", 2)) != 2:
-                raise ValueError(
-                    "write_iceberg appends to format-version 2 tables"
+        adds = None
+        for _attempt in range(_MAX_ICEBERG_RETRIES):
+            hint = os.path.join(path, "metadata", "version-hint.text")
+            if os.path.exists(hint):
+                meta = table_metadata(path)
+                if int(meta.get("format-version", 2)) != 2:
+                    raise ValueError(
+                        "write_iceberg appends to format-version 2 tables"
+                    )
+                existing = _spark_schema(meta)
+                if [f.name for f in existing.fields] != list(df.columns):
+                    raise ValueError(
+                        f"schema mismatch: table has "
+                        f"{[f.name for f in existing.fields]}, "
+                        f"write has {list(df.columns)}"
+                    )
+                existing_parts = _identity_partition_columns(meta)
+                if existing_parts != part_cols:
+                    raise ValueError(
+                        f"table is partitioned by {existing_parts}, "
+                        f"write requested {part_cols}"
+                    )
+                snaps = list(meta.get("snapshots") or [])
+                if epoch_id is not None:
+                    done = [
+                        int((s.get("summary") or {}).get("kmdb-txn-epoch"))
+                        for s in snaps
+                        if (s.get("summary") or {}).get("kmdb-txn-app-id")
+                        == str(txn_app_id)
+                    ]
+                    if done and int(epoch_id) <= max(done):
+                        return int(meta["current-snapshot-id"])
+                prev_mlist: list[dict] = []
+                if snaps:
+                    cur = next(
+                        s
+                        for s in snaps
+                        if int(s["snapshot-id"])
+                        == int(meta["current-snapshot-id"])
+                    )
+                    with open(_local(cur["manifest-list"], path), "rb") as f:
+                        _, prev_mlist = avroc.read_container(f.read())
+                # resolve the CURRENT version by scan, not the
+                # advisory hint — a loser's stale hint write must
+                # never make this writer re-publish an old version
+                version = int(
+                    re.search(
+                        r"v(\d+)\.metadata\.json$",
+                        _latest_metadata(path),
+                    ).group(1)
                 )
-            existing = _spark_schema(meta)
-            if [f.name for f in existing.fields] != list(df.columns):
-                raise ValueError(
-                    f"schema mismatch: table has "
-                    f"{[f.name for f in existing.fields]}, "
-                    f"write has {list(df.columns)}"
-                )
-            existing_parts = _identity_partition_columns(meta)
-            if existing_parts != part_cols:
-                raise ValueError(
-                    f"table is partitioned by {existing_parts}, "
-                    f"write requested {part_cols}"
-                )
-            snaps = list(meta.get("snapshots") or [])
-            if epoch_id is not None:
-                done = [
-                    int((s.get("summary") or {}).get("kmdb-txn-epoch"))
-                    for s in snaps
-                    if (s.get("summary") or {}).get("kmdb-txn-app-id")
-                    == str(txn_app_id)
+                schemas = meta.get("schemas") or [meta.get("schema")]
+                table_uuid = meta.get("table-uuid") or uuid.uuid4().hex
+            else:
+                meta = None
+                snaps, prev_mlist, version = [], [], 0
+                schemas = [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": _iceberg_fields(df.schema),
+                    }
                 ]
-                if done and int(epoch_id) <= max(done):
-                    return int(meta["current-snapshot-id"])
-            prev_mlist: list[dict] = []
-            if snaps:
-                cur = next(
-                    s
-                    for s in snaps
-                    if int(s["snapshot-id"])
-                    == int(meta["current-snapshot-id"])
-                )
-                with open(_local(cur["manifest-list"], path), "rb") as f:
-                    _, prev_mlist = avroc.read_container(f.read())
-            with open(hint, encoding="utf-8") as f:
-                version = int(f.read().strip())
-            schemas = meta.get("schemas") or [meta.get("schema")]
-            table_uuid = meta.get("table-uuid") or uuid.uuid4().hex
-        else:
-            meta = None
-            snaps, prev_mlist, version = [], [], 0
-            schemas = [
+                table_uuid = hashlib.md5(
+                    os.path.abspath(path).encode()
+                ).hexdigest()
+
+            if adds is None:
+                # distributed data write into a staging dir, renamed under
+                # data/ (same-filesystem rename); record counts come from the
+                # parquet footers — metadata-scale driver work, one per FILE
+                seg = uuid.uuid4().hex[:12]
+                stage = os.path.join(path, f"_staging-{seg}")
+                if part_cols:
+                    # identity-partition columns must STAY in the data files
+                    # (spec); partitionBy would strip them, so the write
+                    # partitions on SHADOW copies and the dirs are renamed
+                    # into the hive layout below
+                    out_df = df
+                    for c in part_cols:
+                        out_df = out_df.withColumn(f"__p_{c}", F.col(c))
+                    out_df.write.mode("overwrite").partitionBy(
+                        *[f"__p_{c}" for c in part_cols]
+                    ).parquet(stage)
+                else:
+                    df.write.mode("overwrite").parquet(stage)
+                # rel, rows, bytes, {part col: raw dir value}
+                adds: list[tuple[str, int, int, dict]] = []
+                i = 0
+                from urllib.parse import unquote
+
+                for root, _dirs, names in os.walk(stage):
+                    for name in sorted(names):
+                        if not name.endswith(".parquet") or name.startswith("_"):
+                            continue
+                        rel_dir = os.path.relpath(root, stage)
+                        rel_dir = "" if rel_dir == "." else rel_dir
+                        pvals: dict[str, str | None] = {}
+                        hive_dir = ""
+                        if rel_dir:
+                            comps = [c for c in rel_dir.split(os.sep) if c]
+                            for c_name, comp in zip(part_cols, comps):
+                                pname, _, raw = comp.partition("=")
+                                if pname != f"__p_{c_name}":
+                                    raise ValueError(
+                                        f"unexpected staging dir {comp!r}"
+                                    )
+                                pvals[c_name] = (
+                                    None
+                                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                                    else unquote(raw)
+                                )
+                            hive_dir = "/".join(
+                                f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else pvals[c]}"
+                                for c in part_cols
+                            )
+                        rel = (
+                            f"data/{hive_dir}/f-{seg}-{i:05d}.parquet"
+                            if hive_dir
+                            else f"data/f-{seg}-{i:05d}.parquet"
+                        )
+                        i += 1
+                        os.makedirs(
+                            os.path.dirname(os.path.join(path, rel)),
+                            exist_ok=True,
+                        )
+                        os.rename(
+                            os.path.join(root, name), os.path.join(path, rel)
+                        )
+                        adds.append(
+                            (
+                                rel,
+                                int(
+                                    pq.read_metadata(
+                                        os.path.join(path, rel)
+                                    ).num_rows
+                                ),
+                                os.path.getsize(os.path.join(path, rel)),
+                                pvals,
+                            )
+                        )
+                shutil.rmtree(stage, ignore_errors=True)
+
+            sid = (
+                max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
+            )
+            snap_seq = len(snaps) + 1
+            cur_sid = (meta or {}).get("current-schema-id", 0)
+            cur_schema = next(
+                (s for s in schemas if s.get("schema-id", 0) == cur_sid),
+                schemas[0],
+            )
+            type_of_col = {
+                f["name"]: f["type"]
+                for f in cur_schema.get("fields", [])
+                if isinstance(f.get("type"), str)
+            }
+            part_fields = [
+                {"name": c, "type": type_of_col[c]} for c in part_cols
+            ]
+            manifest_schema = (
+                _manifest_schema_with_partition(part_fields)
+                if part_cols
+                else _MANIFEST_SCHEMA
+            )
+            entries = [
                 {
-                    "type": "struct",
-                    "schema-id": 0,
-                    "fields": _iceberg_fields(df.schema),
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": None,  # inherited (production shape)
+                    "data_file": {
+                        "content": 0,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
+                        "equality_ids": None,
+                        # r12 (#7): the spec's partition tuple, typed
+                        **(
+                            {
+                                "partition": {
+                                    c: _typed_partition_value(
+                                        pv.get(c), type_of_col[c]
+                                    )
+                                    for c in part_cols
+                                }
+                            }
+                            if part_cols
+                            else {}
+                        ),
+                        # r12: per-column bounds + null counts from the
+                        # parquet footer — the read side prunes on them
+                        **_manifest_stats(
+                            os.path.join(path, rel),
+                            cur_schema.get("fields", []),
+                        ),
+                    },
+                }
+                for rel, n, sz, pv in adds
+            ]
+            seg2 = uuid.uuid4().hex[:8]
+            mf_rel = f"metadata/manifest-{sid}-{seg2}.avro"
+            _atomic_write(
+                os.path.join(path, mf_rel),
+                avroc.write_container(manifest_schema, entries),
+            )
+            mlist = list(prev_mlist) + [
+                {
+                    "manifest_path": mf_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, mf_rel)
+                    ),
+                    "content": 0,
+                    "added_snapshot_id": sid,
+                    "sequence_number": snap_seq,
                 }
             ]
-            table_uuid = hashlib.md5(
-                os.path.abspath(path).encode()
-            ).hexdigest()
-
-        # distributed data write into a staging dir, renamed under
-        # data/ (same-filesystem rename); record counts come from the
-        # parquet footers — metadata-scale driver work, one per FILE
-        seg = uuid.uuid4().hex[:12]
-        stage = os.path.join(path, f"_staging-{seg}")
-        if part_cols:
-            # identity-partition columns must STAY in the data files
-            # (spec); partitionBy would strip them, so the write
-            # partitions on SHADOW copies and the dirs are renamed
-            # into the hive layout below
-            out_df = df
-            for c in part_cols:
-                out_df = out_df.withColumn(f"__p_{c}", F.col(c))
-            out_df.write.mode("overwrite").partitionBy(
-                *[f"__p_{c}" for c in part_cols]
-            ).parquet(stage)
-        else:
-            df.write.mode("overwrite").parquet(stage)
-        # rel, rows, bytes, {part col: raw dir value}
-        adds: list[tuple[str, int, int, dict]] = []
-        i = 0
-        from urllib.parse import unquote
-
-        for root, _dirs, names in os.walk(stage):
-            for name in sorted(names):
-                if not name.endswith(".parquet") or name.startswith("_"):
-                    continue
-                rel_dir = os.path.relpath(root, stage)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                pvals: dict[str, str | None] = {}
-                hive_dir = ""
-                if rel_dir:
-                    comps = [c for c in rel_dir.split(os.sep) if c]
-                    for c_name, comp in zip(part_cols, comps):
-                        pname, _, raw = comp.partition("=")
-                        if pname != f"__p_{c_name}":
-                            raise ValueError(
-                                f"unexpected staging dir {comp!r}"
-                            )
-                        pvals[c_name] = (
-                            None
-                            if raw == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(raw)
-                        )
-                    hive_dir = "/".join(
-                        f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else pvals[c]}"
-                        for c in part_cols
-                    )
-                rel = (
-                    f"data/{hive_dir}/f-{seg}-{i:05d}.parquet"
-                    if hive_dir
-                    else f"data/f-{seg}-{i:05d}.parquet"
-                )
-                i += 1
-                os.makedirs(
-                    os.path.dirname(os.path.join(path, rel)),
-                    exist_ok=True,
-                )
-                os.rename(
-                    os.path.join(root, name), os.path.join(path, rel)
-                )
-                adds.append(
-                    (
-                        rel,
-                        int(
-                            pq.read_metadata(
-                                os.path.join(path, rel)
-                            ).num_rows
-                        ),
-                        os.path.getsize(os.path.join(path, rel)),
-                        pvals,
-                    )
-                )
-        shutil.rmtree(stage, ignore_errors=True)
-
-        sid = (
-            max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
-        )
-        snap_seq = len(snaps) + 1
-        cur_sid = (meta or {}).get("current-schema-id", 0)
-        cur_schema = next(
-            (s for s in schemas if s.get("schema-id", 0) == cur_sid),
-            schemas[0],
-        )
-        type_of_col = {
-            f["name"]: f["type"]
-            for f in cur_schema.get("fields", [])
-            if isinstance(f.get("type"), str)
-        }
-        part_fields = [
-            {"name": c, "type": type_of_col[c]} for c in part_cols
-        ]
-        manifest_schema = (
-            _manifest_schema_with_partition(part_fields)
-            if part_cols
-            else _MANIFEST_SCHEMA
-        )
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited (production shape)
-                "data_file": {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n,
-                    "file_size_in_bytes": sz,
-                    "equality_ids": None,
-                    # r12 (#7): the spec's partition tuple, typed
-                    **(
-                        {
-                            "partition": {
-                                c: _typed_partition_value(
-                                    pv.get(c), type_of_col[c]
-                                )
-                                for c in part_cols
-                            }
-                        }
-                        if part_cols
-                        else {}
-                    ),
-                    # r12: per-column bounds + null counts from the
-                    # parquet footer — the read side prunes on them
-                    **_manifest_stats(
-                        os.path.join(path, rel),
-                        cur_schema.get("fields", []),
-                    ),
-                },
+            mlist_rel = f"metadata/snap-{sid}-{seg2}.avro"
+            _atomic_write(
+                os.path.join(path, mlist_rel),
+                avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+            )
+            summary = {
+                "operation": "append",
+                "added-data-files": str(len(adds)),
+                "added-records": str(sum(n for _, n, _sz, _pv in adds)),
             }
-            for rel, n, sz, pv in adds
-        ]
-        mf_rel = f"metadata/manifest-{sid}.avro"
-        _atomic_write(
-            os.path.join(path, mf_rel),
-            avroc.write_container(manifest_schema, entries),
-        )
-        mlist = list(prev_mlist) + [
-            {
-                "manifest_path": mf_rel,
-                "manifest_length": os.path.getsize(
-                    os.path.join(path, mf_rel)
+            if epoch_id is not None:
+                summary["kmdb-txn-app-id"] = str(txn_app_id)
+                summary["kmdb-txn-epoch"] = str(int(epoch_id))
+            snap = {
+                "snapshot-id": sid,
+                "sequence-number": snap_seq,
+                "manifest-list": mlist_rel,
+                "summary": summary,
+            }
+            if snaps:
+                snap["parent-snapshot-id"] = int(snaps[-1]["snapshot-id"])
+            id_of_col = {
+                f["name"]: int(f["id"])
+                for f in cur_schema.get("fields", [])
+            }
+            new_meta = {
+                "format-version": 2,
+                "table-uuid": table_uuid,
+                "location": path,
+                "last-sequence-number": snap_seq,
+                "schemas": schemas,
+                "current-schema-id": (
+                    (meta or {}).get("current-schema-id", 0)
                 ),
-                "content": 0,
-                "added_snapshot_id": sid,
-                "sequence_number": snap_seq,
+                "partition-specs": (meta or {}).get("partition-specs")
+                or [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": c,
+                                "transform": "identity",
+                                "source-id": id_of_col[c],
+                                "field-id": 1000 + j,
+                            }
+                            for j, c in enumerate(part_cols)
+                        ],
+                    }
+                ],
+                "default-spec-id": (meta or {}).get("default-spec-id", 0),
+                "current-snapshot-id": sid,
+                "snapshots": snaps + [snap],
             }
-        ]
-        mlist_rel = f"metadata/snap-{sid}.avro"
-        _atomic_write(
-            os.path.join(path, mlist_rel),
-            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+            try:
+                _publish_metadata_version(path, new_meta, version + 1)
+                return sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(
+            f"lost {_MAX_ICEBERG_RETRIES} commit races under {path}"
         )
-        summary = {
-            "operation": "append",
-            "added-data-files": str(len(adds)),
-            "added-records": str(sum(n for _, n, _sz, _pv in adds)),
-        }
-        if epoch_id is not None:
-            summary["kmdb-txn-app-id"] = str(txn_app_id)
-            summary["kmdb-txn-epoch"] = str(int(epoch_id))
-        snap = {
-            "snapshot-id": sid,
-            "sequence-number": snap_seq,
-            "manifest-list": mlist_rel,
-            "summary": summary,
-        }
-        if snaps:
-            snap["parent-snapshot-id"] = int(snaps[-1]["snapshot-id"])
-        id_of_col = {
-            f["name"]: int(f["id"])
-            for f in cur_schema.get("fields", [])
-        }
-        new_meta = {
-            "format-version": 2,
-            "table-uuid": table_uuid,
-            "location": path,
-            "last-sequence-number": snap_seq,
-            "schemas": schemas,
-            "current-schema-id": (
-                (meta or {}).get("current-schema-id", 0)
-            ),
-            "partition-specs": (meta or {}).get("partition-specs")
-            or [
-                {
-                    "spec-id": 0,
-                    "fields": [
-                        {
-                            "name": c,
-                            "transform": "identity",
-                            "source-id": id_of_col[c],
-                            "field-id": 1000 + j,
-                        }
-                        for j, c in enumerate(part_cols)
-                    ],
-                }
-            ],
-            "default-spec-id": (meta or {}).get("default-spec-id", 0),
-            "current-snapshot-id": sid,
-            "snapshots": snaps + [snap],
-        }
-        version += 1
-        _atomic_write(
-            os.path.join(path, "metadata", f"v{version}.metadata.json"),
-            json.dumps(new_meta).encode(),
-        )
-        _atomic_write(hint, str(version).encode())
-        return sid
+
+
+class IcebergCommitConflict(RuntimeError):
+    """Another writer published this metadata version first — the
+    lost side of an optimistic race. Retryable after re-replay."""
+
+
+class IcebergConcurrentModification(RuntimeError):
+    """A concurrent commit replaced a data file this transaction's
+    row-level semantics depend on (positional deletes target files
+    by path+position). Re-run the DML against the new snapshot."""
+
+
+_MAX_ICEBERG_RETRIES = 10
+
+
+def _publish_metadata_version(
+    path: str, new_meta: dict, version: int
+) -> None:
+    """PUT-IF-ABSENT publish of vN.metadata.json (r12, the Delta
+    optimistic-commit recipe one format over): stage + fsync, then
+    hard-link to the version name — EEXIST means another writer won
+    and raises ``IcebergCommitConflict``. The version-hint update
+    after a win is advisory (``_latest_metadata`` takes the max of
+    hint and directory scan, so a stale hint can never roll the
+    table back)."""
+    import uuid
+
+    meta_dir = os.path.join(path, "metadata")
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = os.path.join(
+        meta_dir, f".v{version}.{uuid.uuid4().hex[:8]}.json.tmp"
+    )
+    with open(tmp, "wb") as f:
+        f.write(json.dumps(new_meta).encode())
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {version} already published under "
+            f"{meta_dir} — lost the optimistic-commit race"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    _atomic_write(
+        os.path.join(meta_dir, "version-hint.text"),
+        str(version).encode(),
+    )
 
 
 def _commit_v2_snapshot(
@@ -1070,112 +1144,134 @@ def _commit_v2_snapshot(
     file_groups: list[tuple[list[tuple[str, int, int]], int, list | None, str]],
     operation: str,
     extra_summary: dict[str, str],
+    requires_live: list[str] | None = None,
 ) -> int:
     """Shared snapshot-commit tail for the v2 writers: one new Avro
     manifest per non-empty ``file_groups`` entry ``(files, content,
     equality_ids, tag)`` with entry sequence numbers NULL (inherited,
     the production shape), prior manifests reused by reference, then
-    manifest list → snapshot → vN.metadata.json → version-hint, each
-    published by atomic rename. Caller holds the writer lock.
-    Returns the new snapshot id."""
-    snaps = list(meta.get("snapshots") or [])
-    sid_cur = meta.get("current-snapshot-id")
-    prev_mlist: list[dict] = []
-    if snaps and sid_cur is not None:
-        cur = next(
-            s for s in snaps if int(s["snapshot-id"]) == int(sid_cur)
+    manifest list → snapshot → vN.metadata.json published
+    PUT-IF-ABSENT with bounded re-replay retries (r12): losing a
+    race refreshes the metadata, re-validates ``requires_live``
+    (LOCAL data-file paths whose rows this commit's positional
+    semantics target — a concurrent commit replacing one raises
+    ``IcebergConcurrentModification``), and re-emits manifests at a
+    fresh snapshot id (file names carry a per-attempt uuid so a
+    loser can never clobber the winner's manifests). The caller's
+    lock is a co-located-writer optimization. Returns the new
+    snapshot id."""
+    import uuid as _uuid
+    for _attempt in range(_MAX_ICEBERG_RETRIES):
+        snaps = list(meta.get("snapshots") or [])
+        sid_cur = meta.get("current-snapshot-id")
+        prev_mlist: list[dict] = []
+        if snaps and sid_cur is not None:
+            cur = next(
+                s for s in snaps if int(s["snapshot-id"]) == int(sid_cur)
+            )
+            with open(_local(cur["manifest-list"], path), "rb") as f:
+                _, prev_mlist = avroc.read_container(f.read())
+        sid = max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
+        snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
+        seg = _uuid.uuid4().hex[:8]
+        summary = {"operation": operation}
+        summary.update(extra_summary)
+        mlist = list(prev_mlist)
+        cur_sid = meta.get("current-schema-id", 0)
+        schemas = meta.get("schemas") or [meta.get("schema") or {}]
+        cur_schema = next(
+            (s for s in schemas if s.get("schema-id", 0) == cur_sid),
+            schemas[0],
         )
-        with open(_local(cur["manifest-list"], path), "rb") as f:
-            _, prev_mlist = avroc.read_container(f.read())
-    sid = max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
-    snap_seq = int(meta.get("last-sequence-number", len(snaps))) + 1
-    summary = {"operation": operation}
-    summary.update(extra_summary)
-    mlist = list(prev_mlist)
-    cur_sid = meta.get("current-schema-id", 0)
-    schemas = meta.get("schemas") or [meta.get("schema") or {}]
-    cur_schema = next(
-        (s for s in schemas if s.get("schema-id", 0) == cur_sid),
-        schemas[0],
-    )
-    for files, content, eq_ids, tag in file_groups:
-        if not files:
-            continue
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited (production shape)
-                "data_file": {
-                    "content": content,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n,
-                    "file_size_in_bytes": sz,
-                    "equality_ids": eq_ids,
-                    # r12: DATA files carry footer-derived bounds so
-                    # DML-rewritten files keep pruning (delete files
-                    # don't need them)
-                    **(
-                        _manifest_stats(
-                            _local(rel, path),
-                            cur_schema.get("fields", []),
-                        )
-                        if content == 0
-                        else {}
+        for files, content, eq_ids, tag in file_groups:
+            if not files:
+                continue
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": None,  # inherited (production shape)
+                    "data_file": {
+                        "content": content,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
+                        "equality_ids": eq_ids,
+                        # r12: DATA files carry footer-derived bounds so
+                        # DML-rewritten files keep pruning (delete files
+                        # don't need them)
+                        **(
+                            _manifest_stats(
+                                _local(rel, path),
+                                cur_schema.get("fields", []),
+                            )
+                            if content == 0
+                            else {}
+                        ),
+                    },
+                }
+                for rel, n, sz in files
+            ]
+            mf_rel = f"metadata/manifest-{sid}-{tag}-{seg}.avro"
+            _atomic_write(
+                os.path.join(path, mf_rel),
+                avroc.write_container(_MANIFEST_SCHEMA, entries),
+            )
+            mlist.append(
+                {
+                    "manifest_path": mf_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(path, mf_rel)
                     ),
-                },
-            }
-            for rel, n, sz in files
-        ]
-        mf_rel = f"metadata/manifest-{sid}-{tag}.avro"
+                    "content": 0 if content == 0 else 1,
+                    "added_snapshot_id": sid,
+                    "sequence_number": snap_seq,
+                }
+            )
+        mlist_rel = f"metadata/snap-{sid}-{seg}.avro"
         _atomic_write(
-            os.path.join(path, mf_rel),
-            avroc.write_container(_MANIFEST_SCHEMA, entries),
+            os.path.join(path, mlist_rel),
+            avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
         )
-        mlist.append(
-            {
-                "manifest_path": mf_rel,
-                "manifest_length": os.path.getsize(
-                    os.path.join(path, mf_rel)
-                ),
-                "content": 0 if content == 0 else 1,
-                "added_snapshot_id": sid,
-                "sequence_number": snap_seq,
-            }
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": snap_seq,
+            "manifest-list": mlist_rel,
+            "summary": summary,
+        }
+        if sid_cur is not None:
+            snap["parent-snapshot-id"] = int(sid_cur)
+        version = int(
+            re.search(
+                r"v(\d+)\.metadata\.json$", _latest_metadata(path)
+            ).group(1)
         )
-    mlist_rel = f"metadata/snap-{sid}.avro"
-    _atomic_write(
-        os.path.join(path, mlist_rel),
-        avroc.write_container(_MANIFEST_LIST_SCHEMA, mlist),
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = snap_seq
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = snaps + [snap]
+        try:
+            _publish_metadata_version(path, new_meta, version + 1)
+            return sid
+        except IcebergCommitConflict:
+            meta = table_metadata(path)
+            if requires_live:
+                live = set(snapshot_files(path)["files"])
+                gone = sorted(
+                    f for f in requires_live if f not in live
+                )
+                if gone:
+                    raise IcebergConcurrentModification(
+                        f"concurrent commit replaced {len(gone)} data "
+                        f"file(s) this transaction targets by position "
+                        f"(first: {os.path.basename(gone[0])!r}) — "
+                        "re-run against the new snapshot"
+                    ) from None
+            continue
+    raise IcebergCommitConflict(
+        f"lost {_MAX_ICEBERG_RETRIES} commit races under {path}"
     )
-    snap = {
-        "snapshot-id": sid,
-        "sequence-number": snap_seq,
-        "manifest-list": mlist_rel,
-        "summary": summary,
-    }
-    if sid_cur is not None:
-        snap["parent-snapshot-id"] = int(sid_cur)
-    with open(
-        os.path.join(path, "metadata", "version-hint.text"),
-        encoding="utf-8",
-    ) as f:
-        version = int(f.read().strip())
-    new_meta = dict(meta)
-    new_meta["last-sequence-number"] = snap_seq
-    new_meta["current-snapshot-id"] = sid
-    new_meta["snapshots"] = snaps + [snap]
-    version += 1
-    _atomic_write(
-        os.path.join(path, "metadata", f"v{version}.metadata.json"),
-        json.dumps(new_meta).encode(),
-    )
-    _atomic_write(
-        os.path.join(path, "metadata", "version-hint.text"),
-        str(version).encode(),
-    )
-    return sid
 
 
 def _promote_staging(
@@ -1267,7 +1363,17 @@ def delete_iceberg(
         )
         seg = uuid.uuid4().hex[:12]
         stage = os.path.join(path, f"_staging-del-{seg}")
+        dels = dels.persist()
+        # the positional read set: data files this commit's delete
+        # rows target — metadata-scale (one row per FILE); a racing
+        # commit replacing one of these invalidates the positions
+        referenced = [
+            state["path_map"][r["file_path"]]
+            for r in dels.select("file_path").distinct().collect()
+            if r["file_path"] in state["path_map"]
+        ]
         dels.write.mode("overwrite").parquet(stage)
+        dels.unpersist()
         del_files = _promote_staging(path, stage, "del", seg)
         if not del_files:
             return int(meta["current-snapshot-id"])
@@ -1283,6 +1389,7 @@ def delete_iceberg(
                 ),
                 "kmdb-delete-predicate": predicate,
             },
+            requires_live=referenced,
         )
 
 
@@ -1353,7 +1460,14 @@ def update_iceberg(
         )
         seg = uuid.uuid4().hex[:12]
         del_stage = os.path.join(path, f"_staging-udel-{seg}")
+        dels = dels.persist()
+        referenced = [
+            state["path_map"][r["file_path"]]
+            for r in dels.select("file_path").distinct().collect()
+            if r["file_path"] in state["path_map"]
+        ]
         dels.write.mode("overwrite").parquet(del_stage)
+        dels.unpersist()
         data_stage = os.path.join(path, f"_staging-upd-{seg}")
         updated.write.mode("overwrite").parquet(data_stage)
         matched.unpersist()
@@ -1378,6 +1492,7 @@ def update_iceberg(
                 "added-records": str(sum(n for _, n, _ in data_files)),
                 "kmdb-update-predicate": predicate,
             },
+            requires_live=referenced,
         )
 
 
@@ -1548,22 +1663,16 @@ def expire_iceberg_snapshots(
                 local = _local(rel, path)
                 if os.path.exists(local):
                     os.remove(local)
-            with open(
-                os.path.join(path, "metadata", "version-hint.text"),
-                encoding="utf-8",
-            ) as f:
-                version = int(f.read().strip()) + 1
+            version = int(
+                re.search(
+                    r"v(\d+)\.metadata\.json$", _latest_metadata(path)
+                ).group(1)
+            )
             new_meta = {**meta, "snapshots": keep}
-            _atomic_write(
-                os.path.join(
-                    path, "metadata", f"v{version}.metadata.json"
-                ),
-                json.dumps(new_meta).encode(),
-            )
-            _atomic_write(
-                os.path.join(path, "metadata", "version-hint.text"),
-                str(version).encode(),
-            )
+            # put-if-absent (r12): a racing writer wins cleanly; the
+            # expiration is advisory maintenance, so just re-raise —
+            # the caller re-runs against the new snapshot list
+            _publish_metadata_version(path, new_meta, version + 1)
         return {
             "expired_snapshot_ids": [int(s["snapshot-id"]) for s in drop],
             "deleted_files": doomed,

@@ -887,3 +887,120 @@ def test_partition_tuple_prunes_without_column_stats(spark, tmp_path):
     pr = ib.read_iceberg(spark, path, predicate="lang = 'de'")
     assert len(pr.inputFiles()) == 1
     assert [r["id"] for r in pr.collect()] == [1]
+
+
+def _inject_iceberg_race(monkeypatch, path, n_calls=1):
+    """First n_calls publish attempts are preceded by a competing
+    writer landing a (no-op) metadata version at the same number."""
+    real = ib._publish_metadata_version
+    state = {"left": n_calls}
+
+    def raced(p, new_meta, version):
+        if state["left"] > 0:
+            state["left"] -= 1
+            real(p, ib.table_metadata(p), version)
+        return real(p, new_meta, version)
+
+    monkeypatch.setattr(ib, "_publish_metadata_version", raced)
+
+
+def test_iceberg_publish_put_if_absent(spark, tmp_path):
+    """r12: vN.metadata.json publishes put-if-absent — a lost race
+    raises instead of silently replacing the winner's version; a
+    stale hint never rolls the table back (resolution is
+    max(hint, scan))."""
+    path = str(tmp_path / "iopt")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    ib.write_iceberg(mk([1]), path)
+    meta = ib.table_metadata(path)
+    with pytest.raises(ib.IcebergCommitConflict, match="already published"):
+        ib._publish_metadata_version(path, meta, 1)
+    # stale hint: point it back at v1 after a v2 commit lands
+    ib.write_iceberg(mk([2]), path)
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    open(hint, "w").write("1")
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 2]
+    # and the next append publishes v3, not a clobber of v2
+    ib.write_iceberg(mk([3]), path)
+    assert os.path.exists(
+        os.path.join(path, "metadata", "v3.metadata.json")
+    )
+    assert ib.read_iceberg(spark, path).count() == 3
+
+
+def test_write_iceberg_survives_commit_race(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "irace")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    ib.write_iceberg(mk([1, 2]), path)
+    _inject_iceberg_race(monkeypatch, path)
+    sid = ib.write_iceberg(mk([3]), path)
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 2, 3]
+    # both versions on disk: the competing v2 and the retried v3
+    for v in (2, 3):
+        assert os.path.exists(
+            os.path.join(path, "metadata", f"v{v}.metadata.json")
+        )
+
+
+def test_delete_iceberg_conflict_and_retry(spark, tmp_path, monkeypatch):
+    """A DML race against an append retries; a race against a commit
+    that REPLACED a targeted data file raises (positions are stale)."""
+    path = str(tmp_path / "idml")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    ib.write_iceberg(mk([1, 2, 3]).coalesce(1), path)
+    # unrelated append race → retry wins
+    _inject_iceberg_race(monkeypatch, path)
+    ib.delete_iceberg(spark, path, "id = 2")
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 3]
+    # now a competing commit REPLACES the base file mid-delete
+    real = ib._publish_metadata_version
+    raced_once = {"done": False}
+
+    def replace_base(p, new_meta, version):
+        if not raced_once["done"]:
+            raced_once["done"] = True
+            meta = ib.table_metadata(p)
+            snaps = list(meta["snapshots"])
+            # forge an overwrite snapshot with an EMPTY manifest list
+            # (drops every live file)
+            import kissmetrics_to_database_spark.functions.avroc as av
+
+            mlist_rel = "metadata/snap-forged.avro"
+            ib._atomic_write(
+                os.path.join(p, mlist_rel),
+                av.write_container(ib._MANIFEST_LIST_SCHEMA, []),
+            )
+            sid = max(int(x["snapshot-id"]) for x in snaps) + 1
+            forged = dict(meta)
+            forged["current-snapshot-id"] = sid
+            forged["snapshots"] = snaps + [
+                {
+                    "snapshot-id": sid,
+                    "sequence-number": int(
+                        meta.get("last-sequence-number", 1)
+                    )
+                    + 1,
+                    "manifest-list": mlist_rel,
+                    "summary": {"operation": "overwrite"},
+                }
+            ]
+            real(p, forged, version)
+        return real(p, new_meta, version)
+
+    monkeypatch.setattr(ib, "_publish_metadata_version", replace_base)
+    with pytest.raises(
+        ib.IcebergConcurrentModification, match="re-run"
+    ):
+        ib.delete_iceberg(spark, path, "id = 1")
