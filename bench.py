@@ -232,6 +232,7 @@ HEADLINE = [
     "hudi_mor_read",
     "hudi_mor_time_travel_and_incremental",
     "iceberg_partitioned_write",
+    "iceberg_optimize_roundtrip",
 ]
 
 

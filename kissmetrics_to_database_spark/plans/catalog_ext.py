@@ -11147,6 +11147,51 @@ def q_delta_optimize_roundtrip(
     )
 
 
+@query(
+    "iceberg_optimize_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 9 <> 4
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_iceberg_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg OPTIMIZE (r12): two appends + a positional DELETE
+    (doc_id % 9 = 4), then ``optimize_iceberg`` rewrites the MERGED
+    view as one replace snapshot — deletes fold away (the new
+    snapshot has data files only), content stays byte-identical to
+    the SQL end-state, and time travel to the pre-compaction MOR
+    snapshot still works (asserted in tests/test_iceberg.py along
+    with conflict behavior and tailer skip). See
+    sources/iceberg.optimize_iceberg."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="kmdb_ice_opt_") + "/docs_opt"
+    ib.write_iceberg(docs.where(F.col("doc_id") % 2 == 0), path)
+    ib.write_iceberg(docs.where(F.col("doc_id") % 2 == 1), path)
+    ib.delete_iceberg(spark, path, "doc_id % 9 = 4")
+    ib.optimize_iceberg(spark, path)
+    st = ib.snapshot_files(path)
+    assert not st["delete_files"] and not st.get("equality_deletes")
+    return (
+        ib.read_iceberg(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 _ICEBERG_WRITER_FIX: dict = {}
 
 

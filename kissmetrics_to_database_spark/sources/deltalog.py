@@ -95,21 +95,23 @@ def _log_versions(log_dir: str) -> tuple[dict[int, str], dict[int, str]]:
     return jsons, ckpts
 
 
-def _unsupported_checkpoints(log_dir: str) -> dict[int, str]:
-    """{version: kind} for multipart / v2 checkpoint files present in
-    the log — shapes this reader cannot replay. Only consulted when
-    the JSON chain alone can't reconstruct the snapshot, so tables
-    that merely CARRY a v2 checkpoint beside a complete JSON tail
-    still read fine."""
-    out: dict[int, str] = {}
-    for name in os.listdir(log_dir):
+def _alt_checkpoints(log_dir: str) -> dict[int, dict]:
+    """{version: {kind, files}} for MULTIPART and V2 (sidecar)
+    checkpoints (r12: first a clean boundary, now read support —
+    modern writers with checkpointPolicy=v2 clean old JSON commits,
+    so replay must start from these shapes)."""
+    out: dict[int, dict] = {}
+    for name in sorted(os.listdir(log_dir)):
         m = _CKPT_MULTIPART_RE.match(name)
         if m:
-            out[int(m.group(1))] = "multipart checkpoint"
+            v = int(m.group(1))
+            e = out.setdefault(v, {"kind": "multipart", "files": []})
+            e["files"].append(name)
             continue
         m = _CKPT_V2_RE.match(name)
         if m:
-            out[int(m.group(1))] = "v2 (sidecar) checkpoint"
+            v = int(m.group(1))
+            out[v] = {"kind": "v2", "files": [name]}
     return out
 
 
@@ -122,11 +124,66 @@ def _checkpoint_actions(path: str) -> list[dict[str, Any]]:
     rows = tbl.to_pylist()
     actions = []
     for row in rows:
-        for kind in ("metaData", "protocol", "add", "remove", "txn"):
+        for kind in (
+            "metaData",
+            "protocol",
+            "add",
+            "remove",
+            "txn",
+            "sidecar",
+            "checkpointMetadata",
+        ):
             v = row.get(kind)
             if v is not None:
                 actions.append({kind: v})
     return actions
+
+
+def _alt_checkpoint_actions(
+    log_dir: str, entry: dict
+) -> list[dict[str, Any]]:
+    """Actions of a multipart or v2 checkpoint. Multipart: the union
+    of all part files' rows. V2: the top file's actions (protocol /
+    metaData / txn live there) plus every referenced SIDECAR file's
+    add/remove rows (read from ``_sidecars/``); a missing sidecar is
+    a clean error, never a silent partial snapshot."""
+    if entry["kind"] == "multipart":
+        n_parts = int(entry["files"][0].rsplit(".", 2)[-2])
+        if len(entry["files"]) != n_parts:
+            raise ValueError(
+                f"multipart checkpoint incomplete: have "
+                f"{len(entry['files'])} of {n_parts} parts"
+            )
+        out: list[dict] = []
+        for name in sorted(entry["files"]):
+            out.extend(_checkpoint_actions(os.path.join(log_dir, name)))
+        return out
+    top = os.path.join(log_dir, entry["files"][0])
+    if top.endswith(".json"):
+        actions = []
+        with open(top, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+    else:
+        actions = _checkpoint_actions(top)
+    out = []
+    for act in actions:
+        if "sidecar" in act:
+            sc_name = os.path.basename(str(act["sidecar"]["path"]))
+            sc_path = os.path.join(log_dir, "_sidecars", sc_name)
+            if not os.path.exists(sc_path):
+                raise ValueError(
+                    f"v2 checkpoint references missing sidecar "
+                    f"{sc_name!r}"
+                )
+            out.extend(_checkpoint_actions(sc_path))
+        elif "checkpointMetadata" in act:
+            continue  # structural marker, no table state
+        else:
+            out.append(act)
+    return out
 
 
 def snapshot_state(path: str, version: int | None = None) -> dict:
@@ -136,40 +193,33 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
     if not os.path.isdir(log_dir):
         raise ValueError(f"not a Delta table (no _delta_log): {path}")
     jsons, ckpts = _log_versions(log_dir)
-    latest = max(list(jsons) + list(ckpts), default=-1)
+    alt_ckpts = _alt_checkpoints(log_dir)
+    latest = max(list(jsons) + list(ckpts) + list(alt_ckpts), default=-1)
     if latest < 0:
         raise ValueError(f"empty _delta_log: {path}")
     target = latest if version is None else int(version)
-    if target not in jsons and target not in ckpts:
+    if target not in jsons and target not in ckpts and target not in alt_ckpts:
         raise ValueError(
             f"version {target} not in log (have ≤ {latest})"
         )
 
-    usable_ckpts = [v for v in ckpts if v <= target]
-    start = max(usable_ckpts) + 1 if usable_ckpts else 0
+    usable = [
+        v for v in set(ckpts) | set(alt_ckpts) if v <= target
+    ]
+    start = max(usable) + 1 if usable else 0
     actions: list[dict[str, Any]] = []
-    if usable_ckpts:
-        actions.extend(
-            _checkpoint_actions(
-                os.path.join(log_dir, ckpts[max(usable_ckpts)])
+    if usable:
+        best = max(usable)
+        if best in ckpts:  # classic single-file wins a tie
+            actions.extend(
+                _checkpoint_actions(os.path.join(log_dir, ckpts[best]))
             )
-        )
+        else:
+            actions.extend(
+                _alt_checkpoint_actions(log_dir, alt_ckpts[best])
+            )
     for v in range(start, target + 1):
         if v not in jsons:
-            unsup = {
-                uv: kind
-                for uv, kind in _unsupported_checkpoints(log_dir).items()
-                if v <= uv <= target
-            }
-            if unsup:
-                uv = max(unsup)
-                raise ValueError(
-                    f"table is maintained with a {unsup[uv]} at version "
-                    f"{uv} (checkpointPolicy=v2 / multipart) and the "
-                    f"JSON chain is incomplete (missing commit {v}) — "
-                    "replaying these checkpoint shapes is out of this "
-                    "reader's declared scope"
-                )
             raise ValueError(f"log gap: missing commit {v}")
         with open(os.path.join(log_dir, jsons[v]), encoding="utf-8") as f:
             for line in f:
@@ -190,7 +240,7 @@ def snapshot_state(path: str, version: int | None = None) -> dict:
             p = act["protocol"]
             protocol = p
             feats = set(p.get("readerFeatures") or [])
-            if feats - {"columnMapping", "deletionVectors"}:
+            if feats - {"columnMapping", "deletionVectors", "v2Checkpoint"}:
                 raise ValueError(
                     "table requires Delta reader features beyond "
                     f"column mapping / deletion vectors "
@@ -761,7 +811,9 @@ def write_delta(
         adds: list[dict] | None = None
         for _attempt in range(_MAX_COMMIT_RETRIES):
             jsons, ckpts = _log_versions(log_dir)
-            have = sorted(set(jsons) | set(ckpts))
+            have = sorted(
+                set(jsons) | set(ckpts) | set(_alt_checkpoints(log_dir))
+            )
             version = (have[-1] + 1) if have else 0
             state = snapshot_state(path) if have else None
             if state is not None and epoch_id is not None:
@@ -1270,13 +1322,26 @@ def vacuum_delta(
         return sorted(removed)
 
 
-def checkpoint_delta(path: str, version: int | None = None) -> int:
+def checkpoint_delta(
+    path: str,
+    version: int | None = None,
+    kind: str = "classic",
+    parts: int | None = None,
+) -> int:
     """Write a Delta CHECKPOINT for the table at ``path`` (r11):
     compacts the replay ≤ ``version`` (default: latest) into
     <version>.checkpoint.parquet + _last_checkpoint, spec shape —
     one row per action, nullable struct columns. The scale feature
     long-lived landing tables need: post-checkpoint replays read one
     parquet + the JSON tail instead of every commit since v0.
+
+    ``kind`` (r12): ``classic`` (single file), ``multipart``
+    (``<v>.checkpoint.<i>.<n>.parquet`` parts), or ``v2`` (a
+    uuid-named top file holding checkpointMetadata + protocol/
+    metaData/txn + ``sidecar`` actions pointing at ``_sidecars/``
+    parquet files that carry the add actions — the
+    checkpointPolicy=v2 layout modern writers emit). snapshot_state
+    replays all three.
 
     Persists the table's ACTUAL protocol (readerFeatures and all)
     and the metaData configuration map — a post-checkpoint replay of
@@ -1340,18 +1405,81 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                 "txn": None,
             }
         )
-    name = f"{v:020d}.checkpoint.parquet"
-    tmp = os.path.join(path, "_delta_log", name + ".tmp.parquet")
-    pq.write_table(pa.Table.from_pylist(rows), tmp)
-    os.rename(tmp, os.path.join(path, "_delta_log", name))
-    lc_tmp = os.path.join(path, "_delta_log", "_last_checkpoint.tmp")
+    log_dir = os.path.join(path, "_delta_log")
+
+    def _pq(rel: str, some_rows: list[dict]) -> None:
+        tmp = os.path.join(log_dir, "." + rel.replace("/", "_") + ".tmp")
+        pq.write_table(pa.Table.from_pylist(some_rows), tmp)
+        os.makedirs(
+            os.path.dirname(os.path.join(log_dir, rel)), exist_ok=True
+        )
+        os.rename(tmp, os.path.join(log_dir, rel))
+
+    last_ckpt: dict = {"version": v, "size": len(rows)}
+    if kind == "classic":
+        _pq(f"{v:020d}.checkpoint.parquet", rows)
+    elif kind == "multipart":
+        n = max(2, int(parts or 2))
+        chunks = [rows[i::n] for i in range(n)]
+        for i, chunk in enumerate(chunks, start=1):
+            _pq(f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet", chunk)
+        last_ckpt["parts"] = n
+    elif kind == "v2":
+        import uuid as _uuid
+
+        empty = {
+            "protocol": None,
+            "metaData": None,
+            "add": None,
+            "remove": None,
+            "txn": None,
+            "sidecar": None,
+            "checkpointMetadata": None,
+        }
+        file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+        top_rows = [
+            {**empty, **r, "sidecar": None, "checkpointMetadata": None}
+            for r in rows
+            if not (r.get("add") or r.get("remove"))
+        ]
+        top_rows.insert(
+            0,
+            {**empty, "checkpointMetadata": {"version": v}},
+        )
+        # split file actions across two sidecars (the layout modern
+        # writers emit; proves multi-sidecar stitching)
+        halves = [file_rows[0::2], file_rows[1::2]]
+        for half in halves:
+            if not half:
+                continue
+            sc_name = f"{_uuid.uuid4().hex}.parquet"
+            _pq(
+                os.path.join("_sidecars", sc_name),
+                [{**empty, **r} for r in half],
+            )
+            top_rows.append(
+                {
+                    **empty,
+                    "sidecar": {
+                        "path": sc_name,
+                        "sizeInBytes": os.path.getsize(
+                            os.path.join(log_dir, "_sidecars", sc_name)
+                        ),
+                    },
+                }
+            )
+        _pq(
+            f"{v:020d}.checkpoint.{_uuid.uuid4().hex}.parquet", top_rows
+        )
+        last_ckpt["checkpointType"] = "v2"
+    else:
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
+    lc_tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
     with open(lc_tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": v, "size": len(rows)}, f)
+        json.dump(last_ckpt, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(
-        lc_tmp, os.path.join(path, "_delta_log", "_last_checkpoint")
-    )
+    os.rename(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
     return v
 
 

@@ -1145,6 +1145,7 @@ def _commit_v2_snapshot(
     operation: str,
     extra_summary: dict[str, str],
     requires_live: list[str] | None = None,
+    replace_all: bool = False,
 ) -> int:
     """Shared snapshot-commit tail for the v2 writers: one new Avro
     manifest per non-empty ``file_groups`` entry ``(files, content,
@@ -1165,7 +1166,9 @@ def _commit_v2_snapshot(
         snaps = list(meta.get("snapshots") or [])
         sid_cur = meta.get("current-snapshot-id")
         prev_mlist: list[dict] = []
-        if snaps and sid_cur is not None:
+        if replace_all:
+            pass  # REPLACE commit: prior manifests all drop
+        elif snaps and sid_cur is not None:
             cur = next(
                 s for s in snaps if int(s["snapshot-id"]) == int(sid_cur)
             )
@@ -1255,6 +1258,13 @@ def _commit_v2_snapshot(
             _publish_metadata_version(path, new_meta, version + 1)
             return sid
         except IcebergCommitConflict:
+            if replace_all:
+                # ANY concurrent commit invalidates a whole-table
+                # compaction — never silently drop its changes
+                raise IcebergConcurrentModification(
+                    "table changed during OPTIMIZE — re-run against "
+                    "the new snapshot"
+                ) from None
             meta = table_metadata(path)
             if requires_live:
                 live = set(snapshot_files(path)["files"])
@@ -1607,6 +1617,62 @@ def merge_iceberg(
                 ),
                 "kmdb-merge-on": ",".join(on),
             },
+        )
+
+
+def optimize_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE (bin-pack compaction) for Iceberg v2 tables this
+    engine writes (r12) — the Delta ``optimize_delta`` one format
+    over: reads the CURRENT merged view (positional and equality
+    deletes applied), rewrites it as ``ceil(live_bytes /
+    target_file_bytes)`` data files, and commits a snapshot with
+    summary ``operation=replace`` whose manifest list carries ONLY
+    the new manifest — old data AND delete files leave the snapshot
+    (deletes are folded in), while time travel to prior snapshots
+    keeps working because their manifest lists are untouched.
+    Spec-correct consumers (our tailer included) skip replace
+    snapshots, so streaming survives the compaction.
+
+    Concurrency: the commit publishes put-if-absent; ANY concurrent
+    commit raises ``IcebergConcurrentModification`` (a whole-table
+    rewrite must never silently drop a racing writer's changes).
+    Returns the committed snapshot id (current one when there is
+    nothing to compact)."""
+    import math
+    import uuid
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    with PipelineLock(os.path.join(path, "metadata", "_writer.lock")):
+        meta = table_metadata(path)
+        state = snapshot_files(path)
+        if not state["files"]:
+            return int(meta.get("current-snapshot-id") or 0)
+        live_bytes = sum(
+            os.path.getsize(f) for f in state["files"]
+        )
+        n_out = max(1, math.ceil(live_bytes / target_file_bytes))
+        df = read_iceberg(spark, path)
+        seg = uuid.uuid4().hex[:12]
+        stage = os.path.join(path, f"_staging-opt-{seg}")
+        df.coalesce(n_out).write.mode("overwrite").parquet(stage)
+        data_files = _promote_staging(path, stage, "f", seg)
+        return _commit_v2_snapshot(
+            path,
+            meta,
+            [(data_files, 0, None, "data")],
+            "replace",
+            {
+                "added-data-files": str(len(data_files)),
+                "added-records": str(sum(n for _, n, _ in data_files)),
+                "removed-data-files": str(len(state["files"])),
+                "kmdb-optimize-target-bytes": str(int(target_file_bytes)),
+            },
+            replace_all=True,
         )
 
 

@@ -1267,51 +1267,77 @@ def test_executor_side_write_stats_match_footer(spark, tmp_path):
     assert len(pr.inputFiles()) == 1 and pr.count() == 1
 
 
-def test_checkpoint_v2_and_multipart_boundary(spark, tmp_path):
-    """r12, VERDICT r11 #6: a table whose snapshot depends on a v2
-    (sidecar) or multipart checkpoint raises a CLEAN boundary error
-    at open instead of failing mid-replay; the same checkpoint
-    beside a COMPLETE json chain still reads fine (the checkpoint is
-    just ignored)."""
-    path = str(tmp_path / "v2ck")
+def test_checkpoint_multipart_and_v2_replay(spark, tmp_path):
+    """r12 (VERDICT r11 #6, upgraded from boundary to support):
+    multipart and v2 (sidecar) checkpoints REPLAY — after modern
+    writers clean the pre-checkpoint JSON commits, snapshot_state
+    starts from the checkpoint shape and composes with the JSON
+    tail, column pruning untouched."""
     mk = lambda ids: spark.createDataFrame(
         [(i, f"v{i}") for i in ids], "id long, val string"
     )
-    dl.write_delta(mk([1, 2]), path)  # v0
-    dl.write_delta(mk([3]), path)  # v1
+    for kind in ("multipart", "v2"):
+        path = str(tmp_path / kind)
+        dl.write_delta(mk([1, 2]), path)  # v0
+        dl.write_delta(mk([3]), path)  # v1
+        dl.checkpoint_delta(path, kind=kind)
+        dl.write_delta(mk([4]), path)  # v2 json tail
+        log = os.path.join(path, "_delta_log")
+        if kind == "v2":
+            assert os.path.isdir(os.path.join(log, "_sidecars"))
+            tops = [
+                n
+                for n in os.listdir(log)
+                if dl._CKPT_V2_RE.match(n)
+            ]
+            assert len(tops) == 1
+        else:
+            parts = [
+                n
+                for n in os.listdir(log)
+                if dl._CKPT_MULTIPART_RE.match(n)
+            ]
+            assert len(parts) == 2
+        # clean the pre-checkpoint commits: replay MUST use the
+        # checkpoint now
+        for v in (0, 1):
+            os.rename(
+                os.path.join(log, f"{v:020d}.json"),
+                os.path.join(log, f"{v:020d}.json.bak"),
+            )
+        got = sorted(
+            r["id"] for r in dl.read_delta(spark, path).collect()
+        )
+        assert got == [1, 2, 3, 4]
+        # appends after the cleanup keep working (version resolution
+        # counts the checkpoint)
+        dl.write_delta(mk([5]), path)
+        assert dl.read_delta(spark, path).count() == 5
+    # a v2 checkpoint with a MISSING sidecar errors cleanly
+    path = str(tmp_path / "broken")
+    dl.write_delta(mk([1]), path)
+    dl.checkpoint_delta(path, kind="v2")
     log = os.path.join(path, "_delta_log")
-    # drop a v2-style checkpoint marker at v1 (uuid-named)
-    v2name = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
-    open(os.path.join(log, v2name), "wb").close()
-    # complete json chain → still reads, checkpoint ignored
-    assert sorted(
-        r["id"] for r in dl.read_delta(spark, path).collect()
-    ) == [1, 2, 3]
-    # modern writers clean old json commits past the checkpoint: now
-    # the replay NEEDS the v2 checkpoint → clean boundary error
     os.rename(
         os.path.join(log, f"{0:020d}.json"),
         os.path.join(log, f"{0:020d}.json.bak"),
     )
-    with pytest.raises(ValueError, match="v2 \\(sidecar\\) checkpoint"):
+    for n in os.listdir(os.path.join(log, "_sidecars")):
+        os.remove(os.path.join(log, "_sidecars", n))
+    with pytest.raises(ValueError, match="missing sidecar"):
         dl.snapshot_state(path)
-    # multipart shape gets its own message
-    os.remove(os.path.join(log, v2name))
-    for part in (1, 2):
-        open(
-            os.path.join(
-                log, f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
-            ),
-            "wb",
-        ).close()
-    with pytest.raises(ValueError, match="multipart checkpoint"):
-        dl.snapshot_state(path)
-    # no unsupported checkpoint at all → the plain log-gap error
-    for part in (1, 2):
-        os.remove(
-            os.path.join(
-                log, f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
-            )
-        )
-    with pytest.raises(ValueError, match="log gap"):
+    # incomplete multipart errors cleanly too
+    path = str(tmp_path / "brokenmp")
+    dl.write_delta(mk([1, 2]), path)
+    dl.checkpoint_delta(path, kind="multipart")
+    log = os.path.join(path, "_delta_log")
+    os.rename(
+        os.path.join(log, f"{0:020d}.json"),
+        os.path.join(log, f"{0:020d}.json.bak"),
+    )
+    part1 = [
+        n for n in os.listdir(log) if dl._CKPT_MULTIPART_RE.match(n)
+    ][0]
+    os.remove(os.path.join(log, part1))
+    with pytest.raises(ValueError, match="incomplete"):
         dl.snapshot_state(path)

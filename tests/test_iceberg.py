@@ -1004,3 +1004,62 @@ def test_delete_iceberg_conflict_and_retry(spark, tmp_path, monkeypatch):
         ib.IcebergConcurrentModification, match="re-run"
     ):
         ib.delete_iceberg(spark, path, "id = 1")
+
+
+def test_optimize_iceberg_compacts_and_folds_deletes(spark, tmp_path, monkeypatch):
+    """r12: OPTIMIZE rewrites the merged view into fewer files as a
+    replace snapshot — deletes fold in, time travel still works, the
+    tailer skips it, and a concurrent commit makes it raise rather
+    than silently dropping the racer's changes."""
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "iopt2")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    ).coalesce(1)
+    ib.write_iceberg(mk([1, 2]), path)
+    ib.write_iceberg(mk([3, 4]), path)
+    v_del = ib.delete_iceberg(spark, path, "id = 2")
+    st0 = ib.snapshot_files(path)
+    assert len(st0["files"]) == 2 and st0["delete_files"]
+    sid = ib.optimize_iceberg(spark, path)
+    st1 = ib.snapshot_files(path)
+    # one compacted file, delete files folded away
+    assert len(st1["files"]) == 1 and not st1["delete_files"]
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [1, 3, 4]
+    # time travel to the pre-optimize MOR snapshot
+    assert sorted(
+        r["id"]
+        for r in ib.read_iceberg(spark, path, snapshot_id=v_del).collect()
+    ) == [1, 3, 4]
+    # appends continue after compaction
+    ib.write_iceberg(mk([9]), path)
+    assert ib.read_iceberg(spark, path).count() == 4
+    # the tailer skips the replace snapshot (no duplicate rows) — on
+    # an append-only table, the tailer's declared Iceberg scope
+    path2 = str(tmp_path / "iopt_tail")
+    ib.write_iceberg(mk([1, 2]), path2)
+    ib.write_iceberg(mk([3, 4]), path2)
+    ib.optimize_iceberg(spark, path2)
+    ib.write_iceberg(mk([9]), path2)
+    cursor = str(tmp_path / "cur.json")
+    seen = []
+    CommitTailer("iceberg", path2, cursor).poll(
+        spark, lambda b, v: seen.append(sorted(r["id"] for r in b.collect()))
+    )
+    assert seen == [[1, 2], [3, 4], [9]]
+    # concurrent commit during OPTIMIZE → clean conflict
+    real = ib._publish_metadata_version
+    hit = {"done": False}
+
+    def raced(p, new_meta, version):
+        if not hit["done"]:
+            hit["done"] = True
+            real(p, ib.table_metadata(p), version)
+        return real(p, new_meta, version)
+
+    monkeypatch.setattr(ib, "_publish_metadata_version", raced)
+    with pytest.raises(ib.IcebergConcurrentModification, match="OPTIMIZE"):
+        ib.optimize_iceberg(spark, path)
