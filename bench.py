@@ -233,6 +233,7 @@ HEADLINE = [
     "hudi_mor_time_travel_and_incremental",
     "iceberg_partitioned_write",
     "iceberg_optimize_roundtrip",
+    "hudi_writer_roundtrip",
 ]
 
 

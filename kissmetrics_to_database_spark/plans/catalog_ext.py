@@ -11737,6 +11737,72 @@ def q_hudi_mor_time_travel_and_incremental(
 
 
 @query(
+    "hudi_writer_roundtrip",
+    """
+    WITH upserted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN 'upserted' ELSE source END
+               AS source,
+             lang
+      FROM documents
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), 'upserted', 'xx'
+    )
+    SELECT CAST(source = 'upserted' AS BOOLEAN) AS is_upserted,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM upserted GROUP BY 1 ORDER BY is_upserted
+    """,
+)
+def q_hudi_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION distributed Hudi CoW writer (r12): bulk-insert the
+    documents slice through ``write_hudi`` (bucket file groups, one
+    distributed task per group, hive partition dirs, real timeline
+    bytes), then ``upsert_hudi`` the doc_id % 4 = 1 rows re-sourced
+    plus one brand-new key — affected groups rewrite copy-on-write
+    with survivor commit times preserved, untouched groups never
+    read (mtime-asserted in tests/test_hudi.py). The read-back is
+    this engine's own from-spec Hudi reader, so the round trip
+    crosses the writer AND reader; the oracle restates the upsert in
+    SQL. See sources/hudi.write_hudi / upsert_hudi."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import hudi
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="kmdb_hudi_w_") + "/docs_w"
+    hudi.write_hudi(
+        docs, path, key_col="doc_id", partition_col="lang", n_buckets=4
+    )
+    src = (
+        docs.where(F.col("doc_id") % 4 == 1)
+        .withColumn("source", F.lit("upserted"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "upserted", "xx")],
+                "doc_id long, source string, lang string",
+            )
+        )
+    )
+    hudi.upsert_hudi(spark, path, src)
+    return (
+        hudi.read_hudi(spark, path)
+        .groupBy(
+            (F.col("source") == "upserted").alias("is_upserted")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("is_upserted")
+    )
+
+
+@query(
     "hudi_time_travel",
     """
     WITH phases AS (

@@ -1287,3 +1287,397 @@ def log_records_df(
         .mapInPandas(parse, schema=out_schema)
         .drop("__seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Production copy-on-write writer (r12): distributed insert + upsert
+# ---------------------------------------------------------------------------
+
+
+def _next_instant_after(path: str) -> str:
+    """Monotone 17-digit instant: max(completed, pending) + 1.
+    Deterministic (counter, not wall clock) so fixtures and oracle
+    queries hash stably; real instants are opaque ordered strings to
+    every reader, so the choice is invisible downstream."""
+    meta_dir = os.path.join(path, ".hoodie")
+    mx = 20240101000000000
+    if os.path.isdir(meta_dir):
+        for name in os.listdir(meta_dir):
+            m = re.match(r"^(\d{14,17})\.", name)
+            if m:
+                mx = max(mx, int(m.group(1)))
+    return f"{mx + 1:017d}"
+
+
+def _publish_instant(
+    path: str, instant: str, action: str, metadata: dict
+) -> None:
+    """requested → inflight → completed, the completed file landing
+    PUT-IF-ABSENT (hard link) — two writers racing on the same
+    instant cannot clobber each other; the loser retries at the next
+    instant (the caller's loop)."""
+    import uuid
+
+    meta = os.path.join(path, ".hoodie")
+    for suffix in (f".{action}.requested", f".{action}.inflight"):
+        fp = os.path.join(meta, instant + suffix)
+        if not os.path.exists(fp):
+            with open(fp, "w"):
+                pass
+    final = os.path.join(meta, f"{instant}.{action}")
+    tmp = os.path.join(meta, f".{instant}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(metadata, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"instant {instant} already completed — lost the "
+            "optimistic-commit race"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def write_hudi(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    partition_col: str | None = None,
+    n_buckets: int = 4,
+) -> str:
+    """PRODUCTION distributed Hudi CoW insert (r12) — the landing
+    half the trio was missing (Delta: ``write_delta``; Iceberg:
+    ``write_iceberg``; Hudi read paths shipped r11/r12 but the only
+    writer was the pandas fixture class). Emits the table-v6 layout
+    the readers replay: hoodie.properties, hive-style partition
+    dirs, base files named ``<fileId>_<writeToken>_<instant>.parquet``
+    carrying the five ``_hoodie_*`` meta columns, and a completed
+    ``commit`` instant whose partitionToWriteStats names every file.
+
+    File groups use a BUCKET layout (fileId = pmod(hash(key),
+    n_buckets) per partition — Hudi's public bucket-index shape), so
+    ``upsert_hudi`` can route a key to its group WITHOUT reading any
+    index: the write plan is one repartition on (partition, bucket)
+    and one task per file group, fully distributed; only the commit
+    JSON (one stat per FILE) is driver-side, the same metadata-scale
+    contract as the Delta/Iceberg writers here.
+
+    Returns the committed instant."""
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col!r} not in DataFrame")
+    if partition_col is not None and partition_col not in df.columns:
+        raise ValueError(
+            f"partition column {partition_col!r} not in DataFrame"
+        )
+    os.makedirs(os.path.join(path, ".hoodie"), exist_ok=True)
+    props_fp = os.path.join(path, ".hoodie", "hoodie.properties")
+    with PipelineLock(os.path.join(path, ".hoodie", "_writer.lock")):
+        if not os.path.exists(props_fp):
+            with open(props_fp, "w", encoding="utf-8") as f:
+                f.write(
+                    "hoodie.table.name="
+                    + os.path.basename(path.rstrip("/"))
+                    + "\nhoodie.table.type=COPY_ON_WRITE"
+                    + "\nhoodie.table.version=6"
+                    + f"\nhoodie.table.recordkey.fields={key_col}"
+                    + (
+                        f"\nhoodie.table.partition.fields={partition_col}"
+                        if partition_col
+                        else ""
+                    )
+                    + f"\nkmdb.bucket.count={int(n_buckets)}\n"
+                )
+        else:
+            props = _read_properties(props_fp)
+            if props.get("hoodie.table.recordkey.fields") != key_col:
+                raise ValueError(
+                    "key column mismatch with existing table"
+                )
+            n_buckets = int(props.get("kmdb.bucket.count", n_buckets))
+            if hudi_timeline(path):
+                # bucket layout: a second bulk insert would open a
+                # NEW base file in existing groups and shadow their
+                # rows under the latest-slice rule — route through
+                # upsert_hudi, which merges
+                raise ValueError(
+                    "table already has data — use upsert_hudi "
+                    "(bulk insert only initializes a table)"
+                )
+        for _attempt in range(10):
+            instant = _next_instant_after(path)
+            try:
+                return _write_hudi_files(
+                    df,
+                    path,
+                    key_col,
+                    partition_col,
+                    n_buckets,
+                    instant,
+                    existing=None,
+                )
+            except RuntimeError as e:
+                if "lost the optimistic-commit race" in str(e):
+                    continue
+                raise
+        raise RuntimeError(f"lost 10 commit races under {path}")
+
+
+def _write_hudi_files(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    partition_col: str | None,
+    n_buckets: int,
+    instant: str,
+    existing: DataFrame | None,
+    updated_keys_df: DataFrame | None = None,
+    action_counts: dict | None = None,
+) -> str:
+    """Shared distributed write tail for insert and upsert: tag meta
+    columns, repartition on (partition, bucket) so each file group
+    writes as ONE task, stage hive-style, rename to the embedded
+    ``_hoodie_file_name``, publish the commit."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    part_expr = (
+        F.concat(F.lit(f"{partition_col}="), F.col(partition_col).cast("string"))
+        if partition_col
+        else F.lit("")
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    fid = F.format_string("b%05d-0", bucket)
+    fname = F.format_string(
+        "b%05d-0_0-0-0_%s.parquet", bucket, F.lit(instant)
+    )
+    tagged = (
+        df.withColumn("_hoodie_commit_time", F.lit(instant))
+        if "_hoodie_commit_time" not in df.columns
+        else df
+    )
+    tagged = (
+        tagged.withColumn(
+            "_hoodie_commit_seqno",
+            F.format_string(
+                "%s_0_%d",
+                F.col("_hoodie_commit_time"),
+                F.monotonically_increasing_id(),
+            ),
+        )
+        .withColumn("_hoodie_record_key", F.col(key_col).cast("string"))
+        .withColumn("_hoodie_partition_path", part_expr)
+        .withColumn("_hoodie_file_name", fname)
+        .withColumn("__fid", fid)
+    )
+    meta_first = META_COLS + [
+        c for c in df.columns if c not in META_COLS and c != "__fid"
+    ]
+    tagged = tagged.select(*meta_first, "__fid")
+    # one output file per (partition dir, file group)
+    shuffle_keys = ["_hoodie_partition_path", "__fid"]
+    staged = tagged.repartition(*[F.col(c) for c in shuffle_keys])
+    seg = _uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging-{seg}")
+    data_cols = [
+        c
+        for c in meta_first
+        if c != partition_col or partition_col is None
+    ]
+    (
+        staged.withColumn("__p", F.col("_hoodie_partition_path"))
+        .select(*data_cols, "__fid", "__p")
+        .write.mode("overwrite")
+        .partitionBy("__p", "__fid")
+        .parquet(stage)
+    )
+    # rename staged files to the embedded layout name
+    p2s: dict[str, list] = {}
+    n_rows_of: dict[tuple[str, str], int] = {}
+    import pyarrow.parquet as pq
+
+    for root, _dirs, names in os.walk(stage):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            comps = [c for c in rel_dir.split(os.sep) if c]
+            from urllib.parse import unquote
+
+            part = ""
+            fid_v = None
+            for comp in comps:
+                k, _, raw = comp.partition("=")
+                if k == "__p":
+                    part = unquote(raw)
+                    if part == "__HIVE_DEFAULT_PARTITION__":
+                        part = ""
+                elif k == "__fid":
+                    fid_v = unquote(raw)
+            final_name = f"{fid_v}_0-0-0_{instant}.parquet"
+            final_rel = (
+                os.path.join(part, final_name) if part else final_name
+            )
+            os.makedirs(
+                os.path.dirname(os.path.join(path, final_rel))
+                or path,
+                exist_ok=True,
+            )
+            os.rename(
+                os.path.join(root, name),
+                os.path.join(path, final_rel),
+            )
+            n = int(
+                pq.read_metadata(os.path.join(path, final_rel)).num_rows
+            )
+            p2s.setdefault(part, []).append(
+                {
+                    "fileId": fid_v,
+                    "path": final_rel.replace(os.sep, "/"),
+                    "numWrites": n,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": os.path.getsize(
+                        os.path.join(path, final_rel)
+                    ),
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    md = {"partitionToWriteStats": p2s}
+    if action_counts:
+        md.update(action_counts)
+    _publish_instant(path, instant, "commit", md)
+    return instant
+
+
+def upsert_hudi(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+) -> str:
+    """PRODUCTION distributed Hudi CoW UPSERT (r12): matched record
+    keys replace their current version, new keys insert — the
+    bucket-index route: a key's file group is pmod(hash(key),
+    n_buckets), so affected groups resolve WITHOUT scanning any
+    index, untouched file groups are never read or rewritten, and
+    each affected group rewrites as one task (existing survivors,
+    with their ORIGINAL ``_hoodie_commit_time`` preserved per the
+    spec, unioned with the new record versions stamped at the new
+    instant — incremental pulls depend on exactly that). Commit
+    metadata is one stat per rewritten FILE.
+
+    NON-GLOBAL index contract (Hudi's own for bucket/bloom
+    non-global indexes): the record key is matched WITHIN the
+    source row's partition — a source row carrying a different
+    partition value than the key's current row INSERTS into the new
+    partition and leaves the old row in place. Callers needing
+    global-key semantics must route partition changes as
+    delete+insert. Returns the committed instant."""
+    from pyspark.sql import functions as F
+
+    from kissmetrics_to_database_spark.sources.lock import PipelineLock
+
+    props = _read_properties(
+        os.path.join(path, ".hoodie", "hoodie.properties")
+    )
+    key_col = props["hoodie.table.recordkey.fields"]
+    partition_col = props.get("hoodie.table.partition.fields") or None
+    n_buckets = int(props.get("kmdb.bucket.count", 4))
+    if key_col not in source.columns:
+        raise ValueError(f"source is missing key column {key_col!r}")
+    with PipelineLock(os.path.join(path, ".hoodie", "_writer.lock")):
+        for _attempt in range(10):
+            instant = _next_instant_after(path)
+            try:
+                return _upsert_hudi_once(
+                    spark,
+                    path,
+                    source,
+                    key_col,
+                    partition_col,
+                    n_buckets,
+                    instant,
+                )
+            except RuntimeError as e:
+                if "lost the optimistic-commit race" in str(e):
+                    continue
+                raise
+        raise RuntimeError(f"lost 10 commit races under {path}")
+
+
+def _upsert_hudi_once(
+    spark, path, source, key_col, partition_col, n_buckets, instant
+) -> str:
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)
+    )
+    src = source.withColumn("__fid", F.format_string("b%05d-0", bucket))
+    part_expr = (
+        F.concat(
+            F.lit(f"{partition_col}="),
+            F.col(partition_col).cast("string"),
+        )
+        if partition_col
+        else F.lit("")
+    )
+    src = src.withColumn("__part", part_expr).cache()
+    # affected file groups: metadata-scale collect (one row per GROUP)
+    affected = {
+        (r["__part"], r["__fid"])
+        for r in src.select("__part", "__fid").distinct().collect()
+    }
+    slices, _ = _latest_slices_mor(path, None)
+    live = {(s["part"], s["fid"]): s for s in slices}
+    touched = [
+        live[k] for k in sorted(affected & set(live.keys()))
+    ]
+    n_upd = 0
+    if touched:
+        cur = _scan_files(
+            spark, path, [(s["part"], s["base"]) for s in touched]
+        )
+        survivors = cur.join(
+            src.select(F.col(key_col).cast("string").alias("__k")),
+            on=F.col("_hoodie_record_key") == F.col("__k"),
+            how="left_anti",
+        )
+        n_upd = cur.count() - survivors.count()
+    else:
+        survivors = None
+    new_rows = src.drop("__fid", "__part").withColumn(
+        "_hoodie_commit_time", F.lit(instant)
+    )
+    if survivors is not None:
+        data_cols = [
+            c for c in survivors.columns if not c.startswith("_hoodie_")
+        ]
+        merged = survivors.select(
+            "_hoodie_commit_time", *data_cols
+        ).unionByName(
+            new_rows.select("_hoodie_commit_time", *data_cols)
+        )
+    else:
+        merged = new_rows
+    # survivors keep their original commit time; the write tail
+    # re-tags everything else. Untouched groups: rows from OTHER
+    # buckets never enter `merged`, so their files are never
+    # rewritten — but the rewrite of an affected group must replay
+    # rows from affected groups only, which `merged` already is.
+    return _write_hudi_files(
+        merged,
+        path,
+        key_col,
+        partition_col,
+        n_buckets,
+        instant,
+        existing=None,
+        action_counts={"kmdb-num-update-writes": int(n_upd)},
+    )

@@ -3,6 +3,7 @@ rewrites, time travel by instant, replacecommit (clustering), pending
 instants invisible, partition reconstruction, and the declared
 merge-on-read boundary."""
 
+import json
 import os
 
 import pandas as pd
@@ -429,3 +430,131 @@ def test_mor_unpartitioned(spark, tmp_path):
         (2, "B"),
         (3, "c"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Production distributed CoW writer (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_write_hudi_insert_and_upsert_roundtrip(spark, tmp_path):
+    """Distributed insert lays out bucket file groups readable by
+    read_hudi; upsert rewrites ONLY affected groups, preserves
+    survivor commit times, and feeds exact incremental pulls."""
+    import glob
+
+    path = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", ["de", "en"][i % 2]) for i in range(1, 9)],
+        "id long, val string, lang string",
+    )
+    i0 = hudi.write_hudi(
+        df, path, key_col="id", partition_col="lang", n_buckets=2
+    )
+    assert sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in hudi.read_hudi(spark, path).collect()
+    ) == [(i, f"v{i}", ["de", "en"][i % 2]) for i in range(1, 9)]
+    # bucket file groups, hive dirs, layout names
+    names = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "lang=*", "*.parquet"))
+    )
+    assert all(n.startswith("b0000") and i0 in n for n in names)
+
+    # record untouched-group files + mtimes
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "lang=*", "*.parquet"))
+    }
+    src = spark.createDataFrame(
+        [(2, "B2", "de"), (4, "D4", "de"), (99, "n", "fr")],
+        "id long, val string, lang string",
+    )
+    i1 = hudi.upsert_hudi(spark, path, src)
+    got = sorted(
+        (r["id"], r["val"])
+        for r in hudi.read_hudi(spark, path).collect()
+    )
+    assert got == [
+        (1, "v1"), (2, "B2"), (3, "v3"), (4, "D4"), (5, "v5"),
+        (6, "v6"), (7, "v7"), (8, "v8"), (99, "n"),
+    ]
+    # untouched file groups never rewritten (their files unchanged)
+    slices, _ = hudi._latest_slices_mor(path, None)
+    untouched = [
+        s for s in slices if i1 not in os.path.basename(s["base"])
+    ]
+    assert untouched  # some groups weren't affected
+    for s in untouched:
+        f = os.path.join(path, s["base"])
+        assert os.path.getmtime(f) == before[f]
+    # survivor commit times preserved; updates stamped at i1
+    cts = {
+        r["id"]: r["_hoodie_commit_time"]
+        for r in hudi.read_hudi(spark, path, keep_meta=True).collect()
+    }
+    assert cts[6] == i0 and cts[2] == i1 and cts[99] == i1
+    # incremental pull = exactly the upserted records
+    inc = sorted(
+        (r["id"], r["val"])
+        for r in hudi.hudi_incremental(spark, path, i0).collect()
+    )
+    assert inc == [(2, "B2"), (4, "D4"), (99, "n")]
+    # bulk insert on a non-empty table refuses (bucket layout)
+    with pytest.raises(ValueError, match="use upsert_hudi"):
+        hudi.write_hudi(df, path, key_col="id", partition_col="lang")
+
+
+def test_write_hudi_unpartitioned_and_tail(spark, tmp_path):
+    from kissmetrics_to_database_spark.streaming.tailer import CommitTailer
+
+    path = str(tmp_path / "wu")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    hudi.write_hudi(df, path, key_col="id", n_buckets=2)
+    hudi.upsert_hudi(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B")], "id long, val string"),
+    )
+    assert sorted(
+        (r["id"], r["val"])
+        for r in hudi.read_hudi(spark, path).collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+    # the commit tailer streams each commit's written records once
+    seen = []
+    CommitTailer("hudi", path, str(tmp_path / "c.json")).poll(
+        spark,
+        lambda b, v: seen.append(
+            sorted((r["id"], r["val"]) for r in b.collect())
+        ),
+    )
+    assert seen[0] == [(1, "a"), (2, "b"), (3, "c")]
+    # the upsert commit delivers the new version (rewrite copies
+    # carry original commit times, so survivors don't re-stream)
+    assert seen[1] == [(2, "B")]
+
+
+def test_write_hudi_commit_race_put_if_absent(spark, tmp_path):
+    """The completed-instant file publishes put-if-absent; a
+    pre-existing completed instant at the same time forces the next
+    instant instead of a clobber."""
+    path = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    hudi.write_hudi(df, path, key_col="id", n_buckets=1)
+    # forge a competing completed instant at the writer's next slot
+    nxt = hudi._next_instant_after(path)
+    meta = os.path.join(path, ".hoodie")
+    with open(os.path.join(meta, f"{nxt}.commit"), "w") as f:
+        json.dump({"partitionToWriteStats": {}}, f)
+    i = hudi.upsert_hudi(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+    )
+    assert i > nxt
+    assert sorted(
+        r["id"] for r in hudi.read_hudi(spark, path).collect()
+    ) == [1, 2]
