@@ -964,6 +964,18 @@ def main() -> int:
         ib.write_iceberg(df, path, partition_columns=["lang"])
         return ib.read_iceberg(spark, path, predicate="lang = 'de'")
 
+    def _hudi_mor_merge_plan():
+        import pandas as pd
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import hudi
+
+        path = tempfile.mkdtemp(prefix="mor_audit_") + "/t"
+        w = hudi.HudiMorFixtureWriter(path, key_col="id")
+        w.insert(pd.DataFrame({"id": [1, 2, 3], "val": ["a", "b", "c"]}))
+        w.delta_upsert(pd.DataFrame({"id": [2], "val": ["B"]}))
+        return hudi.read_hudi(spark, path)
+
     def _iceberg_stats_prune_plan():
         import tempfile
 
@@ -1084,6 +1096,14 @@ def main() -> int:
             _iceberg_partition_prune_plan,
             ["InMemoryFileIndex [file:", "lang=de"],
             ["lang=en", "lang=fr", "CartesianProduct"],
+        ),
+        # r12 #3: the Hudi merge-on-read view is ONE max_by shuffle
+        # on the record key over base ∪ executor-parsed log records —
+        # never a join, never a cartesian
+        "op:hudi_mor_merge": (
+            _hudi_mor_merge_plan,
+            ["MapInPandas", "hashpartitioning(_hoodie_record_key"],
+            ["CartesianProduct", "SortMergeJoin"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
