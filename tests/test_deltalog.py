@@ -102,9 +102,26 @@ def test_schema_and_partition_types(spark, tmp_path):
 def test_reader_feature_boundary(spark, tmp_path):
     w = dl.DeltaFixtureWriter(str(tmp_path / "x"), SCHEMA, ["part"])
     w.commit(_pdf([1], "a"))
-    # v3 table requiring a feature beyond columnMapping/deletionVectors
-    # (e.g. v2 checkpoints) is still a declared boundary
+    # v3 table requiring a feature beyond columnMapping /
+    # deletionVectors / v2Checkpoint (supported since r12, e.g.
+    # typeWidening) is still a declared boundary
     log = os.path.join(w.path, "_delta_log", f"{1:020d}.json")
+    with open(log, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["typeWidening"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="reader features"):
+        dl.read_delta(spark, w.path)
+    # v2Checkpoint alone is accepted now (the shapes replay)
     with open(log, "w", encoding="utf-8") as f:
         f.write(
             json.dumps(
@@ -118,8 +135,7 @@ def test_reader_feature_boundary(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="reader features"):
-        dl.read_delta(spark, w.path)
+    assert dl.read_delta(spark, w.path).count() == 1
     # v3 with an empty feature list is malformed
     with open(log, "w", encoding="utf-8") as f:
         f.write(
