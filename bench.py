@@ -234,6 +234,7 @@ HEADLINE = [
     "iceberg_partitioned_write",
     "iceberg_optimize_roundtrip",
     "hudi_writer_roundtrip",
+    "hudi_mor_writer_roundtrip",
 ]
 
 

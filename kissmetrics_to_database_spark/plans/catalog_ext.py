@@ -11803,6 +11803,103 @@ def q_hudi_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hudi_mor_writer_roundtrip",
+    """
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 4 THEN 'postcompact'
+                  WHEN doc_id % 4 = 1 THEN 'logged'
+                  ELSE source END AS source,
+             lang
+      FROM documents
+      WHERE doc_id % 6 <> 2
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), 'logged', 'xx'
+    )
+    SELECT CASE WHEN source IN ('logged', 'postcompact')
+                THEN source ELSE 'base' END AS phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM final GROUP BY 1 ORDER BY phase
+    """,
+)
+def q_hudi_mor_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION distributed Hudi MERGE_ON_READ write loop (r13,
+    VERDICT r12 #3 — promotes the fixture-only MoR commit semantics
+    to the distributed writer): bulk-insert the documents slice as a
+    MoR table (``write_hudi(table_type="MERGE_ON_READ")``,
+    deltacommit + bucket base files), ``upsert_hudi`` the
+    doc_id % 4 = 1 rows re-sourced plus one new key — updates land
+    as EXECUTOR-written Avro log blocks, base files untouched
+    (mtime-asserted in tests/test_hudi.py) — tombstone-DELETE the
+    doc_id % 6 = 2 rows (``delete_hudi``), fold everything with
+    ``compact_hudi`` (one distributed merge + one (partition, file
+    group) repartition, new bases at the compaction instant), then
+    upsert AGAIN on the compacted table (doc_id % 9 = 4 →
+    'postcompact') so the read crosses base files from compaction
+    AND post-compaction logs. Read-back is this engine's own MoR
+    reader; the oracle restates all four commits in SQL. See
+    sources/hudi._upsert_hudi_mor_once / delete_hudi /
+    compact_hudi."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import hudi
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="kmdb_hudi_morw_") + "/docs_morw"
+    hudi.write_hudi(
+        docs,
+        path,
+        key_col="doc_id",
+        partition_col="lang",
+        n_buckets=4,
+        table_type="MERGE_ON_READ",
+    )
+    src = (
+        docs.where(F.col("doc_id") % 4 == 1)
+        .withColumn("source", F.lit("logged"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "logged", "xx")],
+                "doc_id long, source string, lang string",
+            )
+        )
+    )
+    hudi.upsert_hudi(spark, path, src)
+    hudi.delete_hudi(spark, path, "doc_id % 6 = 2")
+    hudi.compact_hudi(spark, path)
+    hudi.upsert_hudi(
+        spark,
+        path,
+        docs.where(F.col("doc_id") % 9 == 4).withColumn(
+            "source", F.lit("postcompact")
+        ),
+    )
+    return (
+        hudi.read_hudi(spark, path)
+        .groupBy(
+            F.when(
+                F.col("source").isin("logged", "postcompact"),
+                F.col("source"),
+            )
+            .otherwise("base")
+            .alias("phase")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("phase")
+    )
+
+
+@query(
     "hudi_time_travel",
     """
     WITH phases AS (

@@ -976,6 +976,65 @@ def main() -> int:
         w.delta_upsert(pd.DataFrame({"id": [2], "val": ["B"]}))
         return hudi.read_hudi(spark, path)
 
+    def _hudi_mor_log_append_plan():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.sources import hudi
+
+        path = tempfile.mkdtemp(prefix="morw_audit_") + "/t"
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 5)], "id long, val string"
+        )
+        hudi.write_hudi(
+            df, path, key_col="id", n_buckets=2,
+            table_type="MERGE_ON_READ",
+        )
+        slices, _ = hudi._latest_slices_mor(path, None)
+        meta = hudi._mor_slice_meta(path, slices)
+        src = df.withColumn(
+            "__fid",
+            F.format_string(
+                "b%05d-0",
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2)),
+            ),
+        ).withColumn("__part", F.lit(""))
+        return hudi._log_append_stats_df(
+            path, src, "id", "20240101000000099", "aud0", meta
+        )
+
+    def _hudi_compact_fold_plan():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.sources import hudi
+
+        path = tempfile.mkdtemp(prefix="morc_audit_") + "/t"
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 5)], "id long, val string"
+        )
+        hudi.write_hudi(
+            df, path, key_col="id", n_buckets=2,
+            table_type="MERGE_ON_READ",
+        )
+        hudi.upsert_hudi(
+            spark, path,
+            spark.createDataFrame([(2, "B")], "id long, val string"),
+        )
+        slices, _ = hudi._latest_slices_mor(path, None)
+        todo = [s for s in slices if s["logs"]]
+        base = hudi._scan_files(
+            spark, path, [(s["part"], s["base"]) for s in todo]
+        )
+        merged = hudi._merge_log_records(
+            spark, path, base, todo, keep_fid=True
+        )
+        return merged.withColumn(
+            "__p", F.col("_hoodie_partition_path")
+        ).repartition(F.col("__p"), F.col("__fid"))
+
     def _iceberg_stats_prune_plan():
         import tempfile
 
@@ -1097,12 +1156,33 @@ def main() -> int:
             ["InMemoryFileIndex [file:", "lang=de"],
             ["lang=en", "lang=fr", "CartesianProduct"],
         ),
-        # r12 #3: the Hudi merge-on-read view is ONE max_by shuffle
-        # on the record key over base ∪ executor-parsed log records —
-        # never a join, never a cartesian
+        # r12 #3 (key widened r13, ADVICE r12 #2): the Hudi
+        # merge-on-read view is ONE max_by shuffle on
+        # (partition_path, record_key) over base ∪ executor-parsed
+        # log records — never a join, never a cartesian
         "op:hudi_mor_merge": (
             _hudi_mor_merge_plan,
-            ["MapInPandas", "hashpartitioning(_hoodie_record_key"],
+            ["MapInPandas", "hashpartitioning(_hoodie_partition_path"],
+            ["CartesianProduct", "SortMergeJoin"],
+        ),
+        # r13 (VERDICT r12 #3): the MoR upsert's log append is ONE
+        # (partition, file group) shuffle into the Arrow write
+        # kernel — the driver never touches log bytes, no join
+        "op:hudi_mor_log_append": (
+            _hudi_mor_log_append_plan,
+            ["FlatMapGroupsInPandas", "hashpartitioning(__part"],
+            ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        ),
+        # r13: compaction folds base ∪ logs with the read-path merge
+        # (MapInPandas parse + one max_by shuffle), then ONE
+        # repartition on (partition, file group) for the base write
+        "op:hudi_compact_fold": (
+            _hudi_compact_fold_plan,
+            [
+                "MapInPandas",
+                "hashpartitioning(_hoodie_partition_path",
+                "hashpartitioning(__p",
+            ],
             ["CartesianProduct", "SortMergeJoin"],
         ),
     }
