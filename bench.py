@@ -235,6 +235,8 @@ HEADLINE = [
     "iceberg_optimize_roundtrip",
     "hudi_writer_roundtrip",
     "hudi_mor_writer_roundtrip",
+    "iceberg_transform_partitioned_write",
+    "iceberg_schema_evolution_append",
 ]
 
 

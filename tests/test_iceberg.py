@@ -1255,3 +1255,142 @@ def test_optimize_iceberg_compacts_and_folds_deletes(spark, tmp_path, monkeypatc
     monkeypatch.setattr(ib, "_publish_metadata_version", raced)
     with pytest.raises(ib.IcebergConcurrentModification, match="OPTIMIZE"):
         ib.optimize_iceberg(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Partition transforms + write-side schema evolution (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    """The bucket hash must match the Iceberg spec's published
+    Appendix-B test vectors (seed-0 murmur3_x86_32; ints hash as
+    8-byte little-endian longs, strings as UTF-8)."""
+    assert ib._murmur3_32((34).to_bytes(8, "little")) == 2017239379
+    assert ib._murmur3_32("iceberg".encode()) == 1210000089
+
+
+def test_iceberg_bucket_partitioned_write_and_prune(spark, tmp_path):
+    """r13, VERDICT r12 #5: bucket[N] writes partition the file
+    layout by seed-0 murmur3 buckets; an equality predicate prunes
+    the file LIST to the literal's bucket before any scan."""
+    path = str(tmp_path / "ib")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, val string"
+    ).coalesce(4)
+    ib.write_iceberg(df, path, partition_columns=["bucket(id, 4)"])
+    spec = ib.table_metadata(path)["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "bucket[4]"
+    assert spec["name"] == "id_bucket"
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == list(range(40))
+    total = len(ib.snapshot_files(path)["files"])
+    pr = ib.read_iceberg(spark, path, predicate="id = 7")
+    assert len(pr.inputFiles()) < total
+    assert [r["id"] for r in pr.collect()] == [7]
+    # every scanned file belongs to id=7's bucket
+    b7 = ib._bucket_of(7, 4)
+    assert all(f"id_bucket={b7}" in f for f in pr.inputFiles())
+
+
+def test_iceberg_truncate_and_temporal_transforms(spark, tmp_path):
+    """truncate[W] over ints (floor semantics, negatives included)
+    and strings; days/hours over timestamps — each prunes with the
+    order-preserving rules and appends must repeat the spec."""
+    import datetime
+
+    path = str(tmp_path / "it")
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7}x") for i in range(-15, 25)],
+        "id long, val string",
+    ).coalesce(2)
+    ib.write_iceberg(
+        df, path, partition_columns=["truncate(id, 10)", "truncate(val, 2)"]
+    )
+    # floor: -15 lands in the -20 partition (spec semantics)
+    assert any(
+        "id_trunc=-20" in f for f in ib.snapshot_files(path)["files"]
+    )
+    total = len(ib.snapshot_files(path)["files"])
+    pr = ib.read_iceberg(spark, path, predicate="id >= 15")
+    assert len(pr.inputFiles()) < total
+    assert sorted(r["id"] for r in pr.collect()) == list(range(15, 25))
+    # string truncate prunes equality
+    pr2 = ib.read_iceberg(spark, path, predicate="val = 'w3x'")
+    assert all("val_trunc=w3" in f for f in pr2.inputFiles())
+    assert sorted(r["id"] for r in pr2.collect()) == [
+        i for i in range(-15, 25) if i % 7 == 3
+    ]
+    # temporal: days + hours
+    pt = str(tmp_path / "ts")
+    ts = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1 + i % 3, 6 * (i % 4)))
+            for i in range(12)
+        ],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    ib.write_iceberg(ts, pt, partition_columns=["days(ts)"])
+    spec = ib.table_metadata(pt)["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "day" and spec["name"] == "ts_day"
+    total = len(ib.snapshot_files(pt)["files"])
+    pr3 = ib.read_iceberg(
+        spark, pt, predicate="ts >= '2024-01-03 00:00:00'"
+    )
+    assert len(pr3.inputFiles()) < total
+    assert sorted(r["id"] for r in pr3.collect()) == [
+        i for i in range(12) if i % 3 == 2
+    ]
+    # appends must repeat the table's spec
+    with pytest.raises(ValueError, match="partitioned by"):
+        ib.write_iceberg(ts, pt, partition_columns=["hours(ts)"])
+    ib.write_iceberg(ts, pt, partition_columns=["days(ts)"])
+    assert ib.read_iceberg(spark, pt).count() == 24
+
+
+def test_iceberg_write_schema_evolution(spark, tmp_path):
+    """r13, VERDICT r12 #6 (mirrors write_delta's mergeSchema
+    appends): a new column appends a NEW schema entry with fresh
+    field ids and bumps current-schema-id; old files read the new
+    column as null; a write missing an old column null-fills it;
+    same-name type conflicts still raise; DML keeps working on the
+    evolved table."""
+    path = str(tmp_path / "evo")
+    ib.write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        path,
+    )
+    ib.write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "id long, val string, extra double"
+        ),
+        path,
+    )
+    meta = ib.table_metadata(path)
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    assert meta["current-schema-id"] == 1
+    new_field = [
+        f for f in meta["schemas"][1]["fields"] if f["name"] == "extra"
+    ][0]
+    assert new_field["id"] == 3 and new_field["required"] is False
+    got = sorted(
+        (r["id"], r["val"], r["extra"])
+        for r in ib.read_iceberg(spark, path).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 9.5)]
+    # write missing an old column: null-fills on read
+    ib.write_iceberg(spark.createDataFrame([(4,)], "id long"), path)
+    assert (4, None, None) in {
+        (r["id"], r["val"], r["extra"])
+        for r in ib.read_iceberg(spark, path).collect()
+    }
+    with pytest.raises(ValueError, match="type mismatch"):
+        ib.write_iceberg(
+            spark.createDataFrame([(5, 1)], "id long, val long"), path
+        )
+    # DML on the evolved table (merge-on-read scan is schema-pinned)
+    ib.delete_iceberg(spark, path, "id = 1")
+    assert sorted(
+        r["id"] for r in ib.read_iceberg(spark, path).collect()
+    ) == [2, 3, 4]

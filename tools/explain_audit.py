@@ -976,6 +976,18 @@ def main() -> int:
         w.delta_upsert(pd.DataFrame({"id": [2], "val": ["B"]}))
         return hudi.read_hudi(spark, path)
 
+    def _iceberg_bucket_prune_plan():
+        import tempfile
+
+        from kissmetrics_to_database_spark.sources import iceberg as ib
+
+        path = tempfile.mkdtemp(prefix="ibkt_audit_") + "/t"
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "id long, val string"
+        ).coalesce(1)
+        ib.write_iceberg(df, path, partition_columns=["bucket(id, 4)"])
+        return ib.read_iceberg(spark, path, predicate="id = 7")
+
     def _hudi_mor_log_append_plan():
         import tempfile
 
@@ -1155,6 +1167,14 @@ def main() -> int:
             _iceberg_partition_prune_plan,
             ["InMemoryFileIndex [file:", "lang=de"],
             ["lang=en", "lang=fr", "CartesianProduct"],
+        ),
+        # r13 #5: bucket[N] TRANSFORM tuples prune the file LIST —
+        # an equality literal routes to exactly its murmur3 bucket's
+        # file (a 2+-file index renders a ", file:" separator)
+        "op:iceberg_bucket_prune": (
+            _iceberg_bucket_prune_plan,
+            ["InMemoryFileIndex [file:", "id_bucket="],
+            [", file:", "CartesianProduct"],
         ),
         # r12 #3 (key widened r13, ADVICE r12 #2): the Hudi
         # merge-on-read view is ONE max_by shuffle on
