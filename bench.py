@@ -237,6 +237,7 @@ HEADLINE = [
     "hudi_mor_writer_roundtrip",
     "iceberg_transform_partitioned_write",
     "iceberg_schema_evolution_append",
+    "delta_dml_on_dv_and_mapped",
 ]
 
 

@@ -8848,8 +8848,8 @@ def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     values keyed by physical name. The oracle restates the surviving
     membership (doc_id % 2 = 1 after the MERGE remove) from the
     documents table, so a rename, partition-reconstruction, or
-    protocol-gate bug breaks the hash. Deletion vectors remain a
-    declared ValueError boundary."""
+    protocol-gate bug breaks the hash. (r13: mapped and DV tables
+    are DML-writable too — see delta_dml_on_dv_and_mapped.)"""
     from kissmetrics_to_database_spark.sources import deltalog as dl
 
     path = _delta_cm_fixture(spark, sf_dir)
@@ -8944,6 +8944,97 @@ def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "delta_dml_on_dv_and_mapped",
+    """
+    WITH dv AS (
+      SELECT count(*) AS n, sum(doc_id) AS s FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+    ), cm AS (
+      SELECT count(*) AS n, sum(doc_id) AS s FROM documents
+      WHERE doc_id % 4 = 2
+    )
+    SELECT 'cm_update' AS phase, CAST(n AS BIGINT) AS n_rows,
+           CAST(s AS BIGINT) AS sum_doc_id FROM cm
+    UNION ALL
+    SELECT 'dv_delete' AS phase, CAST(n AS BIGINT) AS n_rows,
+           CAST(s AS BIGINT) AS sum_doc_id FROM dv
+    ORDER BY phase
+    """,
+)
+def q_delta_dml_on_dv_and_mapped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta DML on MODERN tables (r13, VERDICT r12 #4/#7 — the
+    `_require_plain_table` boundary lowered): (a) a DELETE on a
+    table with LIVE deletion vectors sees only visible rows — the
+    DV'd doc_id % 5 = 0 rows can neither match nor resurrect when
+    the copy-on-write rewrite MATERIALIZES the vector — and (b) an
+    UPDATE on a delta.columnMapping.mode=name table rewrites
+    physical-named parquet (files, partition dirs, stats and cdc
+    files all in physical space) while evaluating its predicate and
+    assignments over logical names. The oracle restates both
+    outcomes from the documents table. See
+    sources/deltalog._snapshot_with_path (DV anti-join + mapping
+    scan) and _stage_distributed_write/_stage_cdf_write (phys_of)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .toPandas()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    # (a) live-DV table, then a real DELETE through the engine
+    dv_path = tempfile.mkdtemp(prefix="kmdb_dml_dv_") + "/docs_dv"
+    w = dl.DeltaFixtureWriter(dv_path, schema, deletion_vectors=True)
+    [rel] = w.commit(pdf.reset_index(drop=True))
+    pos = [int(i) for i, d in enumerate(pdf.doc_id) if d % 5 == 0]
+    if pos:
+        w.dv_delete(rel, pos)
+    dl.delete_delta(spark, dv_path, "doc_id % 3 = 0")
+    dv = (
+        dl.read_delta(spark, dv_path)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .select(F.lit("dv_delete").alias("phase"), "n_rows", "sum_doc_id")
+    )
+    # (b) column-mapped table, then a real UPDATE through the engine
+    cm_path = tempfile.mkdtemp(prefix="kmdb_dml_cm_") + "/docs_cm"
+    w2 = dl.DeltaFixtureWriter(
+        cm_path,
+        schema,
+        partition_columns=["lang"],
+        column_mapping_mode="name",
+    )
+    w2.commit(pdf)
+    dl.update_delta(
+        spark, cm_path, {"source": "'touched'"}, "doc_id % 4 = 2"
+    )
+    cm = (
+        dl.read_delta(spark, cm_path)
+        .where(F.col("source") == "touched")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .select(F.lit("cm_update").alias("phase"), "n_rows", "sum_doc_id")
+    )
+    return dv.unionByName(cm).orderBy("phase")
 
 
 _ICEBERG_FIX: dict = {}
