@@ -426,9 +426,13 @@ def test_write_iceberg_schema_guards(spark, tmp_path):
     path = str(tmp_path / "g")
     df = spark.createDataFrame([(1, "a")], "id long, val string")
     ib.write_iceberg(df, path)
-    with pytest.raises(ValueError, match="schema mismatch"):
+    # r13 #6: a write with a NEW column EVOLVES the schema now
+    # (write_delta's mergeSchema parity) instead of raising — the
+    # remaining guards are type conflicts and unsupported types
+    with pytest.raises(ValueError, match="type mismatch"):
         ib.write_iceberg(
-            spark.createDataFrame([(1,)], "other long"), path
+            spark.createDataFrame([("x", "a")], "id string, val string"),
+            path,
         )
     with pytest.raises(ValueError, match="unsupported column type"):
         ib.write_iceberg(
