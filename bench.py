@@ -502,6 +502,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reruns.append(time.perf_counter() - t0)
         steady[name] = round(statistics.median(reruns), 3)
+        # stream each query's numbers as JSONL to stderr so a killed
+        # run is salvageable (the final stdout JSON is unchanged)
+        print(
+            json.dumps(
+                {"q": name, "first": timings[name], "steady": steady[name]}
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
