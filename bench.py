@@ -238,6 +238,7 @@ HEADLINE = [
     "iceberg_transform_partitioned_write",
     "iceberg_schema_evolution_append",
     "delta_dml_on_dv_and_mapped",
+    "delta_dv_delete_native",
 ]
 
 

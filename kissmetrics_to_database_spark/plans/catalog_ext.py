@@ -9037,6 +9037,68 @@ def q_delta_dml_on_dv_and_mapped(
     return dv.unionByName(cm).orderBy("phase")
 
 
+@query(
+    "delta_dv_delete_native",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_delta_dv_delete_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native deletion-vector DELETE (r13 — the MERGE-ON-READ half
+    of Delta DML, `delete_delta(use_dvs=True)`): two successive
+    DELETEs over a two-file table write Roaring64 deletion vectors
+    EXECUTOR-side (one .bin per affected file, the exact layout the
+    reader decodes) and re-add the SAME data files with the new
+    descriptors — zero parquet bytes rewritten, remove/add carry the
+    file INSTANCE (path + DV uniqueId) so concurrent DV swaps are
+    commit conflicts, and the second DELETE proves the new vector is
+    the UNION of the first's positions with its own matches. The
+    final read runs through the ordinary DV read path; the oracle
+    restates both predicates over the documents table. See
+    sources/deltalog._delete_delta_dv / _dv_write_kernel_df."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kissmetrics_to_database_spark.sources import deltalog as dl
+
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .toPandas()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="kmdb_dv_native_") + "/docs_dvn"
+    w = dl.DeltaFixtureWriter(path, schema, deletion_vectors=True)
+    half = len(pdf) // 2
+    w.commit(pdf.iloc[:half].reset_index(drop=True))
+    w.commit(pdf.iloc[half:].reset_index(drop=True))
+    dl.delete_delta(spark, path, "doc_id % 3 = 0", use_dvs=True)
+    dl.delete_delta(spark, path, "doc_id % 7 = 0", use_dvs=True)
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 _ICEBERG_FIX: dict = {}
 
 

@@ -508,7 +508,14 @@ def test_optimize_delta_partitioned_one_file_per_tuple(spark, tmp_path):
     assert got == [(1, "de"), (2, "de"), (3, "en"), (4, None), (5, "de")]
 
 
-def test_optimize_delta_refuses_column_mapping_and_dv(spark, tmp_path):
+def test_optimize_delta_refuses_column_mapping_materializes_dv(
+    spark, tmp_path
+):
+    """Column mapping stays a declared boundary; deletion-vector
+    tables are IN scope since r13 — OPTIMIZE scans visible rows, so
+    the bin-pack MATERIALIZES every DV (same logical content →
+    still dataChange=false) and the removes retire the old file
+    instances, descriptors included."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -530,8 +537,23 @@ def test_optimize_delta_refuses_column_mapping_and_dv(spark, tmp_path):
     added = w2.commit(pd.DataFrame({"id": [1, 2], "val": ["a", "b"]}))
     w2.commit(pd.DataFrame({"id": [3], "val": ["c"]}))
     w2.dv_delete(added[0], [0], storage="u")
-    with pytest.raises(ValueError, match="deletion"):
-        dl.optimize_delta(spark, dv)
+    v = dl.optimize_delta(spark, dv)
+    st = dl.snapshot_state(dv)
+    assert st["version"] == v
+    assert not any(a.get("deletionVector") for a in st["files"])
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, dv).collect()
+    ) == [2, 3]
+    # the commit changed no logical rows: everything dataChange=false
+    log = os.path.join(dv, "_delta_log", f"{v:020d}.json")
+    acts = [json.loads(x) for x in open(log).read().strip().split("\n")]
+    for a in acts:
+        for k in ("add", "remove"):
+            if k in a:
+                assert a[k].get("dataChange") is False
+    # the remove of the DV'd file named its instance (old descriptor)
+    rms = [a["remove"] for a in acts if "remove" in a]
+    assert any(r.get("deletionVector") for r in rms)
 
 
 def test_vacuum_delta_removes_only_unretained_files(spark, tmp_path):
@@ -1671,3 +1693,124 @@ def test_dml_on_column_mapped_table_with_cdf(spark, tmp_path):
         for r in dl.read_delta(spark, path).collect()
     )
     assert got == [(1, "V1"), (2, "m2"), (9, "m9")]
+
+
+def test_dv_delete_native_roundtrip_no_rewrite(spark, tmp_path):
+    """r13 native-DV DELETE: `delete_delta(use_dvs=True)` marks rows
+    deleted via a Roaring64 deletion vector written executor-side —
+    the data files are NOT rewritten (same paths, same bytes), the
+    new add carries the descriptor, an existing DV's positions are
+    UNIONed in, and the commit ships the full CDF record."""
+    path = str(tmp_path / "dvn")
+    w = dl.DeltaFixtureWriter(path, SCHEMA, deletion_vectors=True)
+    [f0] = w.commit(_pdf([1, 2, 3], "a"))
+    [f1] = w.commit(_pdf([4, 5], "a"))
+    w.dv_delete(f0, [0])  # fixture DV hides id=1
+    sizes = {
+        rel: os.path.getsize(os.path.join(path, rel))
+        for rel in (f0, f1)
+    }
+    v = dl.delete_delta(spark, path, "id IN (2, 5)", use_dvs=True)
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [3, 4]
+    st = dl.snapshot_state(path)
+    by_path = {a["path"]: a for a in st["files"]}
+    # same data files, untouched bytes, new descriptors
+    assert set(by_path) == {f0, f1}
+    for rel in (f0, f1):
+        assert os.path.getsize(os.path.join(path, rel)) == sizes[rel]
+    assert by_path[f0]["deletionVector"]["cardinality"] == 2  # {0,1}
+    assert by_path[f1]["deletionVector"]["cardinality"] == 1
+    # the remove actions named the OLD file instances (f0's old DV)
+    log = os.path.join(path, "_delta_log", f"{v:020d}.json")
+    acts = [json.loads(x) for x in open(log).read().strip().split("\n")]
+    rms = {a["remove"]["path"]: a["remove"] for a in acts if "remove" in a}
+    assert rms[f0].get("deletionVector"), "remove must carry old DV"
+    assert "deletionVector" not in rms[f1]
+    # CDF carried exactly the two visible deleted rows
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs
+    cdf = spark.read.parquet(
+        *[os.path.join(path, c["path"]) for c in cdcs]
+    )
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in cdf.collect()
+    ) == [(2, "delete"), (5, "delete")]
+
+
+def test_dv_delete_protocol_gate_and_full_file_retire(spark, tmp_path):
+    """A table without the deletionVectors feature refuses
+    use_dvs=True unless upgrade_protocol=True opts into the upgrade
+    (same commit); a vector covering EVERY physical row retires the
+    file outright instead of re-adding it with a full DV."""
+    path = str(tmp_path / "dvup")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2]).coalesce(1), path)       # file A
+    dl.write_delta(mk([3, 4]).coalesce(1), path, mode="append")  # B
+    with pytest.raises(ValueError, match="deletionVectors"):
+        dl.delete_delta(spark, path, "id = 1", use_dvs=True)
+    v = dl.delete_delta(
+        spark, path, "id = 1", use_dvs=True, upgrade_protocol=True
+    )
+    st = dl.snapshot_state(path)
+    proto = st["protocol"]
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    assert proto["minReaderVersion"] == 3
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [2, 3, 4]
+    # second DV delete finishes file A: cardinality would equal
+    # stats.numRecords, so the file is REMOVED, not re-added
+    dved = [a for a in st["files"] if a.get("deletionVector")]
+    assert len(dved) == 1
+    dl.delete_delta(spark, path, "id = 2", use_dvs=True)
+    st2 = dl.snapshot_state(path)
+    assert len(st2["files"]) == 1  # file A retired
+    assert not any(a.get("deletionVector") for a in st2["files"])
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [3, 4]
+    assert v >= 2
+
+
+def test_dv_delete_conflict_on_concurrent_dv_swap(
+    spark, tmp_path, monkeypatch
+):
+    """The remove-set retry validation keys on the file INSTANCE
+    (path + DV uniqueId): a concurrent commit that swapped an
+    affected file's deletion vector keeps the path live, but the
+    loser must still raise instead of clobbering the swap."""
+    path = str(tmp_path / "dvswap")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "id long, val string"
+    )
+    dl.write_delta(mk([1, 2, 3]).coalesce(1), path)
+
+    def competing(v):
+        st = dl.snapshot_state(path)
+        old = st["files"][0]
+        swapped = dict(old)
+        swapped["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": "0123456789",
+            "sizeInBytes": 8,
+            "cardinality": 1,
+        }
+        swapped["dataChange"] = True
+        return [
+            {"commitInfo": {"operation": "COMPETING-DV-SWAP"}},
+            dl._remove_action(old),
+            {"add": swapped},
+        ]
+
+    _inject_competing_commit(monkeypatch, competing)
+    with pytest.raises(
+        dl.DeltaConcurrentModification, match="removed or modified"
+    ):
+        dl.delete_delta(
+            spark, path, "id = 2", use_dvs=True, upgrade_protocol=True
+        )

@@ -1047,6 +1047,27 @@ def main() -> int:
             "__p", F.col("_hoodie_partition_path")
         ).repartition(F.col("__p"), F.col("__fid"))
 
+    def _delta_dv_write_plan():
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kissmetrics_to_database_spark.sources import deltalog as dl
+
+        path = tempfile.mkdtemp(prefix="dvw_audit_") + "/t"
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        )
+        dl.write_delta(df.repartition(2), path)
+        state = dl.snapshot_state(path)
+        snap, _ = dl._snapshot_with_path(
+            spark, path, state, with_pos=True
+        )
+        pos = snap.filter(F.col("id") % 3 == 0).select(
+            "_kmdb_path", "_kmdb_pos"
+        )
+        return dl._dv_write_kernel_df(spark, path, pos)
+
     def _iceberg_stats_prune_plan():
         import tempfile
 
@@ -1204,6 +1225,15 @@ def main() -> int:
                 "hashpartitioning(__p",
             ],
             ["CartesianProduct", "SortMergeJoin"],
+        ),
+        # r13: the native-DV DELETE's bitmap writes are ONE
+        # per-file shuffle into the Arrow kernel (one Roaring64
+        # .bin per affected file, executor-side) — no join, the
+        # driver never touches bitmap bytes
+        "op:delta_dv_write": (
+            _delta_dv_write_plan,
+            ["FlatMapGroupsInPandas", "hashpartitioning(_kmdb_path"],
+            ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
         ),
     }
     for name, (builder, must, must_not) in operator_checks.items():
