@@ -357,7 +357,15 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hp = dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3).select(
         "id_a", "id_b", "hamming"
     )
-    tok = dedup.distinct_shingles(docs, "doc_id", "text")
+    # persist the shingle set: jaccard_pairs references it THREE
+    # times (per-doc sizes + both sides of the token self-join), so
+    # the un-persisted plan re-runs the posexplode/window/distinct
+    # shingle kernel three times (r13 optimization round, guide §5 —
+    # reuse + expensive recompute; same pattern as
+    # dedup.minhash_lsh_dedup_pairs). The readout is eagerly
+    # materialized below so the cache can be released instead of
+    # leaking for the session's lifetime.
+    tok = dedup.distinct_shingles(docs, "doc_id", "text").persist()
     jac = dedup.jaccard_pairs(tok, "doc_id", hp, 0.0).select(
         "id_a", "id_b", "jaccard"
     )
@@ -365,7 +373,7 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     scored = hp.join(jac, ["id_a", "id_b"], "left").select("hamming", ji.alias("ji"))
-    return (
+    result = (
         scored.groupBy("hamming")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
@@ -382,7 +390,10 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_05"),
         )
         .orderBy("hamming")
+        .localCheckpoint(eager=True)
     )
+    tok.unpersist()
+    return result
 
 
 @query(
@@ -1145,9 +1156,13 @@ def q_bitext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("tgt_lang"))
         .distinct()
     )
+    # Both miners feed TWO readout branches each (count + overlap);
+    # localCheckpoint materializes each kernel once instead of per
+    # branch (r13 optimization round, guide §5 — the plan otherwise
+    # duplicates the mining subtree above the exchange-reuse line).
     exact = similarity.margin_bitext_mining(
         dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
-    ).select("tgt_lang", "src_id", "tgt_id")
+    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
     ann = similarity.margin_bitext_mining_ann(
         dv,
         _bitext_hyperplanes(spark, sf_dir),
@@ -1158,7 +1173,7 @@ def q_bitext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.2,
         probe_radius=2,
-    ).select("tgt_lang", "src_id", "tgt_id")
+    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
     ec = exact.groupBy("tgt_lang").agg(F.count("*").alias("n_e"))
     ac = ann.groupBy("tgt_lang").agg(F.count("*").alias("n_a"))
     hits = exact.join(ann, ["tgt_lang", "src_id", "tgt_id"]).groupBy(
@@ -11188,9 +11203,16 @@ def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("tgt_lang"))
         .distinct()
     )
+    # Each miner's pair set feeds TWO branches of the readout (its
+    # per-language count and the overlap join); without a
+    # materialization barrier Spark re-executes the whole mining
+    # kernel per branch — localCheckpoint computes each miner once
+    # (r13 optimization round, guide §5 "caching when a DataFrame is
+    # reused and recompute is expensive"). Results are unchanged:
+    # both kernels are integer-snapped and partitioning-independent.
     exact = similarity.margin_bitext_mining(
         dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
-    ).select("tgt_lang", "src_id", "tgt_id")
+    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
     emb_n = load_table(spark, sf_dir, "embeddings").count()
     ivf = similarity.margin_bitext_mining_ivf(
         dv,
@@ -11202,7 +11224,7 @@ def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.2,
         nprobe=2,
-    ).select("tgt_lang", "src_id", "tgt_id")
+    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
     ec = exact.groupBy("tgt_lang").agg(F.count("*").alias("n_e"))
     ac = ivf.groupBy("tgt_lang").agg(F.count("*").alias("n_a"))
     hits = exact.join(ivf, ["tgt_lang", "src_id", "tgt_id"]).groupBy(

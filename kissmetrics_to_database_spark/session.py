@@ -110,7 +110,7 @@ def cache_tables(
     spark: SparkSession,
     sf_dir: str,
     tables: tuple[str, ...] = TABLES,
-    min_rows_to_repartition: int = 50_000,
+    min_rows_to_repartition: int = 1_000,
 ) -> None:
     """Materialize the testdata tables as a partitioned in-memory
     columnar cache; subsequent ``load_table`` calls serve from it.
@@ -124,6 +124,21 @@ def cache_tables(
     the core count once, then serving all queries from the cache
     (classic warm-cache warehouse benchmarking — the bench harness
     calls this in its warm-up phase; correctness runs never do).
+
+    Threshold (r13 optimization round, guide §2/§6): was 50_000,
+    which left ``documents`` (5k rows at sf0.1) and ``embeddings``
+    (2k) as SINGLE-partition caches — every map-heavy text/embedding
+    kernel (shingling, HTML segmentation, PassJoin window explosion,
+    norm/bucket projections) ran its scan side as ONE task on a
+    32-core box, serializing exactly the per-row work that dominates
+    those suites. One row group = one task is an artifact of the
+    single-file testdata, not of the queries: at 100 TB every one of
+    these tables is thousands of splits. 1_000 keeps genuinely tiny
+    inputs (region/nation at all SFs, most tables at sf≤0.01)
+    un-shuffled while letting the compute-heavy corpus tables
+    parallelize; the repartition width stays the env-provided core
+    count, so the driver's low-core bench run scales it down
+    automatically.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     app_id = _session_key(spark)

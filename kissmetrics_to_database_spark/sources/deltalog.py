@@ -1064,6 +1064,7 @@ def _stage_distributed_write(
     part_cols: list[str],
     data_change: bool = True,
     phys_of: dict[str, str] | None = None,
+    distribute: bool = True,
 ) -> list[dict]:
     """Distributed data write into a per-commit staging dir, then
     rename into the table root (same-filesystem rename: cheap).
@@ -1095,6 +1096,19 @@ def _stage_distributed_write(
         part_cols = [phys_of.get(c, c) for c in part_cols]
     seg = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f"_staging-{seg}")
+    if part_cols and distribute:
+        # Hash-distribute rows by the partition columns before the
+        # partitioned write (r13 optimization round, guide §6 —
+        # Iceberg's write.distribution-mode=hash shape): without it
+        # every upstream task × every partition value it holds opens
+        # its own output file, so an N-task input over P partition
+        # values emits up to N×P near-empty files per commit — the
+        # many-small-files problem, paid again by every later replay,
+        # stats job, DML rewrite and scan of the table. One exchange
+        # buys one file per live partition tuple. Callers that have
+        # already shaped the layout themselves (OPTIMIZE's bin-pack /
+        # ZORDER range partitioning) pass distribute=False.
+        df = df.repartition(*[F.col(c) for c in part_cols])
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -1297,7 +1311,9 @@ def optimize_delta(
             df = df.repartition(*part_cols)
         else:
             df = df.coalesce(n_out)
-        adds = _stage_distributed_write(df, path, part_cols, data_change=False)
+        adds = _stage_distributed_write(
+            df, path, part_cols, data_change=False, distribute=False
+        )
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -1700,6 +1716,11 @@ def _stage_cdf_write(
         part_cols = [phys_of.get(c, c) for c in part_cols]
     seg = uuid.uuid4().hex[:12]
     stage = os.path.join(path, f"_staging-cdc-{seg}")
+    if part_cols:
+        # same hash distribution as _stage_distributed_write (r13
+        # optimization round, guide §6): one cdc file per partition
+        # tuple instead of one per (upstream task × tuple)
+        df = df.repartition(*[F.col(c) for c in part_cols])
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -2434,15 +2455,23 @@ def merge_delta(
         if missing:
             raise ValueError(f"source is missing table columns: {missing}")
         src = source.select(*logical_cols).cache()
+        # ONE aggregation job over the source (r13 optimization
+        # round, guide §1.2 "don't compute things twice"): the
+        # dup-key check and the read-set key bounds used to be two
+        # separate driver actions over the same cached frame — fold
+        # the min/max per key column into the same agg.
         # count_distinct over a STRUCT so NULL key fields still count
         # as (distinct) keys — a bare count_distinct(cols...) drops
         # NULL-bearing rows and would mis-report "duplicate keys".
-        n_src, n_keys = (
-            src.agg(
-                F.count(F.lit(1)),
-                F.count_distinct(F.struct(*[F.col(c) for c in on])),
-            ).first()
-        )
+        src_agg = src.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.struct(*[F.col(c) for c in on])).alias(
+                "__k"
+            ),
+            *[F.min(c).alias(f"mn_{c}") for c in on],
+            *[F.max(c).alias(f"mx_{c}") for c in on],
+        ).first()
+        n_src, n_keys = src_agg["__n"], src_agg["__k"]
         if n_src != n_keys:
             src.unpersist()
             raise ValueError(
@@ -2525,12 +2554,8 @@ def merge_delta(
         # r12 #2). Null-only key columns yield no conjunct — fewer
         # conjuncts only ever widens the conflict set (conservative).
         key_conj: list[tuple[str, str, Any]] = []
-        bounds = src.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in on],
-            *[F.max(c).alias(f"mx_{c}") for c in on],
-        ).first()
         for c in on:
-            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            mn, mx = src_agg[f"mn_{c}"], src_agg[f"mx_{c}"]
             if mn is not None:
                 key_conj.append((c, ">=", mn))
                 key_conj.append((c, "<=", mx))

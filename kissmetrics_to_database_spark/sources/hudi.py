@@ -1755,7 +1755,20 @@ def _upsert_hudi_once(
             & (F.col("_hoodie_partition_path") == F.col("__srcpart")),
             how="left_anti",
         )
-        n_upd = cur.count() - survivors.count()
+        # n_upd = rows the anti-join removes = rows the SEMI join
+        # keeps: one count job instead of two full scans of the
+        # touched groups (cur.count() + survivors.count() — r13
+        # optimization round, guide §1.2); the anti-join itself then
+        # executes exactly once, inside the rewrite below.
+        n_upd = cur.join(
+            src.select(
+                F.col(key_col).cast("string").alias("__k"),
+                F.col("__part").alias("__srcpart"),
+            ),
+            on=(F.col("_hoodie_record_key") == F.col("__k"))
+            & (F.col("_hoodie_partition_path") == F.col("__srcpart")),
+            how="left_semi",
+        ).count()
     else:
         survivors = None
     new_rows = src.drop("__fid", "__part").withColumn(

@@ -1319,6 +1319,15 @@ def write_iceberg(
                         out_df = out_df.withColumn(
                             f"__p_{fld['name']}", _transform_expr(fld)
                         )
+                    # hash-distribute by the transformed partition
+                    # values before the partitioned write (r13
+                    # optimization round, guide §6 — the spec's own
+                    # write.distribution-mode=hash): one data file
+                    # per live partition tuple instead of one per
+                    # (upstream task × tuple)
+                    out_df = out_df.repartition(
+                        *[F.col(f"__p_{c}") for c in part_cols]
+                    )
                     out_df.write.mode("overwrite").partitionBy(
                         *[f"__p_{c}" for c in part_cols]
                     ).parquet(stage)
