@@ -1307,32 +1307,54 @@ def pq_topk(
     codes = _pq_code_columns(
         corpus, vec_col, all_cents, sub, ndigits
     ).select(id_col, *[f"code_{j}" for j in range(m)])
-    dtabs = []
+    # ADC distance tables as ONE broadcast per-probe MAP (r13
+    # optimization round, guide §2.4/§3): the former shape built m
+    # separate (probe × k_codes) tables and chained m+1 broadcast
+    # hash joins through the corpus — m+1 BroadcastExchanges, each
+    # re-deriving the probe subtree. Here each probe row carries m
+    # code→distance maps (k_codes entries each, driver-scale by
+    # construction) and scoring is a SINGLE broadcast join with
+    # in-expression map lookups — the textbook ADC lookup-table
+    # layout. Distances are rounded identically inside the map
+    # build, so adist/rank are bit-equal to the join formulation.
+    pdt = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvf")
+    )
     for j in range(m):
-        cents = all_cents[j]
-        dtabs.append(
-            probes.select(
-                F.col(id_col).alias("probe_id"),
-                F.slice(F.col(vec_col), j * sub + 1, sub).alias("_pv"),
-            )
-            .join(F.broadcast(cents.select(
-                F.col("cluster").alias(f"code_{j}"), F.col("_c")
-            )))
-            .select(
-                "probe_id",
-                f"code_{j}",
-                F.round(_l2_dist(F.col("_pv"), F.col("_c")), ndigits).alias(
-                    f"_d{j}"
-                ),
-            )
+        packed = all_cents[j].agg(
+            F.collect_list(
+                F.struct(F.col("cluster").alias("k"), F.col("_c").alias("c"))
+            ).alias(f"_cb{j}")
         )
-    scored = codes.join(F.broadcast(dtabs[0]), f"code_{0}")
-    for j in range(1, m):
-        scored = scored.join(
-            F.broadcast(dtabs[j]), ["probe_id", f"code_{j}"]
+        pdt = pdt.crossJoin(F.broadcast(packed))
+
+    def _dmap(sv):
+        # single-arg lambda factory (see _pq_code_columns): a
+        # default-arg closure would make transform() pass the index
+        return lambda cc: F.struct(
+            cc["k"].alias("key"),
+            F.round(_l2_dist(sv, cc["c"]), ndigits).alias("value"),
         )
+
+    pdt = pdt.select(
+        "probe_id",
+        *[
+            F.map_from_entries(
+                F.transform(
+                    F.col(f"_cb{j}"),
+                    _dmap(F.slice(F.col("_pvf"), j * sub + 1, sub)),
+                )
+            ).alias(f"_mt{j}")
+            for j in range(m)
+        ],
+    )
+    scored = codes.crossJoin(F.broadcast(pdt))
+    dists = [
+        F.element_at(F.col(f"_mt{j}"), F.col(f"code_{j}"))
+        for j in range(m)
+    ]
     adist = F.round(
-        F.sqrt(sum(F.col(f"_d{j}") * F.col(f"_d{j}") for j in range(m))),
+        F.sqrt(sum(d * d for d in dists)),
         ndigits,
     )
     ranked = (
@@ -1444,34 +1466,52 @@ def ivfpq_topk(
             ).alias("prv"),
         )
     )
-    dtabs = []
+    # ADC distance tables as ONE broadcast (probe, cell) MAP table
+    # (r13 optimization round, guide §2.4/§3): the former shape
+    # chained m+1 broadcast hash joins (one per subspace table plus
+    # the probed-cell semi-restriction), re-deriving the probe_cells
+    # subtree m+1 times. Each (probe, probed-cell) row now carries m
+    # code→distance maps over the probe's per-cell RESIDUAL — still
+    # (probes × nprobe × k_codes) driver-scale entries — and scoring
+    # is a single broadcast join on the cell with in-expression map
+    # lookups. Rounding is identical inside the map build, so
+    # adist/rank are bit-equal to the join formulation.
+    pdt = probe_cells
     for j in range(m):
-        dtabs.append(
-            probe_cells.select(
-                "probe_id", "cell",
-                F.slice(F.col("prv"), j * sub + 1, sub).alias("_pv"),
-            )
-            .join(F.broadcast(
-                cents_by_sub[j].select(
-                    F.col("cluster").alias(f"code_{j}"), F.col("_c")
+        packed = cents_by_sub[j].agg(
+            F.collect_list(
+                F.struct(F.col("cluster").alias("k"), F.col("_c").alias("c"))
+            ).alias(f"_cb{j}")
+        )
+        pdt = pdt.crossJoin(F.broadcast(packed))
+
+    def _dmap(sv):
+        # single-arg lambda factory (see _pq_code_columns)
+        return lambda cc: F.struct(
+            cc["k"].alias("key"),
+            F.round(_l2_dist(sv, cc["c"]), ndigits).alias("value"),
+        )
+
+    pdt = pdt.select(
+        "probe_id",
+        "cell",
+        *[
+            F.map_from_entries(
+                F.transform(
+                    F.col(f"_cb{j}"),
+                    _dmap(F.slice(F.col("prv"), j * sub + 1, sub)),
                 )
-            ))
-            .select(
-                "probe_id", "cell", f"code_{j}",
-                F.round(_l2_dist(F.col("_pv"), F.col("_c")), ndigits).alias(
-                    f"_d{j}"
-                ),
-            )
-        )
-    scored = codes.join(
-        F.broadcast(probe_cells.select("probe_id", "cell")), "cell"
+            ).alias(f"_mt{j}")
+            for j in range(m)
+        ],
     )
-    for j in range(m):
-        scored = scored.join(
-            F.broadcast(dtabs[j]), ["probe_id", "cell", f"code_{j}"]
-        )
+    scored = codes.join(F.broadcast(pdt), "cell")
+    dists = [
+        F.element_at(F.col(f"_mt{j}"), F.col(f"code_{j}"))
+        for j in range(m)
+    ]
     adist = F.round(
-        F.sqrt(sum(F.col(f"_d{j}") * F.col(f"_d{j}") for j in range(m))),
+        F.sqrt(sum(d * d for d in dists)),
         ndigits,
     )
     ranked = (
@@ -1651,36 +1691,45 @@ def kcenter_coreset(
     spark = df.sparkSession
     seed = df.agg(F.min(F.col(id_col))).collect()[0][0]
     chosen: list[tuple[int, float]] = [(int(seed), 0.0)]
-    vecs = {
-        int(r[0]): list(r[1])
-        for r in df.where(F.col(id_col) == seed)
-        .select(id_col, vec_col)
-        .collect()
-    }
+    seed_rows = (
+        df.where(F.col(id_col) == seed).select(id_col, vec_col).collect()
+    )
+    last_vec = list(seed_rows[0][1])
+    # RUNNING min-distance column (r13 optimization round, guide
+    # §1.2/§2 — the docstring's own "for k in the thousands" shape,
+    # now the only shape): the former loop folded ALL i chosen
+    # centers into step i's scan — Σi = k(k−1)/2 cosine folds total,
+    # and an expression tree that grew a 64-literal array per step
+    # (a fresh, ever-larger codegen compile per step). Here each
+    # step computes ONE new-center cosine, mins it into the carried
+    # ``_d``, and eagerly materializes the (id, vec, dist) state so
+    # the next step's scan starts from data, not lineage. Selection
+    # is identical: distances are rounded per center BEFORE the min
+    # in both shapes, min is associative, and ties still break to
+    # the smaller id — the chosen sequence is bit-equal.
+    cur = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .where(F.col("_id") != int(seed))
+    )
+    have_d = False
     for _ in range(1, int(k)):
-        dists = [
-            F.lit(1.0)
-            - F.round(
-                cosine(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in vecs[cid]]),
-                ),
-                6,
-            )
-            for cid, _ in chosen
-        ]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            df.where(~F.col(id_col).isin([cid for cid, _ in chosen]))
-            .select(F.col(id_col).alias("_id"), mind.alias("_d"), vec_col)
-            .orderBy(F.desc("_d"), F.asc("_id"))
-            .limit(1)
-            .collect()
+        nd = F.lit(1.0) - F.round(
+            cosine(F.col("_v"), F.array(*[F.lit(float(x)) for x in last_vec])),
+            6,
         )
+        cur = cur.select(
+            "_id",
+            "_v",
+            (F.least(F.col("_d"), nd) if have_d else nd).alias("_d"),
+        ).localCheckpoint(eager=True)
+        have_d = True
+        row = cur.orderBy(F.desc("_d"), F.asc("_id")).limit(1).collect()
         if not row:
             break
-        chosen.append((int(row[0]["_id"]), float(row[0]["_d"])))
-        vecs[int(row[0]["_id"])] = list(row[0][vec_col])
+        rid = int(row[0]["_id"])
+        chosen.append((rid, float(row[0]["_d"])))
+        last_vec = list(row[0]["_v"])
+        cur = cur.where(F.col("_id") != rid)
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, d) in enumerate(chosen)],
         "step long, vec_id long, dist double",

@@ -357,15 +357,18 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hp = dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3).select(
         "id_a", "id_b", "hamming"
     )
-    # persist the shingle set: jaccard_pairs references it THREE
-    # times (per-doc sizes + both sides of the token self-join), so
-    # the un-persisted plan re-runs the posexplode/window/distinct
-    # shingle kernel three times (r13 optimization round, guide §5 —
-    # reuse + expensive recompute; same pattern as
-    # dedup.minhash_lsh_dedup_pairs). The readout is eagerly
-    # materialized below so the cache can be released instead of
-    # leaking for the session's lifetime.
-    tok = dedup.distinct_shingles(docs, "doc_id", "text").persist()
+    # materialize the shingle set ONCE: jaccard_pairs references it
+    # THREE times (per-doc sizes + both sides of the token
+    # self-join), so the lazy plan re-runs the posexplode/window/
+    # distinct shingle kernel three times (r13 optimization round,
+    # guide §5 — reuse + expensive recompute; same pattern as
+    # dedup.minhash_lsh_dedup_pairs). localCheckpoint rather than
+    # persist+unpersist so the RETURNED readout stays a live plan
+    # (PLANS.md asserts its join/partitioning shape) while the
+    # checkpointed blocks release on GC with the DataFrame.
+    tok = dedup.distinct_shingles(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     jac = dedup.jaccard_pairs(tok, "doc_id", hp, 0.0).select(
         "id_a", "id_b", "jaccard"
     )
@@ -373,7 +376,7 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     scored = hp.join(jac, ["id_a", "id_b"], "left").select("hamming", ji.alias("ji"))
-    result = (
+    return (
         scored.groupBy("hamming")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
@@ -390,10 +393,7 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_05"),
         )
         .orderBy("hamming")
-        .localCheckpoint(eager=True)
     )
-    tok.unpersist()
-    return result
 
 
 @query(
