@@ -110,7 +110,7 @@ def cache_tables(
     spark: SparkSession,
     sf_dir: str,
     tables: tuple[str, ...] = TABLES,
-    min_rows_to_repartition: int = 1_000,
+    rows_per_partition: int = 512,
 ) -> None:
     """Materialize the testdata tables as a partitioned in-memory
     columnar cache; subsequent ``load_table`` calls serve from it.
@@ -120,25 +120,29 @@ def cache_tables(
     every cold scan runs as a single task no matter how many cores
     exist. At 100 TB the lake layout would already be many files /
     row groups and this function would be a no-op; on the bench box
-    it stands in for that layout by repartitioning the big tables to
-    the core count once, then serving all queries from the cache
-    (classic warm-cache warehouse benchmarking — the bench harness
-    calls this in its warm-up phase; correctness runs never do).
+    it stands in for that layout by repartitioning the big tables
+    once, then serving all queries from the cache (classic warm-cache
+    warehouse benchmarking — the bench harness calls this in its
+    warm-up phase; correctness runs never do).
 
-    Threshold (r13 optimization round, guide §2/§6): was 50_000,
-    which left ``documents`` (5k rows at sf0.1) and ``embeddings``
-    (2k) as SINGLE-partition caches — every map-heavy text/embedding
-    kernel (shingling, HTML segmentation, PassJoin window explosion,
-    norm/bucket projections) ran its scan side as ONE task on a
-    32-core box, serializing exactly the per-row work that dominates
-    those suites. One row group = one task is an artifact of the
-    single-file testdata, not of the queries: at 100 TB every one of
-    these tables is thousands of splits. 1_000 keeps genuinely tiny
-    inputs (region/nation at all SFs, most tables at sf≤0.01)
-    un-shuffled while letting the compute-heavy corpus tables
-    parallelize; the repartition width stays the env-provided core
-    count, so the driver's low-core bench run scales it down
-    automatically.
+    Partition sizing (r13 optimization round, guide §2/§6 — derive
+    partitioning from input size, never a constant): partitions =
+    clamp(rows / rows_per_partition, 1, cpus). The r12 shape
+    (repartition to the core count iff rows ≥ 50k) had both failure
+    modes measured this round: documents (5k rows at sf0.1) and
+    embeddings (2k) fell under the threshold and served as
+    SINGLE-partition caches, serializing every map-heavy text/
+    embedding kernel (shingling, HTML segmentation, PassJoin window
+    explosion) on a 32-core box — while flooring them at the full
+    core count instead swung the other way, inflating every
+    small-job-dominated path (writer commits, Lloyd/EM iterations)
+    with 32-task scheduling and 32-file fixture layouts (measured:
+    iceberg_update_dml 1.7→4.7 s, record_linkage_pairs 1.5→4.0 s at
+    a flat 32). Row-proportional width keeps per-task batches large
+    enough to amortize task setup AND caps tiny tables below the
+    core count; big tables (events, lineitem, orders) still hit the
+    cpus cap. Both knobs are data-derived, so the driver's low-core
+    bench run and larger SFs scale automatically.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     app_id = _session_key(spark)
@@ -147,8 +151,10 @@ def cache_tables(
         if key in _TABLE_CACHE:
             continue
         df = load_table(spark, sf_dir, t)
-        if df.count() >= min_rows_to_repartition:
-            df = df.repartition(cpus)
+        n = df.count()
+        parts = min(cpus, max(1, -(-n // rows_per_partition)))
+        if parts > 1:
+            df = df.repartition(parts)
         df = df.persist()
         df.count()
         _TABLE_CACHE[key] = df
