@@ -136,9 +136,11 @@ def cache_tables(
     explosion) on a 32-core box — while flooring them at the full
     core count instead swung the other way, inflating every
     small-job-dominated path (writer commits, Lloyd/EM iterations)
-    with 32-task scheduling and 32-file fixture layouts (measured:
-    iceberg_update_dml 1.7→4.7 s, record_linkage_pairs 1.5→4.0 s at
-    a flat 32). Row-proportional width keeps per-task batches large
+    with 32-task scheduling and 32-file fixture layouts (in-bench
+    steady at a flat 32: iceberg_update_dml 1.7→4.3 s,
+    delta_dml_on_dv_and_mapped 5.7→11.4 s — plans/r13/
+    bench_mid_flat32.json). Row-proportional width keeps per-task
+    batches large
     enough to amortize task setup AND caps tiny tables below the
     core count; big tables (events, lineitem, orders) still hit the
     cpus cap. Both knobs are data-derived, so the driver's low-core
