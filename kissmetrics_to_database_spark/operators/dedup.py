@@ -621,6 +621,15 @@ def simhash_near_pairs(
     bit_count(xor). This is the standard multi-table SimHash index —
     each block join is an equi-join on a small integer key, never a
     cross join, so it scales to full-corpus dedup.
+
+    Plan shape (r14 optimization round, guide §2.4): the h+1 block
+    tables are ONE exploded (block_index, block_value) table and the
+    candidate join is ONE self equi-join on that composite key —
+    the previous per-block formulation ran h+1 separate self-joins
+    (each its own pair of exchanges) and unioned them. Same pair
+    set: a pair sharing block i surfaces from the (i, value) key
+    exactly as it did from join i, and the same ``distinct`` folds
+    multi-block collisions.
     """
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
@@ -628,28 +637,38 @@ def simhash_near_pairs(
     blocked = sh.select(
         id_col,
         "simhash",
-        *[
-            F.shiftright(F.col("simhash"), i * block_bits)
-            .bitwiseAND((1 << block_bits) - 1)
-            .alias(f"b{i}")
-            for i in range(n_blocks)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND((1 << block_bits) - 1)
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.bi", "blk.bv")
+    a = blocked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "bi",
+        "bv",
     )
-    pairs = None
-    for i in range(n_blocks):
-        a = blocked.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), f"b{i}"
-        )
-        b = blocked.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), f"b{i}"
-        )
-        p = (
-            a.join(b, f"b{i}")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        )
-        pairs = p if pairs is None else pairs.union(p)
-    pairs = pairs.distinct()
+    b = blocked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "bi",
+        "bv",
+    )
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     result = (
         pairs.withColumn("hamming", hamming.cast("long"))

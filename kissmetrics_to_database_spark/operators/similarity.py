@@ -2282,38 +2282,42 @@ def _bitext_margin_verify(
     k-NN normalizer sums — identical math to the exact kernel,
     restricted to the candidate set.
 
-    The ranked candidate table feeds THREE readout branches (both
-    normalizer sums and the mutual-NN filter), so the lazy plan
-    re-ran the whole candidate-generation kernel (LSH/IVF probe
-    join + two rank windows) once per branch; localCheckpoint
-    materializes it exactly once (r14 optimization round, guide
-    §1.2/§5 — VERDICT r13 #4's shared-kernel reuse, applied to every
-    ANN/IVF bitext route). Values are unchanged — the same rows flow
-    into the same aggregations."""
+    ONE linear pass, no joins (r14 optimization round, guide
+    §2.4/§1.2 — supersedes the r14 batch-1 localCheckpoint): each
+    normalizer sum is a WINDOW aggregate over the same partition key
+    as its rank window (sum of ci where rank ≤ k, whole-partition
+    frame), evaluated in the same exchange — so the plan is exactly
+    two hash exchanges (forward key, backward key) and the mutual
+    rows exit carrying both sums. The previous shape re-aggregated
+    the ranked table twice (two groupBy exchanges) and joined both
+    sums back (two more joins), with a checkpoint to keep the
+    kernel from re-running per branch. Values are unchanged: the
+    rank windows are identical, the sums are the same integer sums
+    (order-independent), and every mutual row has ≥1 candidate on
+    each side so the old inner joins never dropped rows."""
     fw = Window.partitionBy("src_id", "tgt_lang").orderBy(
         F.desc("ci"), F.asc("tgt_id")
     )
     bw = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
     ranked = (
         cand.withColumn("fr", F.row_number().over(fw))
+        .withColumn(
+            "s_sum",
+            F.sum(
+                F.when(F.col("fr") <= k, F.col("ci"))
+            ).over(Window.partitionBy("src_id", "tgt_lang")),
+        )
         .withColumn("br", F.row_number().over(bw))
-        .localCheckpoint(eager=True)
-    )
-    s_sum = (
-        ranked.where(F.col("fr") <= k)
-        .groupBy("src_id", "tgt_lang")
-        .agg(F.sum("ci").alias("s_sum"))
-    )
-    t_sum = (
-        ranked.where(F.col("br") <= k)
-        .groupBy("tgt_id")
-        .agg(F.sum("ci").alias("t_sum"))
+        .withColumn(
+            "t_sum",
+            F.sum(
+                F.when(F.col("br") <= k, F.col("ci"))
+            ).over(Window.partitionBy("tgt_id")),
+        )
     )
     mutual = ranked.where((F.col("fr") == 1) & (F.col("br") == 1))
     return (
-        mutual.join(s_sum, ["src_id", "tgt_lang"])
-        .join(t_sum, "tgt_id")
-        .select(
+        mutual.select(
             "src_id",
             "tgt_id",
             "tgt_lang",

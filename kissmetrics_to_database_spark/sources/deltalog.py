@@ -527,7 +527,18 @@ def _footer_stats(abs_path: str) -> str | None:
     numRecords + min/max/nullCount for numeric and string columns
     (other types omitted: no skipping on them). Driver-side footer
     reads, one per FILE — the same metadata-scale contract as the
-    log itself."""
+    log itself.
+
+    NaN guard (r14, same rule as ``_staged_stats``): Spark's parquet
+    writer publishes ``max=NaN`` in the footer for any float/double
+    column containing a NaN (measured — footers do NOT omit the
+    bound the way the Delta stats contract expects). Every
+    comparison against NaN in ``_range_may_match`` is false, so a
+    NaN bound would wrongly PRUNE a file whose non-NaN rows match.
+    Bounds involving NaN are dropped (no bounds ⇒ never pruned on
+    that column — the safe direction); null counts stay."""
+    import math
+
     import pyarrow.parquet as pq
 
     try:
@@ -537,6 +548,7 @@ def _footer_stats(abs_path: str) -> str | None:
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, Any] = {}
+    nan_cols: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -561,8 +573,16 @@ def _footer_stats(abs_path: str) -> str | None:
                 mn, bool
             ):
                 continue
+            if isinstance(mn, float) and (
+                math.isnan(mn) or math.isnan(mx)
+            ):
+                nan_cols.add(name)
+                continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in nan_cols:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     return json.dumps(
         {
             "numRecords": int(md.num_rows),
@@ -1113,48 +1133,66 @@ def _stage_distributed_write(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(stage)
-    stats_by_file = _staged_stats(df, stage, part_cols)
-    adds: list[dict] = []
+    # Enumerate the staged files BEFORE deciding how to compute their
+    # stats (r14 optimization round, guide §1.2 — don't launch a
+    # distributed job for metadata-scale work): a typical DML commit
+    # stages a handful of files, and one driver-side footer read per
+    # file (~1-2 ms, the same metadata contract as the log itself) is
+    # far cheaper than a Spark scan+agg job (~0.2 s of scheduling on
+    # ANY cluster). Above the threshold — bulk loads, wide OPTIMIZE
+    # rewrites, the 1e5-file case r12 moved executor-side — the
+    # distributed aggregation still runs. An EMPTY staged write
+    # (all-matched DELETE, no survivors) now skips the stats job it
+    # used to waste ("All paths were ignored" scan of _SUCCESS only).
+    staged_files: list[tuple[str, str]] = []  # (root, name)
     for root, _dirs, files in os.walk(stage):
         for name in sorted(files):
-            if not name.endswith(".parquet") or name.startswith("_"):
-                continue
-            rel_dir = os.path.relpath(root, stage)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            pv = (
-                _dir_partition_values(rel_dir, part_cols)
-                if part_cols
-                else {}
-            )
-            base, _, _ = name.partition(".")
-            final_name = f"{base}-{seg}.snappy.parquet"
-            final_rel = (
-                os.path.join(rel_dir, final_name) if rel_dir else final_name
-            )
-            os.makedirs(
-                os.path.dirname(os.path.join(path, final_rel)) or path,
-                exist_ok=True,
-            )
-            staged_abs = os.path.abspath(os.path.join(root, name))
-            os.rename(
-                os.path.join(root, name), os.path.join(path, final_rel)
-            )
-            add = {
-                "path": final_rel.replace(os.sep, "/"),
-                "partitionValues": pv,
-                "size": os.path.getsize(os.path.join(path, final_rel)),
-                "modificationTime": int(
-                    os.path.getmtime(os.path.join(path, final_rel))
-                    * 1000
-                ),
-                "dataChange": bool(data_change),
-            }
-            stats = stats_by_file.get(staged_abs) or _footer_stats(
-                os.path.join(path, final_rel)
-            )
-            if stats is not None:
-                add["stats"] = stats
-            adds.append(add)
+            if name.endswith(".parquet") and not name.startswith("_"):
+                staged_files.append((root, name))
+    footer_max = int(os.environ.get("KMDB_STATS_FOOTER_MAX_FILES", "64"))
+    stats_by_file = (
+        _staged_stats(df, stage, part_cols)
+        if len(staged_files) > footer_max
+        else {}
+    )
+    adds: list[dict] = []
+    for root, name in staged_files:
+        rel_dir = os.path.relpath(root, stage)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        pv = (
+            _dir_partition_values(rel_dir, part_cols)
+            if part_cols
+            else {}
+        )
+        base, _, _ = name.partition(".")
+        final_name = f"{base}-{seg}.snappy.parquet"
+        final_rel = (
+            os.path.join(rel_dir, final_name) if rel_dir else final_name
+        )
+        os.makedirs(
+            os.path.dirname(os.path.join(path, final_rel)) or path,
+            exist_ok=True,
+        )
+        staged_abs = os.path.abspath(os.path.join(root, name))
+        os.rename(
+            os.path.join(root, name), os.path.join(path, final_rel)
+        )
+        add = {
+            "path": final_rel.replace(os.sep, "/"),
+            "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(path, final_rel)),
+            "modificationTime": int(
+                os.path.getmtime(os.path.join(path, final_rel))
+                * 1000
+            ),
+            "dataChange": bool(data_change),
+        }
+        stats = stats_by_file.get(staged_abs) or _footer_stats(
+            os.path.join(path, final_rel)
+        )
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
 
@@ -1970,20 +2008,31 @@ def _dml_column_mapping(state: dict) -> dict[str, str]:
 
 
 def _dv_write_kernel_df(
-    spark: SparkSession, table_path: str, pos_df: DataFrame
+    spark: SparkSession, table_path: str, pos_df: DataFrame,
+    dv_desc_of: dict[str, dict] | None = None,
 ) -> DataFrame:
     """EXECUTOR-side deletion-vector writes (r13, native-DV DML):
-    ``pos_df`` (``_kmdb_path``, ``_kmdb_pos`` — the UNION of newly
-    matched physical row indexes and the file's existing DV
-    positions) groups per file via applyInPandas; each task
-    serializes ONE Roaring64 bitmap ([version 0x01][size BE]
+    ``pos_df`` (``_kmdb_path``, ``_kmdb_pos`` — the newly matched
+    physical row indexes) groups per file via applyInPandas; each
+    task serializes ONE Roaring64 bitmap ([version 0x01][size BE]
     [magic LE + portable bitmap][crc32 BE], the layout
     ``_dv_positions`` decodes), writes its own
     ``deletion_vector_<uuid>.bin`` at the table root, and returns
     the descriptor row. The driver never touches bitmap bytes —
     the same contract as ``_stage_distributed_write``; the result
-    is O(affected files), metadata-scale."""
+    is O(affected files), metadata-scale.
+
+    ``dv_desc_of`` (r14 optimization round, guide §1.2/§5): map of
+    abs file path → EXISTING deletionVector descriptor. A new DV
+    replaces its predecessor, so the kernel task merges the old
+    bitmap's positions itself (``_dv_positions`` runs executor-side
+    against shared storage) — previously the DRIVER decoded every
+    affected file's old bitmap serially and shipped the positions
+    back through a union, which also forced a separate
+    affected-file discovery pass before the kernel could run."""
     import pandas as pd
+
+    old_dvs = dv_desc_of or {}
 
     def write_dv(key, pdf):
         import struct
@@ -1991,9 +2040,16 @@ def _dv_write_kernel_df(
         import zlib
 
         from kissmetrics_to_database_spark.functions import roaring
+        from kissmetrics_to_database_spark.sources.deltalog import (
+            _dv_positions,
+        )
 
         fpath = key[0]
-        marked = sorted({int(p) for p in pdf["_kmdb_pos"]})
+        marked_set = {int(p) for p in pdf["_kmdb_pos"]}
+        old = old_dvs.get(fpath)
+        if old:
+            marked_set.update(_dv_positions(table_path, old))
+        marked = sorted(marked_set)
         data = struct.pack("<i", _DV_MAGIC) + roaring.serialize64(
             marked
         )
@@ -2107,36 +2163,29 @@ def _delete_delta_dv(
             spark, path, state, with_pos=True
         )
         hit = F.coalesce(F.expr(predicate), F.lit(False))
-        matches = snap.filter(hit)
-        affected = [
-            r["_kmdb_path"]
-            for r in matches.select("_kmdb_path").distinct().collect()
-        ]
-        if not affected:
-            return state["version"]
-        matched = matches
+        matched = snap.filter(hit)
         deleted = matched.select(
             *logical_cols, F.lit("delete").alias("_change_type")
         )
-        # positions to mark = new matches ∪ the affected files'
-        # existing DV positions (a DV REPLACES its predecessor)
-        old_rows = [
-            (uri, int(pos))
-            for uri in affected
-            if add_of[uri].get("deletionVector")
-            for pos in _dv_positions(
-                path, add_of[uri]["deletionVector"]
-            )
-        ]
+        # ONE kernel job does discovery + DV write (r14, guide §1.2):
+        # the kernel's per-file output IS the affected-file set, so
+        # the old distinct().collect() discovery pass is gone; each
+        # task merges its file's EXISTING DV positions itself (a DV
+        # replaces its predecessor) instead of the driver decoding
+        # every old bitmap serially and unioning the rows back in.
+        dv_desc_of = {
+            uri: add.get("deletionVector")
+            for uri, add in add_of.items()
+            if add.get("deletionVector")
+        }
         pos_df = matched.select("_kmdb_path", "_kmdb_pos")
-        if old_rows:
-            pos_df = pos_df.unionByName(
-                spark.createDataFrame(
-                    old_rows, "_kmdb_path string, _kmdb_pos long"
-                )
-            )
-        dv_rows = _dv_write_kernel_df(spark, path, pos_df).collect()
+        dv_rows = _dv_write_kernel_df(
+            spark, path, pos_df, dv_desc_of
+        ).collect()
+        if not dv_rows:
+            return state["version"]
         dv_of = {r["fpath"]: r for r in dv_rows}
+        affected = sorted(dv_of)
         version = state["version"] + 1
         actions: list[dict] = [
             {
@@ -2250,13 +2299,17 @@ def delete_delta(
         snap, add_of = _snapshot_with_path(spark, path, state)
         pred = F.expr(predicate)
         hit = F.coalesce(pred, F.lit(False))
-        affected = [
-            r["_kmdb_path"]
-            for r in snap.filter(hit)
-            .select("_kmdb_path")
-            .distinct()
-            .collect()
-        ]
+        # collect_set fold instead of distinct().collect() (r14
+        # optimization round, guide §1.2/§2.3): the per-partition
+        # partial aggregate ships one SET of file paths per task to a
+        # single reducer — no hash-distinct exchange of every matched
+        # row, one less job per DML. Bounded by the FILE count, the
+        # same metadata-scale contract as the log replay.
+        affected = sorted(
+            snap.filter(hit)
+            .agg(F.collect_set("_kmdb_path").alias("__p"))
+            .first()["__p"]
+        )
         if not affected:
             return state["version"]
         # semi-join, not isin: an IN list is an expression with one
@@ -2342,13 +2395,12 @@ def update_delta(
             raise ValueError(f"SET columns not in table: {bad}")
         snap, add_of = _snapshot_with_path(spark, path, state)
         hit = F.coalesce(F.expr(predicate), F.lit(False))
-        affected = [
-            r["_kmdb_path"]
-            for r in snap.filter(hit)
-            .select("_kmdb_path")
-            .distinct()
-            .collect()
-        ]
+        # collect_set discovery — see delete_delta (r14, guide §1.2)
+        affected = sorted(
+            snap.filter(hit)
+            .agg(F.collect_set("_kmdb_path").alias("__p"))
+            .first()["__p"]
+        )
         if not affected:
             return state["version"]
         aff_df = spark.createDataFrame(
@@ -2481,10 +2533,12 @@ def merge_delta(
         snap, add_of = _snapshot_with_path(spark, path, state)
         keys = src.select(*on)
         matched_old = snap.join(keys, on=on, how="left_semi").cache()
-        affected = [
-            r["_kmdb_path"]
-            for r in matched_old.select("_kmdb_path").distinct().collect()
-        ]
+        # collect_set discovery — see delete_delta (r14, guide §1.2)
+        affected = sorted(
+            matched_old.agg(
+                F.collect_set("_kmdb_path").alias("__p")
+            ).first()["__p"]
+        )
         aff_df = spark.createDataFrame(
             [(p,) for p in sorted(affected)], "_kmdb_path string"
         )

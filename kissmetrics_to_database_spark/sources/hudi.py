@@ -913,13 +913,16 @@ def _merge_log_records(
     # reason. So the PATH LIST distributes (one row per log file)
     # and each task opens its files from the shared filesystem;
     # executor-parallel, no driver byte-shuffling.
-    logs_df = (
-        spark.createDataFrame(
-            [(p,) for p in sorted(log_paths)], "__path string"
-        )
-        .repartition(min(len(log_paths), 32))
-        .mapInPandas(parse, schema=out_schema)
-    )
+    # createDataFrame parallelizes the local path list across the
+    # default parallelism already (round-robin slices), so each task
+    # opens a disjoint subset of log files — the explicit
+    # repartition() this used to carry only added a round-robin
+    # exchange (one extra job per MoR merge; a table's snapshot read,
+    # DML predicate scan and compaction each pay it) without changing
+    # the distribution (r14 optimization round, guide §2.4).
+    logs_df = spark.createDataFrame(
+        [(p,) for p in sorted(log_paths)], "__path string"
+    ).mapInPandas(parse, schema=out_schema)
     base_tagged = (
         base_df.withColumn("_hoodie_is_deleted", F.lit(False))
         .withColumn(
@@ -1838,11 +1841,19 @@ def _log_append_stats_df(
     touches log bytes, mirroring the read path's contract. The
     per-writer ``token`` keeps racing writers collision-free.
     ``slice_meta`` maps (part, fid) → (base_instant, next_version):
-    metadata-scale, one entry per AFFECTED group. Returns the LAZY
+    metadata-scale, one entry per LIVE group. Returns the LAZY
     stats DataFrame (one row per log file) — the plan is one
     hashpartitioning(__part, __fid) shuffle into the Arrow kernel,
     no join anywhere (asserted in PLANS.md
-    ``op:hudi_mor_log_append``)."""
+    ``op:hudi_mor_log_append``).
+
+    Single-pass group routing (r14 optimization round, guide §1.2):
+    a group NOT in ``slice_meta`` (no live slice — its rows must
+    open a new base-file group) writes nothing and returns a MARKER
+    row (``rel`` NULL), so the caller learns the affected-group
+    split from the same job that writes the logs — the separate
+    distinct().collect() discovery pass and its semi-join are gone
+    (one Spark job less per MoR upsert/delete commit)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1874,7 +1885,15 @@ def _log_append_stats_df(
 
     def write_group(key, pdf):
         part, fid = key[0], key[1]
-        binst, ver = slice_meta[(part, fid)]
+        meta = slice_meta.get((part, fid))
+        if meta is None:
+            # no live slice: marker row, nothing written — the
+            # caller routes these rows to a base-file write
+            return pd.DataFrame(
+                [[part, fid, None, len(pdf), 0]],
+                columns=["part", "fid", "rel", "n", "size"],
+            )
+        binst, ver = meta
         recs = []
         for i, row in enumerate(pdf.to_dict("records")):
             rec = {
@@ -1933,16 +1952,23 @@ def _append_log_files_distributed(
     token: str,
     slice_meta: dict[tuple[str, str], tuple[str, int]],
     deleted: bool = False,
-) -> dict[str, list]:
+) -> tuple[dict[str, list], list[tuple[str, str]]]:
     """Execute the log-append plan (``_log_append_stats_df``) and
     fold the per-file stats into partitionToWriteStats shape —
     collected O(affected groups), the commit JSON's metadata-scale
-    contract."""
+    contract. Returns (stats, new_groups): ``new_groups`` are the
+    affected (part, fid) pairs with NO live slice (marker rows from
+    the kernel — their rows were not written and must open new
+    base-file groups)."""
     stats = _log_append_stats_df(
         path, rows, key_col, instant, token, slice_meta, deleted
     ).collect()
     p2s: dict[str, list] = {}
+    new_groups: list[tuple[str, str]] = []
     for r in stats:
+        if r["rel"] is None:
+            new_groups.append((r["part"], r["fid"]))
+            continue
         p2s.setdefault(r["part"], []).append(
             {
                 "fileId": r["fid"],
@@ -1952,7 +1978,7 @@ def _append_log_files_distributed(
                 "totalWriteBytes": int(r["size"]),
             }
         )
-    return p2s
+    return p2s, sorted(new_groups)
 
 
 def _mor_slice_meta(
@@ -2006,50 +2032,39 @@ def _upsert_hudi_mor_once(
         .cache()
     )
     slices, _ = _latest_slices_mor(path, None)
-    live = {(s["part"], s["fid"]) for s in slices}
-    affected = {
-        (r["__part"], r["__fid"])
-        for r in src.select("__part", "__fid").distinct().collect()
-    }
-    matched_groups = sorted(affected & live)
     meta_all = _mor_slice_meta(path, slices)
-    slice_meta = {k: meta_all[k] for k in matched_groups}
     import uuid as _uuid
 
     token = _uuid.uuid4().hex[:8]
-    log_stats: dict[str, list] = {}
-    if matched_groups:
-        pairs = spark.createDataFrame(
-            [(p, f) for p, f in matched_groups],
-            "__part string, __fid string",
-        )
-        to_log = src.join(
-            F.broadcast(pairs), on=["__part", "__fid"], how="left_semi"
-        )
-        log_stats = _append_log_files_distributed(
-            spark,
-            path,
-            to_log,
-            key_col,
-            instant,
-            token,
-            slice_meta,
-        )
+    # ONE pass (r14 optimization round, guide §1.2): the log-append
+    # kernel receives every source row grouped by (part, fid) with
+    # the full live-slice meta (metadata-scale) — groups WITH a live
+    # slice write their log file, groups WITHOUT return marker rows.
+    # The separate distinct().collect() affected-group discovery and
+    # its broadcast semi-join are folded away.
+    log_stats, new_groups = _append_log_files_distributed(
+        spark,
+        path,
+        src,
+        key_col,
+        instant,
+        token,
+        meta_all,
+    )
     try:
-        if affected - live:
+        if new_groups:
             # some source rows open NEW base-file groups: route them
             # through the staged distributed base write, which also
             # publishes the combined deltacommit
             new_group_rows = src.join(
                 F.broadcast(
                     spark.createDataFrame(
-                        [(p, f) for p, f in sorted(live)]
-                        or [("", "")],
+                        list(new_groups),
                         "__part string, __fid string",
                     )
                 ),
                 on=["__part", "__fid"],
-                how="left_anti",
+                how="left_semi",
             ).drop("__fid", "__part")
             return _write_hudi_files(
                 new_group_rows,
@@ -2133,14 +2148,6 @@ def delete_hudi(
             "__fid", F.format_string("b%05d-0", bucket)
         ).withColumnRenamed("_hoodie_partition_path", "__part")
         rows = rows.cache()
-        groups = {
-            (r["__part"], r["__fid"])
-            for r in rows.select("__part", "__fid").distinct().collect()
-        }
-        if not groups:
-            rows.unpersist()
-            tl = hudi_timeline(path)
-            return tl[-1]["instant"] if tl else ""
         slices, _ = _latest_slices_mor(path, None)
         meta_all = _mor_slice_meta(path, slices)
         import uuid as _uuid
@@ -2148,16 +2155,33 @@ def delete_hudi(
         token = _uuid.uuid4().hex[:8]
         for _attempt in range(10):
             instant = _next_instant_after(path)
-            p2s = _append_log_files_distributed(
+            # single pass (r14, guide §1.2): the kernel writes the
+            # tombstone logs AND reports the affected groups — the
+            # old distinct().collect() discovery job is gone. Every
+            # matched row's group is live by construction (bucket
+            # routing was asserted above); marker rows would mean a
+            # foreign layout and must fail loudly, not drop deletes.
+            p2s, new_groups = _append_log_files_distributed(
                 spark,
                 path,
                 rows,
                 key_col,
                 instant,
                 token,
-                {k: meta_all[k] for k in groups},
+                meta_all,
                 deleted=True,
             )
+            if new_groups:
+                rows.unpersist()
+                raise ValueError(
+                    "DELETE matched rows whose bucket-routed file "
+                    f"group has no live slice: {new_groups[:3]} — "
+                    "foreign file-group layout?"
+                )
+            if not p2s:
+                rows.unpersist()
+                tl = hudi_timeline(path)
+                return tl[-1]["instant"] if tl else ""
             try:
                 _publish_instant(
                     path,

@@ -639,7 +639,16 @@ def _manifest_stats(
     lower/upper bounds + null counts, emitted in the spec's
     field-id-keyed map shape. One driver-side footer read per new
     FILE — the same metadata-scale contract as ``_footer_stats`` on
-    the Delta side (deltalog.py)."""
+    the Delta side (deltalog.py).
+
+    NaN guard (r14, mirrors deltalog._footer_stats): Spark's parquet
+    writer publishes ``max=NaN`` for a float/double column holding
+    any NaN; a NaN bound makes every ``_iceberg_file_may_match``
+    comparison false and wrongly prunes the file. Bounds involving
+    NaN are dropped (never pruned on that column — the safe
+    direction); null counts stay."""
+    import math
+
     import pyarrow.parquet as pq
 
     out: dict[str, list | None] = {
@@ -655,6 +664,7 @@ def _manifest_stats(
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    nan_cols: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -679,8 +689,16 @@ def _manifest_stats(
                 mn, bool
             ):
                 continue
+            if isinstance(mn, float) and (
+                math.isnan(mn) or math.isnan(mx)
+            ):
+                nan_cols.add(name)
+                continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in nan_cols:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     nvc = [
         {"key": int(by_name[n]["id"]), "value": int(v)}
         for n, v in sorted(nulls.items())
@@ -1894,11 +1912,16 @@ def delete_iceberg(
         dels = dels.persist()
         # the positional read set: data files this commit's delete
         # rows target — metadata-scale (one row per FILE); a racing
-        # commit replacing one of these invalidates the positions
+        # commit replacing one of these invalidates the positions.
+        # collect_set fold, not distinct().collect() (r14, guide
+        # §1.2): one set per task to a single reducer, no
+        # hash-distinct exchange of every delete row.
         referenced = [
-            state["path_map"][r["file_path"]]
-            for r in dels.select("file_path").distinct().collect()
-            if r["file_path"] in state["path_map"]
+            state["path_map"][p]
+            for p in dels.agg(
+                F.collect_set("file_path").alias("__f")
+            ).first()["__f"]
+            if p in state["path_map"]
         ]
         dels.write.mode("overwrite").parquet(stage)
         dels.unpersist()
@@ -1996,10 +2019,13 @@ def update_iceberg(
         seg = uuid.uuid4().hex[:12]
         del_stage = os.path.join(path, f"_staging-udel-{seg}")
         dels = dels.persist()
+        # collect_set fold — see delete_iceberg (r14, guide §1.2)
         referenced = [
-            state["path_map"][r["file_path"]]
-            for r in dels.select("file_path").distinct().collect()
-            if r["file_path"] in state["path_map"]
+            state["path_map"][p]
+            for p in dels.agg(
+                F.collect_set("file_path").alias("__f")
+            ).first()["__f"]
+            if p in state["path_map"]
         ]
         dels.write.mode("overwrite").parquet(del_stage)
         dels.unpersist()
