@@ -1011,9 +1011,21 @@ def winnow_containment(
     """
     fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
     dfreq = Window.partitionBy("fp")
-    rare = fps.withColumn("_df", F.count("*").over(dfreq)).where(
-        F.col("_df") <= max_doc_freq
-    ).select(id_col, "fp")
+    # The rare-fingerprint table feeds THREE consumers (per-doc sizes
+    # plus both sides of the pair join), and only the join sides sit
+    # under reusable same-key exchanges — the sizes branch re-ran the
+    # whole winnowing kernel (posexplode + three windows + distinct).
+    # Materialize it once (r14 optimization round, guide §5); it is
+    # the winnowed SAMPLE of the corpus, ≪ the token stream. The
+    # quadratic hot-key risk in the join stays bounded by the
+    # max_doc_freq cap itself (≤ cap² pairs per fingerprint), which
+    # is MOSS's own boilerplate suppression — no salting needed.
+    rare = (
+        fps.withColumn("_df", F.count("*").over(dfreq))
+        .where(F.col("_df") <= max_doc_freq)
+        .select(id_col, "fp")
+        .localCheckpoint(eager=True)
+    )
     sizes = rare.groupBy(id_col).agg(F.count("*").cast("long").alias("n_fp"))
     a = rare.select(F.col(id_col).alias("doc_a"), "fp")
     b = rare.select(F.col(id_col).alias("doc_b"), "fp")

@@ -1162,13 +1162,18 @@ def q_bitext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("tgt_lang"))
         .distinct()
     )
-    # Both miners feed TWO readout branches each (count + overlap);
-    # localCheckpoint materializes each kernel once instead of per
-    # branch (r13 optimization round, guide §5 — the plan otherwise
-    # duplicates the mining subtree above the exchange-reuse line).
+    # ONE readout pass over both miners (r14 optimization round,
+    # guide §1.2 — supersedes the r13 per-kernel localCheckpoints):
+    # tag each miner's pairs with a side flag, union, fold to one
+    # row per (lang, pair) carrying both flags, then count per lang —
+    # n_exact / n_ann / n_common come out of a single aggregation
+    # instead of three aggregations plus three joins, and each mining
+    # kernel is consumed exactly once (so the checkpoints that
+    # guarded against per-branch re-execution are unnecessary).
+    # Counts are over the identical pair sets — values unchanged.
     exact = similarity.margin_bitext_mining(
         dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
-    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
+    ).select("tgt_lang", "src_id", "tgt_id")
     ann = similarity.margin_bitext_mining_ann(
         dv,
         _bitext_hyperplanes(spark, sf_dir),
@@ -1179,36 +1184,39 @@ def q_bitext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.2,
         probe_radius=2,
-    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
-    ec = exact.groupBy("tgt_lang").agg(F.count("*").alias("n_e"))
-    ac = ann.groupBy("tgt_lang").agg(F.count("*").alias("n_a"))
-    hits = exact.join(ann, ["tgt_lang", "src_id", "tgt_id"]).groupBy(
-        "tgt_lang"
-    ).agg(F.count("*").alias("n_c"))
-    out = (
-        langs.join(ec, "tgt_lang", "left")
-        .join(ac, "tgt_lang", "left")
-        .join(hits, "tgt_lang", "left")
-        .select(
-            "tgt_lang",
-            F.coalesce("n_e", F.lit(0)).cast("long").alias("n_exact"),
-            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_ann"),
-            F.coalesce("n_c", F.lit(0)).cast("long").alias("n_common"),
-            F.round(
-                F.coalesce("n_c", F.lit(0))
-                / F.nullif(
-                    F.coalesce("n_e", F.lit(0)), F.lit(0)
-                ).cast("double"),
-                6,
-            ).alias("recall"),
-            F.round(
-                F.coalesce("n_c", F.lit(0))
-                / F.nullif(
-                    F.coalesce("n_a", F.lit(0)), F.lit(0)
-                ).cast("double"),
-                6,
-            ).alias("precision"),
-        )
+    ).select("tgt_lang", "src_id", "tgt_id")
+    tagged = exact.withColumn("_e", F.lit(1)).withColumn(
+        "_a", F.lit(0)
+    ).unionByName(
+        ann.withColumn("_e", F.lit(0)).withColumn("_a", F.lit(1))
+    )
+    per_pair = tagged.groupBy("tgt_lang", "src_id", "tgt_id").agg(
+        F.max("_e").alias("_e"), F.max("_a").alias("_a")
+    )
+    counts = per_pair.groupBy("tgt_lang").agg(
+        F.sum("_e").alias("n_e"),
+        F.sum("_a").alias("n_a"),
+        F.sum(F.col("_e") * F.col("_a")).alias("n_c"),
+    )
+    out = langs.join(counts, "tgt_lang", "left").select(
+        "tgt_lang",
+        F.coalesce("n_e", F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_ann"),
+        F.coalesce("n_c", F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce("n_c", F.lit(0))
+            / F.nullif(
+                F.coalesce("n_e", F.lit(0)), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.coalesce("n_c", F.lit(0))
+            / F.nullif(
+                F.coalesce("n_a", F.lit(0)), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("precision"),
     )
     return out.orderBy("tgt_lang")
 
@@ -11210,16 +11218,14 @@ def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("tgt_lang"))
         .distinct()
     )
-    # Each miner's pair set feeds TWO branches of the readout (its
-    # per-language count and the overlap join); without a
-    # materialization barrier Spark re-executes the whole mining
-    # kernel per branch — localCheckpoint computes each miner once
-    # (r13 optimization round, guide §5 "caching when a DataFrame is
-    # reused and recompute is expensive"). Results are unchanged:
-    # both kernels are integer-snapped and partitioning-independent.
+    # ONE readout pass over both miners — the bitext_ann_recall
+    # tagged-union fold (r14 optimization round, guide §1.2;
+    # supersedes the r13 localCheckpoints: each kernel is consumed
+    # exactly once now). Counts over identical pair sets — values
+    # unchanged.
     exact = similarity.margin_bitext_mining(
         dv, "doc_id", "lang", "embedding", src_lang="en", k=4, threshold=1.2
-    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
+    ).select("tgt_lang", "src_id", "tgt_id")
     emb_n = load_table(spark, sf_dir, "embeddings").count()
     ivf = similarity.margin_bitext_mining_ivf(
         dv,
@@ -11231,36 +11237,39 @@ def q_bitext_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.2,
         nprobe=2,
-    ).select("tgt_lang", "src_id", "tgt_id").localCheckpoint(eager=True)
-    ec = exact.groupBy("tgt_lang").agg(F.count("*").alias("n_e"))
-    ac = ivf.groupBy("tgt_lang").agg(F.count("*").alias("n_a"))
-    hits = exact.join(ivf, ["tgt_lang", "src_id", "tgt_id"]).groupBy(
-        "tgt_lang"
-    ).agg(F.count("*").alias("n_c"))
-    out = (
-        langs.join(ec, "tgt_lang", "left")
-        .join(ac, "tgt_lang", "left")
-        .join(hits, "tgt_lang", "left")
-        .select(
-            "tgt_lang",
-            F.coalesce("n_e", F.lit(0)).cast("long").alias("n_exact"),
-            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_ivf"),
-            F.coalesce("n_c", F.lit(0)).cast("long").alias("n_common"),
-            F.round(
-                F.coalesce("n_c", F.lit(0))
-                / F.nullif(
-                    F.coalesce("n_e", F.lit(0)), F.lit(0)
-                ).cast("double"),
-                6,
-            ).alias("recall"),
-            F.round(
-                F.coalesce("n_c", F.lit(0))
-                / F.nullif(
-                    F.coalesce("n_a", F.lit(0)), F.lit(0)
-                ).cast("double"),
-                6,
-            ).alias("precision"),
-        )
+    ).select("tgt_lang", "src_id", "tgt_id")
+    tagged = exact.withColumn("_e", F.lit(1)).withColumn(
+        "_a", F.lit(0)
+    ).unionByName(
+        ivf.withColumn("_e", F.lit(0)).withColumn("_a", F.lit(1))
+    )
+    per_pair = tagged.groupBy("tgt_lang", "src_id", "tgt_id").agg(
+        F.max("_e").alias("_e"), F.max("_a").alias("_a")
+    )
+    counts = per_pair.groupBy("tgt_lang").agg(
+        F.sum("_e").alias("n_e"),
+        F.sum("_a").alias("n_a"),
+        F.sum(F.col("_e") * F.col("_a")).alias("n_c"),
+    )
+    out = langs.join(counts, "tgt_lang", "left").select(
+        "tgt_lang",
+        F.coalesce("n_e", F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_ivf"),
+        F.coalesce("n_c", F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce("n_c", F.lit(0))
+            / F.nullif(
+                F.coalesce("n_e", F.lit(0)), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.coalesce("n_c", F.lit(0))
+            / F.nullif(
+                F.coalesce("n_a", F.lit(0)), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("precision"),
     )
     return out.orderBy("tgt_lang")
 

@@ -249,15 +249,31 @@ def read_hudi(
     slices, _ = _latest_slices_mor(path, at_instant)
     if not slices:
         raise ValueError(f"Hudi table has no completed data: {path}")
-    base_files = [(s["part"], s["base"]) for s in slices]
-    df = _scan_files(spark, path, base_files)
-    log_files = [
-        (s["part"], bi, rel)
-        for s in slices
-        for bi, _v, rel in s["logs"]
-    ]
-    if log_files:
-        df = _merge_log_records(spark, path, df, slices)
+    # Merge ONLY the file slices that carry log files (r14
+    # optimization round, guide §2.3/§2.4 — shuffle fewer bytes):
+    # a record key lives in exactly one file group (Hudi's index
+    # invariant), so updates/tombstones for a log-less group's keys
+    # cannot exist — its base rows pass through the union untouched,
+    # exactly as real Hudi serves them. The max_by merge shuffle now
+    # scales with the log-carrying tail of the table, not with every
+    # base row of the snapshot.
+    log_slices = [s for s in slices if s["logs"]]
+    plain = [s for s in slices if not s["logs"]]
+    parts = []
+    if plain:
+        parts.append(
+            _scan_files(spark, path, [(s["part"], s["base"]) for s in plain])
+        )
+    if log_slices:
+        base_df = _scan_files(
+            spark, path, [(s["part"], s["base"]) for s in log_slices]
+        )
+        parts.append(
+            _merge_log_records(spark, path, base_df, log_slices)
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if not keep_meta:
         df = df.drop(*[c for c in META_COLS if c in df.columns])
     return df
