@@ -722,23 +722,32 @@ def span_dedup_stats(
     pairwise MinHash path (catches boilerplate repeated across MANY
     docs, which pairwise near-dup scoring under-weights).
 
-    Scale shape: one groupBy on md5(span) — a 32-byte key, never the
-    span text — with min(struct(doc,pos)) (map-side combinable), then
-    an equi-join back on the hash. No window over the corpus, no
-    all-pairs anything; cost is two shuffles of narrow rows.
+    Scale shape: one hash exchange on md5(span) — a 32-byte key,
+    never the span text — computing the per-span occurrence count
+    and first-occurrence winner as WINDOW aggregates over that one
+    partitioning (r14 optimization round, guide §2.4/§1.2: the
+    former groupBy + equi-join-back shape ran the span-extraction
+    kernel twice, once under each exchange, and paid the join; the
+    window computes the identical min(struct(doc,pos))/_occ per row
+    in one pass). No window over the corpus as a single partition,
+    no all-pairs anything; cost is two shuffles of narrow rows.
     """
     spans = positional_shingles(df, id_col, text_col, n).select(
         F.col(id_col), "pos", F.md5("token").alias("_h")
     )
-    winners = spans.groupBy("_h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_w"),
-        F.count("*").alias("_occ"),
-    )
-    joined = spans.join(winners, "_h").select(
+    wh = Window.partitionBy("_h")
+    joined = spans.select(
+        F.col(id_col),
+        "pos",
+        F.count("*").over(wh).alias("_occ"),
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).over(wh).alias("_w"),
+    ).select(
         F.col(id_col),
         (
             (F.col("_occ") > 1)
-            & ~((F.col(f"_w.d") == F.col(id_col)) & (F.col("_w.p") == F.col("pos")))
+            & ~((F.col("_w.d") == F.col(id_col)) & (F.col("_w.p") == F.col("pos")))
         ).cast("long").alias("_dup"),
     )
     agg = joined.groupBy(id_col).agg(
@@ -1140,21 +1149,31 @@ def _removed_positions(
     its gram — the removal set of Lee et al. 2021-style exact
     substring dedup. Distinct (id, cpos) rows.
 
-    Plan: one groupBy on the 32-hex gram hash with a map-side-combined
-    min(struct(doc, pos)) winner + occurrence count, an equi-join back
-    on the hash (output rows == occurrences — LINEAR, no pair
-    explosion: a gram occurring N times costs N rows, never N²; this
-    is why the corpus-frequency cap winnowing needs is NOT needed
-    here), then a k-row positional explode. Hot boilerplate grams make
-    one heavy reduce key — AQE skew handling splits it."""
+    Plan (r14 optimization round, guide §2.4/§1.2): ONE hash
+    exchange on the 32-hex gram hash, with the corpus-wide
+    min(struct(doc, pos)) winner and occurrence count computed as
+    whole-partition WINDOW aggregates over that exchange — the
+    former groupBy + equi-join-back shape ran the gram-extraction
+    kernel (posexplode + per-doc lead windows) once under EACH
+    exchange subtree and shuffled the occurrences a second time for
+    the join; measured 1.8-2.7 s vs 1.3 s on the sibling span_dedup
+    shape at sf0.1. Output rows == occurrences — LINEAR, no pair
+    explosion (a gram occurring N times costs N rows, never N²),
+    then a k-row positional explode. Skew note: an extreme
+    boilerplate gram now lands in one window task (AQE skew
+    splitting applies to joins only); if that ever dominates, the
+    two-level salted pre-aggregation is the fallback — at the
+    tested scales the single exchange wins."""
     grams = _positional_kgram_hashes(df, id_col, text_col, k)
-    winners = grams.groupBy("gram_hash").agg(
+    wh = Window.partitionBy("gram_hash")
+    removable = grams.select(
+        F.col(id_col),
+        "pos",
+        F.count("*").over(wh).alias("_occ"),
         F.min(
             F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-        ).alias("_w"),
-        F.count("*").alias("_occ"),
-    )
-    removable = grams.join(winners, "gram_hash").where(
+        ).over(wh).alias("_w"),
+    ).where(
         (F.col("_occ") > 1)
         & ~(
             (F.col("_w.d") == F.col(id_col)) & (F.col("_w.p") == F.col("pos"))
@@ -1351,14 +1370,20 @@ def exact_substring_spans_vs_index(
     index join is a plain equi-join on the hash."""
     hist_idx = index.select("gram_hash").withColumn("_in_hist", F.lit(True))
     grams = _positional_kgram_hashes(batch, id_col, text_col, k)
-    winners = grams.groupBy("gram_hash").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-        ).alias("_w"),
-        F.count("*").alias("_occ"),
-    )
+    # batch-internal winner/count as window aggregates over one
+    # gram_hash exchange — see _removed_positions (r14, guide §2.4);
+    # the history-index probe stays a plain equi-join on the hash
+    wh = Window.partitionBy("gram_hash")
     removable = (
-        grams.join(winners, "gram_hash")
+        grams.select(
+            F.col(id_col),
+            "pos",
+            "gram_hash",
+            F.count("*").over(wh).alias("_occ"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).over(wh).alias("_w"),
+        )
         .join(hist_idx, "gram_hash", "left")
         .where(
             F.coalesce(F.col("_in_hist"), F.lit(False))

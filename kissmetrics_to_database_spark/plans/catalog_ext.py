@@ -1041,19 +1041,31 @@ def _bitext_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITEXT_HP: dict = {}
+
+
 def _bitext_hyperplanes(spark: SparkSession, sf_dir: str) -> list:
     """First ``b`` corpus vectors as hyperplanes, with ``b`` sized
     from the corpus count by the log-n rule (`_lsh_bits`) — the same
-    computation the oracle's params CTE does."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = _lsh_bits(emb.count())
-    rows = (
-        emb.where(F.col("vec_id") < b)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    return [[float(x) for x in r[0]] for r in rows]
+    computation the oracle's params CTE does.
+
+    Memoized per sf_dir (r14 optimization round, guide §1.2 — the
+    `_ivf_route_centroids` train-once/serve-many precedent): ten
+    ANN-route queries each paid a count job + a collect job to fetch
+    the identical deterministic b-row index parameter. The memo
+    cannot change results."""
+    key = sf_dir
+    if key not in _BITEXT_HP:
+        emb = load_table(spark, sf_dir, "embeddings")
+        b = _lsh_bits(emb.count())
+        rows = (
+            emb.where(F.col("vec_id") < b)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        _BITEXT_HP[key] = [[float(x) for x in r[0]] for r in rows]
+    return _BITEXT_HP[key]
 
 
 @query(

@@ -242,9 +242,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # span dedup: winner-per-span via map-side-combinable min(struct)
     # aggregation on the md5 key (the Window present is the per-doc
     # shingle lead, partitioned by doc_id — never corpus-wide)
+    # r14: per-span occurrence count + first-occurrence winner are
+    # WINDOW aggregates over the one hashpartitioning(_h) exchange —
+    # the former groupBy (partial_min) + join-back ran the span
+    # kernel twice; the join is gone
     "span_dedup": (
-        ["partial_min", "hashpartitioning(_h"],
-        ["CartesianProduct"],
+        ["Window", "hashpartitioning(_h"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
     # quota cap: per-source hash-ranked window; no joins at all
     "source_quota_cap": (
@@ -1122,10 +1126,19 @@ def main() -> int:
         ),
         # exact-substring removed-positions build: gram winner via
         # map-side-combinable min(struct) agg on the gram hash
+        # r14: corpus-wide gram winner/count are WINDOW aggregates
+        # over the one hashpartitioning(gram_hash) exchange — the
+        # former groupBy (partial_min) + join-back ran the gram
+        # kernel twice; no join remains in the removal-set plan
         "op:removed_positions_build": (
             _removed_positions_build_plan,
-            ["partial_min", "hashpartitioning(gram_hash"],
-            ["CartesianProduct", "SinglePartition"],
+            ["Window", "hashpartitioning(gram_hash"],
+            [
+                "CartesianProduct",
+                "SinglePartition",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            ],
         ),
         "op:dedup_by_fingerprint": (
             _dedup_fp_plan,
