@@ -7224,11 +7224,15 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_approx = parts[0]
     for p in parts[1:]:
         all_approx = all_approx.unionByName(p)
-    joined = bf.crossJoin(
-        F.broadcast(
-            all_approx.select("dims").distinct().withColumnRenamed("dims", "d")
-        )
-    ).join(
+    # the dims axis is the LITERAL (8, 16, 32, 64) — deriving it via
+    # all_approx.select("dims").distinct() re-ran all four truncated
+    # scoring kernels a second time just to rediscover the constants
+    # (r14 optimization round, guide §1.2). Identical axis: every d
+    # is always present in the union by construction.
+    dims_df = emb.sparkSession.createDataFrame(
+        [(d,) for d in (8, 16, 32, 64)], "d long"
+    )
+    joined = bf.crossJoin(F.broadcast(dims_df)).join(
         F.broadcast(all_approx),
         (F.col("d") == all_approx["dims"])
         & (bf["probe_id"] == all_approx["probe_id"])
