@@ -532,11 +532,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         print(f"bench: {name}", file=sys.stderr, flush=True)
         fn = catalog.QUERIES[name]
+        # One failing query must not destroy the whole run's output
+        # (r14; the contract is ONE stdout JSON line — a mid-run crash
+        # used to leave nothing to parse, the exact failure mode the
+        # r12 PERF comparison died of). A failed query still records
+        # its time-to-failure so it appears in `queries` (entries are
+        # never removed), and the additive `errors` field names it.
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            timings[name] = round(time.perf_counter() - t0, 3)
+            steady[name] = timings[name]
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"bench: {name} FAILED: {errors[name]}",
+                  file=sys.stderr, flush=True)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         reruns = []
         for _ in range(3):
@@ -565,6 +580,8 @@ def main() -> None:
         "sf": sf,
         "warmup_s": warmup_s,
     }
+    if errors:
+        out["errors"] = errors
     if not only:  # the fixed-cost tiers only belong to full runs
         out["trainers"] = bench_trainers(spark, sf_dir)
         out["layout"] = bench_layout(spark, sf_dir)

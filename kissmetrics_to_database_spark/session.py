@@ -148,18 +148,41 @@ def cache_tables(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     app_id = _session_key(spark)
+    total_rows = 0
     for t in tables:
         key = (app_id, sf_dir, t)
         if key in _TABLE_CACHE:
             continue
         df = load_table(spark, sf_dir, t)
         n = df.count()
+        total_rows += n
         parts = min(cpus, max(1, -(-n // rows_per_partition)))
         if parts > 1:
             df = df.repartition(parts)
         df = df.persist()
         df.count()
         _TABLE_CACHE[key] = df
+    if total_rows:
+        # Scale-adaptive shuffle width (r14, guide §2.2/§5): under AQE
+        # every exchange PLANS this many partitions and coalesces down
+        # by observed bytes, so per-task hash/sort state shrinks as the
+        # data grows instead of being fixed by the core-count constant.
+        # Derived from the observed row total — at sf0.1 (~1.5M rows)
+        # this stays at the core count (bench numbers comparable with
+        # prior rounds); at sf1.0 (~8.7M rows) exchanges start ~5×
+        # wider, which is what stopped edit_distance_pairs' shuffled-
+        # hash build from exhausting the 8 GB local JVM's execution
+        # memory (SparkOutOfMemoryError at the r14 sf1 pair). A flat
+        # 4×cores initial width was measured 2-3× SLOWER across the
+        # sf0.1 suite (map-side overhead on every tiny exchange), so
+        # the knob must be data-derived, never a constant. Clamped to
+        # 8× cores; correctness runs never call cache_tables and keep
+        # Spark's plain spark.sql.shuffle.partitions.
+        ipn = min(8 * cpus, max(cpus, total_rows // 50_000))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(ipn),
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
